@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.{canon, canonOrderSql, load}
+
+/** Flagship + relational core (SURVEY.md §2.2-§2.6, §7.1).
+  *
+  * Every query here is paired with a DuckDB oracle SQL string; both sides
+  * alias output columns identically and end with the canonical name-sorted
+  * ORDER BY (NULLS FIRST) so the driver's hash compare is deterministic.
+  *
+  * Scale notes: dims (region/nation/customer/part/supplier) are explicitly
+  * `broadcast()` — at 100 TB the fact tables (lineitem/orders/events) are
+  * the only shuffled inputs, and lineitem⋈orders shuffles on the join key
+  * once, with all downstream dim joins map-side.
+  */
+object Relational {
+
+  /** Flagship — the reference's NetSuite sales rollup (sales_data.py:49-83)
+    * re-expressed on the TPC-H-ish star: 5-way dim join + conditional
+    * aggregation (A5), sign-flip measure (F10), date formatting (F8),
+    * multi-key grouping (A4), canonical ordering (W1).
+    */
+  def salesRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    val o  = load(spark, sfDir, "orders")
+    val c  = load(spark, sfDir, "customer")
+    val n  = load(spark, sfDir, "nation")
+    val r  = load(spark, sfDir, "region")
+    val p  = load(spark, sfDir, "part")
+
+    val joined = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(o("o_orderstatus") =!= "P" &&
+        li("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+
+    // Exact-decimal arithmetic (inputs are 2-decimal doubles): cast to
+    // DECIMAL per-row BEFORE multiply/sum so both engines compute the same
+    // exact rational, then cast the exact sum to DOUBLE — bit-identical
+    // across Spark and DuckDB, immune to float summation-order and
+    // round-half divergence.
+    val price = li("l_extendedprice").cast("decimal(14,2)")
+    val qty   = li("l_quantity").cast("decimal(14,2)")
+    val disc  = (lit(1.0) - li("l_discount")).cast("decimal(14,2)")
+    val agg = joined
+      .groupBy(
+        c("c_name").as("customer_name"),
+        n("n_name").as("nation_name"),
+        r("r_name").as("region_name"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("sales_date"),
+        p("p_brand").as("brand"))
+      .agg(
+        sum(qty).cast("double").as("total_qty"),
+        sum(when(li("l_returnflag") === "N", price)
+          .otherwise(lit(0).cast("decimal(14,2)"))).cast("double")
+          .as("inv_amount"),
+        (-sum(when(li("l_returnflag") === "R", price)
+          .otherwise(lit(0).cast("decimal(14,2)"))).cast("double"))
+          .as("credmem_amount"),
+        sum(price * disc).cast("double").as("net_amount"),
+        count(lit(1)).as("n_lines"))
+    canon(agg)
+  }
+
+  private val salesRollupCols = Seq("customer_name", "nation_name",
+    "region_name", "sales_date", "brand", "total_qty", "inv_amount",
+    "credmem_amount", "net_amount", "n_lines")
+
+  val salesRollupSql: String =
+    s"""SELECT c.c_name AS customer_name, n.n_name AS nation_name,
+       |  r.r_name AS region_name,
+       |  strftime(o.o_orderdate, '%Y-%m-%d') AS sales_date,
+       |  p.p_brand AS brand,
+       |  CAST(sum(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty,
+       |  CAST(sum(CASE WHEN l.l_returnflag = 'N' THEN CAST(l.l_extendedprice AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS inv_amount,
+       |  -CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN CAST(l.l_extendedprice AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS credmem_amount,
+       |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l.l_discount AS DECIMAL(14,2))) AS DOUBLE) AS net_amount,
+       |  count(*) AS n_lines
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE o.o_orderstatus <> 'P' AND l.l_shipdate > TIMESTAMP '1996-01-01'
+       |GROUP BY 1, 2, 3, 4, 5
+       |${canonOrderSql(salesRollupCols)}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sales_rollup" -> salesRollup)
+
+  val oracles: Map[String, String] = Map(
+    "sales_rollup" -> salesRollupSql)
+}
