@@ -18,7 +18,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses
+      // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert to a
+      // µs-precision TimestampType (sub-µs digits are zero in this data).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   /** Canonical deterministic output order: all columns, sorted by column
     * name, ascending (Spark default = NULLS FIRST). Every oracle SQL must

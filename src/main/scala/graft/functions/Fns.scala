@@ -40,4 +40,14 @@ object Fns {
   /** Canonical fixed-scale string form of a numeric column, for hashing. */
   def canonNum(c: Column, scale: Int = 2): Column =
     c.cast(s"decimal(18,$scale)").cast("string")
+
+  /** Canonical string form of a timestamp for oracle-compared output.
+    * Raw timestamp columns are never emitted: the test parquet mixes
+    * ms/ns units that Spark reads as µs, so a raw round-trip can change
+    * physical representation. DuckDB mirror: strftime(ts, '%Y-%m-%d %H:%M:%S.%f').
+    */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Day-grain string, DuckDB mirror: strftime(ts, '%Y-%m-%d'). */
+  def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
 }
