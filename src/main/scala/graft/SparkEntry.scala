@@ -13,11 +13,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Core.queries
+    operators.Relational.queries ++ operators.Core.queries ++
+      operators.LotPipeline.queries ++ operators.LoadOps.queries ++
+      operators.WindowOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Core.oracles
+    operators.Relational.oracles ++ operators.Core.oracles ++
+      operators.LotPipeline.oracles ++ operators.LoadOps.oracles ++
+      operators.WindowOps.oracles
 }

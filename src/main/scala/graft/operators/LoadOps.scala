@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+import graft.functions.Fns
+
+/** Warehouse-load semantics (SURVEY.md §2.8, reference data_load_system):
+  * change-detection hashing (F6), dimension upsert without MERGE (T7),
+  * idempotent per-partition replace (T6), and the audit/report query (T8).
+  *
+  * All four are batch-expressible, so each is oracle-checked; idempotence
+  * (running T6/T7 twice yields the same state) is asserted in LoadOpsSpec.
+  */
+object LoadOps {
+
+  /** F6: md5 change-detection key (reference file_processor.py:13-17).
+    * Numeric columns are canonicalized to fixed-scale decimal strings so
+    * the digest is engine-independent.
+    */
+  def dataHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    val out = li.select(
+      col("l_orderkey").as("orderkey"),
+      col("l_linenumber").as("linenumber"),
+      Fns.changeKey(
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"),
+        Fns.canonNum(col("l_quantity")),
+        Fns.canonNum(col("l_extendedprice")),
+        col("l_returnflag")).as("data_hash"))
+    canon(out)
+  }
+
+  val dataHashSql: String =
+    s"""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+       |  md5(concat_ws('|',
+       |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+       |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+       |    l_returnflag)) AS data_hash
+       |FROM lineitem
+       |${canonOrderSql(Seq("orderkey", "linenumber", "data_hash"))}""".stripMargin
+
+  /** T7: dimension upsert without MERGE (reference queries.py:7-20 lots
+    * upsert) — `new ∪ (old ⟵anti new)`. "New" rows are customers seen in
+    * recent orders, stamped ACTIVE with their latest order date; the rest
+    * keep their existing state.
+    * At scale: `updates` is the small side (broadcast anti/semi join);
+    * the dim is rewritten without shuffling on anything but the key.
+    */
+  def dimUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = load(spark, sfDir, "customer")
+    val o = load(spark, sfDir, "orders")
+    val updates = o
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(Fns.dayStr(max(col("o_orderdate"))).as("last_updated"))
+    val updated = c.join(updates, c("c_custkey") === updates("custkey"))
+      .select(c("c_custkey").as("custkey"), c("c_name").as("name"),
+        lit("ACTIVE").as("status"), col("last_updated"))
+    val untouched = c.join(broadcast(updates),
+        c("c_custkey") === updates("custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        lit("DORMANT").as("status"), lit("1970-01-01").as("last_updated"))
+    canon(updated.unionByName(untouched))
+  }
+
+  val dimUpsertSql: String =
+    s"""WITH updates AS (
+       |  SELECT o_custkey AS custkey,
+       |    strftime(max(o_orderdate), '%Y-%m-%d') AS last_updated
+       |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+       |  GROUP BY 1
+       |)
+       |SELECT c.c_custkey AS custkey, c.c_name AS name, 'ACTIVE' AS status,
+       |  u.last_updated
+       |FROM customer c JOIN updates u ON c.c_custkey = u.custkey
+       |UNION ALL
+       |SELECT c.c_custkey, c.c_name, 'DORMANT', '1970-01-01'
+       |FROM customer c WHERE NOT EXISTS (
+       |  SELECT 1 FROM updates u WHERE u.custkey = c.c_custkey)
+       |${canonOrderSql(Seq("custkey", "name", "status", "last_updated"))}""".stripMargin
+
+  /** T6: idempotent per-key replace (reference file_processor.py:95-98
+    * DELETE-then-reinsert per lot) — replace one partition's rows with a
+    * corrected batch: `batch ∪ (state ⟵anti batchKeys)`. Maps to dynamic
+    * partition overwrite on a real sink; running it twice is a no-op
+    * (asserted in LoadOpsSpec).
+    */
+  def replacePartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    applyReplace(e, correctedClickBatch(e))
+  }
+
+  /** The corrected batch for the 'click' partition (fixed input). */
+  def correctedClickBatch(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(14,2)") * lit(2).cast("decimal(14,2)"))
+          .cast("double").as("value"))
+
+  /** The replace step factored out so the idempotence test can run it
+    * twice with the same batch: replace(replace(s,b),b) == replace(s,b).
+    */
+  def applyReplace(state: DataFrame, batch: DataFrame): DataFrame = {
+    val keys = batch.select(col("event_type")).distinct()
+    val kept = state.join(broadcast(keys), Seq("event_type"), "left_anti")
+      .select("event_id", "user_id", "event_type", "value")
+    canon(batch.select("event_id", "user_id", "event_type", "value")
+      .unionByName(kept))
+  }
+
+  val replacePartitionSql: String =
+    s"""SELECT event_id, user_id, event_type,
+       |  CAST(CAST(value AS DECIMAL(14,2)) * CAST(2 AS DECIMAL(14,2)) AS DOUBLE) AS value
+       |FROM events WHERE event_type = 'click'
+       |UNION ALL
+       |SELECT event_id, user_id, event_type, value
+       |FROM events WHERE event_type <> 'click'
+       |${canonOrderSql(Seq("event_id", "user_id", "event_type", "value"))}""".stripMargin
+
+  /** T8: audit-trail report — the reference's 7-day processing-history
+    * query (queries.py:43-57), horizon anchored to max(ts) so the result
+    * is deterministic on frozen test data.
+    */
+  def auditReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val maxTs = e.agg(max(col("ts")).as("max_ts"))
+    val out = e.crossJoin(broadcast(maxTs))
+      .filter(col("ts") > col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(Fns.dayStr(col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+    canon(out)
+  }
+
+  val auditReportSql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+       |GROUP BY 1, 2
+       |${canonOrderSql(Seq("day", "event_type", "n_events", "total_value"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_hash" -> dataHash,
+    "dim_upsert" -> dimUpsert,
+    "replace_partition" -> replacePartition,
+    "audit_report" -> auditReport)
+
+  val oracles: Map[String, String] = Map(
+    "data_hash" -> dataHashSql,
+    "dim_upsert" -> dimUpsertSql,
+    "replace_partition" -> replacePartitionSql,
+    "audit_report" -> auditReportSql)
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+import graft.functions.Fns
+
+/** T1/T2 batch face: the reference's 6-hour tumbling-window generator with
+  * completeness lag (incremental_fetch.py:129-155) as an event-time
+  * window aggregation. Windows are epoch-aligned (Spark `window()` and
+  * DuckDB `time_bucket` agree for hour-multiple buckets); the lag rule
+  * "window must end ≥ 6h before now" anchors `now` at max(ts) for
+  * determinism on frozen data. The streaming face (watermark +
+  * checkpoint) lives in graft.streaming.IncrementalPipeline.
+  */
+object WindowOps {
+
+  def windowAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val maxTs = e.agg(max(col("ts")).as("max_ts"))
+    val out = e.crossJoin(broadcast(maxTs))
+      .withColumn("w", window(col("ts"), "6 hours"))
+      .filter(col("w.end") <= col("max_ts") - expr("INTERVAL 6 HOURS"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(
+        Fns.tsStr(col("w.start")).as("window_start"),
+        Fns.tsStr(col("w.end")).as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+    canon(out)
+  }
+
+  val windowAssignSql: String =
+    s"""WITH m AS (SELECT max(ts) AS max_ts FROM events)
+       |SELECT
+       |  strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       |  strftime(time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+       |  event_type, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       |FROM events, m
+       |WHERE time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR <= max_ts - INTERVAL 6 HOUR
+       |GROUP BY 1, 2, 3
+       |${canonOrderSql(Seq("window_start", "window_end", "event_type", "n_events", "total_value"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_assign" -> windowAssign)
+
+  val oracles: Map[String, String] = Map(
+    "window_assign" -> windowAssignSql)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.IncrementalPipeline
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("incremental pipeline: windows aggregate, checkpoint resumes, replace never duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    def writeBatch(rows: Seq[(Long, Timestamp, Long, String, Double)], part: String): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: two events in window [00:00, 06:00), one in [06:00, 12:00)
+    writeBatch(Seq(
+      (1L, ts("2024-05-01 01:00:00"), 7L, "click", 10.0),
+      (2L, ts("2024-05-01 02:00:00"), 7L, "click", 5.0),
+      (3L, ts("2024-05-01 07:00:00"), 8L, "view", 1.0)), "b1")
+    val q1 = IncrementalPipeline.start(spark, src, out, ckp)
+    q1.awaitTermination()
+
+    val after1 = spark.read.parquet(out)
+    val w1 = after1.filter(col("event_type") === "click")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(w1 == 2, s"expected 2 click events after batch 1, got $w1")
+
+    // batch 2: late-but-in-watermark event lands in the SAME window →
+    // partition is replaced (count becomes 3), not appended
+    writeBatch(Seq(
+      (4L, ts("2024-05-01 03:00:00"), 9L, "click", 2.0)), "b2")
+    val q2 = IncrementalPipeline.start(spark, src, out, ckp)
+    q2.awaitTermination()
+
+    val after2 = spark.read.parquet(out)
+    val clicks = after2.filter(col("event_type") === "click")
+    assert(clicks.count() == 1, "one row per (window,type) — replaced, not duplicated")
+    assert(clicks.agg(sum("n_events")).collect()(0).getLong(0) == 3)
+    val tot = clicks.agg(sum("total_value")).collect()(0).getDouble(0)
+    assert(math.abs(tot - 17.0) < 1e-9)
+  }
+}
