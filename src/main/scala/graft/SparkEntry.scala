@@ -15,7 +15,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Core.queries ++
       operators.LotPipeline.queries ++ operators.LoadOps.queries ++
-      operators.WindowOps.queries
+      operators.WindowOps.queries ++ operators.TextOps.queries ++
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -23,5 +25,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Core.oracles ++
       operators.LotPipeline.oracles ++ operators.LoadOps.oracles ++
-      operators.WindowOps.oracles
+      operators.WindowOps.oracles ++ operators.TextOps.oracles ++
+      operators.Dedup.oracles ++ operators.Similarity.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+
+/** Deduplication family over `documents` (SURVEY.md north-star ops):
+  * exact (hash groupBy), n-gram Jaccard pairs, MinHash+LSH
+  * (shingle → md5-family minhash → banded buckets → candidate join →
+  * verify), and SimHash. All engine-independent: every hash is md5-based
+  * so the DuckDB oracles reproduce signatures bit-for-bit.
+  *
+  * Scale notes:
+  *  - shingle self-join shuffles on the shingle key; popular shingles are
+  *    the skew risk → AQE skew-join handles it, and the LSH path bounds
+  *    candidate pairs to same-bucket docs (the 100 TB-safe route vs the
+  *    quadratic all-pairs verify).
+  *  - minhash/simhash signatures are one groupBy(doc_id) each — linear.
+  */
+object Dedup {
+
+  /** (doc_id, shingle) with distinct 3-gram shingles per doc. */
+  private def shingles(d: DataFrame): DataFrame =
+    d.withColumn("t", split(lower(col("text")), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(t) >= 3
+          |THEN transform(sequence(0, size(t) - 3),
+          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+          |ELSE array(lower(text)) END""".stripMargin))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+
+  private val shinglesCte =
+    """base AS (
+      |  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS t
+      |  FROM documents
+      |), sh0 AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1),
+      |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE [lt] END) AS shingle
+      |  FROM base
+      |), sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)""".stripMargin
+
+  /** Exact dedup: group by text digest, keep min doc_id as canonical. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val out = d.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+    canon(out)
+  }
+
+  val dedupExactSql: String =
+    s"""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+       |  count(*) AS n_copies
+       |FROM documents GROUP BY 1
+       |${canonOrderSql(Seq("text_hash", "canonical_id", "n_copies"))}""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs: 3-gram shingle sets, pairwise
+    * |∩| / |∪| over a shingle-key self-join.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(load(spark, sfDir, "documents"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared")).cast("double")
+    val out = pairs
+      .join(counts.withColumnRenamed("n_sh", "na").withColumnRenamed("doc_id", "ka"),
+        col("a_id") === col("ka"))
+      .join(counts.withColumnRenamed("n_sh", "nb").withColumnRenamed("doc_id", "kb"),
+        col("b_id") === col("kb"))
+      .select(col("a_id"), col("b_id"), col("shared"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+    canon(out)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shinglesCte,
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pr AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, shared,
+       |  CAST(shared AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE) AS jaccard
+       |FROM pr
+       |JOIN cnt ca ON pr.a_id = ca.doc_id
+       |JOIN cnt cb ON pr.b_id = cb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE) >= 0.3
+       |${canonOrderSql(Seq("a_id", "b_id", "shared", "jaccard"))}""".stripMargin
+
+  /** MinHash + LSH near-dup: 8 md5-family minhashes per doc, 4 bands of 2
+    * rows; docs sharing any band bucket become candidates; candidates are
+    * verified with true Jaccard. The banded-bucket join is the scale path:
+    * candidate count is bounded by bucket collisions, never all-pairs.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(load(spark, sfDir, "documents"))
+    val sigCols = (0 until 8).map(k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"s$k"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val banded = sigs
+      .withColumn("b0", md5(concat(col("s0"), col("s1"))))
+      .withColumn("b1", md5(concat(col("s2"), col("s3"))))
+      .withColumn("b2", md5(concat(col("s4"), col("s5"))))
+      .withColumn("b3", md5(concat(col("s6"), col("s7"))))
+      .selectExpr("doc_id",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)")
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    // verify candidates with true jaccard over shingle sets
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("sa"), col("b.doc_id").as("sb"))
+      .agg(count(lit(1)).as("shared"))
+    val out = cand
+      .join(shared, col("a_id") === col("sa") && col("b_id") === col("sb"), "left")
+      .join(counts.withColumnRenamed("n_sh", "na").withColumnRenamed("doc_id", "ka"),
+        col("a_id") === col("ka"))
+      .join(counts.withColumnRenamed("n_sh", "nb").withColumnRenamed("doc_id", "kb"),
+        col("b_id") === col("kb"))
+      .select(col("a_id"), col("b_id"), col("n_shared_bands"),
+        (coalesce(col("shared"), lit(0)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("shared"), lit(0))).cast("double"))
+          .as("jaccard"))
+    canon(out)
+  }
+
+  val minhashLshSql: String = {
+    val sigSelect = (0 until 8).map(k =>
+      s"min(md5('$k:' || shingle)) AS s$k").mkString(", ")
+    s"""WITH $shinglesCte,
+       |sigs AS (SELECT doc_id, $sigSelect FROM sh GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS bucket FROM sigs
+       |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs),
+       |cand AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_shared_bands
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+       |      AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shr AS (
+       |  SELECT a.doc_id AS sa, b.doc_id AS sb, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.a_id, c.b_id, c.n_shared_bands,
+       |  CAST(coalesce(s.shared, 0) AS DOUBLE)
+       |    / CAST(ca.n_sh + cb.n_sh - coalesce(s.shared, 0) AS DOUBLE) AS jaccard
+       |FROM cand c
+       |LEFT JOIN shr s ON c.a_id = s.sa AND c.b_id = s.sb
+       |JOIN cnt ca ON c.a_id = ca.doc_id
+       |JOIN cnt cb ON c.b_id = cb.doc_id
+       |${canonOrderSql(Seq("a_id", "b_id", "n_shared_bands", "jaccard"))}""".stripMargin
+  }
+
+  /** SimHash: 32-bit signature from per-token md5 bit votes (weighted by
+    * occurrence). Computed as 32 conditional sums — no bit-position
+    * explode, one groupBy(doc_id).
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val withH = toks.withColumn("h32",
+      expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 32).map(j =>
+      sum(expr(s"(shiftright(h32, $j) & 1) * 2 - 1")).as(s"bit$j"))
+    val sums = withH.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig: Column = (0 until 32).map(j =>
+      when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    canon(sums.select(col("doc_id"), sig.as("simhash")))
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(((h32 >> $j) & 1) * 2 - 1) AS bit$j").mkString(",\n    ")
+    val sig = (0 until 32).map(j =>
+      s"CASE WHEN bit$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h32 FROM toks
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY 1
+       |)
+       |SELECT doc_id, $sig AS simhash
+       |FROM sums
+       |${canonOrderSql(Seq("doc_id", "simhash"))}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "ngram_jaccard" -> ngramJaccard,
+    "minhash_lsh" -> minhashLsh,
+    "simhash" -> simhash)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+    "minhash_lsh" -> minhashLshSql,
+    "simhash" -> simhashSql)
+}

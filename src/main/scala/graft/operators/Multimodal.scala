@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decode/feature-extract/frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic STUB (byte-length/digest-derived
+  * metadata); everything around it — binary column handling, schema,
+  * partition-parallel decode via mapPartitions, batch shape — is real
+  * Spark plumbing a codec-backed implementation would drop into.
+  */
+object Multimodal {
+
+  /** One decoded media asset (the typed metadata a real decoder yields). */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
+      width: Long, height: Long, n_frames: Long, checksum: String)
+
+  /** STUB decoder: deterministic metadata derived from the bytes.
+    * A real implementation would parse the container header here —
+    * this is the seam where a codec library plugs in.
+    */
+  def decodeStub(docId: Long, media: Array[Byte]): MediaMeta = {
+    val n = media.length.toLong
+    val fmt = (n % 3) match {
+      case 0 => "png"
+      case 1 => "jpeg"
+      case _ => "webp"
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(media).map("%02x".format(_)).mkString
+    MediaMeta(docId, n, fmt, 64 + n % 512, 64 + (n / 7) % 512, 1 + n % 30, digest)
+  }
+
+  /** Partition-parallel decode path (the shape a real codec would use):
+    * binary column in, typed Dataset out, one decoder instance per
+    * partition — no per-row setup cost, no driver involvement.
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+  }
+
+  /** Oracle-checked face of the same pipeline, expressed as pure
+    * expressions (text bytes play the media payload): binary metadata
+    * extraction + frame-sampling arithmetic.
+    */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val media = d.select(col("doc_id"), col("text").cast("binary").as("media"))
+    val n = length(col("media")).cast("long")
+    val out = media.select(
+      col("doc_id"),
+      n.as("n_bytes"),
+      when(n % 3 === 0, "png").when(n % 3 === 1, "jpeg").otherwise("webp")
+        .as("format"),
+      (lit(64L) + n % 512).as("width"),
+      (lit(64L) + (n.cast("long") / lit(7L)).cast("long") % 512).as("height"),
+      (lit(1L) + n % 30).as("n_frames"),
+      md5(col("media")).as("checksum"),
+      // frame-sample plan: every 10th frame, ceil division
+      (((lit(1L) + n % 30) + 9L) / lit(10L)).cast("long").as("n_sampled_frames"))
+    canon(out)
+  }
+
+  val multimodalFeaturesSql: String =
+    s"""SELECT doc_id,
+       |  octet_length(text::BLOB) AS n_bytes,
+       |  CASE WHEN octet_length(text::BLOB) % 3 = 0 THEN 'png'
+       |       WHEN octet_length(text::BLOB) % 3 = 1 THEN 'jpeg'
+       |       ELSE 'webp' END AS format,
+       |  64 + octet_length(text::BLOB) % 512 AS width,
+       |  64 + (octet_length(text::BLOB) // 7) % 512 AS height,
+       |  1 + octet_length(text::BLOB) % 30 AS n_frames,
+       |  md5(text) AS checksum,
+       |  ((1 + octet_length(text::BLOB) % 30) + 9) // 10 AS n_sampled_frames
+       |FROM documents
+       |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "width", "height",
+         "n_frames", "checksum", "n_sampled_frames"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> multimodalFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_features" -> multimodalFeaturesSql)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{canon, canonOrderSql, load}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Dot products use higher-order functions (zip_with + aggregate) over
+  * vectors cast to array<double> — strictly left-to-right summation, so
+  * results are bit-identical to the DuckDB oracle's list_dot_product and
+  * the formula dot / (sqrt(dot_aa) * sqrt(dot_bb)) is mirrored exactly.
+  *
+  * Scale path: all pair generation is blocked on the `label` column
+  * (IVF-style cell restriction) — candidate pairs are |cell|² per cell,
+  * never N². At 100 TB the label plays the coarse-quantizer cell id;
+  * the same-label equi-join shuffles both sides on label once. The
+  * brute-force all-pairs variant is intentionally absent.
+  */
+object Similarity {
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  private val dotExpr = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private def cosine: org.apache.spark.sql.Column =
+    expr(String.format(dotExpr, "va", "vb")) /
+      (sqrt(expr(String.format(dotExpr, "va", "va"))) *
+        sqrt(expr(String.format(dotExpr, "vb", "vb"))))
+
+  /** Same-label pair similarities above a threshold (IVF-blocked). */
+  def cosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    val out = a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine)
+      .filter(col("sim") > 0.35)
+      .select(col("a_id"), col("b_id"), col("label").as("cell"),
+        round(col("sim"), 6).as("sim_r"))
+    canon(out)
+  }
+
+  private val duckCos =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  val cosinePairsSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS cell,
+       |  round($duckCos, 6) AS sim_r
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $duckCos > 0.35
+       |${canonOrderSql(Seq("a_id", "b_id", "cell", "sim_r"))}""".stripMargin
+
+  /** ANN top-k per query vector, restricted to its IVF cell (label):
+    * rank by (similarity DESC, neighbor id ASC) — deterministic.
+    */
+  def annTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.select(col("vec_id").as("query_id"), col("label"), col("v").as("va"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("vb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val out = q.join(c, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+    canon(out)
+  }
+
+  val annTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $duckCos AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "sim_r"))}""".stripMargin
+
+  /** Embedding-cosine near-dup: each doc maps to its lowest-id neighbor
+    * above the dup threshold (transitive chains keep the min id).
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    val out = a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine)
+      .filter(col("sim") > 0.44)
+      .groupBy(col("b_id").as("dup_id"))
+      .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_matches"))
+    canon(out)
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT b.vec_id AS dup_id, min(a.vec_id) AS keep_id, count(*) AS n_matches
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $duckCos > 0.44
+       |GROUP BY 1
+       |${canonOrderSql(Seq("dup_id", "keep_id", "n_matches"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cosine_pairs" -> cosinePairs,
+    "ann_topk" -> annTopk,
+    "dedup_embedding" -> dedupEmbedding)
+
+  val oracles: Map[String, String] = Map(
+    "cosine_pairs" -> cosinePairsSql,
+    "ann_topk" -> annTopkSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+class LlmOpsSpec extends SparkSpecBase {
+
+  test("dedup_exact: canonical id is the min doc_id of its group, groups cover all docs") {
+    val df = Dedup.dedupExact(spark, sf)
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(df.agg(sum("n_copies")).collect()(0).getLong(0) == docs)
+  }
+
+  test("minhash_lsh candidates are a superset of high-jaccard pairs it reports") {
+    val lsh = Dedup.minhashLsh(spark, sf).cache()
+    val jac = Dedup.ngramJaccard(spark, sf) // pairs with jaccard >= 0.3
+    // every verified-high-jaccard pair that shares a band must appear in LSH output
+    val missed = jac.join(lsh, Seq("a_id", "b_id"), "left_anti").count()
+    // LSH is approximate: banding with 4 bands of 2 rows catches j>=0.3
+    // pairs with prob 1-(1-j^2)^4; on this corpus all 0.3+ pairs collide
+    assert(missed == 0, s"$missed high-jaccard pairs missed by LSH bands")
+    lsh.unpersist()
+  }
+
+  test("simhash: near-identical docs get close signatures, value is 32-bit") {
+    val df = Dedup.simhash(spark, sf)
+    val bad = df.filter(col("simhash") < 0 || col("simhash") > (1L << 32) - 1).count()
+    assert(bad == 0)
+    assert(df.count() == 500)
+  }
+
+  test("ann_topk: exactly k neighbors per query, ranks 1..3, no self-match") {
+    val df = Similarity.annTopk(spark, sf).cache()
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val badRank = df.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .filter(col("n") =!= 3 || col("mx") =!= 3).count()
+    assert(badRank == 0)
+    df.unpersist()
+  }
+
+  test("cosine similarity is symmetric and bounded") {
+    val df = Similarity.cosinePairs(spark, sf)
+    assert(df.filter(col("sim_r") > 1.0 || col("sim_r") < -1.0).count() == 0)
+  }
+
+  test("multimodal decode stub: mapPartitions path agrees with expression path") {
+    val d = Tables.load(spark, sf, "documents")
+    val media = d.select(col("doc_id"), col("text").cast("binary").as("media"))
+    val decoded = Multimodal.decodeMedia(spark, media).toDF()
+    val exprPath = Multimodal.multimodalFeatures(spark, sf)
+      .select("doc_id", "n_bytes", "format", "width", "height", "n_frames", "checksum")
+    val joined = decoded.join(exprPath, Seq("doc_id"))
+    val disagree = joined.filter(
+      decoded("n_bytes") =!= exprPath("n_bytes") ||
+        decoded("format") =!= exprPath("format") ||
+        decoded("checksum") =!= exprPath("checksum")).count()
+    assert(disagree == 0)
+    assert(decoded.count() == d.count())
+  }
+
+  test("text_stats: diversity in (0,1], stopword count <= token count") {
+    val df = TextOps.textStats(spark, sf)
+    assert(df.filter(col("token_diversity") <= 0 || col("token_diversity") > 1).count() == 0)
+    assert(df.filter(col("n_stopwords") > col("n_tokens")).count() == 0)
+  }
+}
