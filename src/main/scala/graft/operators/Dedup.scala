@@ -119,12 +119,16 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    // verify candidates with true jaccard over shingle sets
+    // verify with true jaccard computed ONLY for candidate pairs (the LSH
+    // point: intersection work is bounded by bucket collisions, never by
+    // all overlapping pairs). cand is small → broadcast into the
+    // shingle-stream joins.
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("a")
+    val shared = broadcast(cand.select(col("a_id").as("sa"), col("b_id").as("sb")))
+      .join(sh.as("a"), col("sa") === col("a.doc_id"))
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("sa"), col("b.doc_id").as("sb"))
+        col("sb") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("shared"))
     val out = cand
       .join(shared, col("a_id") === col("sa") && col("b_id") === col("sb"), "left")
@@ -157,8 +161,10 @@ object Dedup {
        |  GROUP BY 1, 2),
        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
        |shr AS (
-       |  SELECT a.doc_id AS sa, b.doc_id AS sb, count(*) AS shared
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  SELECT c.a_id AS sa, c.b_id AS sb, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON c.a_id = a.doc_id
+       |  JOIN sh b ON c.b_id = b.doc_id AND a.shingle = b.shingle
        |  GROUP BY 1, 2)
        |SELECT c.a_id, c.b_id, c.n_shared_bands,
        |  CAST(coalesce(s.shared, 0) AS DOUBLE)

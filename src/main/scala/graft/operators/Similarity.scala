@@ -20,23 +20,31 @@ import graft.Tables.{canon, canonOrderSql, load}
   */
 object Similarity {
 
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  /** Vectors with their norms precomputed ONCE per vector (not per pair —
+    * at N vectors and P pairs that is N sqrt+dot evaluations instead of
+    * 2P). Dot products use the codegen'd native DotProduct expression.
+    */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.VectorExprs.register(spark)
     load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
-  private val dotExpr = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-
+  /** sim = dot(a,b) / (||a|| * ||b||) — identical double sequence to the
+    * per-pair HOF formula dot / (sqrt(dot_aa) * sqrt(dot_bb)).
+    */
   private def cosine: org.apache.spark.sql.Column =
-    expr(String.format(dotExpr, "va", "vb")) /
-      (sqrt(expr(String.format(dotExpr, "va", "va"))) *
-        sqrt(expr(String.format(dotExpr, "vb", "vb"))))
+    expr("graft_dot(va, vb)") / (col("na") * col("nb"))
 
   /** Same-label pair similarities above a threshold (IVF-blocked). */
   def cosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
     val out = a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", cosine)
@@ -62,8 +70,10 @@ object Similarity {
     */
   def annTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val q = e.select(col("vec_id").as("query_id"), col("label"), col("v").as("va"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("vb"))
+    val q = e.select(col("vec_id").as("query_id"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     val out = q.join(c, Seq("label"))
@@ -95,8 +105,10 @@ object Similarity {
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"), col("v").as("vb"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
     val out = a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", cosine)
