@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.LotSink
+
+class LotSinkSpec extends SparkSpecBase {
+
+  private def lots = {
+    import spark.implicits._
+    Seq(
+      ("LOT-1", 1L, "a", 10.0),
+      ("LOT-1", 2L, "b", 20.0),
+      ("LOT-2", 3L, "c", 30.0),
+      ("LOT-3", 4L, "d", 40.0)
+    ).toDF("lot_number", "record_id", "label", "value")
+  }
+
+  test("S5: per-lot CSV layout — one directory per lot, header round-trip") {
+    val dir = Files.createTempDirectory("lot-csv").toString
+    LotSink.writeLotCsv(lots, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lot_number=")).sorted
+    assert(dirs.toSeq == Seq("lot_number=LOT-1", "lot_number=LOT-2", "lot_number=LOT-3"))
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 4)
+  }
+
+  test("T6: dynamic partition overwrite replaces only delivered lots") {
+    val dir = Files.createTempDirectory("lot-replace").toString
+    LotSink.replaceLots(lots, dir)
+    import spark.implicits._
+    // corrected re-delivery of LOT-1 only (one row now)
+    val corrected = Seq(("LOT-1", 9L, "z", 99.0))
+      .toDF("lot_number", "record_id", "label", "value")
+    LotSink.replaceLots(corrected, dir)
+    val state = spark.read.parquet(dir)
+    assert(state.count() == 3) // 1 (new LOT-1) + 1 (LOT-2) + 1 (LOT-3)
+    assert(state.filter(col("lot_number") === "LOT-1").count() == 1)
+    assert(state.filter(col("record_id") === 9L).count() == 1)
+    assert(state.filter(col("lot_number") === "LOT-2").count() == 1)
+    // idempotence: same delivery again → same state
+    LotSink.replaceLots(corrected, dir)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("S6: append-mode audit sink accumulates") {
+    val dir = Files.createTempDirectory("audit").toString + "/log"
+    import spark.implicits._
+    val row = Seq(("f1.csv", "LOT-1", "success", 2L))
+      .toDF("filename", "lot_number", "status", "record_count")
+    LotSink.appendAudit(row, dir)
+    LotSink.appendAudit(row, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("approx_distinct stays within 10% of exact counts") {
+    val approx = operators.Rollups.approxDistinct(spark, sf)
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val joined = approx.join(exact, "event_type")
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users"))
+    assert(joined.filter(col("rel_err") > 0.10).count() == 0)
+  }
+}
