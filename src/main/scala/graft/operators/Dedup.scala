@@ -102,9 +102,17 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(load(spark, sfDir, "documents"))
-    val sigCols = (0 until 8).map(k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"s$k"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // 8 independent 32-bit min-hashes from TWO md5 evaluations per
+    // shingle (each 32-hex digest sliced into four 8-hex hashes) —
+    // 4x less hashing than one md5 per signature position.
+    val withH = sh
+      .withColumn("h0", md5(col("shingle")))
+      .withColumn("h1", md5(concat(lit("x:"), col("shingle"))))
+    val sigCols = (0 until 8).map { k =>
+      val src = if (k < 4) "h0" else "h1"
+      min(substring(col(src), (k % 4) * 8 + 1, 8)).as(s"s$k")
+    }
+    val sigs = withH.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val banded = sigs
       .withColumn("b0", md5(concat(col("s0"), col("s1"))))
       .withColumn("b1", md5(concat(col("s2"), col("s3"))))
@@ -144,8 +152,10 @@ object Dedup {
   }
 
   val minhashLshSql: String = {
-    val sigSelect = (0 until 8).map(k =>
-      s"min(md5('$k:' || shingle)) AS s$k").mkString(", ")
+    val sigSelect = (0 until 8).map { k =>
+      val src = if (k < 4) "md5(shingle)" else "md5('x:' || shingle)"
+      s"min(substr($src, ${(k % 4) * 8 + 1}, 8)) AS s$k"
+    }.mkString(", ")
     s"""WITH $shinglesCte,
        |sigs AS (SELECT doc_id, $sigSelect FROM sh GROUP BY 1),
        |banded AS (
