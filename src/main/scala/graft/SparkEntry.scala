@@ -17,7 +17,8 @@ object SparkEntry {
       operators.LotPipeline.queries ++ operators.LoadOps.queries ++
       operators.WindowOps.queries ++ operators.TextOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.Multimodal.queries ++ operators.Rollups.queries
+      operators.Multimodal.queries ++ operators.Rollups.queries ++
+      operators.Sessionize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -27,5 +28,6 @@ object SparkEntry {
       operators.LotPipeline.oracles ++ operators.LoadOps.oracles ++
       operators.WindowOps.oracles ++ operators.TextOps.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
-      operators.Multimodal.oracles ++ operators.Rollups.oracles
+      operators.Multimodal.oracles ++ operators.Rollups.oracles ++
+      operators.Sessionize.oracles
 }

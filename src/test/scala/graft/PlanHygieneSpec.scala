@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Regression guard for plan hygiene — the properties that make these
+  * operators scale-safe must stay visible in the physical plan:
+  * predicate pushdown to the parquet scan, column pruning, and broadcast
+  * joins on dimension tables (never a shuffle of the fact for dim joins).
+  */
+class PlanHygieneSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("sales_rollup: filters pushed to scans, dims broadcast, no sort-merge join") {
+    val p = plan("sales_rollup")
+    assert(p.contains("PushedFilters"), "no pushdown visible")
+    assert(p.contains("GreaterThan(l_shipdate"), "shipdate filter not pushed to scan")
+    assert(p.contains("Not(EqualTo(o_orderstatus,P))"), "status filter not pushed to scan")
+    assert(p.contains("BroadcastHashJoin"), "dims not broadcast")
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join for a dim")
+  }
+
+  test("sales_rollup: lineitem scan prunes to the 7 needed columns") {
+    val p = plan("sales_rollup")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val liSchema = readSchemas.find(_.contains("l_orderkey")).get
+    assert(!liSchema.contains("l_tax"), "unused column read from lineitem")
+    assert(!liSchema.contains("l_suppkey"), "unused column read from lineitem")
+  }
+
+  test("events_filtered: all four predicates reach the scan") {
+    val p = plan("events_filtered")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("In(event_type"), "IN-list not pushed")
+    assert(p.contains("GreaterThan(value,10.0)"), "range filter not pushed")
+  }
+
+  test("hierarchy_join: both dims broadcast") {
+    val p = plan("hierarchy_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cosine_pairs: native graft_dot expression in the plan (no HOF lambdas)") {
+    val p = plan("cosine_pairs")
+    assert(p.contains("graft_dot"), "native dot-product expression missing")
+    assert(!p.contains("lambdafunction"), "interpreted HOF lambda in hot path")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.SessionizeStream
+import graft.streaming.SessionizeStream.Ev
+
+class SessionizeStreamSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming sessions close on gap and on watermark timeout; match batch semantics") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sess").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: user 7 has two events 30 min apart (one session);
+    // user 8 one event
+    write(Seq(
+      (1L, ts("2024-05-01 01:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-05-01 01:30:00"), 7L, "click", 2.0),
+      (3L, ts("2024-05-01 02:00:00"), 8L, "view", 3.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+
+    // batch 2: user 7 again 19h later (gap > 12h → closes session 1);
+    // a far-future user-9 event pushes the watermark past every
+    // timeout deadline so remaining sessions close too
+    write(Seq(
+      (4L, ts("2024-05-01 20:00:00"), 7L, "click", 4.0),
+      (5L, ts("2024-05-04 00:00:00"), 9L, "view", 5.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+    // batch 3: empty-ish tick to let timed-out state flush
+    write(Seq((6L, ts("2024-05-06 00:00:00"), 9L, "view", 6.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start", "n_events", "total_value")
+    // user 7 session 1: 2 events, value 3.0
+    val s1 = got.filter(col("user_id") === 7 &&
+      col("session_start") === ts("2024-05-01 01:00:00")).collect()
+    assert(s1.length == 1 && s1(0).getLong(2) == 2 && s1(0).getDouble(3) == 3.0)
+    // user 7 session 2 closed by timeout after batch 2/3
+    val s2 = got.filter(col("user_id") === 7 &&
+      col("session_start") === ts("2024-05-01 20:00:00")).collect()
+    assert(s2.length == 1 && s2(0).getLong(2) == 1)
+    // user 8's lone session closed by timeout
+    assert(got.filter(col("user_id") === 8).count() == 1)
+
+    // batch reference on the same input agrees for all CLOSED sessions
+    val evs = spark.read.parquet(src)
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+    val batch = SessionizeStream.sessionsBatch(spark, evs).toDF()
+      .select("user_id", "session_start", "n_events", "total_value")
+    val missing = got.exceptAll(batch).count()
+    assert(missing == 0, s"$missing streamed sessions not present in batch result")
+  }
+}
