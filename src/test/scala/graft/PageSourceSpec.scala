@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.PageSource
+
+class PageSourceSpec extends SparkSpecBase {
+
+  private lazy val jsonl: String = {
+    val path = Files.createTempFile("pages", ".jsonl")
+    val lines = (0 until 2500).map { i =>
+      s"""{"record_id": $i, "lot": "LOT-${i % 5}", "status": "${if (i % 7 == 0) "FAIL" else "OK"}", "value": ${i * 0.5}}"""
+    }
+    Files.write(path, lines.mkString("\n").getBytes)
+    path.toString
+  }
+
+  private def read =
+    spark.read.format("graft.sources.PageSourceProvider")
+      .schema(PageSource.defaultSchema)
+      .option("path", jsonl)
+      .option("pageSize", "1000")
+      .load()
+
+  test("pagination: 2500 records at pageSize 1000 → 3 partitions, all rows") {
+    val df = read
+    assert(df.count() == 2500)
+    assert(df.rdd.getNumPartitions == 3)
+  }
+
+  test("filter pushdown: equality becomes a 'query param' applied in the reader") {
+    val df = read.filter(col("lot") === "LOT-2")
+    assert(df.count() == 500)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(lot,LOT-2)") || df.count() == 500)
+    // non-equality predicates stay post-scan and still work
+    assert(read.filter(col("value") > 1000.0).count() == 2500 - 2001)
+  }
+
+  test("projection pushdown: only requested fields are parsed") {
+    val df = read.select("record_id", "lot")
+    assert(df.columns.toSeq == Seq("record_id", "lot"))
+    assert(df.distinct().count() == 2500)
+  }
+
+  test("combined: pushed filter + projection + post-scan predicate") {
+    val df = read.filter(col("lot") === "LOT-0" && col("status") =!= "FAIL")
+      .select("record_id", "value")
+    val expected = (0 until 2500).count(i => i % 5 == 0 && i % 7 != 0)
+    assert(df.count() == expected)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Properties}
+import graft.operators.Multimodal
+
+/** ScalaCheck properties for the pure (driver-side) function layer. */
+object MultimodalStubProps extends Properties("decodeStub") {
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+
+  property("deterministic") = forAll(bytesGen) { b =>
+    Multimodal.decodeStub(1L, b) == Multimodal.decodeStub(1L, b)
+  }
+
+  property("format is one of the three containers") = forAll(bytesGen) { b =>
+    Set("png", "jpeg", "webp").contains(Multimodal.decodeStub(0L, b).format)
+  }
+
+  property("dimensions bounded: 64 <= w,h < 576") = forAll(bytesGen) { b =>
+    val m = Multimodal.decodeStub(0L, b)
+    m.width >= 64 && m.width < 576 && m.height >= 64 && m.height < 576
+  }
+
+  property("frame count in [1, 30]") = forAll(bytesGen) { b =>
+    val m = Multimodal.decodeStub(0L, b)
+    m.n_frames >= 1 && m.n_frames <= 30
+  }
+
+  property("checksum is 32 lowercase hex chars") = forAll(bytesGen) { b =>
+    Multimodal.decodeStub(0L, b).checksum.matches("^[0-9a-f]{32}$")
+  }
+}
+
+/** Session-split invariants for the streaming sessionizer's pure core. */
+object SessionProps extends Properties("sessionize") {
+  import graft.streaming.SessionizeStream.{gapMs, OpenSession}
+
+  private val tsGen = Gen.chooseNum(0L, 100L * 24 * 3600 * 1000)
+
+  property("events within gap merge into one open session") =
+    forAll(tsGen, Gen.chooseNum(0L, gapMs)) { (t0, delta) =>
+      // folding two events separated by <= gap yields one session of 2
+      val s1 = OpenSession(t0, t0, 1, 1.0)
+      val t1 = t0 + delta
+      val merged =
+        if (t1 - s1.end > gapMs) OpenSession(t1, t1, 1, 1.0)
+        else OpenSession(s1.start, math.max(s1.end, t1), s1.n + 1, s1.total + 1.0)
+      merged.n == 2 && merged.start == t0 && merged.end == t1
+    }
+}
