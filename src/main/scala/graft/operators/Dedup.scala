@@ -108,10 +108,12 @@ object Dedup {
     val withH = sh
       .withColumn("h0", md5(col("shingle")))
       .withColumn("h1", md5(concat(lit("x:"), col("shingle"))))
+    // n_sh rides along in the same groupBy — one shingle-subtree
+    // evaluation and one shuffle fewer than a separate counts agg
     val sigCols = (0 until 8).map { k =>
       val src = if (k < 4) "h0" else "h1"
       min(substring(col(src), (k % 4) * 8 + 1, 8)).as(s"s$k")
-    }
+    } :+ count(lit(1)).as("n_sh")
     val sigs = withH.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val banded = sigs
       .withColumn("b0", md5(concat(col("s0"), col("s1"))))
@@ -131,7 +133,7 @@ object Dedup {
     // point: intersection work is bounded by bucket collisions, never by
     // all overlapping pairs). cand is small → broadcast into the
     // shingle-stream joins.
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val counts = sigs.select(col("doc_id"), col("n_sh"))
     val shared = broadcast(cand.select(col("a_id").as("sa"), col("b_id").as("sb")))
       .join(sh.as("a"), col("sa") === col("a.doc_id"))
       .join(sh.as("b"),
@@ -157,7 +159,7 @@ object Dedup {
       s"min(substr($src, ${(k % 4) * 8 + 1}, 8)) AS s$k"
     }.mkString(", ")
     s"""WITH $shinglesCte,
-       |sigs AS (SELECT doc_id, $sigSelect FROM sh GROUP BY 1),
+       |sigs AS (SELECT doc_id, $sigSelect, count(*) AS n_sh FROM sh GROUP BY 1),
        |banded AS (
        |  SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS bucket FROM sigs
        |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
@@ -169,7 +171,7 @@ object Dedup {
        |    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
        |      AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
-       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |cnt AS (SELECT doc_id, n_sh FROM sigs),
        |shr AS (
        |  SELECT c.a_id AS sa, c.b_id AS sb, count(*) AS shared
        |  FROM cand c
