@@ -173,15 +173,162 @@ object TextOps {
        |FROM shingled
        |${canonOrderSql(Seq("doc_id", "fingerprint", "prefix_fp", "shingle_min_fp"))}""".stripMargin
 
+  /** TF-IDF top terms per document. The score is kept rational
+    * (tf * n_docs / df — one exact-integer multiply, one double divide)
+    * instead of log-idf: libm log() may differ across engines by an ulp,
+    * a division of exact integers cannot.
+    */
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    val out = tf.join(df_, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok").as("term"), col("rank"),
+        col("tf"), col("df"), col("score"))
+    canon(out)
+  }
+
+  val tfidfTopkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+       |), df AS (
+       |  SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+       |), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+       |  FROM tf JOIN df USING (tok), n
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, tok ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, tok AS term, CAST(rank AS INT) AS rank, tf, df, score
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("doc_id", "term", "rank", "tf", "df", "score"))}""".stripMargin
+
+  /** Benchmark-contamination check: fraction of each document's 3-gram
+    * shingles that appear in a benchmark set (here: the src0 slice) —
+    * the train/test-overlap scan every training-data pipeline needs.
+    * Benchmark shingle set is broadcast; the doc side streams.
+    */
+  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    def docShingles(df: DataFrame): DataFrame = df
+      .withColumn("t", split(lower(col("text")), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(t) >= 3
+          |THEN transform(sequence(0, size(t) - 3),
+          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+          |ELSE array(lower(text)) END""".stripMargin))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val all = docShingles(d)
+    val benchSet = docShingles(d.filter(col("source") === "src0"))
+      .select(col("shingle")).distinct()
+    val hits = all.join(broadcast(benchSet), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val totals = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val out = totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_sh").cast("double"))
+      .withColumn("flagged",
+        when(col("contamination") > 0.5, 1).otherwise(0))
+      .select("doc_id", "n_sh", "n_hit", "contamination", "flagged")
+    canon(out)
+  }
+
+  val contaminationCheckSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, lower(text) AS lt, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id, source, unnest(
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1),
+       |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE [lt] END) AS shingle
+       |  FROM base
+       |), sh AS (SELECT DISTINCT doc_id, source, shingle FROM sh0),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+       |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |hit AS (
+       |  SELECT s.doc_id, count(*) AS n_hit FROM sh s
+       |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.shingle = s.shingle)
+       |  GROUP BY 1)
+       |, res AS (
+       |  SELECT t.doc_id AS doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+       |    CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS contamination,
+       |    CASE WHEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) > 0.5
+       |         THEN 1 ELSE 0 END AS flagged
+       |  FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id)
+       |SELECT * FROM res
+       |${canonOrderSql(Seq("doc_id", "n_sh", "n_hit", "contamination", "flagged"))}""".stripMargin
+
+  /** Text cleaning: stopword removal + whitespace normalization —
+    * emitted as digest + removal stats (full cleaned text stays in the
+    * pipeline, the digest keeps the oracle row narrow).
+    */
+  def cleanText(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val out = d
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("kept", expr(
+        s"filter(toks, x -> NOT array_contains(array(${sqlList(stopwords)}), x))"))
+      .select(
+        col("doc_id"),
+        md5(array_join(col("kept"), " ")).as("cleaned_digest"),
+        size(col("toks")).as("n_before"),
+        size(col("kept")).as("n_after"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"))
+    canon(out)
+  }
+
+  val cleanTextSql: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    string_split(lower(text), ' ') AS toks,
+       |    list_filter(string_split(lower(text), ' '),
+       |      x -> NOT list_contains([${sqlList(stopwords)}], x)) AS kept
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  md5(array_to_string(kept, ' ')) AS cleaned_digest,
+       |  len(toks) AS n_before, len(kept) AS n_after,
+       |  len(toks) - len(kept) AS n_removed
+       |FROM c
+       |${canonOrderSql(Seq("doc_id", "cleaned_digest", "n_before", "n_after", "n_removed"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "lang_id" -> langId,
     "token_count" -> tokenCount,
-    "doc_fingerprint" -> docFingerprint)
+    "doc_fingerprint" -> docFingerprint,
+    "tfidf_topk" -> tfidfTopk,
+    "contamination_check" -> contaminationCheck,
+    "clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "tfidf_topk" -> tfidfTopkSql,
+    "contamination_check" -> contaminationCheckSql,
+    "clean_text" -> cleanTextSql)
 }
