@@ -19,7 +19,13 @@ import graft.Tables.{canon, canonOrderSql, load}
   */
 object Dedup {
 
-  /** (doc_id, shingle) with distinct 3-gram shingles per doc. */
+  /** (doc_id, shingle) with distinct 3-gram shingles per doc.
+    * Persisted: the LSH pipeline walks this relation three times
+    * (signatures, candidate verify a/b sides) and ngram_jaccard shares
+    * the identical plan — the cache turns four explode+hash passes into
+    * one. Small (shingle count ≈ token count), MEMORY_AND_DISK for
+    * safety at larger SFs.
+    */
   private def shingles(d: DataFrame): DataFrame =
     d.withColumn("t", split(lower(col("text")), " "))
       .withColumn("sh", expr(
@@ -28,6 +34,7 @@ object Dedup {
           |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
           |ELSE array(lower(text)) END""".stripMargin))
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val shinglesCte =
     """base AS (
