@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types._
 
 /** Table loading + determinism helpers shared by every operator.
   *
@@ -17,13 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType (PARQUET_TYPE_ILLEGAL). Request the physical INT64
+    * via an explicit schema (no session-wide legacy flag — mutating
+    * global conf as a read side effect would change how OTHER nanos
+    * parquet reads behave in the same session), then convert to a
+    * µs-precision TimestampType (sub-µs digits are zero in this data).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses
-      // (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert to a
-      // µs-precision TimestampType (sub-µs digits are zero in this data).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

@@ -20,13 +20,15 @@ import graft.Tables.{canon, canonOrderSql, load}
 object Dedup {
 
   /** (doc_id, shingle) with distinct 3-gram shingles per doc.
+    * Shared across the dedup family AND TextOps.contaminationCheck —
+    * one definition so the md5-based oracle parity cannot drift.
     * Persisted: the LSH pipeline walks this relation three times
     * (signatures, candidate verify a/b sides) and ngram_jaccard shares
     * the identical plan — the cache turns four explode+hash passes into
     * one. Small (shingle count ≈ token count), MEMORY_AND_DISK for
     * safety at larger SFs.
     */
-  private def shingles(d: DataFrame): DataFrame =
+  private[operators] def shingles(d: DataFrame): DataFrame =
     d.withColumn("t", split(lower(col("text")), " "))
       .withColumn("sh", expr(
         """CASE WHEN size(t) >= 3
@@ -129,6 +131,8 @@ object Dedup {
       .withColumn("b3", md5(concat(col("s6"), col("s7"))))
       .selectExpr("doc_id",
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)")
+    // persisted: cand feeds both the verify joins and the final output
+    // join — without the cache the banded self-join subtree runs twice
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -136,6 +140,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify with true jaccard computed ONLY for candidate pairs (the LSH
     // point: intersection work is bounded by bucket collisions, never by
     // all overlapping pairs). cand is small → broadcast into the

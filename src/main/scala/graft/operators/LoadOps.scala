@@ -56,7 +56,7 @@ object LoadOps {
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("o_custkey").as("custkey"))
       .agg(Fns.dayStr(max(col("o_orderdate"))).as("last_updated"))
-    val updated = c.join(updates, c("c_custkey") === updates("custkey"))
+    val updated = c.join(broadcast(updates), c("c_custkey") === updates("custkey"))
       .select(c("c_custkey").as("custkey"), c("c_name").as("name"),
         lit("ACTIVE").as("status"), col("last_updated"))
     val untouched = c.join(broadcast(updates),

@@ -229,16 +229,10 @@ object TextOps {
     */
   def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")
-    def docShingles(df: DataFrame): DataFrame = df
-      .withColumn("t", split(lower(col("text")), " "))
-      .withColumn("sh", expr(
-        """CASE WHEN size(t) >= 3
-          |THEN transform(sequence(0, size(t) - 3),
-          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
-          |ELSE array(lower(text)) END""".stripMargin))
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
-    val all = docShingles(d)
-    val benchSet = docShingles(d.filter(col("source") === "src0"))
+    // one shared (and persisted) shingle definition with the dedup family
+    val all = Dedup.shingles(d)
+    val benchIds = d.filter(col("source") === "src0").select(col("doc_id"))
+    val benchSet = all.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
       .select(col("shingle")).distinct()
     val hits = all.join(broadcast(benchSet), Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))

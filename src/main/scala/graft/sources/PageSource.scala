@@ -81,8 +81,13 @@ class PageScanBuilder(fullSchema: StructType, path: String, pageSize: Int)
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Claim ONLY string equality. A claimed filter is never re-evaluated
+    // by Spark, and the reader compares JSON text — safe for strings,
+    // wrong for numerics ("2" vs "2.0"). Numeric predicates stay
+    // post-scan where Spark evaluates them on the parsed values.
     val (supported, rest) = filters.partition {
-      case EqualTo(attr, _) => fullSchema.fieldNames.contains(attr)
+      case EqualTo(attr, _: String) =>
+        fullSchema.fields.exists(f => f.name == attr && f.dataType == StringType)
       case _ => false
     }
     pushed = supported
@@ -104,14 +109,31 @@ class PageScan(schema: StructType, path: String, pageSize: Int,
     s"graft-pages path=$path pageSize=$pageSize pushed=${filters.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // the "server"'s total count query: one cheap pass to count records,
-    // then one partition per page (mirrors the currentPage loop)
-    val src = scala.io.Source.fromFile(path)
-    val total = try src.getLines().size finally src.close()
-    val nPages = math.max(1, (total + pageSize - 1) / pageSize)
-    (0 until nPages).map(p =>
-      PagePartition(path, p.toLong * pageSize, math.min((p + 1).toLong * pageSize, total))
-        .asInstanceOf[InputPartition]).toArray
+    // ONE planning pass records the byte offset of each page boundary,
+    // so every reader seeks straight to its page — O(file) total, not
+    // O(pages × file), and offsets are longs (no 2^31-line limit).
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path), 1 << 20)
+    val pageStarts = scala.collection.mutable.ArrayBuffer[Long](0L)
+    var pos = 0L; var lineInPage = 0; var b = in.read()
+    try {
+      while (b != -1) {
+        pos += 1
+        if (b == '\n') {
+          lineInPage += 1
+          if (lineInPage == pageSize) { pageStarts += pos; lineInPage = 0 }
+        }
+        b = in.read()
+      }
+    } finally in.close()
+    val fileEnd = pos
+    // drop a trailing boundary that coincides with EOF (no empty page)
+    val starts = if (pageStarts.last >= fileEnd && pageStarts.length > 1)
+      pageStarts.dropRight(1) else pageStarts
+    starts.indices.map { i =>
+      val end = if (i + 1 < starts.length) starts(i + 1) else fileEnd
+      PagePartition(path, starts(i), end).asInstanceOf[InputPartition]
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -127,13 +149,31 @@ class PageReaderFactory(schema: StructType, filters: Array[Filter])
     new PageReader(partition.asInstanceOf[PagePartition], schema, filters)
 }
 
-/** Reads one "page" of JSON records: lines [start, end) of the file. */
+/** Reads one "page" of JSON records: byte range [start, end) of the
+  * file — seeks directly to its page, reads only its own bytes.
+  */
 class PageReader(p: PagePartition, schema: StructType, filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val source = scala.io.Source.fromFile(p.path)
-  private val lines = source.getLines().slice(p.start.toInt, p.end.toInt)
+  private val channel = new java.io.RandomAccessFile(p.path, "r")
+  channel.seek(p.start)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(
+      new java.io.InputStream {
+        private var remaining = p.end - p.start
+        override def read(): Int =
+          if (remaining <= 0) -1
+          else { remaining -= 1; channel.read() }
+        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+          if (remaining <= 0) return -1
+          val n = channel.read(buf, off, math.min(len.toLong, remaining).toInt)
+          if (n > 0) remaining -= n
+          n
+        }
+      }, java.nio.charset.StandardCharsets.UTF_8))
+  private val lines = Iterator.continually(reader.readLine())
+    .takeWhile(_ != null).filter(_.nonEmpty)
   private var current: InternalRow = _
 
   private def matches(node: JsonNode): Boolean = filters.forall {
@@ -168,5 +208,5 @@ class PageReader(p: PagePartition, schema: StructType, filters: Array[Filter])
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = { reader.close(); channel.close() }
 }

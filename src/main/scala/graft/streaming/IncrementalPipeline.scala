@@ -54,10 +54,14 @@ object IncrementalPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // partition on (window, event_type) — update-mode batches emit
+          // only the CHANGED (window, type) aggregates, so the overwrite
+          // key must be exactly that grain: keying on the window alone
+          // would delete sibling event_types' rows in the same window.
           batch.withColumn("window_start_part",
               date_format(col("window_start"), "yyyyMMddHH"))
             .write
-            .partitionBy("window_start_part")
+            .partitionBy("window_start_part", "event_type")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(outDir)

@@ -37,6 +37,13 @@ class PageSourceSpec extends SparkSpecBase {
     assert(read.filter(col("value") > 1000.0).count() == 2500 - 2001)
   }
 
+  test("numeric equality is NOT claimed by the source (text-compare trap) and still works") {
+    // value 21.0 is serialized as "21.0" in JSON for record 42; a claimed
+    // text-compare filter would drop it — it must stay post-scan
+    assert(read.filter(col("value") === 21.0).count() == 1)
+    assert(read.filter(col("record_id") === 42L).count() == 1)
+  }
+
   test("projection pushdown: only requested fields are parsed") {
     val df = read.select("record_id", "lot")
     assert(df.columns.toSeq == Seq("record_id", "lot"))

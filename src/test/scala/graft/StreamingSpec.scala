@@ -15,15 +15,18 @@ class StreamingSpec extends SparkSpecBase {
     val src = s"$root/src"; val out = s"$root/out"; val ckp = s"$root/ckp"
     Files.createDirectories(java.nio.file.Paths.get(src))
 
-    def writeBatch(rows: Seq[(Long, Timestamp, Long, String, Double)], part: String): Unit =
+    def writeBatch(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
       rows.toDF("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(src)
 
-    // batch 1: two events in window [00:00, 06:00), one in [06:00, 12:00)
+    // batch 1: clicks AND a view in window [00:00, 06:00) (mixed types in
+    // one window — guards the overwrite grain), plus one view in
+    // [06:00, 12:00)
     writeBatch(Seq(
       (1L, ts("2024-05-01 01:00:00"), 7L, "click", 10.0),
       (2L, ts("2024-05-01 02:00:00"), 7L, "click", 5.0),
-      (3L, ts("2024-05-01 07:00:00"), 8L, "view", 1.0)), "b1")
+      (6L, ts("2024-05-01 03:00:00"), 9L, "view", 7.0),
+      (3L, ts("2024-05-01 07:00:00"), 8L, "view", 1.0)))
     val q1 = IncrementalPipeline.start(spark, src, out, ckp)
     q1.awaitTermination()
 
@@ -32,10 +35,11 @@ class StreamingSpec extends SparkSpecBase {
       .agg(sum("n_events")).collect()(0).getLong(0)
     assert(w1 == 2, s"expected 2 click events after batch 1, got $w1")
 
-    // batch 2: late-but-in-watermark event lands in the SAME window →
-    // partition is replaced (count becomes 3), not appended
+    // batch 2: late-but-in-watermark CLICK lands in the SAME window →
+    // the (window, click) partition is replaced (count becomes 3), and
+    // the (window, view) sibling aggregate must SURVIVE the overwrite
     writeBatch(Seq(
-      (4L, ts("2024-05-01 03:00:00"), 9L, "click", 2.0)), "b2")
+      (4L, ts("2024-05-01 04:00:00"), 9L, "click", 2.0)))
     val q2 = IncrementalPipeline.start(spark, src, out, ckp)
     q2.awaitTermination()
 
@@ -45,5 +49,11 @@ class StreamingSpec extends SparkSpecBase {
     assert(clicks.agg(sum("n_events")).collect()(0).getLong(0) == 3)
     val tot = clicks.agg(sum("total_value")).collect()(0).getDouble(0)
     assert(math.abs(tot - 17.0) < 1e-9)
+    // sibling event_type in the same window survived the click overwrite
+    val w1views = after2.filter(col("event_type") === "view" &&
+      col("window_start") === ts("2024-05-01 00:00:00"))
+    assert(w1views.count() == 1,
+      "view aggregate in the replaced window was deleted by the overwrite")
+    assert(w1views.agg(sum("n_events")).collect()(0).getLong(0) == 1)
   }
 }
