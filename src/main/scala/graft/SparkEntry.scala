@@ -18,7 +18,8 @@ object SparkEntry {
       operators.WindowOps.queries ++ operators.TextOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.Multimodal.queries ++ operators.Rollups.queries ++
-      operators.Sessionize.queries ++ operators.AsofOps.queries
+      operators.Sessionize.queries ++ operators.AsofOps.queries ++
+      operators.CorpusFilter.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.WindowOps.oracles ++ operators.TextOps.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
       operators.Multimodal.oracles ++ operators.Rollups.oracles ++
-      operators.Sessionize.oracles ++ operators.AsofOps.oracles
+      operators.Sessionize.oracles ++ operators.AsofOps.oracles ++
+      operators.CorpusFilter.oracles
 }

@@ -204,8 +204,10 @@ object Dedup {
     * occurrence). Computed as 32 conditional sums — no bit-position
     * explode, one groupBy(doc_id).
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = load(spark, sfDir, "documents")
+  /** (doc_id, simhash) signatures — shared by the signature query and the
+    * near-dup pair query.
+    */
+  private[operators] def simhashSigs(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("tok"))
     val withH = toks.withColumn("h32",
@@ -215,15 +217,36 @@ object Dedup {
     val sums = withH.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sig: Column = (0 until 32).map(j =>
       when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    canon(sums.select(col("doc_id"), sig.as("simhash")))
+    sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  val simhashSql: String = {
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    canon(simhashSigs(load(spark, sfDir, "documents")))
+
+  /** SimHash near-dup pairs: block on the high 16 signature bits (docs in
+    * different blocks can't be near-dups at low hamming radius... they
+    * can, but the block join is the standard recall/cost trade), then
+    * exact hamming distance via bit_count(xor) within blocks.
+    */
+  def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = simhashSigs(load(spark, sfDir, "documents"))
+      .withColumn("block", expr("shiftright(simhash, 16)"))
+    val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("sa"), col("block"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("sb"), col("block"))
+    val out = a.join(b, Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+    canon(out)
+  }
+
+  private val simhashCte: String = {
     val bitSums = (0 until 32).map(j =>
       s"sum(((h32 >> $j) & 1) * 2 - 1) AS bit$j").mkString(",\n    ")
     val sig = (0 until 32).map(j =>
       s"CASE WHEN bit$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
        |  FROM documents
        |), hashed AS (
@@ -232,21 +255,37 @@ object Dedup {
        |  SELECT doc_id,
        |    $bitSums
        |  FROM hashed GROUP BY 1
-       |)
-       |SELECT doc_id, $sig AS simhash
-       |FROM sums
-       |${canonOrderSql(Seq("doc_id", "simhash"))}""".stripMargin
+       |), sig AS (
+       |  SELECT doc_id, $sig AS simhash FROM sums
+       |)""".stripMargin
   }
+
+  val simhashSql: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sig
+       |${canonOrderSql(Seq("doc_id", "simhash"))}""".stripMargin
+
+  val simhashNeardupSql: String =
+    s"""WITH $simhashCte,
+       |blocked AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sig)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM blocked a JOIN blocked b
+       |  ON a.block = b.block AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |${canonOrderSql(Seq("a_id", "b_id", "hamming"))}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,
-    "simhash" -> simhash)
+    "simhash" -> simhash,
+    "simhash_neardup" -> simhashNeardup)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "minhash_lsh" -> minhashLshSql,
-    "simhash" -> simhashSql)
+    "simhash" -> simhashSql,
+    "simhash_neardup" -> simhashNeardupSql)
 }

@@ -38,6 +38,27 @@ object IncrementalPipeline {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** T5 streaming face: exactly-once event delivery by key across
+    * micro-batches — duplicates (re-deliveries) of an event_id are
+    * dropped; dedup state is evicted once the watermark passes (bounded,
+    * like the reference's status-log guard window).
+    */
+  def startDedup(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .parquet(sourceDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+
   /** File-source streaming runner: watch `sourceDir` for event parquet,
     * aggregate into 6-hour windows, and idempotently replace each
     * window's partition in `outDir` on every micro-batch (T6 semantics:
