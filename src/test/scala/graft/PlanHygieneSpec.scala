@@ -43,6 +43,15 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("conditional_agg: exactly one data shuffle (partial agg is map-side)") {
+    val p = plan("conditional_agg")
+    // FormattedMode lists partitioning on Arguments lines
+    val dataShuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(dataShuffles == 1,
+      s"expected 1 hash exchange (partial+final agg), found $dataShuffles")
+    assert(p.contains("HashAggregate"), "hash aggregation expected")
+  }
+
   test("cosine_pairs: native graft_dot expression in the plan (no HOF lambdas)") {
     val p = plan("cosine_pairs")
     assert(p.contains("graft_dot"), "native dot-product expression missing")

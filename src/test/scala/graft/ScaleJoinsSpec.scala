@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.ScaleJoins
+
+class ScaleJoinsSpec extends SparkSpecBase {
+
+  test("bucketed tables join with zero exchanges") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    ScaleJoins.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    ScaleJoins.writeBucketed(o, "o_bucketed", "o_orderkey", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and it is still correct
+      val expected = Tables.load(spark, sf, "lineitem").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted join returns the exact multiset of the plain join") {
+    val e = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "value")
+    val c = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_name")
+    val plain = e.join(c, e("user_id") === c("c_custkey"))
+    val salted = ScaleJoins.saltedJoin(e, c, "user_id", "c_custkey", 7)
+    assert(salted.count() == plain.count())
+    val cols = plain.columns.map(col).toSeq
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).count() == 0)
+    assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).count() == 0)
+  }
+}
