@@ -5,9 +5,10 @@ import scala.collection.JavaConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,13 +59,95 @@ object PageSource {
 }
 
 class PageTable(tableSchema: StructType, path: String, pageSize: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_pages($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PageScanBuilder(tableSchema, path, pageSize)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PageWriteBuilder(info.schema(), path)
+}
+
+/** Batched-append write path — the reference's JDBC `execute_values`
+  * batch insert (operations.py:36-38) as a DSv2 BatchWrite: each task
+  * buffers its rows into a private staging file (one "batch"), and the
+  * driver-side commit appends all staged batches to the target
+  * atomically-enough for the simulation (a real sink would POST each
+  * batch). Aborted tasks leave only staging files, never partial target
+  * writes.
+  */
+class PageWriteBuilder(schema: StructType, path: String) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new PageBatchWrite(schema, path)
+  }
+}
+
+case class PageCommitMessage(stagedPath: String) extends WriterCommitMessage
+
+class PageBatchWrite(schema: StructType, path: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PageWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val out = new java.io.FileOutputStream(path, true)
+    try messages.foreach { case PageCommitMessage(staged) =>
+      val f = new java.io.File(staged)
+      if (f.exists()) {
+        java.nio.file.Files.copy(f.toPath, out)
+        f.delete()
+      }
+    } finally out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PageCommitMessage(staged) => new java.io.File(staged).delete()
+      case _ => ()
+    }
+}
+
+class PageWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PageDataWriter(schema, s"$path.staging-$partitionId-$taskId")
+}
+
+class PageDataWriter(schema: StructType, stagedPath: String)
+    extends DataWriter[InternalRow] {
+  private val writer = new java.io.PrintWriter(
+    new java.io.FileOutputStream(stagedPath), false)
+
+  override def write(row: InternalRow): Unit = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case StringType => "\"" + row.getUTF8String(i).toString
+            .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType => row.getDouble(i).toString
+          case other => throw new IllegalArgumentException(
+            s"graft-pages write: unsupported type $other")
+        }
+      "\"" + f.name + "\": " + v
+    }
+    writer.println(fields.mkString("{", ", ", "}"))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    PageCommitMessage(stagedPath)
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    new java.io.File(stagedPath).delete()
+  }
+
+  override def close(): Unit = writer.close()
 }
 
 class PageScanBuilder(fullSchema: StructType, path: String, pageSize: Int)

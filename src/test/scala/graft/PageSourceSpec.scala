@@ -50,6 +50,25 @@ class PageSourceSpec extends SparkSpecBase {
     assert(df.distinct().count() == 2500)
   }
 
+  test("batched write path: append round-trips through the source") {
+    val target = Files.createTempFile("pages-write", ".jsonl").toString
+    Files.write(Paths.get(target), Array.emptyByteArray)
+    val batch = read.filter(col("lot") === "LOT-3").select("record_id", "lot", "status", "value")
+    batch.write.format("graft.sources.PageSourceProvider")
+      .option("path", target).mode("append").save()
+    // append a second batch — appends, never truncates
+    batch.limit(10).write.format("graft.sources.PageSourceProvider")
+      .option("path", target).mode("append").save()
+    val back = spark.read.format("graft.sources.PageSourceProvider")
+      .schema(PageSource.defaultSchema)
+      .option("path", target).load()
+    assert(back.count() == 500 + 10)
+    assert(back.filter(col("lot") =!= "LOT-3").count() == 0)
+    // no staging litter left behind
+    val dir = Paths.get(target).getParent.toFile
+    assert(!dir.listFiles().exists(_.getName.contains(".staging-")))
+  }
+
   test("combined: pushed filter + projection + post-scan predicate") {
     val df = read.filter(col("lot") === "LOT-0" && col("status") =!= "FAIL")
       .select("record_id", "value")
