@@ -83,9 +83,52 @@ object Multimodal {
        |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "width", "height",
          "n_frames", "checksum", "n_sampled_frames"))}""".stripMargin
 
+  /** Frame sampling + resize planning: every 10th frame exploded to a
+    * row (generator/UDTF shape — the decode stage downstream consumes
+    * one frame per row), with aspect-preserving resize targets to fit
+    * 224px. All arithmetic is int-derived doubles — identical across
+    * engines.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val n = length(col("text").cast("binary")).cast("long")
+    val media = d.select(
+      col("doc_id"),
+      (lit(1L) + n % 30).as("n_frames"),
+      (lit(64L) + n % 512).as("width"),
+      (lit(64L) + (n.cast("long") / lit(7L)).cast("long") % 512).as("height"))
+    val scale = lit(224.0) / greatest(col("width"), col("height")).cast("double")
+    val out = media
+      .withColumn("frame_idx",
+        explode(expr("sequence(0, n_frames - 1, 10)")))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        (col("frame_idx").cast("double") / 24.0).as("frame_ts"),
+        floor(col("width").cast("double") * scale).cast("long").as("resized_w"),
+        floor(col("height").cast("double") * scale).cast("long").as("resized_h"))
+    canon(out)
+  }
+
+  val frameSampleSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id,
+       |    1 + octet_length(text::BLOB) % 30 AS n_frames,
+       |    64 + octet_length(text::BLOB) % 512 AS width,
+       |    64 + (octet_length(text::BLOB) // 7) % 512 AS height
+       |  FROM documents
+       |)
+       |SELECT doc_id, unnest(range(0, n_frames, 10)) AS frame_idx,
+       |  CAST(unnest(range(0, n_frames, 10)) AS DOUBLE) / 24.0 AS frame_ts,
+       |  CAST(floor(CAST(width AS DOUBLE) * (224.0 / CAST(greatest(width, height) AS DOUBLE))) AS BIGINT) AS resized_w,
+       |  CAST(floor(CAST(height AS DOUBLE) * (224.0 / CAST(greatest(width, height) AS DOUBLE))) AS BIGINT) AS resized_h
+       |FROM media
+       |${canonOrderSql(Seq("doc_id", "frame_idx", "frame_ts", "resized_w", "resized_h"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> multimodalFeatures)
+    "multimodal_features" -> multimodalFeatures,
+    "frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
-    "multimodal_features" -> multimodalFeaturesSql)
+    "multimodal_features" -> multimodalFeaturesSql,
+    "frame_sample" -> frameSampleSql)
 }
