@@ -29,7 +29,12 @@ object Dedup {
     * safety at larger SFs.
     */
   private[operators] def shingles(d: DataFrame): DataFrame =
-    d.withColumn("t", split(lower(col("text")), " "))
+    // repartition BEFORE the explode: the input is a handful of parquet
+    // files (few input splits), but the work is per-shingle — size the
+    // partitioning for the post-expansion volume or the whole hash
+    // pipeline runs single-threaded (measured: 2.5s 1-task stages)
+    d.repartition(d.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("t", split(lower(col("text")), " "))
       .withColumn("sh", expr(
         """CASE WHEN size(t) >= 3
           |THEN transform(sequence(0, size(t) - 3),
@@ -208,8 +213,9 @@ object Dedup {
     * near-dup pair query.
     */
   private[operators] def simhashSigs(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("tok"))
+    val toks = d
+      .repartition(d.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
     val withH = toks.withColumn("h32",
       expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
     val bitSums = (0 until 32).map(j =>
