@@ -26,6 +26,10 @@ object Similarity {
     */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.VectorExprs.register(spark)
+    // NOTE: deliberately NOT repartitioned here — at test scale the
+    // label join broadcasts one side, so an input repartition is a pure
+    // extra shuffle (measured +0.5s); at real scale the table arrives in
+    // many splits and the join shuffles on the cell id anyway.
     load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
