@@ -5,13 +5,17 @@ re-runs every oracle SQL in DuckDB over the same parquet tables and
 compares row counts, schemas (name-sorted), and values.
 
 Not part of the Spark library — local feedback loop only.
-Usage: python3 scripts/check.py [sfDir] [outDir]
+Usage: python3 scripts/check.py [sfDir] [outDir] [--query name]
 """
 import sys, json, glob, os
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+only = None
+if "--query" in sys.argv:
+    only = sys.argv[sys.argv.index("--query") + 1]
+SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 con = duckdb.connect()
 for t in glob.glob(f"{SF}/*.parquet"):
@@ -20,6 +24,8 @@ for t in glob.glob(f"{SF}/*.parquet"):
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
+if only is not None:
+    oracles = {k: v for k, v in oracles.items() if k == only}
 for name, sql in sorted(oracles.items()):
     res_dir = f"{OUT}/{name}"
     if not os.path.isdir(res_dir):
