@@ -130,13 +130,87 @@ object Similarity {
        |GROUP BY 1
        |${canonOrderSql(Seq("dup_id", "keep_id", "n_matches"))}""".stripMargin
 
+  // ---- hyperplane-LSH ANN (the bucketed scale path complementing the
+  // IVF/label variant) ------------------------------------------------
+
+  /** 8 deterministic pseudo-random hyperplanes derived from md5 — every
+    * component is a half-integer in [-7.5, 7.5] (hex digit − 7.5), so
+    * the plane literals are EXACTLY representable doubles and both
+    * engines compute bit-identical projections (sign decisions can't
+    * diverge by an ulp).
+    */
+  private[operators] val planes: Seq[Array[Double]] = {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes).map("%02x".format(_)).mkString
+    (0 until 8).map { j =>
+      (md5hex(s"p:$j:0") + md5hex(s"p:$j:1"))
+        .map(c => Integer.parseInt(c.toString, 16) - 7.5).toArray
+    }
+  }
+
+  private def planeSqlLit(p: Array[Double]): String =
+    p.map(x => if (x == x.floor) f"$x%.1f" else x.toString).mkString("[", ", ", "]")
+
+  private def planeSparkLit(p: Array[Double]): String =
+    p.map(x => s"${x}D").mkString("array(", ", ", ")")
+
+  /** ANN via hyperplane LSH: bucket = sign bits of 8 projections;
+    * candidates are same-bucket pairs only (no cell/label metadata
+    * needed — the pure content-based scale path). Approximate: vectors
+    * alone in their bucket return no neighbors.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(expr(s"graft_dot(v, ${planeSparkLit(p)})") > 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val withB = e.withColumn("bucket", bucket)
+    val q = withB.select(col("vec_id").as("query_id"), col("bucket"),
+      col("v").as("va"), col("nrm").as("na"))
+    val c = withB.select(col("vec_id").as("neighbor_id"), col("bucket"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val out = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        col("rank"), round(col("sim"), 6).as("sim_r"))
+    canon(out)
+  }
+
+  val annLshSql: String = {
+    val bucketSql = planes.zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN list_dot_product(v, ${planeSqlLit(p)}) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, x.vec_id AS neighbor_id, a.bucket,
+       |    list_dot_product(a.v, x.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))) AS sim
+       |  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, bucket, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, bucket, CAST(rank AS INT) AS rank,
+       |  round(sim, 6) AS sim_r
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "bucket", "rank", "sim_r"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_pairs" -> cosinePairs,
     "ann_topk" -> annTopk,
+    "ann_lsh" -> annLsh,
     "dedup_embedding" -> dedupEmbedding)
 
   val oracles: Map[String, String] = Map(
     "cosine_pairs" -> cosinePairsSql,
     "ann_topk" -> annTopkSql,
+    "ann_lsh" -> annLshSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }
