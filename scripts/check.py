@@ -10,10 +10,13 @@ Usage: python3 scripts/check.py [sfDir] [outDir] [--query name]
 import sys, json, glob, os
 import duckdb
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+argv = sys.argv[1:]
 only = None
-if "--query" in sys.argv:
-    only = sys.argv[sys.argv.index("--query") + 1]
+if "--query" in argv:
+    i = argv.index("--query")
+    only = argv[i + 1]
+    del argv[i:i + 2]
+args = [a for a in argv if not a.startswith("--")]
 SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
 
@@ -25,7 +28,10 @@ for t in glob.glob(f"{SF}/*.parquet"):
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
 if only is not None:
-    oracles = {k: v for k, v in oracles.items() if k == only}
+    if only not in oracles:
+        print(f"unknown query {only!r}; known: {sorted(oracles)}")
+        sys.exit(2)
+    oracles = {only: oracles[only]}
 for name, sql in sorted(oracles.items()):
     res_dir = f"{OUT}/{name}"
     if not os.path.isdir(res_dir):

@@ -116,16 +116,36 @@ class PageWriterFactory(schema: StructType, path: String)
 
 class PageDataWriter(schema: StructType, stagedPath: String)
     extends DataWriter[InternalRow] {
-  private val writer = new java.io.PrintWriter(
-    new java.io.FileOutputStream(stagedPath), false)
+  // BufferedWriter (not PrintWriter): I/O failures must THROW so the
+  // task fails and retries — PrintWriter swallows them and a truncated
+  // staging batch would commit as success.
+  private val writer = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(stagedPath), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Full JSON string escaping — the format is line-oriented, so control
+    * characters (esp. newlines) must be escaped or the record would span
+    * physical lines and break the read path.
+    */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 
   override def write(row: InternalRow): Unit = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       val v =
         if (row.isNullAt(i)) "null"
         else f.dataType match {
-          case StringType => "\"" + row.getUTF8String(i).toString
-            .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
           case DoubleType => row.getDouble(i).toString
@@ -134,7 +154,8 @@ class PageDataWriter(schema: StructType, stagedPath: String)
         }
       "\"" + f.name + "\": " + v
     }
-    writer.println(fields.mkString("{", ", ", "}"))
+    writer.write(fields.mkString("{", ", ", "}"))
+    writer.newLine()
   }
 
   override def commit(): WriterCommitMessage = {

@@ -49,7 +49,9 @@ object IncrementalPipeline {
       .schema(eventSchema)
       .parquet(sourceDir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id", "ts")
+      // key-only dedup with watermark-bounded state: a re-delivery with a
+      // shifted timestamp is still the same event_id and must be dropped
+      .dropDuplicatesWithinWatermark("event_id")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
