@@ -98,7 +98,8 @@ object Core {
   def enrichmentJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = load(spark, sfDir, "lineitem")
     val p = load(spark, sfDir, "part")
-    val out = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // part scales with SF — no forced hint; size stats / AQE decide
+    val out = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(p("p_brand").as("brand"), p("p_type").as("ptype"))
       .agg(
         sum(li("l_quantity").cast("decimal(14,2)")).cast("double").as("total_qty"),
@@ -225,7 +226,50 @@ object Core {
        |      FROM events) WHERE rn = 1
        |${canonOrderSql(Seq("user_id", "event_id", "ts_str", "event_type", "value"))}""".stripMargin
 
+  /** F9: conditional suffix strip (reference netsuite_pipeline/
+    * sales_data.py:116-124): strip the exact TRAILING corporate suffix via
+    * the CASE/LIKE/LEFT/LENGTH shape, leave every other value unchanged.
+    * The test corpus has no suffixed names, so the query first decorates
+    * c_name deterministically — covering match, non-match, exact-suffix
+    * (strips to '') and suffix-in-the-middle (must NOT strip) — then
+    * strips; both faces are returned so the oracle checks the transform.
+    */
+  def suffixStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val suffix = " - Northeast Scientific, Inc."
+    val c = load(spark, sfDir, "customer")
+    val k = col("c_custkey") % 5
+    val decorated = when(k === 0, concat(col("c_name"), lit(suffix)))
+      .when(k === 1, concat(col("c_name"), lit(" - Other Corp")))
+      .when(k === 2, lit(suffix))
+      .when(k === 3, lit(suffix + " tail"))
+      .otherwise(col("c_name"))
+    val d = c.select(col("c_custkey").as("custkey"), decorated.as("raw_name"))
+    val cleaned = when(col("raw_name").endsWith(suffix),
+        col("raw_name").substr(lit(1),
+          length(col("raw_name")) - lit(suffix.length)))
+      .otherwise(col("raw_name"))
+    canon(d.select(col("custkey"), col("raw_name"), cleaned.as("clean_name")))
+  }
+
+  val suffixStripSql: String =
+    s"""WITH d AS (
+       |  SELECT c_custkey AS custkey,
+       |    CASE CAST(c_custkey % 5 AS INT)
+       |      WHEN 0 THEN c_name || ' - Northeast Scientific, Inc.'
+       |      WHEN 1 THEN c_name || ' - Other Corp'
+       |      WHEN 2 THEN ' - Northeast Scientific, Inc.'
+       |      WHEN 3 THEN ' - Northeast Scientific, Inc. tail'
+       |      ELSE c_name END AS raw_name
+       |  FROM customer)
+       |SELECT custkey, raw_name,
+       |  CASE WHEN raw_name LIKE '% - Northeast Scientific, Inc.' THEN
+       |    LEFT(raw_name, LENGTH(raw_name) - LENGTH(' - Northeast Scientific, Inc.'))
+       |  ELSE raw_name END AS clean_name
+       |FROM d
+       |${canonOrderSql(Seq("custkey", "raw_name", "clean_name"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "suffix_strip" -> suffixStrip,
     "events_filtered" -> eventsFiltered,
     "hierarchy_join" -> hierarchyJoin,
     "scalar_stamp" -> scalarStamp,
@@ -238,6 +282,7 @@ object Core {
     "latest_event_per_user" -> latestEventPerUser)
 
   val oracles: Map[String, String] = Map(
+    "suffix_strip" -> suffixStripSql,
     "events_filtered" -> eventsFilteredSql,
     "hierarchy_join" -> hierarchyJoinSql,
     "scalar_stamp" -> scalarStampSql,

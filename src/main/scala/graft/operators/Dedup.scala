@@ -148,10 +148,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify with true jaccard computed ONLY for candidate pairs (the LSH
     // point: intersection work is bounded by bucket collisions, never by
-    // all overlapping pairs). cand is small → broadcast into the
-    // shingle-stream joins.
+    // all overlapping pairs). cand scales with corpus size × dup rate, so
+    // no forced broadcast: the join key is doc_id and SMJ/AQE handle a
+    // near-dup-heavy corpus where cand outgrows the broadcast threshold.
     val counts = sigs.select(col("doc_id"), col("n_sh"))
-    val shared = broadcast(cand.select(col("a_id").as("sa"), col("b_id").as("sb")))
+    val shared = cand.select(col("a_id").as("sa"), col("b_id").as("sb"))
       .join(sh.as("a"), col("sa") === col("a.doc_id"))
       .join(sh.as("b"),
         col("sb") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))

@@ -46,8 +46,10 @@ object LoadOps {
     * upsert) — `new ∪ (old ⟵anti new)`. "New" rows are customers seen in
     * recent orders, stamped ACTIVE with their latest order date; the rest
     * keep their existing state.
-    * At scale: `updates` is the small side (broadcast anti/semi join);
-    * the dim is rewritten without shuffling on anything but the key.
+    * At scale: `updates` scales with the active-customer count, so it
+    * carries no forced broadcast hint — size stats / AQE pick broadcast
+    * while it fits, and the join degrades to SMJ on the key when it
+    * doesn't (the dim is never shuffled on anything but the key).
     */
   def dimUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val c = load(spark, sfDir, "customer")
@@ -56,10 +58,10 @@ object LoadOps {
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("o_custkey").as("custkey"))
       .agg(Fns.dayStr(max(col("o_orderdate"))).as("last_updated"))
-    val updated = c.join(broadcast(updates), c("c_custkey") === updates("custkey"))
+    val updated = c.join(updates, c("c_custkey") === updates("custkey"))
       .select(c("c_custkey").as("custkey"), c("c_name").as("name"),
         lit("ACTIVE").as("status"), col("last_updated"))
-    val untouched = c.join(broadcast(updates),
+    val untouched = c.join(updates,
         c("c_custkey") === updates("custkey"), "left_anti")
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
         lit("DORMANT").as("status"), lit("1970-01-01").as("last_updated"))
@@ -105,6 +107,8 @@ object LoadOps {
     * twice with the same batch: replace(replace(s,b),b) == replace(s,b).
     */
   def applyReplace(state: DataFrame, batch: DataFrame): DataFrame = {
+    // keys = distinct partition values of the batch — domain-bounded (a
+    // handful of event types), safe to broadcast at any SF
     val keys = batch.select(col("event_type")).distinct()
     val kept = state.join(broadcast(keys), Seq("event_type"), "left_anti")
       .select("event_id", "user_id", "event_type", "value")

@@ -48,7 +48,8 @@ object LotPipeline {
     // J1-J3: widening hierarchy (customer→nation→region as
     // UNIT_PROCEDURE→OPERATION→PHASE) with J4 '' degrade
     val joined = enriched
-      .join(broadcast(c), enriched("user_id") === c("c_custkey"), "left")
+      // customer scales with SF — no forced hint; size stats / AQE decide
+      .join(c, enriched("user_id") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .crossJoin(broadcast(meta))

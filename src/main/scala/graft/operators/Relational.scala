@@ -11,10 +11,14 @@ import graft.Tables.{canon, canonOrderSql, load}
   * alias output columns identically and end with the canonical name-sorted
   * ORDER BY (NULLS FIRST) so the driver's hash compare is deterministic.
   *
-  * Scale notes: dims (region/nation/customer/part/supplier) are explicitly
-  * `broadcast()` — at 100 TB the fact tables (lineitem/orders/events) are
-  * the only shuffled inputs, and lineitem⋈orders shuffles on the join key
-  * once, with all downstream dim joins map-side.
+  * Scale notes: only fixed-cardinality dims (region=5, nation=25) carry an
+  * explicit `broadcast()` hint. SF-scaled dims (customer/part/supplier grow
+  * linearly with data volume — multi-GB at the 100 TB north star) get NO
+  * hint: Catalyst's size-based join selection broadcasts them while they fit
+  * under spark.sql.autoBroadcastJoinThreshold and AQE converts SMJ→BHJ at
+  * runtime from measured sizes, so the plan degrades to a shuffle join
+  * instead of OOMing the driver when the dim outgrows the threshold
+  * (PlanHygieneSpec asserts the SMJ fallback on an oversized dim).
   */
 object Relational {
 
@@ -33,10 +37,10 @@ object Relational {
 
     val joined = li
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
       .filter(o("o_orderstatus") =!= "P" &&
         li("l_shipdate") > lit("1996-01-01").cast("timestamp"))
 

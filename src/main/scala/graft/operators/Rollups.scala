@@ -64,7 +64,8 @@ object Rollups {
     val qty = col("l_quantity").cast("decimal(10,2)")
     val zero = lit(0).cast("decimal(10,2)")
     val out = li
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      // supplier scales with SF — no forced hint; size stats / AQE decide
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(s("s_name").as("supplier_name"), n("n_name").as("location"))
       .agg(
@@ -100,7 +101,8 @@ object Rollups {
     val r = load(spark, sfDir, "region")
     val price = col("o_totalprice").cast("decimal(14,2)")
     val base = o
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // customer scales with SF — no forced hint; size stats / AQE decide
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(r("r_name").as("rn"), n("n_name").as("nn"), price.as("p"))
@@ -135,16 +137,33 @@ object Rollups {
        |${canonOrderSql(Seq("region_name", "nation_name", "total_price",
          "n_orders", "g_region", "g_nation"))}""".stripMargin
 
-  /** Approximate distinct (HLL) — algorithm-specific, so no SQL oracle:
-    * driver records a rows-only check; the spec bounds relative error
-    * against exact counts.
+  /** Approximate distinct (HLL). The raw sketch estimate is
+    * engine-specific, so it is not emitted directly; instead the query
+    * emits the exact distinct count (oracle-checkable) plus `hll_ok` — a
+    * deterministic flag asserting the HLL estimate landed within 10% of
+    * exact. The oracle claims hll_ok=1 for every group, so a Spark-side
+    * HLL regression hash-mismatches instead of hiding behind a rows-only
+    * check. The spec additionally bounds the relative error directly.
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val e = load(spark, sfDir, "events")
-    canon(e.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        count(lit(1)).as("n_events")))
+    val out = e.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        when(abs(col("approx_users") - col("exact_users"))
+          .cast("double") / col("exact_users").cast("double") <= 0.1, 1)
+          .otherwise(0).as("hll_ok"))
+    canon(out)
   }
+
+  val approxDistinctSql: String =
+    s"""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       |  count(*) AS n_events, 1 AS hll_ok
+       |FROM events GROUP BY 1
+       |${canonOrderSql(Seq("event_type", "exact_users", "n_events", "hll_ok"))}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schema_padding" -> schemaPadding,
@@ -157,5 +176,6 @@ object Rollups {
     "schema_padding" -> schemaPaddingSql,
     "lot_metadata" -> lotMetadataSql,
     "inventory_rollup" -> inventoryRollupSql,
-    "sales_rollup_cube" -> salesRollupCubeSql)
+    "sales_rollup_cube" -> salesRollupCubeSql,
+    "approx_distinct" -> approxDistinctSql)
 }

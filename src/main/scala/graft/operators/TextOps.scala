@@ -225,16 +225,19 @@ object TextOps {
   /** Benchmark-contamination check: fraction of each document's 3-gram
     * shingles that appear in a benchmark set (here: the src0 slice) —
     * the train/test-overlap scan every training-data pipeline needs.
-    * Benchmark shingle set is broadcast; the doc side streams.
+    * The benchmark shingle set scales with the benchmark corpus, so the
+    * membership tests are shuffle left-semi joins on the shingle key (one
+    * exchange each) rather than forced broadcasts — AQE downgrades them
+    * to broadcast joins at runtime while the set is actually small.
     */
   def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")
     // one shared (and persisted) shingle definition with the dedup family
     val all = Dedup.shingles(d)
     val benchIds = d.filter(col("source") === "src0").select(col("doc_id"))
-    val benchSet = all.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
+    val benchSet = all.join(benchIds, Seq("doc_id"), "left_semi")
       .select(col("shingle")).distinct()
-    val hits = all.join(broadcast(benchSet), Seq("shingle"), "left_semi")
+    val hits = all.join(benchSet, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     val totals = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val out = totals.join(hits, Seq("doc_id"), "left")

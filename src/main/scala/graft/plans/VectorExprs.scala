@@ -60,7 +60,14 @@ object VectorExprs {
   /** Register `graft_dot(arr, arr)` in the session's function registry so
     * it is usable from expr()/SQL. Idempotent.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    // skip if present: every similarity query calls register(), and the
+    // unconditional replace logs a "function replaced" warning per call
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
+  }
 }

@@ -126,19 +126,7 @@ class PageDataWriter(schema: StructType, stagedPath: String)
     * characters (esp. newlines) must be escaped or the record would span
     * physical lines and break the read path.
     */
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def jsonEscape(s: String): String = graft.JsonUtil.escape(s)
 
   override def write(row: InternalRow): Unit = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>

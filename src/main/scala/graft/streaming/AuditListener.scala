@@ -16,8 +16,10 @@ class AuditListener(logPath: String) extends StreamingQueryListener {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  private def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // Full control-char escaping (graft.JsonUtil): terminated-query records
+  // carry exception messages with embedded newlines/stack traces, which
+  // would otherwise span physical lines and corrupt the JSON-lines log.
+  private def q(s: String): String = graft.JsonUtil.quote(s)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
     append(s"""{"event": "started", "id": ${q(e.id.toString)}, "ts": ${q(e.timestamp)}}""")

@@ -44,15 +44,23 @@ object SessionizeStream {
           closed += closeOut(uid, s)
           open = Some(OpenSession(t, t, 1, e.value))
         case Some(s) =>
-          open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1,
-            s.total + e.value))
+          // min(start, t): a cross-batch late event can precede the open
+          // session's start (within the watermark); the merge must extend
+          // the session backwards, not silently keep the stale start
+          open = Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
+            s.n + 1, s.total + e.value))
         case None =>
           open = Some(OpenSession(t, t, 1, e.value))
       }
     }
     open.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.end + gapMs)
+      // EventTimeTimeout requires a timestamp strictly beyond the current
+      // watermark: a very late (but admitted) event can put end+gap at or
+      // behind the watermark, which would throw and kill the whole query —
+      // clamp so the session instead times out on the next watermark tick
+      state.setTimeoutTimestamp(
+        math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
     }
     closed.result().iterator
   }

@@ -52,6 +52,35 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), "hash aggregation expected")
   }
 
+  test("sales_rollup: oversized SF-scaled dims fall back to SMJ, fixed dims stay broadcast") {
+    // SF-scaled dims (customer/part) carry NO forced broadcast hint, so when
+    // they exceed spark.sql.autoBroadcastJoinThreshold the planner must pick
+    // a shuffle join instead of OOMing on a forced broadcast. Shrinking the
+    // threshold makes every hint-free table "oversized" at test SF — the
+    // 100 TB shape in miniature.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1KB")
+      val p = plan("sales_rollup")
+      assert(p.contains("SortMergeJoin"),
+        "customer/part above the broadcast threshold must degrade to a shuffle join")
+      assert(p.contains("BroadcastHashJoin"),
+        "fixed-cardinality nation/region hints must survive regardless of threshold")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("dim_upsert: oversized update set falls back to SMJ (no forced broadcast)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1KB")
+      val p = plan("dim_upsert")
+      assert(p.contains("SortMergeJoin"),
+        "updates above the broadcast threshold must degrade to a shuffle join")
+    } finally spark.conf.set(key, old)
+  }
+
   test("cosine_pairs: native graft_dot expression in the plan (no HOF lambdas)") {
     val p = plan("cosine_pairs")
     assert(p.contains("graft_dot"), "native dot-product expression missing")

@@ -60,4 +60,37 @@ class SessionizeStreamSpec extends SparkSpecBase {
     val missing = got.exceptAll(batch).count()
     assert(missing == 0, s"$missing streamed sessions not present in batch result")
   }
+
+  test("cross-batch late event (within watermark) extends the open session backwards") {
+    val root = Files.createTempDirectory("graft-sess-late").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    import spark.implicits._
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: open session for user 7 at 10:00 → watermark becomes 09:00
+    write(Seq((1L, ts("2024-05-01 10:00:00"), 7L, "click", 1.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+    // batch 2: 09:30 event is LATE relative to the open session's start but
+    // above the watermark — must merge and move session_start back to 09:30
+    write(Seq((2L, ts("2024-05-01 09:30:00"), 7L, "click", 2.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+    // far-future events push the watermark past the timeout deadline, then
+    // one more tick lets the timed-out state flush
+    write(Seq((3L, ts("2024-05-10 00:00:00"), 9L, "view", 3.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+    write(Seq((4L, ts("2024-05-12 00:00:00"), 9L, "view", 4.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+
+    val got = spark.read.parquet(out).filter(col("user_id") === 7)
+      .select("session_start", "session_end", "n_events", "total_value").collect()
+    assert(got.length == 1, s"expected one closed session, got ${got.length}")
+    assert(got(0).getTimestamp(0) == ts("2024-05-01 09:30:00"),
+      s"late event did not extend session backwards: start=${got(0).getTimestamp(0)}")
+    assert(got(0).getTimestamp(1) == ts("2024-05-01 10:00:00"))
+    assert(got(0).getLong(2) == 2 && got(0).getDouble(3) == 3.0)
+  }
 }
