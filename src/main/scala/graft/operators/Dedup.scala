@@ -207,24 +207,14 @@ object Dedup {
   }
 
   /** SimHash: 32-bit signature from per-token md5 bit votes (weighted by
-    * occurrence). Computed as 32 conditional sums — no bit-position
-    * explode, one groupBy(doc_id).
-    */
-  /** (doc_id, simhash) signatures — shared by the signature query and the
-    * near-dup pair query.
+    * occurrence), via the native codegen'd `graft_simhash` expression
+    * (plans/TextExprs.scala) — one narrow pass per document, NO token
+    * explode, NO shuffle, no 32-aggregate codegen blowup. Bit-identical
+    * to the SQL formulation the DuckDB oracle runs (simhashCte below).
     */
   private[operators] def simhashSigs(d: DataFrame): DataFrame = {
-    val toks = d
-      .repartition(d.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-    val withH = toks.withColumn("h32",
-      expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
-    val bitSums = (0 until 32).map(j =>
-      sum(expr(s"(shiftright(h32, $j) & 1) * 2 - 1")).as(s"bit$j"))
-    val sums = withH.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig: Column = (0 until 32).map(j =>
-      when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
+    graft.plans.TextExprs.register(d.sparkSession)
+    d.select(col("doc_id"), expr("graft_simhash(lower(text))").as("simhash"))
   }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+import graft.plans.ScaleJoins
+
+/** Driver-gated faces of the 100 TB join techniques (plans/ScaleJoins):
+  * a pre-bucketed co-located join and a salted skew join, each with a
+  * DuckDB oracle so the driver verifies the technique produces exactly
+  * the plain-join semantics. The plan-level properties (zero exchanges
+  * for the bucketed join, multiset equality for the salted join) are
+  * asserted in ScaleJoinsSpec; these queries make the driver gate
+  * exercise the same code paths round over round.
+  */
+object ScaleOps {
+
+  /** Bucketed co-located join: both sides written bucketed+sorted on the
+    * join key (the shuffle paid once at write time), read back and joined
+    * bucket-to-bucket, then rolled up. At 100 TB this is the amortized
+    * shape for any fact⋈fact join that recurs across runs — every
+    * subsequent join of the bucketed copies is exchange-free.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    val li = load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    ScaleJoins.writeBucketed(li, "graft_li_bkt", "l_orderkey", 8,
+      Some(s"$base/li"))
+    ScaleJoins.writeBucketed(o, "graft_o_bkt", "o_orderkey", 8,
+      Some(s"$base/o"))
+    val out = spark.table("graft_li_bkt")
+      .join(spark.table("graft_o_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("order_status"),
+        col("o_orderpriority").as("priority"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("double")
+          .as("total_qty"),
+        count(lit(1)).as("n_lines"))
+    canon(out)
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT o.o_orderstatus AS order_status,
+       |  o.o_orderpriority AS priority,
+       |  CAST(sum(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty,
+       |  count(*) AS n_lines
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |GROUP BY 1, 2
+       |${canonOrderSql(Seq("order_status", "priority", "total_qty", "n_lines"))}""".stripMargin
+
+  /** Salted skew join: events⋈customer on a deliberately skew-prone key,
+    * run through ScaleJoins.saltedJoin (key → (key, salt), small side
+    * replicated) so a hot key's rows spread over `salts` reducers. The
+    * oracle is the PLAIN join rolled up — proving the salted rewrite is
+    * semantics-preserving end-to-end.
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select("event_id", "user_id", "value")
+    val c = load(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val joined = ScaleJoins.saltedJoin(e, c, "user_id", "c_custkey", 7)
+    val out = joined
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        sum(col("value").cast("decimal(14,2)")).cast("double")
+          .as("total_value"),
+        count(lit(1)).as("n_events"))
+    canon(out)
+  }
+
+  val saltedJoinSql: String =
+    s"""SELECT c.c_mktsegment AS segment,
+       |  CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+       |  count(*) AS n_events
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1
+       |${canonOrderSql(Seq("segment", "total_value", "n_events"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join" -> bucketedJoin,
+    "salted_join" -> saltedJoin)
+
+  val oracles: Map[String, String] = Map(
+    "bucketed_join" -> bucketedJoinSql,
+    "salted_join" -> saltedJoinSql)
+}

@@ -15,13 +15,16 @@ object ScaleJoins {
     * (ScaleJoinsSpec asserts the exchange-free plan).
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    // explicit path → external table (keeps data out of the default
+    // warehouse dir when callers manage their own storage location)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Salted inner equi-join for skewed keys: each left row gets a
     * deterministic salt from its own content, the right side is

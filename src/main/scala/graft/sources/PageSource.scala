@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.read.SupportsPushDownLimit
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,7 +48,12 @@ class PageSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new PageTable(schema,
       properties.getOrDefault("path", ""),
-      properties.getOrDefault("pageSize", "1000").toInt)
+      properties.getOrDefault("pageSize", "1000").toInt,
+      RetryConf(
+        properties.getOrDefault("maxRetries", "3").toInt,
+        properties.getOrDefault("retryDelayMs", "200").toLong,
+        properties.getOrDefault("injectFaults", "0").toInt,
+        properties.getOrDefault("onExhausted", "fail")))
 }
 
 object PageSource {
@@ -58,14 +64,45 @@ object PageSource {
     StructField("value", DoubleType)))
 }
 
-class PageTable(tableSchema: StructType, path: String, pageSize: Int)
+/** S1 retry contract (reference api_client.py:23-37: up to 3 attempts,
+  * fixed 0.2 s delay, give up after the last). `injectFaults` is the
+  * offline fault-injection hook: each page's first N fetch attempts
+  * throw, standing in for a flaky HTTP endpoint. `onExhausted` picks the
+  * give-up behavior: "fail" (Spark-correct: the task fails loudly) or
+  * "skip" (reference parity: the client returns None and the page loop
+  * moves on — the page contributes no rows).
+  */
+case class RetryConf(maxRetries: Int, delayMs: Long, injectFaults: Int,
+    onExhausted: String)
+
+/** JVM-global injected-fault budgets, keyed per page — readers run in
+  * executor threads (local mode shares the JVM), and the budget must
+  * survive reader re-instantiation to model "same request, new attempt".
+  */
+object PageFaults {
+  private val remaining =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  def maybeFail(key: String, inject: Int): Unit =
+    if (inject > 0) {
+      val c = remaining.computeIfAbsent(key,
+        _ => new java.util.concurrent.atomic.AtomicInteger(inject))
+      if (c.getAndDecrement() > 0)
+        throw new java.io.IOException(s"injected transient fault for $key")
+    }
+
+  def reset(): Unit = remaining.clear()
+}
+
+class PageTable(tableSchema: StructType, path: String, pageSize: Int,
+    retry: RetryConf = RetryConf(3, 200L, 0, "fail"))
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_pages($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PageScanBuilder(tableSchema, path, pageSize)
+    new PageScanBuilder(tableSchema, path, pageSize, retry)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PageWriteBuilder(info.schema(), path)
 }
@@ -159,12 +196,24 @@ class PageDataWriter(schema: StructType, stagedPath: String)
   override def close(): Unit = writer.close()
 }
 
-class PageScanBuilder(fullSchema: StructType, path: String, pageSize: Int)
+class PageScanBuilder(fullSchema: StructType, path: String, pageSize: Int,
+    retry: RetryConf = RetryConf(3, 200L, 0, "fail"))
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown = the REST client's early page-loop stop: plan only
+    * ceil(limit/pageSize) pages instead of scanning the whole endpoint.
+    * Safe only when NO filters are pushed — a server-filtered page yields
+    * fewer than pageSize rows, so page-count pruning could under-return.
+    * Partial push (Spark keeps its own Limit operator above the scan).
+    */
+  override def pushLimit(l: Int): Boolean =
+    if (pushed.isEmpty) { limit = Some(l); true } else false
 
   override def pruneColumns(required: StructType): Unit = {
     // preserve full-schema field order for deterministic row layout
@@ -189,16 +238,18 @@ class PageScanBuilder(fullSchema: StructType, path: String, pageSize: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new PageScan(requiredSchema, path, pageSize, pushed)
+    new PageScan(requiredSchema, path, pageSize, pushed, limit, retry)
 }
 
 class PageScan(schema: StructType, path: String, pageSize: Int,
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter], limit: Option[Int] = None,
+    retry: RetryConf = RetryConf(3, 200L, 0, "fail")) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-pages path=$path pageSize=$pageSize pushed=${filters.mkString(",")}"
+    s"graft-pages path=$path pageSize=$pageSize pushed=${filters.mkString(",")}" +
+      limit.fold("")(l => s" limit=$l")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // ONE planning pass records the byte offset of each page boundary,
@@ -220,52 +271,91 @@ class PageScan(schema: StructType, path: String, pageSize: Int,
     } finally in.close()
     val fileEnd = pos
     // drop a trailing boundary that coincides with EOF (no empty page)
-    val starts = if (pageStarts.last >= fileEnd && pageStarts.length > 1)
+    val allStarts = if (pageStarts.last >= fileEnd && pageStarts.length > 1)
       pageStarts.dropRight(1) else pageStarts
+    // pushed limit: fetch only the pages needed to satisfy it (each
+    // unfiltered page contributes exactly pageSize rows, last may be short)
+    val starts = limit.fold(allStarts) { l =>
+      allStarts.take(math.max(1, ((l + pageSize - 1) / pageSize)))
+    }
     starts.indices.map { i =>
-      val end = if (i + 1 < starts.length) starts(i + 1) else fileEnd
+      val end = if (i + 1 < starts.length) starts(i + 1)
+        else if (starts.length < allStarts.length) allStarts(starts.length)
+        else fileEnd
       PagePartition(path, starts(i), end).asInstanceOf[InputPartition]
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(schema, filters)
+    new PageReaderFactory(schema, filters, retry)
 }
 
 case class PagePartition(path: String, start: Long, end: Long)
     extends InputPartition
 
-class PageReaderFactory(schema: StructType, filters: Array[Filter])
+class PageReaderFactory(schema: StructType, filters: Array[Filter],
+    retry: RetryConf = RetryConf(3, 200L, 0, "fail"))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PagePartition], schema, filters)
+    new PageReader(partition.asInstanceOf[PagePartition], schema, filters, retry)
 }
 
 /** Reads one "page" of JSON records: byte range [start, end) of the
-  * file — seeks directly to its page, reads only its own bytes.
+  * file — seeks directly to its page, reads only its own bytes. The page
+  * open (= the HTTP request in the REST analog) runs under the S1 retry
+  * contract: up to `maxRetries` attempts with a fixed delay, then either
+  * fail the task or yield an empty page (RetryConf.onExhausted).
   */
-class PageReader(p: PagePartition, schema: StructType, filters: Array[Filter])
+class PageReader(p: PagePartition, schema: StructType, filters: Array[Filter],
+    retry: RetryConf = RetryConf(3, 200L, 0, "fail"))
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val channel = new java.io.RandomAccessFile(p.path, "r")
-  channel.seek(p.start)
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(
-      new java.io.InputStream {
-        private var remaining = p.end - p.start
-        override def read(): Int =
-          if (remaining <= 0) -1
-          else { remaining -= 1; channel.read() }
-        override def read(buf: Array[Byte], off: Int, len: Int): Int = {
-          if (remaining <= 0) return -1
-          val n = channel.read(buf, off, math.min(len.toLong, remaining).toInt)
-          if (n > 0) remaining -= n
-          n
-        }
-      }, java.nio.charset.StandardCharsets.UTF_8))
-  private val lines = Iterator.continually(reader.readLine())
-    .takeWhile(_ != null).filter(_.nonEmpty)
+  private var channel: java.io.RandomAccessFile = _
+  private var reader: java.io.BufferedReader = _
+
+  private def openPage(): Iterator[String] = {
+    PageFaults.maybeFail(s"${p.path}#${p.start}", retry.injectFaults)
+    channel = new java.io.RandomAccessFile(p.path, "r")
+    channel.seek(p.start)
+    reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(
+        new java.io.InputStream {
+          private var remaining = p.end - p.start
+          override def read(): Int =
+            if (remaining <= 0) -1
+            else { remaining -= 1; channel.read() }
+          override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+            if (remaining <= 0) return -1
+            val n = channel.read(buf, off, math.min(len.toLong, remaining).toInt)
+            if (n > 0) remaining -= n
+            n
+          }
+        }, java.nio.charset.StandardCharsets.UTF_8))
+    Iterator.continually(reader.readLine())
+      .takeWhile(_ != null).filter(_.nonEmpty)
+  }
+
+  // api_client.py:23-37: N attempts with a fixed inter-attempt delay;
+  // on exhaustion either propagate (task fails, Spark-correct) or give
+  // up quietly like the reference's `return None` (empty page)
+  private val lines: Iterator[String] = {
+    var result: Iterator[String] = null
+    var attempt = 0
+    while (result == null) {
+      attempt += 1
+      try result = openPage()
+      catch {
+        case e: Exception =>
+          if (channel != null) { channel.close(); channel = null }
+          if (attempt < retry.maxRetries) Thread.sleep(retry.delayMs)
+          else if (retry.onExhausted == "skip") result = Iterator.empty
+          else throw e
+      }
+    }
+    result
+  }
+
   private var current: InternalRow = _
 
   private def matches(node: JsonNode): Boolean = filters.forall {
@@ -300,5 +390,8 @@ class PageReader(p: PagePartition, schema: StructType, filters: Array[Filter])
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = { reader.close(); channel.close() }
+  override def close(): Unit = {
+    if (reader != null) reader.close()
+    if (channel != null) channel.close()
+  }
 }

@@ -93,4 +93,33 @@ object IncrementalPipeline {
       }
       .start()
   }
+
+  /** S12 + load loop: run one AvailableNow pass over `sourceDir`, then
+    * archive exactly the files that pass consumed (reference
+    * bulk_loader.py:53-54,85-86 — load, then archive each file).
+    *
+    * The source listing is snapshotted BEFORE the query starts — the same
+    * set AvailableNow will process — and archived only after successful
+    * termination. Archiving inside the micro-batch sink would be wrong
+    * twice over: the consumed-file list isn't visible through the
+    * aggregated batch, and delete-on-incremental mid-run races any later
+    * micro-batch that still needs the file.
+    */
+  def runWithArchive(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpointDir: String, archiveRoot: String,
+      processType: String = "incremental_load",
+      nowMs: () => Long = System.currentTimeMillis): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(sourceDir)
+    val fs = d.getFileSystem(conf)
+    val snapshot =
+      if (!fs.exists(d)) Seq.empty[String]
+      else fs.listStatus(d).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString)
+    start(spark, sourceDir, outDir, checkpointDir).awaitTermination()
+    snapshot.map(f => graft.sources.FileArchive
+      .archiveFile(conf, f, archiveRoot, processType, nowMs).toString)
+  }
 }

@@ -75,4 +75,56 @@ class PageSourceSpec extends SparkSpecBase {
     val expected = (0 until 2500).count(i => i % 5 == 0 && i % 7 != 0)
     assert(df.count() == expected)
   }
+
+  test("limit pushdown: only the pages needed for the limit are planned") {
+    import graft.sources.{PageScan, PageScanBuilder}
+    // 2500 rows / pageSize 1000 = 3 pages; limit 1500 needs only 2
+    assert(new PageScan(PageSource.defaultSchema, jsonl, 1000,
+      Array.empty, Some(1500)).planInputPartitions().length == 2)
+    // a limit within one page plans exactly one page
+    assert(new PageScan(PageSource.defaultSchema, jsonl, 1000,
+      Array.empty, Some(5)).planInputPartitions().length == 1)
+    // no limit → all 3 pages
+    assert(new PageScan(PageSource.defaultSchema, jsonl, 1000,
+      Array.empty, None).planInputPartitions().length == 3)
+    // builder refuses the push when filters are already pushed (a
+    // filtered page yields < pageSize rows, pruning could under-return)
+    val b = new PageScanBuilder(PageSource.defaultSchema, jsonl, 1000)
+    b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("lot", "LOT-2")))
+    assert(!b.pushLimit(400), "limit must not be claimed on a filtered scan")
+    val clean = new PageScanBuilder(PageSource.defaultSchema, jsonl, 1000)
+    assert(clean.pushLimit(400), "limit should be claimed on an unfiltered scan")
+    // end-to-end: results stay correct with and without pushed filters
+    assert(read.limit(1500).count() == 1500)
+    assert(read.filter(col("lot") === "LOT-2").limit(400).count() == 400)
+  }
+
+  test("retry shim: transient faults under the attempt budget succeed with all rows") {
+    graft.sources.PageFaults.reset()
+    val df = spark.read.format("graft.sources.PageSourceProvider")
+      .schema(PageSource.defaultSchema)
+      .option("path", jsonl).option("pageSize", "1000")
+      .option("injectFaults", "2")   // first 2 attempts per page fail
+      .option("maxRetries", "3")     // 3 attempts → 3rd succeeds
+      .option("retryDelayMs", "1")
+      .load()
+    assert(df.count() == 2500, "retry-then-succeed must deliver every row")
+  }
+
+  test("retry shim: exhausted budget fails the read, or skips the page when configured") {
+    graft.sources.PageFaults.reset()
+    def reread(onExhausted: String) = spark.read
+      .format("graft.sources.PageSourceProvider")
+      .schema(PageSource.defaultSchema)
+      .option("path", jsonl).option("pageSize", "1000")
+      .option("injectFaults", "99")  // more faults than attempts
+      .option("maxRetries", "3")
+      .option("retryDelayMs", "1")
+      .option("onExhausted", onExhausted)
+      .load()
+    intercept[org.apache.spark.SparkException] { reread("fail").count() }
+    graft.sources.PageFaults.reset()
+    // reference-parity mode: give-up returns None → page contributes 0 rows
+    assert(reread("skip").count() == 0)
+  }
 }

@@ -86,4 +86,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(p.contains("graft_dot"), "native dot-product expression missing")
     assert(!p.contains("lambdafunction"), "interpreted HOF lambda in hot path")
   }
+
+  test("simhash: native graft_simhash, no explode/aggregate/shuffle before the output sort") {
+    val p = plan("simhash")
+    assert(p.contains("graft_simhash"), "native simhash expression missing")
+    assert(!p.contains("Generate"), "token explode should be gone")
+    assert(!p.contains("HashAggregate"), "bit-vote aggregation should be gone")
+    // only exchange allowed is the canonical output sort's range partition
+    assert(!p.contains("hashpartitioning("), "unexpected data shuffle")
+  }
 }
