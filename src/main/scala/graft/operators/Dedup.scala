@@ -74,8 +74,14 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs: 3-gram shingle sets, pairwise
     * |∩| / |∪| over a shingle-key self-join.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(load(spark, sfDir, "documents"))
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardOn(load(spark, sfDir, "documents"))
+
+  /** Core on an arbitrary (doc_id, text) relation — lets specs seed
+    * documents with known near-dups (LshRecallSpec).
+    */
+  def ngramJaccardOn(d: DataFrame): DataFrame = {
+    val sh = shingles(d)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -114,8 +120,12 @@ object Dedup {
     * verified with true Jaccard. The banded-bucket join is the scale path:
     * candidate count is bounded by bucket collisions, never all-pairs.
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(load(spark, sfDir, "documents"))
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashLshOn(load(spark, sfDir, "documents"))
+
+  /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
+  def minhashLshOn(d: DataFrame): DataFrame = {
+    val sh = shingles(d)
     // 8 independent 32-bit min-hashes from TWO md5 evaluations per
     // shingle (each 32-hex digest sliced into four 8-hex hashes) —
     // 4x less hashing than one md5 per signature position.

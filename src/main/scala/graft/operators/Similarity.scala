@@ -24,14 +24,16 @@ object Similarity {
     * at N vectors and P pairs that is N sqrt+dot evaluations instead of
     * 2P). Dot products use the codegen'd native DotProduct expression.
     */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.plans.VectorExprs.register(spark)
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     // NOTE: deliberately NOT repartitioned here — at test scale the
     // label join broadcasts one side, so an input repartition is a pure
     // extra shuffle (measured +0.5s); at real scale the table arrives in
     // many splits and the join shuffles on the cell id anyway.
-    load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"),
+    vecsOn(load(spark, sfDir, "embeddings"))
+
+  private def vecsOn(d: DataFrame): DataFrame = {
+    graft.plans.VectorExprs.register(d.sparkSession)
+    d.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
   }
@@ -159,8 +161,14 @@ object Similarity {
     * needed — the pure content-based scale path). Approximate: vectors
     * alone in their bucket return no neighbors.
     */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    annLshOn(vecs(spark, sfDir))
+
+  /** Core on an arbitrary (vec_id, label, embedding) relation — lets
+    * specs seed vectors with known near-dups (LshRecallSpec).
+    */
+  def annLshOn(d: DataFrame): DataFrame = {
+    val e = if (d.columns.contains("v")) d else vecsOn(d)
     val bucket = planes.zipWithIndex.map { case (p, j) =>
       when(expr(s"graft_dot(v, ${planeSparkLit(p)})") > 0, lit(1 << j))
         .otherwise(lit(0))

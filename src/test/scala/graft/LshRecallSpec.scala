@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Quantified recall of the approximate (LSH) paths against their exact
+  * baselines, on SEEDED data with known near-dups. MlLshSpec cross-checks
+  * signatures; this spec checks what the user actually cares about — how
+  * many true near-dup pairs the bucketed path recovers. Everything here
+  * is deterministic (seeded generator + md5/plane hashing), so the
+  * asserted floors are stable, not flaky.
+  */
+class LshRecallSpec extends SparkSpecBase {
+
+  private def pairKey = (a: Long, b: Long) => (math.min(a, b), math.max(a, b))
+
+  test("minhash_lsh recall >= 0.8 vs exact ngram-jaccard on seeded near-dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"tok$i")
+    def sentence(): Array[String] =
+      Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
+    // 25 base docs; the first 15 get a near-dup copy with 2 tokens
+    // mutated (3-gram shingle jaccard ≈ 0.6-0.8 — inside the LSH
+    // sweet spot for 4 bands × 2 rows)
+    val bases = (0 until 25).map(i => (i.toLong, sentence()))
+    val dups = bases.take(15).map { case (i, toks) =>
+      val copy = toks.clone()
+      copy(5) = vocab(rnd.nextInt(vocab.length))
+      copy(20) = vocab(rnd.nextInt(vocab.length))
+      (100L + i, copy)
+    }
+    val docs = (bases ++ dups)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    // exact baseline: pairs with true jaccard >= 0.5
+    val truth = Dedup.ngramJaccardOn(docs)
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .map(p => pairKey(p._1, p._2)).toSet
+    assert(truth.size >= 10, s"seed produced only ${truth.size} true pairs")
+
+    // approximate path: any LSH candidate pair counts as recovered
+    val found = Dedup.minhashLshOn(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .map(p => pairKey(p._1, p._2)).toSet
+
+    val recall = truth.count(found).toDouble / truth.size
+    info(f"minhash_lsh recall: $recall%.3f over ${truth.size} true pairs")
+    assert(recall >= 0.8,
+      f"LSH recall $recall%.3f below floor 0.8 (${truth.size} true pairs)")
+    spark.catalog.clearCache()
+  }
+
+  test("ann_lsh recall >= 0.6 vs exact cosine on seeded near-identical vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    // 20 base vectors; the first 12 get a tiny-perturbation dup
+    // (cosine ≈ 0.999 — the hyperplane-sign bucket rarely flips)
+    val bases = (0 until 20).map(i => (i.toLong, vec()))
+    val dups = bases.take(12).map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.02 * rnd.nextGaussian()))
+    }
+    val embs = (bases ++ dups)
+      .map { case (id, v) => (id, 0L, v.toSeq) }
+      .toDF("vec_id", "label", "embedding")
+
+    // exact baseline: all-pairs cosine > 0.9 (the seeded dup pairs)
+    graft.plans.VectorExprs.register(spark)
+    val e = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", expr("graft_dot(va, vb)") /
+        (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))))
+      .filter(col("sim") > 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .map(p => pairKey(p._1, p._2)).toSet
+    assert(truth.size == 12, s"expected the 12 seeded dup pairs, got ${truth.size}")
+
+    val found = Similarity.annLshOn(embs)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .map(p => pairKey(p._1, p._2)).toSet
+
+    val recall = truth.count(found).toDouble / truth.size
+    info(f"ann_lsh recall: $recall%.3f over ${truth.size} true pairs")
+    // single-table 8-plane LSH: P(same bucket) ≈ (1 - θ/π)^8 ≈ 0.9 at
+    // cosine 0.999 — the floor reflects the documented recall/cost trade
+    assert(recall >= 0.6,
+      f"ANN-LSH recall $recall%.3f below floor 0.6 (${truth.size} true pairs)")
+  }
+}
