@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   * After `Graft.init(spark, sfDir)`:
   *  - every table (region … embeddings) is a temp view named as-is;
-  *  - `graft_dot(a, b)` is available in SQL for vector work.
+  *  - `graft_dot(a, b)`, `graft_simhash(str)`, `graft_minhash(str)` are
+  *    available in SQL for vector/dedup work.
   */
 object Graft {
   def init(spark: SparkSession, sfDir: String): Unit = {
@@ -16,5 +17,6 @@ object Graft {
       Tables.load(spark, sfDir, name).createOrReplaceTempView(name)
     }
     plans.VectorExprs.register(spark)
+    plans.TextExprs.register(spark)
   }
 }

@@ -125,20 +125,18 @@ object Dedup {
 
   /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
   def minhashLshOn(d: DataFrame): DataFrame = {
+    graft.plans.TextExprs.register(d.sparkSession)
     val sh = shingles(d)
-    // 8 independent 32-bit min-hashes from TWO md5 evaluations per
-    // shingle (each 32-hex digest sliced into four 8-hex hashes) —
-    // 4x less hashing than one md5 per signature position.
-    val withH = sh
-      .withColumn("h0", md5(col("shingle")))
-      .withColumn("h1", md5(concat(lit("x:"), col("shingle"))))
-    // n_sh rides along in the same groupBy — one shingle-subtree
-    // evaluation and one shuffle fewer than a separate counts agg
-    val sigCols = (0 until 8).map { k =>
-      val src = if (k < 4) "h0" else "h1"
-      min(substring(col(src), (k % 4) * 8 + 1, 8)).as(s"s$k")
-    } :+ count(lit(1)).as("n_sh")
-    val sigs = withH.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // signatures + n_sh in ONE narrow pass via the native graft_minhash
+    // expression (plans/TextExprs.scala): 8 independent 32-bit min-hashes
+    // from TWO md5 evaluations per shingle, with NO shingle explode and
+    // NO groupBy shuffle — the exploded `sh` relation is only needed
+    // below for the candidate-pair shared-shingle verify.
+    val sigs = d
+      .select(col("doc_id"), expr("graft_minhash(lower(text))").as("m"))
+      .select((col("doc_id") +:
+        (0 until 8).map(k => col(s"m.s$k").as(s"s$k"))) :+
+        col("m.n_sh").as("n_sh"): _*)
     val banded = sigs
       .withColumn("b0", md5(concat(col("s0"), col("s1"))))
       .withColumn("b1", md5(concat(col("s2"), col("s3"))))

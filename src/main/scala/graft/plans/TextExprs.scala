@@ -5,9 +5,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native SimHash: 32-bit signature of a whitespace-tokenized string in
@@ -74,15 +75,110 @@ object SimHash32 {
   }
 }
 
+/** Native MinHash: the 8-slot signature plus the distinct-3-gram-shingle
+  * count of a whitespace-tokenized string, in ONE pass over the row —
+  * replaces the shingle explode → two md5 columns → 8-min groupBy(doc_id)
+  * pipeline's shuffle with a narrow map. Output is a struct
+  * (s0..s7: string, n_sh: long).
+  *
+  * Bit-identical to the SQL formulation the DuckDB oracle runs
+  * (Dedup.minhashLshSql): shingles = distinct 3-gram windows of
+  * split(input, ' ') (the whole input when < 3 tokens); slot k < 4 is
+  * min(substr(md5Hex(shingle), 8k, 8)), slots 4-7 the same over
+  * md5('x:' || shingle); minima compare lexicographically on fixed-width
+  * lowercase hex, exactly like string MIN in both engines. Callers pass
+  * the already-lowercased text: graft_minhash(lower(text)).
+  */
+case class MinHash8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MinHash8.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash8.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.MinHash8.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash8 =
+    copy(child = newChild)
+}
+
+object MinHash8 {
+
+  val schema: StructType = StructType(
+    (0 until 8).map(k => StructField(s"s$k", StringType, nullable = false)) :+
+      StructField("n_sh", LongType, nullable = false))
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): InternalRow = {
+    val text = s.toString
+    val toks = text.split(" ", -1)
+    // distinct 3-gram shingles; whole text when under 3 tokens — same as
+    // the CASE size(t) >= 3 … ELSE array(lower(text)) SQL shape
+    val shingles = new java.util.LinkedHashSet[String]()
+    if (toks.length >= 3) {
+      var i = 0
+      while (i + 2 < toks.length) {
+        shingles.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+    } else shingles.add(text)
+    val md = md5.get()
+    val mins = new Array[String](8)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val sh = it.next()
+      val h0 = hex(md.digest(sh.getBytes(StandardCharsets.UTF_8)))
+      val h1 = hex(md.digest(("x:" + sh).getBytes(StandardCharsets.UTF_8)))
+      var k = 0
+      while (k < 8) {
+        val src = if (k < 4) h0 else h1
+        val sub = src.substring((k % 4) * 8, (k % 4) * 8 + 8)
+        if (mins(k) == null || sub.compareTo(mins(k)) < 0) mins(k) = sub
+        k += 1
+      }
+    }
+    val values = new Array[Any](9)
+    var k = 0
+    while (k < 8) { values(k) = UTF8String.fromString(mins(k)); k += 1 }
+    values(8) = shingles.size.toLong
+    new GenericInternalRow(values)
+  }
+}
+
 object TextExprs {
-  /** Register `graft_simhash(str)` in the session registry. Idempotent
-    * and quiet (no replace-warning spam on repeated calls).
+  /** Register `graft_simhash(str)` and `graft_minhash(str)` in the
+    * session registry. Idempotent and quiet (no replace-warning spam on
+    * repeated calls).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_simhash"))) {
       reg.createOrReplaceTempFunction(
         "graft_simhash", exprs => SimHash32(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_minhash"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_minhash", exprs => MinHash8(exprs.head), "built-in")
     }
   }
 }
