@@ -5,10 +5,74 @@ import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
 /** Goldens pinning the §7.4 watch-list semantics: null behavior in the
-  * change-key (pandas NaN vs SQL NULL), and 6-hour window edge
-  * assignment (boundary and completeness-lag off-by-ones).
+  * change-key (pandas NaN vs SQL NULL), 6-hour window edge assignment
+  * (boundary and completeness-lag off-by-ones), and native-expression
+  * parity with their SQL formulations on inputs the corpus never
+  * produces (empty text, consecutive spaces, under-3-token docs).
   */
 class EdgeCaseSpec extends SparkSpecBase {
+
+  private val edgeDocs = Seq(
+    (1L, ""),                       // empty → one empty token
+    (2L, "one"),                    // single token, < 3 → whole-text shingle
+    (3L, "two words"),              // 2 tokens, < 3 → whole-text shingle
+    (4L, "exactly three tokens"),   // 3 tokens → one 3-gram
+    (5L, "a  b c"),                 // consecutive spaces → empty token
+    (6L, "a a a a"),                // repeated tokens → duplicate shingles
+    (7L, "Mixed CASE Text here"))   // caller-side lower() path
+
+  test("graft_simhash matches the explode+bit-vote SQL pipeline on edge inputs") {
+    import spark.implicits._
+    graft.plans.TextExprs.register(spark)
+    val d = edgeDocs.toDF("doc_id", "text")
+    val native = d.select(col("doc_id"),
+      expr("graft_simhash(lower(text))").as("simhash"))
+    // the original aggregate formulation, inline
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h32",
+        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 32).map(j =>
+      sum(expr(s"(shiftright(h32, $j) & 1) * 2 - 1")).as(s"bit$j"))
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map(j =>
+      when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sqlWay = sums.select(col("doc_id"), sig.as("simhash"))
+    assert(native.exceptAll(sqlWay).count() == 0 &&
+      sqlWay.exceptAll(native).count() == 0,
+      "native simhash diverges from the SQL pipeline on edge inputs")
+  }
+
+  test("graft_minhash matches the explode+groupBy-min SQL pipeline on edge inputs") {
+    import spark.implicits._
+    graft.plans.TextExprs.register(spark)
+    val d = edgeDocs.toDF("doc_id", "text")
+    val native = d
+      .select(col("doc_id"), expr("graft_minhash(lower(text))").as("m"))
+      .select((col("doc_id") +:
+        (0 until 8).map(k => col(s"m.s$k").as(s"s$k"))) :+
+        col("m.n_sh").as("n_sh"): _*)
+    // the original shingle+groupBy formulation, inline
+    val sh = d
+      .withColumn("t", split(lower(col("text")), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(t) >= 3
+          |THEN transform(sequence(0, size(t) - 3),
+          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+          |ELSE array(lower(text)) END""".stripMargin))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+      .withColumn("h0", md5(col("shingle")))
+      .withColumn("h1", md5(concat(lit("x:"), col("shingle"))))
+    val sigCols = (0 until 8).map { k =>
+      val src = if (k < 4) "h0" else "h1"
+      min(substring(col(src), (k % 4) * 8 + 1, 8)).as(s"s$k")
+    } :+ count(lit(1)).as("n_sh")
+    val sqlWay = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    assert(native.exceptAll(sqlWay).count() == 0 &&
+      sqlWay.exceptAll(native).count() == 0,
+      "native minhash diverges from the SQL pipeline on edge inputs")
+  }
 
   test("changeKey: concat_ws skips nulls — 'a'|null|'c' hashes like 'a'|'c'") {
     import spark.implicits._
