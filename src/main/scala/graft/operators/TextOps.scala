@@ -311,6 +311,116 @@ object TextOps {
        |FROM c
        |${canonOrderSql(Seq("doc_id", "cleaned_digest", "n_before", "n_after", "n_removed"))}""".stripMargin
 
+  /** Repetition stats — the Gopher-style within-document repetition
+    * signals every pretraining filter uses: duplicate 3-gram fraction
+    * (1 − distinct/total) and the most-frequent-token share. One narrow
+    * pass + one per-doc aggregation; linear at any scale.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val withArrs = d
+      .withColumn("t", split(lower(col("text")), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(t) >= 3
+          |THEN transform(sequence(0, size(t) - 3),
+          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+          |ELSE array(lower(text)) END""".stripMargin))
+    // top-token share via the token multiset's mode count: explode-free
+    // (aggregate over the array) would need a map type; an explode +
+    // two-level agg stays one shuffle keyed by doc_id — fine at scale
+    val tokCounts = withArrs
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_tok_count"), sum(col("c")).as("n_toks"))
+    val shStats = withArrs.select(
+      col("doc_id"),
+      size(col("sh")).as("n_grams"),
+      size(array_distinct(col("sh"))).as("n_distinct_grams"))
+    val out = shStats.join(tokCounts, "doc_id")
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        ((col("n_grams") - col("n_distinct_grams")).cast("double") /
+          col("n_grams").cast("double")).as("dup_gram_frac"),
+        (col("top_tok_count").cast("double") / col("n_toks").cast("double"))
+          .as("top_token_share"))
+    canon(out)
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1),
+       |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE [lt] END AS sh
+       |  FROM base
+       |), toks AS (
+       |  SELECT doc_id, unnest(t) AS tok FROM base
+       |), tc AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+       |), tops AS (
+       |  SELECT doc_id, max(c) AS top_tok_count, sum(c) AS n_toks
+       |  FROM tc GROUP BY 1
+       |)
+       |SELECT g.doc_id AS doc_id,
+       |  len(g.sh) AS n_grams,
+       |  len(list_distinct(g.sh)) AS n_distinct_grams,
+       |  CAST(len(g.sh) - len(list_distinct(g.sh)) AS DOUBLE)
+       |    / CAST(len(g.sh) AS DOUBLE) AS dup_gram_frac,
+       |  CAST(t.top_tok_count AS DOUBLE) / CAST(t.n_toks AS DOUBLE) AS top_token_share
+       |FROM grams g JOIN tops t ON g.doc_id = t.doc_id
+       |${canonOrderSql(Seq("doc_id", "n_grams", "n_distinct_grams",
+         "dup_gram_frac", "top_token_share"))}""".stripMargin
+
+  /** PII scrubbing — email/phone redaction, the mandatory pre-training
+    * hygiene pass. The synthetic corpus contains no PII, so the query
+    * decorates deterministically first (doc_id-derived email/phone
+    * appended for two of every three docs), then scrubs with anchored
+    * regexes and reports match counts. Regexes stay inside the
+    * Java/DuckDB common syntax subset so both engines agree exactly.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val k = col("doc_id") % 3
+    val decorated = when(k === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com now")))
+      .when(k === 1,
+        concat(col("text"), lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    val base = d.select(col("doc_id"), decorated.as("raw"))
+    val out = base.select(
+      col("doc_id"),
+      regexp_count(col("raw"), lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(col("raw"), lit(phoneRe)).cast("int").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).as("scrubbed_digest"))
+    canon(out)
+  }
+
+  val piiScrubSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |      WHEN 1 THEN text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE text END AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+       |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_digest
+       |FROM base
+       |${canonOrderSql(Seq("doc_id", "n_emails", "n_phones", "scrubbed_digest"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "lang_id" -> langId,
@@ -318,7 +428,9 @@ object TextOps {
     "doc_fingerprint" -> docFingerprint,
     "tfidf_topk" -> tfidfTopk,
     "contamination_check" -> contaminationCheck,
-    "clean_text" -> cleanText)
+    "clean_text" -> cleanText,
+    "repetition_stats" -> repetitionStats,
+    "pii_scrub" -> piiScrub)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -327,5 +439,7 @@ object TextOps {
     "doc_fingerprint" -> docFingerprintSql,
     "tfidf_topk" -> tfidfTopkSql,
     "contamination_check" -> contaminationCheckSql,
-    "clean_text" -> cleanTextSql)
+    "clean_text" -> cleanTextSql,
+    "repetition_stats" -> repetitionStatsSql,
+    "pii_scrub" -> piiScrubSql)
 }
