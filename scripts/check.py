@@ -50,13 +50,22 @@ for name, sql in sorted(oracles.items()):
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
         fails += 1; continue
-    # value compare, row by row in given order (both canonically ordered)
+    # value compare, row by row in given order (both canonically ordered);
+    # null masks compared EXPLICITLY first (str-coercion alone could let a
+    # None-vs-'None' or NaN-vs-'nan' string coincidence slip through)
     mismatch = None
     for c in spark_df.columns:
-        a, b = spark_df[c], duck_df[c]
+        a = spark_df[c].reset_index(drop=True)
+        b = duck_df[c].reset_index(drop=True)
         try:
-            import pandas as pd
-            eq = a.reset_index(drop=True).astype(str).eq(b.reset_index(drop=True).astype(str))
+            na, nb = a.isna(), b.isna()
+            neq = na.eq(nb)
+            if not neq.all():
+                i = int(neq.idxmin())
+                mismatch = (c, i, "null" if na.iloc[i] else a.iloc[i],
+                            "null" if nb.iloc[i] else b.iloc[i])
+                break
+            eq = a.astype(str).eq(b.astype(str)) | na
             if not eq.all():
                 i = int(eq.idxmin())
                 mismatch = (c, i, a.iloc[i], b.iloc[i])
