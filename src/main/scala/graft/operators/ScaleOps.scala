@@ -92,11 +92,49 @@ object ScaleOps {
        |GROUP BY 1
        |${canonOrderSql(Seq("segment", "total_value", "n_events"))}""".stripMargin
 
+  private val partLastWritten =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Partition-pruned scan: events written `partitionBy(event_type)` once
+    * (the layout a 100 TB table would ship with), then a filtered rollup
+    * whose predicate prunes at the DIRECTORY level — the scan never opens
+    * non-matching partitions (PlanHygieneSpec asserts the
+    * PartitionFilters entry). Partition layout is the cheapest scan
+    * eliminator there is: pruning cost is metadata-only, independent of
+    * data volume.
+    */
+  def partitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
+    if (partLastWritten.put(spark.hashCode, sfDir) != sfDir) {
+      load(spark, sfDir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    }
+    val e = spark.read.parquet(base)
+    val out = e.filter(col("event_type") === "click")
+      .groupBy(graft.functions.Fns.dayStr(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double")
+          .as("total_value"))
+    canon(out)
+  }
+
+  val partitionPrunedSql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       |FROM events WHERE event_type = 'click'
+       |GROUP BY 1
+       |${canonOrderSql(Seq("day", "n_events", "total_value"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> bucketedJoin,
-    "salted_join" -> saltedJoin)
+    "salted_join" -> saltedJoin,
+    "partition_pruned" -> partitionPruned)
 
   val oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinSql,
-    "salted_join" -> saltedJoinSql)
+    "salted_join" -> saltedJoinSql,
+    "partition_pruned" -> partitionPrunedSql)
 }

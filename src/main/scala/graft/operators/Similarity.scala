@@ -210,15 +210,73 @@ object Similarity {
        |${canonOrderSql(Seq("query_id", "neighbor_id", "bucket", "rank", "sim_r"))}""".stripMargin
   }
 
+  /** IVF centroid residuals — the coarse-quantizer training/assignment
+    * step behind the `ann_topk` cell restriction: per-cell centroids
+    * (dimension-wise mean) and each vector's L2 distance to its cell
+    * centroid (the residual a product quantizer would encode).
+    *
+    * Cross-row float sums are order-dependent, so all aggregated values
+    * are quantized FIRST (floor(x·10⁶) → exact BIGINT sums, order-free;
+    * floor has no round-half ambiguity) and every remaining double op is
+    * per-row deterministic — both engines produce identical bits.
+    *
+    * Scale: the dimension explode is ×dim rows, but the centroid
+    * relation is FIXED cardinality (cells × dims = 640 here), hence the
+    * justified broadcast; one shuffle for the centroid agg, one for the
+    * per-vector residual sum.
+    */
+  def centroidResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val pos = e.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val q = pos.withColumn("xq", floor(col("x") * 1000000).cast("bigint"))
+    val cent = q.groupBy(col("label"), col("pos"))
+      .agg((sum(col("xq")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("c"))
+    val r = q.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("dx", col("xq").cast("double") / lit(1000000.0) - col("c"))
+      .withColumn("sqq",
+        floor(col("dx") * col("dx") * lit(1.0e12)).cast("bigint"))
+    val out = r.groupBy(col("vec_id"), col("label").as("cell"))
+      .agg(round(sqrt(sum(col("sqq")).cast("double") / lit(1.0e12)), 6)
+        .as("dist_r"))
+    canon(out)
+  }
+
+  val centroidResidualsSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |px AS (SELECT vec_id, label, v,
+       |         unnest(generate_series(1, len(v))) AS i FROM e),
+       |pos AS (SELECT vec_id, label, i - 1 AS pos, v[i] AS x FROM px),
+       |q AS (SELECT vec_id, label, pos,
+       |        CAST(floor(x * 1000000) AS BIGINT) AS xq FROM pos),
+       |cent AS (SELECT label, pos,
+       |           CAST(sum(xq) AS DOUBLE) / (1000000.0 * count(*)) AS c
+       |         FROM q GROUP BY 1, 2),
+       |r AS (SELECT q.vec_id, q.label,
+       |        CAST(floor(
+       |          ((CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)
+       |            * (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)) * 1e12)
+       |          AS BIGINT) AS sqq
+       |      FROM q JOIN cent c ON q.label = c.label AND q.pos = c.pos)
+       |SELECT vec_id, label AS cell,
+       |  round(sqrt(CAST(sum(sqq) AS DOUBLE) / 1e12), 6) AS dist_r
+       |FROM r GROUP BY 1, 2
+       |${canonOrderSql(Seq("vec_id", "cell", "dist_r"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_pairs" -> cosinePairs,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "centroid_residuals" -> centroidResiduals)
 
   val oracles: Map[String, String] = Map(
     "cosine_pairs" -> cosinePairsSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "centroid_residuals" -> centroidResidualsSql)
 }

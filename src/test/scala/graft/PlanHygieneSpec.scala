@@ -87,6 +87,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(!p.contains("lambdafunction"), "interpreted HOF lambda in hot path")
   }
 
+  test("partition_pruned: event_type predicate prunes at the directory level") {
+    val p = plan("partition_pruned")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.nonEmpty, "no PartitionFilters on the partitioned scan")
+    assert(pf.exists(_.contains("click")),
+      s"event_type=click not pushed to partition pruning: $pf")
+  }
+
   test("simhash: native graft_simhash, no explode/aggregate/shuffle before the output sort") {
     val p = plan("simhash")
     assert(p.contains("graft_simhash"), "native simhash expression missing")
