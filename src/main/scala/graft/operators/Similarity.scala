@@ -266,17 +266,83 @@ object Similarity {
        |FROM r GROUP BY 1, 2
        |${canonOrderSql(Seq("vec_id", "cell", "dist_r"))}""".stripMargin
 
+  /** Distributed k-means assignment (one Lloyd's iteration's assign
+    * step): every vector is scored against EVERY cell centroid and
+    * assigned to the nearest — the step that would re-train the IVF
+    * coarse quantizer. Distances stay exact integers (same floor-
+    * quantization as centroidResiduals), so the argmin and its
+    * (distance, cell-id) tie-break are bit-deterministic — no
+    * float-comparison hazard in the ranking.
+    *
+    * Scale: work is vectors × k (k = cell count, fixed), the centroid
+    * table is broadcast (fixed cardinality), and the one data shuffle
+    * keys on vec_id for the per-candidate distance sums + argmin window.
+    */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val pos = e.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val q = pos.withColumn("xq", floor(col("x") * 1000000).cast("bigint"))
+    val cent = q.groupBy(col("label").as("cand"), col("pos"))
+      .agg((sum(col("xq")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("c"))
+    val dists = q.join(broadcast(cent), Seq("pos"))
+      .withColumn("dx", col("xq").cast("double") / lit(1000000.0) - col("c"))
+      .withColumn("sqq",
+        floor(col("dx") * col("dx") * lit(1.0e12)).cast("bigint"))
+      .groupBy(col("vec_id"), col("label").as("own_cell"), col("cand"))
+      .agg(sum(col("sqq")).as("d2q"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2q").asc, col("cand").asc)
+    val out = dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("own_cell"),
+        col("cand").as("assigned_cell"),
+        when(col("own_cell") === col("cand"), 1).otherwise(0).as("stable"),
+        round(sqrt(col("d2q").cast("double") / lit(1.0e12)), 6).as("dist_r"))
+    canon(out)
+  }
+
+  val kmeansAssignSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |px AS (SELECT vec_id, label, v,
+       |         unnest(generate_series(1, len(v))) AS i FROM e),
+       |pos AS (SELECT vec_id, label, i - 1 AS pos, v[i] AS x FROM px),
+       |q AS (SELECT vec_id, label, pos,
+       |        CAST(floor(x * 1000000) AS BIGINT) AS xq FROM pos),
+       |cent AS (SELECT label AS cand, pos,
+       |           CAST(sum(xq) AS DOUBLE) / (1000000.0 * count(*)) AS c
+       |         FROM q GROUP BY 1, 2),
+       |d AS (SELECT q.vec_id, q.label AS own_cell, c.cand,
+       |        sum(CAST(floor(
+       |          ((CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)
+       |            * (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)) * 1e12)
+       |          AS BIGINT)) AS d2q
+       |      FROM q JOIN cent c ON q.pos = c.pos
+       |      GROUP BY 1, 2, 3),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d2q ASC, cand ASC) AS rn FROM d)
+       |SELECT vec_id, own_cell, cand AS assigned_cell,
+       |  CASE WHEN own_cell = cand THEN 1 ELSE 0 END AS stable,
+       |  round(sqrt(CAST(d2q AS DOUBLE) / 1e12), 6) AS dist_r
+       |FROM r WHERE rn = 1
+       |${canonOrderSql(Seq("vec_id", "own_cell", "assigned_cell", "stable", "dist_r"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_pairs" -> cosinePairs,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "dedup_embedding" -> dedupEmbedding,
-    "centroid_residuals" -> centroidResiduals)
+    "centroid_residuals" -> centroidResiduals,
+    "kmeans_assign" -> kmeansAssign)
 
   val oracles: Map[String, String] = Map(
     "cosine_pairs" -> cosinePairsSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "centroid_residuals" -> centroidResidualsSql)
+    "centroid_residuals" -> centroidResidualsSql,
+    "kmeans_assign" -> kmeansAssignSql)
 }
