@@ -421,6 +421,46 @@ object TextOps {
        |FROM base
        |${canonOrderSql(Seq("doc_id", "n_emails", "n_phones", "scrubbed_digest"))}""".stripMargin
 
+  /** Mixture sampling — per-source keep rates (the domain-reweighting
+    * step that turns a raw crawl into a training mixture), implemented
+    * as DETERMINISTIC hash-based sampling: u = first 8 md5 hex digits of
+    * a salted doc key as a uniform in [0,1), keep iff u < rate(source).
+    * Unlike RNG `sample()`, this is reproducible across runs, engines,
+    * partitionings, and retries — the only sampler that is safely
+    * resumable at 100 TB — and per-document parallel.
+    */
+  private val mixtureRates = Seq("src0" -> 0.25, "src1" -> 0.50,
+    "src2" -> 0.75, "src3" -> 1.00)
+
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val u = expr(
+      "CAST(conv(substring(md5(concat('samp:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+      .cast("double") / lit(4294967296.0)
+    val rate = mixtureRates.foldRight(lit(0.0): org.apache.spark.sql.Column) {
+      case ((src, r), acc) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    val out = d.select(col("doc_id"), col("source"), u.as("u"), rate.as("rate"))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("source"), round(col("u"), 6).as("u_r"))
+    canon(out)
+  }
+
+  val mixtureSampleSql: String = {
+    val rateCase = mixtureRates
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+       |      / 4294967296.0 AS u,
+       |    $rateCase AS rate
+       |  FROM documents)
+       |SELECT doc_id, source, round(u, 6) AS u_r
+       |FROM scored WHERE u < rate
+       |${canonOrderSql(Seq("doc_id", "source", "u_r"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "lang_id" -> langId,
@@ -430,7 +470,8 @@ object TextOps {
     "contamination_check" -> contaminationCheck,
     "clean_text" -> cleanText,
     "repetition_stats" -> repetitionStats,
-    "pii_scrub" -> piiScrub)
+    "pii_scrub" -> piiScrub,
+    "mixture_sample" -> mixtureSample)
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -441,5 +482,6 @@ object TextOps {
     "contamination_check" -> contaminationCheckSql,
     "clean_text" -> cleanTextSql,
     "repetition_stats" -> repetitionStatsSql,
-    "pii_scrub" -> piiScrubSql)
+    "pii_scrub" -> piiScrubSql,
+    "mixture_sample" -> mixtureSampleSql)
 }
