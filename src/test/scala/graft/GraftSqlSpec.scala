@@ -19,4 +19,23 @@ class GraftSqlSpec extends SparkSpecBase {
         |FROM embeddings LIMIT 10""".stripMargin)
     assert(sims.filter("self_dot <= 0").count() == 0)
   }
+
+  test("init exposes graft_simhash and graft_minhash as SQL functions") {
+    Graft.init(spark, sf)
+    val sigs = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash(lower(text)) AS sh,
+        |  graft_minhash(lower(text)) AS mh
+        |FROM documents LIMIT 20""".stripMargin)
+    val rows = sigs.collect()
+    assert(rows.length == 20)
+    // 32-bit signature range; minhash struct carries 8 hex slots + count
+    assert(rows.forall { r =>
+      val sh = r.getLong(1)
+      sh >= 0L && sh <= 0xFFFFFFFFL
+    })
+    val m = rows.head.getStruct(2)
+    assert(m.length == 9 && m.getLong(8) >= 1,
+      "graft_minhash must expose s0..s7 plus n_sh >= 1")
+  }
 }
