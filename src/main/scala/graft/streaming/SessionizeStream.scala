@@ -30,7 +30,7 @@ object SessionizeStream {
   def update(uid: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
-      val out = state.getOption.map(closeOut(uid, _)).toIterator
+      val out = state.getOption.map(closeOut(uid, _)).iterator
       state.remove()
       return out
     }
@@ -60,7 +60,7 @@ object SessionizeStream {
       // behind the watermark, which would throw and kill the whole query —
       // clamp so the session instead times out on the next watermark tick
       state.setTimeoutTimestamp(
-        math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+        math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
     }
     closed.result().iterator
   }
