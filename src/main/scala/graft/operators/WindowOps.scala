@@ -43,9 +43,46 @@ object WindowOps {
        |GROUP BY 1, 2, 3
        |${canonOrderSql(Seq("window_start", "window_end", "event_type", "n_events", "total_value"))}""".stripMargin
 
+  /** Event-time interval join (click→purchase attribution): every
+    * purchase within 1 hour AFTER a click by the same user. The batch
+    * face of the stream-stream interval join in
+    * graft.streaming.AttributionStream (spec asserts agreement). The
+    * plan is an equi-join on user_id with the time range as a residual
+    * predicate — at scale one shuffle keyed on user_id, no theta join.
+    */
+  def clickAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val out = clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        Fns.tsStr(col("click_ts")).as("click_ts_str"),
+        Fns.tsStr(col("purchase_ts")).as("purchase_ts_str"))
+    canon(out)
+  }
+
+  val clickAttributionSql: String =
+    s"""SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_str,
+       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts_str
+       |FROM events c JOIN events p
+       |  ON c.user_id = p.user_id
+       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+       |${canonOrderSql(Seq("user_id", "click_id", "purchase_id",
+         "click_ts_str", "purchase_ts_str"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "window_assign" -> windowAssign)
+    "window_assign" -> windowAssign,
+    "click_attribution" -> clickAttribution)
 
   val oracles: Map[String, String] = Map(
-    "window_assign" -> windowAssignSql)
+    "window_assign" -> windowAssignSql,
+    "click_attribution" -> clickAttributionSql)
 }
