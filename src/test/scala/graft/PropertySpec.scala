@@ -33,6 +33,50 @@ object MultimodalStubProps extends Properties("decodeStub") {
   }
 }
 
+/** JSON escaping must round-trip through a real parser for ANY string —
+  * the audit log / staged-write / oracle-dump formats are line-oriented,
+  * so one unescaped control char corrupts a record.
+  */
+object JsonUtilProps extends Properties("jsonUtil") {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  property("quote() parses back to the original string") =
+    forAll { (s: String) =>
+      mapper.readValue(JsonUtil.quote(s), classOf[String]) == s
+    }
+
+  property("escaped output never contains raw control chars") =
+    forAll { (s: String) =>
+      JsonUtil.escape(s).forall(c => c >= ' ')
+    }
+}
+
+/** Native signature expressions: pure-core invariants on arbitrary input. */
+object TextExprProps extends Properties("textExprs") {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaLowerStr.map(_.take(6)), Gen.const(""), Gen.const(" ")))
+    .map(_.mkString(" "))
+
+  property("simhash deterministic and 32-bit") = forAll(textGen) { t =>
+    val u = UTF8String.fromString(t)
+    val a = graft.plans.SimHash32.compute(u)
+    a == graft.plans.SimHash32.compute(u) && a >= 0L && a <= 0xFFFFFFFFL
+  }
+
+  property("minhash: 8 hex slots, n_sh = independent distinct 3-gram count") =
+    forAll(textGen) { t =>
+      val row = graft.plans.MinHash8.compute(UTF8String.fromString(t))
+      val toks = t.split(" ", -1)
+      val expected =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet.size
+        else 1
+      (0 until 8).forall(k =>
+        row.getUTF8String(k).toString.matches("^[0-9a-f]{8}$")) &&
+        row.getLong(8) == expected.toLong
+    }
+}
+
 /** Session-split invariants for the streaming sessionizer's pure core. */
 object SessionProps extends Properties("sessionize") {
   import graft.streaming.SessionizeStream.{gapMs, OpenSession}
