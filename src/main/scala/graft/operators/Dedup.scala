@@ -28,6 +28,17 @@ object Dedup {
     * one. Small (shingle count ≈ token count), MEMORY_AND_DISK for
     * safety at larger SFs.
     */
+  /** The single 3-gram shingle-array formulation (over a token array
+    * column `t`), shared by every consumer so the md5-based oracle
+    * parity cannot drift between copies. `fallback` is the whole-text
+    * shingle used for under-3-token docs.
+    */
+  private[operators] def shingleArrayExpr(fallback: String): String =
+    s"""CASE WHEN size(t) >= 3
+       |THEN transform(sequence(0, size(t) - 3),
+       |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+       |ELSE array($fallback) END""".stripMargin
+
   private[operators] def shingles(d: DataFrame): DataFrame =
     // repartition BEFORE the explode: the input is a handful of parquet
     // files (few input splits), but the work is per-shingle — size the
@@ -35,11 +46,7 @@ object Dedup {
     // pipeline runs single-threaded (measured: 2.5s 1-task stages)
     d.repartition(d.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("t", split(lower(col("text")), " "))
-      .withColumn("sh", expr(
-        """CASE WHEN size(t) >= 3
-          |THEN transform(sequence(0, size(t) - 3),
-          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
-          |ELSE array(lower(text)) END""".stripMargin))
+      .withColumn("sh", expr(shingleArrayExpr("lower(text)")))
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -133,6 +140,7 @@ object Dedup {
     // NO groupBy shuffle — the exploded `sh` relation is only needed
     // below for the candidate-pair shared-shingle verify.
     val sigs = d
+      .filter(col("text").isNotNull) // NULL text has no shingles → no sig row
       .select(col("doc_id"), expr("graft_minhash(lower(text))").as("m"))
       .select((col("doc_id") +:
         (0 until 8).map(k => col(s"m.s$k").as(s"s$k"))) :+
@@ -222,7 +230,11 @@ object Dedup {
     */
   private[operators] def simhashSigs(d: DataFrame): DataFrame = {
     graft.plans.TextExprs.register(d.sparkSession)
-    d.select(col("doc_id"), expr("graft_simhash(lower(text))").as("simhash"))
+    // NULL text must DROP the document (the old explode pipeline and the
+    // DuckDB oracle's unnest both emit zero rows for it) — without the
+    // filter the null-intolerant expression would keep a NULL-sig row
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("graft_simhash(lower(text))").as("simhash"))
   }
 
   def simhash(spark: SparkSession, sfDir: String): DataFrame =

@@ -153,9 +153,14 @@ object Rollups {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("exact_users"), col("n_events"),
-        when(abs(col("approx_users") - col("exact_users"))
-          .cast("double") / col("exact_users").cast("double") <= 0.1, 1)
-          .otherwise(0).as("hll_ok"))
+        // exact=0 → the ratio is NaN; an estimate of 0 on 0 distinct is
+        // perfect, so pass it explicitly instead of failing the flag
+        when(col("exact_users") === 0, when(col("approx_users") === 0, 1).otherwise(0))
+          .otherwise(
+            when(abs(col("approx_users") - col("exact_users"))
+              .cast("double") / col("exact_users").cast("double") <= 0.1, 1)
+              .otherwise(0))
+          .as("hll_ok"))
     canon(out)
   }
 

@@ -21,29 +21,38 @@ object ScaleOps {
     * shape for any fact⋈fact join that recurs across runs — every
     * subsequent join of the bucketed copies is exchange-free.
     */
-  // one bucketed write per (session, sfDir): bucketing's contract is
+  // One bucketed write per (session, dataset): bucketing's contract is
   // "shuffle once at write time, join exchange-free forever after" — so
-  // repeated calls (bench warm+timed, repeated sessions) measure the
-  // amortized join, not a redundant rewrite
-  private val lastWritten =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  // repeated calls (bench warm+timed) measure the amortized join, not a
+  // redundant rewrite. Keys, table names, and paths are all per-dataset
+  // AND per-process, so concurrent JVMs (or one session switching SFs)
+  // can never read each other's copies; the key is recorded only AFTER
+  // both writes succeed, so a failed write is retried, never masked.
+  private val bucketedReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Filesystem/identifier-safe suffix unique per (process, dataset). */
+  private def dataTag(sfDir: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${pid}_$dir"
+  }
 
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
-    // rewrite whenever this session's bucketed copies hold a DIFFERENT
-    // sfDir's data (the table names are session-global)
-    if (lastWritten.put(spark.hashCode, sfDir) != sfDir) {
+    val tag = dataTag(sfDir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    val (liTbl, oTbl) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
+    if (!bucketedReady.contains(s"${spark.hashCode}:$tag")) {
       val li = load(spark, sfDir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       val o = load(spark, sfDir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_orderpriority")
-      ScaleJoins.writeBucketed(li, "graft_li_bkt", "l_orderkey", 8,
-        Some(s"$base/li"))
-      ScaleJoins.writeBucketed(o, "graft_o_bkt", "o_orderkey", 8,
-        Some(s"$base/o"))
+      ScaleJoins.writeBucketed(li, liTbl, "l_orderkey", 8, Some(s"$base/li"))
+      ScaleJoins.writeBucketed(o, oTbl, "o_orderkey", 8, Some(s"$base/o"))
+      bucketedReady.add(s"${spark.hashCode}:$tag")
     }
-    val out = spark.table("graft_li_bkt")
-      .join(spark.table("graft_o_bkt"),
+    val out = spark.table(liTbl)
+      .join(spark.table(oTbl),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus").as("order_status"),
         col("o_orderpriority").as("priority"))
@@ -92,8 +101,8 @@ object ScaleOps {
        |GROUP BY 1
        |${canonOrderSql(Seq("segment", "total_value", "n_events"))}""".stripMargin
 
-  private val partLastWritten =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  private val partReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Partition-pruned scan: events written `partitionBy(event_type)` once
     * (the layout a 100 TB table would ship with), then a filtered rollup
@@ -104,11 +113,15 @@ object ScaleOps {
     * data volume.
     */
   def partitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
-    if (partLastWritten.put(spark.hashCode, sfDir) != sfDir) {
+    val tag = dataTag(sfDir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_events_$tag"
+    // per-(process, dataset) path; marked ready only after the write
+    // succeeds so a failed write can never serve stale/other-SF data
+    if (!partReady.contains(tag)) {
       load(spark, sfDir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .write.mode("overwrite").partitionBy("event_type").parquet(base)
+      partReady.add(tag)
     }
     val e = spark.read.parquet(base)
     val out = e.filter(col("event_type") === "click")

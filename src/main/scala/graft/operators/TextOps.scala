@@ -140,11 +140,7 @@ object TextOps {
     val out = d
       .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
       .withColumn("t", split(col("norm"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(t) >= 3
-          |THEN transform(sequence(0, size(t) - 3),
-          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
-          |ELSE array(norm) END""".stripMargin))
+      .withColumn("shingles", expr(Dedup.shingleArrayExpr("norm")))
       .select(
         col("doc_id"),
         md5(col("norm")).as("fingerprint"),
@@ -320,11 +316,7 @@ object TextOps {
     val d = load(spark, sfDir, "documents")
     val withArrs = d
       .withColumn("t", split(lower(col("text")), " "))
-      .withColumn("sh", expr(
-        """CASE WHEN size(t) >= 3
-          |THEN transform(sequence(0, size(t) - 3),
-          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
-          |ELSE array(lower(text)) END""".stripMargin))
+      .withColumn("sh", expr(Dedup.shingleArrayExpr("lower(text)")))
     // top-token share via the token multiset's mode count: explode-free
     // (aggregate over the array) would need a map type; an explode +
     // two-level agg stays one shuffle keyed by doc_id — fine at scale

@@ -338,7 +338,10 @@ class PageReader(p: PagePartition, schema: StructType, filters: Array[Filter],
 
   // api_client.py:23-37: N attempts with a fixed inter-attempt delay;
   // on exhaustion either propagate (task fails, Spark-correct) or give
-  // up quietly like the reference's `return None` (empty page)
+  // up quietly like the reference's `return None` (empty page). Only
+  // IOException is retried — interrupts (task kill) and programming
+  // errors propagate immediately instead of being slept on or, worse,
+  // silently converted into an empty page under onExhausted=skip.
   private val lines: Iterator[String] = {
     var result: Iterator[String] = null
     var attempt = 0
@@ -346,7 +349,7 @@ class PageReader(p: PagePartition, schema: StructType, filters: Array[Filter],
       attempt += 1
       try result = openPage()
       catch {
-        case e: Exception =>
+        case e: java.io.IOException =>
           if (channel != null) { channel.close(); channel = null }
           if (attempt < retry.maxRetries) Thread.sleep(retry.delayMs)
           else if (retry.onExhausted == "skip") result = Iterator.empty
