@@ -292,8 +292,53 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |${canonOrderSql(Seq("a_id", "b_id", "hamming"))}""".stripMargin
 
+  /** Priority-aware exact dedup: among exact-text duplicates keep the
+    * copy from the MOST TRUSTED source (curated beats crawl), breaking
+    * ties on doc_id — the canonicalization rule real corpus builds use
+    * instead of min-id. One groupBy on the text digest; the keeper is
+    * picked with a single min(struct(priority, doc_id)) aggregate (no
+    * window, no second shuffle).
+    */
+  private val sourcePriority = Seq("src1", "src3", "src0", "src2")
+
+  def dedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val prio = sourcePriority.zipWithIndex.foldRight(lit(99): Column) {
+      case ((src, p), acc) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    val out = d
+      .select(md5(col("text")).as("text_hash"), col("doc_id"),
+        col("source"), prio.as("prio"))
+      .groupBy(col("text_hash"))
+      .agg(
+        min(struct(col("prio"), col("doc_id"), col("source"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("text_hash"), col("best.doc_id").as("keep_id"),
+        col("best.source").as("keep_source"), col("n_copies"))
+    canon(out)
+  }
+
+  val dedupPrioritySql: String = {
+    val prioCase = sourcePriority.zipWithIndex
+      .map { case (s, p) => s"WHEN source = '$s' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 99 END")
+    s"""WITH scored AS (
+       |  SELECT md5(text) AS text_hash, doc_id, source,
+       |    $prioCase AS prio
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY text_hash
+       |    ORDER BY prio ASC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY text_hash) AS n_copies
+       |  FROM scored)
+       |SELECT text_hash, doc_id AS keep_id, source AS keep_source, n_copies
+       |FROM ranked WHERE rn = 1
+       |${canonOrderSql(Seq("text_hash", "keep_id", "keep_source", "n_copies"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_priority" -> dedupPriority,
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,
     "simhash" -> simhash,
@@ -301,6 +346,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_priority" -> dedupPrioritySql,
     "ngram_jaccard" -> ngramJaccardSql,
     "minhash_lsh" -> minhashLshSql,
     "simhash" -> simhashSql,
