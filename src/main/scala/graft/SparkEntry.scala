@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.Multimodal.queries ++ operators.Rollups.queries ++
       operators.Sessionize.queries ++ operators.AsofOps.queries ++
-      operators.CorpusFilter.queries ++ operators.ScaleOps.queries
+      operators.CorpusFilter.queries ++ operators.ScaleOps.queries ++
+      operators.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
       operators.Multimodal.oracles ++ operators.Rollups.oracles ++
       operators.Sessionize.oracles ++ operators.AsofOps.oracles ++
-      operators.CorpusFilter.oracles ++ operators.ScaleOps.oracles
+      operators.CorpusFilter.oracles ++ operators.ScaleOps.oracles ++
+      operators.Formats.oracles
 }

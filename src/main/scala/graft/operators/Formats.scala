@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.{canon, canonOrderSql, load}
+
+/** Source-format breadth: the engine's operators are format-agnostic
+  * DataFrames, so the same data must survive a round-trip through each
+  * container format and aggregate identically. Each query writes the
+  * table ONCE per (process, dataset) into the alternate format, reads it
+  * back, and rolls up — the oracle computes the same rollup from the
+  * parquet truth, so any write/read fidelity loss (types, nulls,
+  * encoding) hash-mismatches. CSV is covered by LotSink; this module
+  * adds columnar ORC and row-wise JSON-lines.
+  */
+object Formats {
+
+  private val ready =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def tag(sfDir: String, fmt: String): String = {
+    val pid = ProcessHandle.current().pid()
+    s"${fmt}_${pid}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+  }
+
+  /** ORC round-trip: documents → ORC → rollup per source. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tag(sfDir, "orc")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$t"
+    if (!ready.contains(t)) {
+      load(spark, sfDir, "documents").write.mode("overwrite").orc(path)
+      ready.add(t)
+    }
+    val d = spark.read.orc(path)
+    canon(d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id")))
+  }
+
+  val orcRoundtripSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM documents GROUP BY 1
+       |${canonOrderSql(Seq("source", "n_docs", "total_chars", "min_id", "max_id"))}""".stripMargin
+
+  /** JSON-lines round-trip: events (sans timestamp — covered elsewhere;
+    * JSON timestamp rendering is format-config, not engine semantics) →
+    * JSON → rollup per event_type. Doubles survive exactly: Spark's
+    * shortest-representation rendering round-trips, and the aggregate
+    * uses the usual exact-decimal discipline anyway.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tag(sfDir, "json")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$t"
+    if (!ready.contains(t)) {
+      load(spark, sfDir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(path)
+      ready.add(t)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val e = spark.read.schema(schema).json(path)
+    canon(e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(14,2)")).cast("double")
+          .as("total_value")))
+  }
+
+  val jsonRoundtripSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       |FROM events GROUP BY 1
+       |${canonOrderSql(Seq("event_type", "n_events", "n_users", "total_value"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orc_roundtrip" -> orcRoundtrip,
+    "json_roundtrip" -> jsonRoundtrip)
+
+  val oracles: Map[String, String] = Map(
+    "orc_roundtrip" -> orcRoundtripSql,
+    "json_roundtrip" -> jsonRoundtripSql)
+}
