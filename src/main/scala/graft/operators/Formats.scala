@@ -16,21 +16,14 @@ import graft.Tables.{canon, canonOrderSql, load}
   */
 object Formats {
 
-  private val ready =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def tag(sfDir: String, fmt: String): String = {
-    val pid = ProcessHandle.current().pid()
-    s"${fmt}_${pid}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
-  }
-
-  /** ORC round-trip: documents → ORC → rollup per source. */
+  /** ORC round-trip: documents → ORC → rollup per source. Write-once
+    * lifecycle (isolation, atomicity, cleanup) comes from TmpData.
+    */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tag(sfDir, "orc")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$t"
-    if (!ready.contains(t)) {
+    val t = TmpData.tag(sfDir)
+    val path = TmpData.path("fmt_orc", t)
+    TmpData.once(s"orc:$t") {
       load(spark, sfDir, "documents").write.mode("overwrite").orc(path)
-      ready.add(t)
     }
     val d = spark.read.orc(path)
     canon(d.groupBy(col("source"))
@@ -54,13 +47,12 @@ object Formats {
     * uses the usual exact-decimal discipline anyway.
     */
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tag(sfDir, "json")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$t"
-    if (!ready.contains(t)) {
+    val t = TmpData.tag(sfDir)
+    val path = TmpData.path("fmt_json", t)
+    TmpData.once(s"json:$t") {
       load(spark, sfDir, "events")
         .select("event_id", "user_id", "event_type", "value")
         .write.mode("overwrite").json(path)
-      ready.add(t)
     }
     val schema = StructType(Seq(
       StructField("event_id", LongType),

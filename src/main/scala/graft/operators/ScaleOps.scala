@@ -24,32 +24,19 @@ object ScaleOps {
   // One bucketed write per (session, dataset): bucketing's contract is
   // "shuffle once at write time, join exchange-free forever after" — so
   // repeated calls (bench warm+timed) measure the amortized join, not a
-  // redundant rewrite. Keys, table names, and paths are all per-dataset
-  // AND per-process, so concurrent JVMs (or one session switching SFs)
-  // can never read each other's copies; the key is recorded only AFTER
-  // both writes succeed, so a failed write is retried, never masked.
-  private val bucketedReady =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Filesystem/identifier-safe suffix unique per (process, dataset). */
-  private def dataTag(sfDir: String): String = {
-    val pid = ProcessHandle.current().pid()
-    val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${pid}_$dir"
-  }
-
+  // redundant rewrite. TmpData provides the per-(process, dataset)
+  // isolation, atomic mark-after-success write-once, and exit cleanup.
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = dataTag(sfDir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    val tag = TmpData.tag(sfDir)
+    val base = TmpData.path("bucketed", tag)
     val (liTbl, oTbl) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
-    if (!bucketedReady.contains(s"${spark.hashCode}:$tag")) {
+    TmpData.once(s"bucketed:${spark.hashCode}:$tag") {
       val li = load(spark, sfDir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       val o = load(spark, sfDir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_orderpriority")
       ScaleJoins.writeBucketed(li, liTbl, "l_orderkey", 8, Some(s"$base/li"))
       ScaleJoins.writeBucketed(o, oTbl, "o_orderkey", 8, Some(s"$base/o"))
-      bucketedReady.add(s"${spark.hashCode}:$tag")
     }
     val out = spark.table(liTbl)
       .join(spark.table(oTbl),
@@ -101,8 +88,6 @@ object ScaleOps {
        |GROUP BY 1
        |${canonOrderSql(Seq("segment", "total_value", "n_events"))}""".stripMargin
 
-  private val partReady =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Partition-pruned scan: events written `partitionBy(event_type)` once
     * (the layout a 100 TB table would ship with), then a filtered rollup
@@ -113,15 +98,12 @@ object ScaleOps {
     * data volume.
     */
   def partitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = dataTag(sfDir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_events_$tag"
-    // per-(process, dataset) path; marked ready only after the write
-    // succeeds so a failed write can never serve stale/other-SF data
-    if (!partReady.contains(tag)) {
+    val tag = TmpData.tag(sfDir)
+    val base = TmpData.path("part_events", tag)
+    TmpData.once(s"part:$tag") {
       load(spark, sfDir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .write.mode("overwrite").partitionBy("event_type").parquet(base)
-      partReady.add(tag)
     }
     val e = spark.read.parquet(base)
     val out = e.filter(col("event_type") === "click")

@@ -141,14 +141,22 @@ object Similarity {
     * engines compute bit-identical projections (sign decisions can't
     * diverge by an ulp).
     */
-  private[operators] val planes: Seq[Array[Double]] = {
+  /** The ONE plane constructor (parity-critical: exactly-representable
+    * half-integer components so both engines' sign decisions agree) —
+    * both LSH variants derive their plane sets from it, only the salt
+    * and count differ.
+    */
+  private def mkPlanes(n: Int, salt: Int => String): Seq[Array[Double]] = {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes).map("%02x".format(_)).mkString
-    (0 until 8).map { j =>
-      (md5hex(s"p:$j:0") + md5hex(s"p:$j:1"))
+    (0 until n).map { j =>
+      (md5hex(s"${salt(j)}:0") + md5hex(s"${salt(j)}:1"))
         .map(c => Integer.parseInt(c.toString, 16) - 7.5).toArray
     }
   }
+
+  private[operators] val planes: Seq[Array[Double]] =
+    mkPlanes(8, j => s"p:$j")
 
   private def planeSqlLit(p: Array[Double]): String =
     p.map(x => if (x == x.floor) f"$x%.1f" else x.toString).mkString("[", ", ", "]")
@@ -268,17 +276,9 @@ object Similarity {
 
   // ---- multi-table hyperplane LSH: the recall lever ------------------
 
-  /** Per-table plane sets (6 planes each), salted by table id — same
-    * exactly-representable half-integer construction as `planes`.
-    */
-  private[operators] def planesFor(table: Int): Seq[Array[Double]] = {
-    def md5hex(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes).map("%02x".format(_)).mkString
-    (0 until 6).map { j =>
-      (md5hex(s"mt:$table:$j:0") + md5hex(s"mt:$table:$j:1"))
-        .map(c => Integer.parseInt(c.toString, 16) - 7.5).toArray
-    }
-  }
+  /** Per-table plane sets (6 planes each), salted by table id. */
+  private[operators] def planesFor(table: Int): Seq[Array[Double]] =
+    mkPlanes(6, j => s"mt:$table:$j")
 
   /** ANN via MULTI-TABLE hyperplane LSH: 4 independent tables of 6
     * planes each; a pair is a candidate if it collides in ANY table.
@@ -293,7 +293,14 @@ object Similarity {
 
   /** Core on an arbitrary (vec_id, label, embedding) relation. */
   def annLshMultiOn(d: DataFrame): DataFrame = {
-    val e = if (d.columns.contains("v")) d else vecsOn(d)
+    // persisted: the vector relation feeds the bucket build and both
+    // sides of the scoring joins, and the bucket relation sits on both
+    // sides of the candidate self-join — Catalyst does not dedup
+    // self-join subplans, so without the caches every vector's 24 plane
+    // dots run twice and its norm four times (callers own the cache
+    // lifecycle: Verify/Bench clearCache between queries)
+    val e = (if (d.columns.contains("v")) d else vecsOn(d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tableStructs = (0 until 4).map { l =>
       val bucket = planesFor(l).zipWithIndex.map { case (p, j) =>
         when(expr(s"graft_dot(v, ${planeSparkLit(p)})") > 0, lit(1 << j))
@@ -301,10 +308,11 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(l).as("tbl"), bucket.as("bucket"))
     }
-    val b = e.select(col("vec_id"), col("v"), col("nrm"),
+    val b = e.select(col("vec_id"),
         explode(array(tableStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
+      .select(col("vec_id"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates = same-(table,bucket) pairs, deduped across tables
     val cand = b.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
       .join(b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),

@@ -93,16 +93,16 @@ class LshRecallSpec extends SparkSpecBase {
       f"ANN-LSH recall $recall%.3f below floor 0.6 (${truth.size} true pairs)")
 
     // the multi-table variant (4 × 6 planes, collide-in-ANY-table) is
-    // the recall lever: must never trail the single-table path and must
-    // clear a higher floor on the same seeded truth
+    // the recall lever IN EXPECTATION — the two variants use independent
+    // plane sets, so per-instance dominance isn't guaranteed and is not
+    // asserted; the check is the raised absolute floor on seeded truth
     val foundMulti = Similarity.annLshMultiOn(embs)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       .map(p => pairKey(p._1, p._2)).toSet
     val recallMulti = truth.count(foundMulti).toDouble / truth.size
     info(f"ann_lsh_multi recall: $recallMulti%.3f over ${truth.size} true pairs")
-    assert(recallMulti >= recall,
-      f"multi-table recall $recallMulti%.3f trails single-table $recall%.3f")
     assert(recallMulti >= 0.8,
       f"multi-table recall $recallMulti%.3f below floor 0.8")
+    spark.catalog.clearCache()
   }
 }
