@@ -240,18 +240,41 @@ object Dedup {
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     canon(simhashSigs(load(spark, sfDir, "documents")))
 
-  /** SimHash near-dup pairs: block on the high 16 signature bits (docs in
-    * different blocks can't be near-dups at low hamming radius... they
-    * can, but the block join is the standard recall/cost trade), then
-    * exact hamming distance via bit_count(xor) within blocks.
+  /** Signatures on an arbitrary (doc_id, text) relation — lets the recall
+    * spec compute an exact all-pairs hamming baseline on seeded docs.
     */
-  def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = simhashSigs(load(spark, sfDir, "documents"))
-      .withColumn("block", expr("shiftright(simhash, 16)"))
-    val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("sa"), col("block"))
-    val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("sb"), col("block"))
-    val out = a.join(b, Seq("block"))
+  def simhashOn(d: DataFrame): DataFrame = canon(simhashSigs(d))
+
+  /** SimHash near-dup pairs, pigeonhole-banded: the 32-bit signature is
+    * split into 4 bands of 8 bits; docs colliding in ANY band become
+    * candidates (deduped), then exact hamming via bit_count(xor) keeps
+    * pairs at distance <= 6. The pigeonhole principle makes recall
+    * GUARANTEED for distance <= 3 (3 differing bits cannot dirty all 4
+    * bands) and high for 4-6 (SimhashRecallSpec pins the measured floor);
+    * the old single high-16-bit block could miss a distance-1 pair
+    * outright. Join shape is the same (band_idx, band_val) equi-join the
+    * MinHash LSH path uses — candidates bounded by band collisions, never
+    * all-pairs.
+    */
+  def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashNeardupOn(load(spark, sfDir, "documents"))
+
+  /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
+  def simhashNeardupOn(d: DataFrame): DataFrame = {
+    val sigs = simhashSigs(d)
+    val banded = sigs.selectExpr("doc_id", "simhash",
+      """stack(4,
+        |  0, simhash          & 255,
+        |  1, shiftright(simhash,  8) & 255,
+        |  2, shiftright(simhash, 16) & 255,
+        |  3, shiftright(simhash, 24) & 255) AS (band_idx, band_val)""".stripMargin)
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
+      col("band_idx"), col("band_val"))
+    val out = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sa", "sb").distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
@@ -284,12 +307,19 @@ object Dedup {
 
   val simhashNeardupSql: String =
     s"""WITH $simhashCte,
-       |blocked AS (SELECT doc_id, simhash, simhash >> 16 AS block FROM sig)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM blocked a JOIN blocked b
-       |  ON a.block = b.block AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |banded AS (
+       |  SELECT doc_id, simhash, 0 AS band_idx, simhash & 255 AS band_val FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |      AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
        |${canonOrderSql(Seq("a_id", "b_id", "hamming"))}""".stripMargin
 
   /** Priority-aware exact dedup: among exact-text duplicates keep the

@@ -74,11 +74,57 @@ object Formats {
        |FROM events GROUP BY 1
        |${canonOrderSql(Seq("event_type", "n_events", "n_users", "total_value"))}""".stripMargin
 
+  /** CSV round-trip — the reference's PRIMARY storage format
+    * (bulk_fetch.py:90-91 writes every fetched table as CSV). Quoting
+    * fidelity is the point: a derived column embeds the delimiter, the
+    * quote char, and a newline, so any write/read escaping loss
+    * hash-mismatches against the oracle's parquet-truth computation of
+    * the same column. Read uses multiLine (embedded newlines span
+    * physical lines) and an explicit schema (CSV carries no types).
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = TmpData.tag(sfDir)
+    val path = TmpData.path("fmt_csv", t)
+    val tricky = concat(lit("v,\""), substring(col("text"), 1, 17),
+      lit("\"\nend"))
+    TmpData.once(s"csv:$t") {
+      load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), tricky.as("tricky"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("tricky", StringType)))
+    val d = spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true").csv(path)
+    // order-free exact content digest: per-row 32-bit md5 prefix, summed
+    canon(d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("tricky"))).as("total_chars"),
+        sum(expr("cast(conv(substr(md5(tricky), 1, 8), 16, 10) AS BIGINT)"))
+          .as("content_sum")))
+  }
+
+  val csvRoundtripSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    'v,"' || substr(text, 1, 17) || '"' || chr(10) || 'end' AS tricky
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(length(tricky)) AS BIGINT) AS total_chars,
+       |  CAST(sum(('0x' || substr(md5(tricky), 1, 8))::BIGINT) AS BIGINT)
+       |    AS content_sum
+       |FROM t GROUP BY 1
+       |${canonOrderSql(Seq("source", "n_docs", "total_chars", "content_sum"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orc_roundtrip" -> orcRoundtrip,
-    "json_roundtrip" -> jsonRoundtrip)
+    "json_roundtrip" -> jsonRoundtrip,
+    "csv_roundtrip" -> csvRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "orc_roundtrip" -> orcRoundtripSql,
-    "json_roundtrip" -> jsonRoundtripSql)
+    "json_roundtrip" -> jsonRoundtripSql,
+    "csv_roundtrip" -> csvRoundtripSql)
 }

@@ -97,7 +97,10 @@ object ScaleOps {
     * eliminator there is: pruning cost is metadata-only, independent of
     * data volume.
     */
-  def partitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Events written `partitionBy(event_type)` once per (process, sfDir)
+    * — the 100 TB layout both partition-pruning queries scan.
+    */
+  private def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = TmpData.tag(sfDir)
     val base = TmpData.path("part_events", tag)
     TmpData.once(s"part:$tag") {
@@ -105,7 +108,11 @@ object ScaleOps {
         .select("event_id", "ts", "user_id", "event_type", "value")
         .write.mode("overwrite").partitionBy("event_type").parquet(base)
     }
-    val e = spark.read.parquet(base)
+    spark.read.parquet(base)
+  }
+
+  def partitionPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partitionedEvents(spark, sfDir)
     val out = e.filter(col("event_type") === "click")
       .groupBy(graft.functions.Fns.dayStr(col("ts")).as("day"))
       .agg(
@@ -123,13 +130,61 @@ object ScaleOps {
        |GROUP BY 1
        |${canonOrderSql(Seq("day", "n_events", "total_value"))}""".stripMargin
 
+  /** Runtime dynamic partition pruning: the partitioned events copy
+    * joined to a SEPARATE small dim table (event_type → category) that is
+    * filtered on a NON-join column. No static predicate mentions the
+    * partition column, so only DPP can prune the fact's directories —
+    * Catalyst plants a dynamicpruningexpression in the scan's
+    * PartitionFilters that is evaluated from the dim's broadcast values
+    * at runtime (PlanHygieneSpec asserts it). This is the reference's
+    * enrichment-join shape (netsuite_pipeline/sales_data.py:129-134) at
+    * the 100 TB layout: the dim filter, not a literal, decides which
+    * fact partitions are read.
+    */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = partitionedEvents(spark, sfDir)
+    val tag = TmpData.tag(sfDir)
+    val dimPath = TmpData.path("evtype_dim", tag)
+    TmpData.once(s"evdim:$tag") {
+      load(spark, sfDir, "events").select("event_type").distinct()
+        .withColumn("category",
+          when(col("event_type").isin("click", "view"), "engagement")
+            .otherwise("other"))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
+    val dim = spark.read.parquet(dimPath)
+    val out = e.join(dim, Seq("event_type"))
+      .filter(col("category") === "engagement")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double")
+          .as("total_value"))
+    canon(out)
+  }
+
+  val dppJoinSql: String =
+    s"""WITH dim AS (
+       |  SELECT event_type,
+       |    CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+       |         ELSE 'other' END AS category
+       |  FROM (SELECT DISTINCT event_type FROM events))
+       |SELECT e.event_type AS event_type, count(*) AS n_events,
+       |  CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |WHERE d.category = 'engagement'
+       |GROUP BY 1
+       |${canonOrderSql(Seq("event_type", "n_events", "total_value"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> bucketedJoin,
     "salted_join" -> saltedJoin,
-    "partition_pruned" -> partitionPruned)
+    "partition_pruned" -> partitionPruned,
+    "dpp_join" -> dppJoin)
 
   val oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinSql,
     "salted_join" -> saltedJoinSql,
-    "partition_pruned" -> partitionPrunedSql)
+    "partition_pruned" -> partitionPrunedSql,
+    "dpp_join" -> dppJoinSql)
 }

@@ -53,6 +53,57 @@ class LshRecallSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("simhash_neardup: banded recall is 1.0 at hamming <= 3 (pigeonhole) and >= 0.6 at <= 6") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"tok$i")
+    def sentence(): Array[String] =
+      Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
+    // 40 base docs; the first 25 get a near-dup with ONE token mutated —
+    // near-identical token multisets put signatures within a few bits
+    val bases = (0 until 40).map(i => (i.toLong, sentence()))
+    val dups = bases.take(25).map { case (i, toks) =>
+      val copy = toks.clone()
+      copy(7) = vocab(rnd.nextInt(vocab.length))
+      (100L + i, copy)
+    }
+    val docs = (bases ++ dups)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    // exact baseline: all-pairs hamming over the signatures (65 docs)
+    val sigs = Dedup.simhashOn(docs)
+    val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+    val exact = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .as[(Long, Long, Long)].collect()
+    val truth3 = exact.filter(_._3 <= 3).map(p => pairKey(p._1, p._2)).toSet
+    val truth6 = exact.map(p => pairKey(p._1, p._2)).toSet
+    assert(truth3.size >= 5, s"seed produced only ${truth3.size} pairs at <= 3")
+    assert(truth6.size > truth3.size, "seed produced no pairs in the 4-6 range")
+
+    val found = Dedup.simhashNeardupOn(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .map(p => pairKey(p._1, p._2)).toSet
+
+    // 4 bands x 8 bits: <= 3 differing bits leave at least one band clean
+    val recall3 = truth3.count(found).toDouble / truth3.size
+    val recall6 = truth6.count(found).toDouble / truth6.size
+    info(f"simhash banded recall: $recall3%.3f at <=3 (${truth3.size} pairs), " +
+      f"$recall6%.3f at <=6 (${truth6.size} pairs)")
+    assert(recall3 == 1.0,
+      f"pigeonhole guarantee violated: recall $recall3%.3f at hamming <= 3")
+    // worst case d=6 with uniformly-spread bits: P(all 4 bands dirty) =
+    // (4^6 - 4*3^6 + 6*2^6 - 4) / 4^6 = 1560/4096 ~ 0.38, so per-pair
+    // recall >= 0.62 even at the threshold edge; the mixed 4-6 population
+    // sits above it (measured 0.66 on this seed)
+    assert(recall6 >= 0.6,
+      f"banded recall $recall6%.3f below the d=6 theory floor 0.6")
+  }
+
   test("ann_lsh recall >= 0.6 vs exact cosine on seeded near-identical vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -95,6 +95,18 @@ class PlanHygieneSpec extends SparkSpecBase {
       s"event_type=click not pushed to partition pruning: $pf")
   }
 
+  test("dpp_join: runtime dynamic partition pruning reaches the fact scan") {
+    val p = plan("dpp_join")
+    assert(p.contains("dynamicpruning"),
+      "no dynamicpruningexpression in the fact scan's PartitionFilters — " +
+        "the dim filter is not pruning fact partitions at runtime")
+    // and the pruning must be RUNTIME-only: no static literal on the
+    // partition column anywhere in the scan
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(!pf.contains("= click") && !pf.contains("= view"),
+      "partition pruning must come from the dim join, not a static literal")
+  }
+
   test("simhash: native graft_simhash, no explode/aggregate/shuffle before the output sort") {
     val p = plan("simhash")
     assert(p.contains("graft_simhash"), "native simhash expression missing")
