@@ -44,11 +44,11 @@ object Dedup {
     // files (few input splits), but the work is per-shingle — size the
     // partitioning for the post-expansion volume or the whole hash
     // pipeline runs single-threaded (measured: 2.5s 1-task stages)
-    d.repartition(d.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("t", split(lower(col("text")), " "))
-      .withColumn("sh", expr(shingleArrayExpr("lower(text)")))
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Caching.persistOnce(
+      d.repartition(d.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("t", split(lower(col("text")), " "))
+        .withColumn("sh", expr(shingleArrayExpr("lower(text)")))
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle")))
 
   private val shinglesCte =
     """base AS (
@@ -133,16 +133,15 @@ object Dedup {
   /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
   def minhashLshOn(d: DataFrame): DataFrame = {
     graft.plans.TextExprs.register(d.sparkSession)
-    val sh = shingles(d)
     // signatures + n_sh in ONE narrow pass via the native graft_minhash
     // expression (plans/TextExprs.scala): 8 independent 32-bit min-hashes
     // from TWO md5 evaluations per shingle, with NO shingle explode and
-    // NO groupBy shuffle — the exploded `sh` relation is only needed
-    // below for the candidate-pair shared-shingle verify.
+    // NO groupBy shuffle.
     val sigs = d
       .filter(col("text").isNotNull) // NULL text has no shingles → no sig row
-      .select(col("doc_id"), expr("graft_minhash(lower(text))").as("m"))
-      .select((col("doc_id") +:
+      .select(col("doc_id"), lower(col("text")).as("lt"),
+        expr("graft_minhash(lower(text))").as("m"))
+      .select((col("doc_id") +: col("lt") +:
         (0 until 8).map(k => col(s"m.s$k").as(s"s$k"))) :+
         col("m.n_sh").as("n_sh"): _*)
     val banded = sigs
@@ -154,35 +153,33 @@ object Dedup {
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)")
     // persisted: cand feeds both the verify joins and the final output
     // join — without the cache the banded self-join subtree runs twice
-    val cand = banded.as("x")
+    val cand = Caching.persistOnce(banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("n_shared_bands")))
     // verify with true jaccard computed ONLY for candidate pairs (the LSH
     // point: intersection work is bounded by bucket collisions, never by
-    // all overlapping pairs). cand scales with corpus size × dup rate, so
-    // no forced broadcast: the join key is doc_id and SMJ/AQE handle a
+    // all overlapping pairs). The intersection |A ∩ B| is computed by the
+    // native graft_shingle_overlap kernel ON the pair row — one
+    // (doc_id, lowered-text, n_sh) join per side replaces the old
+    // explode(shingles) → two shingle-key joins → groupBy(pair) pipeline,
+    // deleting the last explode (and its persisted relation) from this
+    // path. cand scales with corpus size × dup rate, so no forced
+    // broadcast: the join key is doc_id and SMJ/AQE handle a
     // near-dup-heavy corpus where cand outgrows the broadcast threshold.
-    val counts = sigs.select(col("doc_id"), col("n_sh"))
-    val shared = cand.select(col("a_id").as("sa"), col("b_id").as("sb"))
-      .join(sh.as("a"), col("sa") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("sb") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("sa"), col("sb"))
-      .agg(count(lit(1)).as("shared"))
+    val meta = sigs.select(col("doc_id"), col("lt"), col("n_sh"))
     val out = cand
-      .join(shared, col("a_id") === col("sa") && col("b_id") === col("sb"), "left")
-      .join(counts.withColumnRenamed("n_sh", "na").withColumnRenamed("doc_id", "ka"),
-        col("a_id") === col("ka"))
-      .join(counts.withColumnRenamed("n_sh", "nb").withColumnRenamed("doc_id", "kb"),
-        col("b_id") === col("kb"))
+      .join(meta.select(col("doc_id").as("ka"), col("lt").as("la"),
+        col("n_sh").as("na")), col("a_id") === col("ka"))
+      .join(meta.select(col("doc_id").as("kb"), col("lt").as("lb"),
+        col("n_sh").as("nb")), col("b_id") === col("kb"))
+      .withColumn("shared", expr("graft_shingle_overlap(la, lb)"))
       .select(col("a_id"), col("b_id"), col("n_shared_bands"),
-        (coalesce(col("shared"), lit(0)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("shared"), lit(0))).cast("double"))
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
           .as("jaccard"))
     canon(out)
   }

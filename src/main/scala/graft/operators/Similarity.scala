@@ -299,8 +299,7 @@ object Similarity {
     // self-join subplans, so without the caches every vector's 24 plane
     // dots run twice and its norm four times (callers own the cache
     // lifecycle: Verify/Bench clearCache between queries)
-    val e = (if (d.columns.contains("v")) d else vecsOn(d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = Caching.persistOnce(if (d.columns.contains("v")) d else vecsOn(d))
     val tableStructs = (0 until 4).map { l =>
       val bucket = planesFor(l).zipWithIndex.map { case (p, j) =>
         when(expr(s"graft_dot(v, ${planeSparkLit(p)})") > 0, lit(1 << j))
@@ -308,11 +307,10 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(l).as("tbl"), bucket.as("bucket"))
     }
-    val b = e.select(col("vec_id"),
+    val b = Caching.persistOnce(e.select(col("vec_id"),
         explode(array(tableStructs: _*)).as("tb"))
       .select(col("vec_id"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
     // candidates = same-(table,bucket) pairs, deduped across tables
     val cand = b.select(col("vec_id").as("a_id"), col("tbl"), col("bucket"))
       .join(b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),

@@ -227,13 +227,25 @@ object TextOps {
     * to broadcast joins at runtime while the set is actually small.
     */
   def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.BloomExprs.register(spark)
     val d = load(spark, sfDir, "documents")
     // one shared (and persisted) shingle definition with the dedup family
     val all = Dedup.shingles(d)
     val benchIds = d.filter(col("source") === "src0").select(col("doc_id"))
     val benchSet = all.join(benchIds, Seq("doc_id"), "left_semi")
       .select(col("shingle")).distinct()
-    val hits = all.join(benchSet, Seq("shingle"), "left_semi")
+    // bloom pre-filter BEFORE the exact semi-join: at 100 TB the corpus'
+    // full shingle stream would otherwise shuffle into the membership
+    // join; the bench set's bloom (built once, attached as a scalar
+    // subquery — the same BloomFilterAggregate/MightContain machinery the
+    // optimizer's runtime filters use) drops non-hits at the scan side,
+    // so only near-hits shuffle. The semi-join stays as the exact verify:
+    // false positives are re-checked there, false negatives can't happen.
+    val bloom = benchSet
+      .agg(expr("graft_bloom_agg(xxhash64(shingle))").as("bf")).scalar()
+    val nearHits = all.filter(
+      call_function("graft_bloom_contains", bloom, xxhash64(col("shingle"))))
+    val hits = nearHits.join(benchSet, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     val totals = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val out = totals.join(hits, Seq("doc_id"), "left")

@@ -29,11 +29,38 @@ private[operators] object TmpData {
       }
     }))
 
-  /** Filesystem/identifier-safe suffix unique per (process, dataset). */
+  /** Filesystem/identifier-safe suffix unique per (process, dataset,
+    * source-content). The content fingerprint means a REWRITTEN source
+    * directory produces a new tag → new tmp path → `once` re-runs the
+    * write, instead of serving a stale derived copy (the lifecycle's
+    * source-immutability invariant now only has to hold between a
+    * rewrite and the next query, not for the whole process lifetime).
+    */
   def tag(sfDir: String): String = {
     val pid = ProcessHandle.current().pid()
     val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${pid}_$dir"
+    s"${pid}_${dir}_${fingerprint(sfDir)}"
+  }
+
+  /** Metadata-only source fingerprint: file count + total bytes from a
+    * driver-side listing — no data is read. Recomputed on every `tag`
+    * call (once per QUERY invocation, never per row), so even an
+    * in-place rewrite inside a long-lived session invalidates derived
+    * copies; at cluster scale this is one filesystem listing per query,
+    * the same metadata cost the scan's own file index pays.
+    */
+  private def fingerprint(sfDir: String): String = {
+    val root = Paths.get(sfDir)
+    if (!Files.exists(root)) "absent"
+    else {
+      var n = 0L
+      var bytes = 0L
+      val walk = Files.walk(root)
+      try walk.forEach { p =>
+        if (Files.isRegularFile(p)) { n += 1; bytes += Files.size(p) }
+      } finally walk.close()
+      s"${n}f_${bytes}b"
+    }
   }
 
   /** Tmp directory path for a derived dataset, registered for cleanup. */
@@ -49,5 +76,24 @@ private[operators] object TmpData {
       write
       ready.add(key)
     }
+  }
+}
+
+/** Cache-lifecycle helper shared by the pipelines that persist a reused
+  * subplan (dedup shingles, LSH candidates/vectors).
+  */
+private[operators] object Caching {
+
+  /** persist(MEMORY_AND_DISK) unless the plan is already registered with
+    * the session's CacheManager. `storageLevel` resolves by PLAN, not by
+    * DataFrame instance, so when two queries in one session build the
+    * same subplan (minhash_lsh then ngram_jaccard over the same shingle
+    * relation) the second call reuses the first cache entry instead of
+    * re-registering it and logging "Asked to cache already cached data".
+    */
+  def persistOnce(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
   }
 }

@@ -6,7 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -165,10 +165,67 @@ object MinHash8 {
   }
 }
 
+/** Native shingle-set intersection: |shingles(a) ∩ shingles(b)| for two
+  * whitespace-tokenized strings in one pass over the candidate pair —
+  * the LSH verify step without materializing either shingle set as rows.
+  * Replaces minhash_lsh's explode(shingles) → two joins on the shingle
+  * key → groupBy(pair) count (a cached exploded relation plus two
+  * shuffles) with a scalar computed where the pair row already lives.
+  *
+  * Shingle semantics are the family's single formulation
+  * (Dedup.shingleArrayExpr, mirrored in MinHash8): distinct 3-gram
+  * windows of split(input, ' ') keeping empties, the whole input when
+  * under 3 tokens. Callers pass already-lowercased text.
+  */
+case class ShingleOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOverlap.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ShingleOverlap.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleOverlap {
+
+  private def shingleSet(text: String): java.util.HashSet[String] = {
+    val toks = text.split(" ", -1)
+    val set = new java.util.HashSet[String]()
+    if (toks.length >= 3) {
+      var i = 0
+      while (i + 2 < toks.length) {
+        set.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+    } else set.add(text)
+    set
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(a: UTF8String, b: UTF8String): Long = {
+    val sa = shingleSet(a.toString)
+    val sb = shingleSet(b.toString)
+    val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var n = 0L
+    val it = small.iterator()
+    while (it.hasNext) if (large.contains(it.next())) n += 1
+    n
+  }
+}
+
 object TextExprs {
-  /** Register `graft_simhash(str)` and `graft_minhash(str)` in the
-    * session registry. Idempotent and quiet (no replace-warning spam on
-    * repeated calls).
+  /** Register `graft_simhash(str)`, `graft_minhash(str)` and
+    * `graft_shingle_overlap(a, b)` in the session registry. Idempotent
+    * and quiet (no replace-warning spam on repeated calls).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -179,6 +236,11 @@ object TextExprs {
     if (!reg.functionExists(FunctionIdentifier("graft_minhash"))) {
       reg.createOrReplaceTempFunction(
         "graft_minhash", exprs => MinHash8(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_shingle_overlap"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_shingle_overlap",
+        exprs => ShingleOverlap(exprs(0), exprs(1)), "built-in")
     }
   }
 }

@@ -107,6 +107,26 @@ class PlanHygieneSpec extends SparkSpecBase {
       "partition pruning must come from the dim join, not a static literal")
   }
 
+  test("minhash_lsh: native overlap verify — no explode anywhere in the plan") {
+    val p = plan("minhash_lsh")
+    assert(p.contains("graft_minhash"), "native signature expression missing")
+    assert(p.contains("graft_shingle_overlap"),
+      "pair verify must use the native shingle-overlap kernel")
+    // the 4-way band stack generator is intrinsic to LSH banding; the
+    // SHINGLE explode (rows per 3-gram, the scale hazard) must be gone
+    assert(!p.contains("explode"),
+      "shingle explode survives in the LSH path — the exploded relation " +
+        "should be gone now that the verify is per-pair native")
+  }
+
+  test("contamination_check: bloom pre-filter guards the exact semi-join") {
+    val p = plan("contamination_check")
+    assert(p.contains("might_contain"),
+      "bloom pre-filter missing — the full shingle stream would shuffle " +
+        "into the membership join at scale")
+    assert(p.contains("LeftSemi"), "exact semi-join verify must remain")
+  }
+
   test("simhash: native graft_simhash, no explode/aggregate/shuffle before the output sort") {
     val p = plan("simhash")
     assert(p.contains("graft_simhash"), "native simhash expression missing")

@@ -40,4 +40,24 @@ class TmpDataSpec extends graft.SparkSpecBase {
     assert(p.startsWith(System.getProperty("java.io.tmpdir")))
     assert(p.endsWith("graft_spec_kind_42_test"))
   }
+
+  test("a rewritten source changes the tag, so derived copies rebuild") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_spec_src").toString
+    Files.write(Paths.get(src, "a.parquet"), Array.fill[Byte](100)(1))
+    val before = TmpData.tag(src)
+    // same content → same tag (the copy is reused across calls)
+    assert(TmpData.tag(src) == before)
+
+    // in-place rewrite (more bytes): the fingerprint must move the tag,
+    // which moves the tmp path AND the once() key for every derived copy
+    Files.write(Paths.get(src, "a.parquet"), Array.fill[Byte](150)(2))
+    val after = TmpData.tag(src)
+    assert(after != before, "stale-copy hazard: rewritten source kept its tag")
+
+    var writes = 0
+    TmpData.once(s"spec-rw:$before") { writes += 1 }
+    TmpData.once(s"spec-rw:$after") { writes += 1 }
+    assert(writes == 2, "rewritten source must trigger a fresh derived write")
+  }
 }
