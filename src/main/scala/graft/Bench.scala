@@ -22,9 +22,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // size scan splits to the SF (the brief's maxPartitionBytes rule):
+      // the default 128 MB split is right at 100 TB but folds the whole
+      // ~10 MB test fact into one task; with the multi-row-group copies
+      // below this gives real parallel scans + AQE partition statistics
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.VectorExprs.register(spark)
+    // multi-row-group copies of the fact tables (dims symlinked) so the
+    // bench exercises multi-task scans instead of the driver parquet's
+    // single-row-group serial reads
+    val benchDir = operators.BenchData.realisticCopy(spark, sfDir)
+    System.err.println(s"[bench] realistic multi-row-group inputs at $benchDir")
     // untimed global warmup: JIT/codegen/classloading paths, not query work
     try {
       import org.apache.spark.sql.functions._
@@ -33,7 +44,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Boolean =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, benchDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }

@@ -24,7 +24,7 @@ object Tables {
     * parquet reads behave in the same session), then convert to a
     * µs-precision TimestampType (sub-µs digits are zero in this data).
     */
-  private val eventsRawSchema = StructType(Seq(
+  private[graft] val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

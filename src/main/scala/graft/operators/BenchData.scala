@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Bench-realism inputs. The driver's test parquet has ONE row group per
+  * table, so every scan is a single task no matter how
+  * `spark.sql.files.maxPartitionBytes` is set — scan parallelism,
+  * split packing, and AQE's partition statistics never get exercised,
+  * and per-query timings measure a serial scan a real layout would
+  * never produce. This helper rewrites the three fact tables
+  * (lineitem, orders, events) as multi-file copies (16 row groups via
+  * `maxRecordsPerFile`) and symlinks the dimension tables unchanged,
+  * producing a directory `Tables.load` reads exactly like the source.
+  *
+  * Used by Bench (and the scan-parallelism spec) only — Verify keeps
+  * reading the driver's original layout so oracle runs see identical
+  * bytes. Content is identical either way; every query canon-orders its
+  * output, so file layout cannot change results.
+  */
+object BenchData {
+
+  private val facts = Set("lineitem", "orders", "events")
+
+  /** Files per fact table: enough that a 32-thread local session gets
+    * real multi-task scans once maxPartitionBytes is sized to the SF.
+    */
+  val filesPerFact = 16
+
+  def realisticCopy(spark: SparkSession, sfDir: String): String = {
+    val t = TmpData.tag(sfDir)
+    val root = TmpData.path("bench_sf", t)
+    TmpData.once(s"bench_sf:$t") {
+      Files.createDirectories(Paths.get(root))
+      val srcFiles = new java.io.File(sfDir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      for (f <- srcFiles) {
+        val table = f.getName.stripSuffix(".parquet")
+        if (facts(table)) {
+          // events must round-trip at the RAW long ts (the source is
+          // parquet TIMESTAMP(NANOS); Tables.load converts AFTER the
+          // scan) so the copy is read by the same code path as the
+          // original
+          val df =
+            if (table == "events")
+              spark.read.schema(graft.Tables.eventsRawSchema).parquet(f.getPath)
+            else spark.read.parquet(f.getPath)
+          val rows = df.count()
+          df.write.mode("overwrite")
+            .option("maxRecordsPerFile", math.max(1000L, rows / filesPerFact))
+            .parquet(s"$root/${f.getName}")
+        } else {
+          Files.createSymbolicLink(Paths.get(root, f.getName), f.toPath)
+        }
+      }
+    }
+    root
+  }
+}
