@@ -252,6 +252,13 @@ object Dedup {
     * outright. Join shape is the same (band_idx, band_val) equi-join the
     * MinHash LSH path uses — candidates bounded by band collisions, never
     * all-pairs.
+    *
+    * Scale note: band WIDTH sets bucket cardinality — w-bit bands give
+    * 2^w buckets, so expected candidates grow ~N²/2^w per band. The
+    * 32-bit/4×8 geometry here is the oracle-parity demo; at corpus scale
+    * the same pipeline widens to a 64⁺-bit signature with 16-bit bands
+    * (65k buckets, pigeonhole radius 3 preserved) — identical join shape,
+    * only the stack() literals change.
     */
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
     simhashNeardupOn(load(spark, sfDir, "documents"))
@@ -269,12 +276,17 @@ object Dedup {
       col("band_idx"), col("band_val"))
     val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
       col("band_idx"), col("band_val"))
+    // hamming filter BEFORE the dedup: a pair can collide in up to 4
+    // bands, but the exact-hamming test is a cheap scalar on the joined
+    // row while distinct() is a shuffle — filtering first shrinks the
+    // dedup's input from all band collisions to true near-dup pairs
+    // (typically orders of magnitude fewer). Same output rows either way.
     val out = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "sa", "sb").distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+      .distinct()
     canon(out)
   }
 

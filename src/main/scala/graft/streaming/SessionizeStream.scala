@@ -56,9 +56,11 @@ object SessionizeStream {
     open.foreach { s =>
       state.update(s)
       // EventTimeTimeout requires a timestamp strictly beyond the current
-      // watermark: a very late (but admitted) event can put end+gap at or
-      // behind the watermark, which would throw and kill the whole query —
-      // clamp so the session instead times out on the next watermark tick
+      // watermark. Spark's FlatMapGroupsWithStateExec filters input rows
+      // below the watermark before this function runs (pinned by the
+      // late-event spec), so admitted events satisfy end+gap > watermark —
+      // the clamp is defense-in-depth for runners without that filter,
+      // where an ancient event would otherwise throw and kill the query
       state.setTimeoutTimestamp(
         math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
     }

@@ -93,4 +93,39 @@ class SessionizeStreamSpec extends SparkSpecBase {
     assert(got(0).getTimestamp(1) == ts("2024-05-01 10:00:00"))
     assert(got(0).getLong(2) == 2 && got(0).getDouble(3) == 3.0)
   }
+
+  test("an event below the watermark is dropped, never a query killer") {
+    // Pinned semantics (found empirically): FlatMapGroupsWithStateExec
+    // filters input rows older than the watermark BEFORE update() runs,
+    // so a 9-days-late event neither opens a session nor reaches
+    // setTimeoutTimestamp with a behind-the-watermark deadline. The
+    // clamp in SessionizeStream.update stays as defense-in-depth for
+    // runners without this filter, and this test pins the contract: the
+    // query survives, the late row is dropped, no phantom session.
+    val root = Files.createTempDirectory("graft-sess-vlate").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    import spark.implicits._
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    // batch 1: far-future user-9 event drives the watermark to ~05-09 23:00
+    write(Seq((1L, ts("2024-05-10 00:00:00"), 9L, "view", 1.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+    // batch 2: user-7 event from 05-01 — NINE DAYS below the watermark
+    write(Seq((2L, ts("2024-05-01 00:00:00"), 7L, "click", 2.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+    // batches 3+4: watermark ticks flush every surviving session
+    write(Seq((3L, ts("2024-05-12 00:00:00"), 9L, "view", 3.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+    write(Seq((4L, ts("2024-05-14 00:00:00"), 9L, "view", 4.0)))
+    SessionizeStream.start(spark, src, out, ckp).awaitTermination()
+
+    val out7 = spark.read.parquet(out).filter(col("user_id") === 7).count()
+    assert(out7 == 0, s"late event should be dropped, got $out7 phantom session(s)")
+    // the query survived all four batches and user 9's sessions closed
+    assert(spark.read.parquet(out).filter(col("user_id") === 9).count() >= 1)
+  }
 }
