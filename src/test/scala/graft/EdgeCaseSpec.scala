@@ -74,6 +74,36 @@ class EdgeCaseSpec extends SparkSpecBase {
       "native minhash diverges from the SQL pipeline on edge inputs")
   }
 
+  test("graft_shingle_overlap matches the explode+join intersection on edge pairs") {
+    import spark.implicits._
+    graft.plans.TextExprs.register(spark)
+    val d = edgeDocs.toDF("doc_id", "text")
+    // all ordered pairs (including self-pairs: overlap = own shingle count)
+    val pairs = d.select(col("doc_id").as("a_id"), lower(col("text")).as("la"))
+      .crossJoin(d.select(col("doc_id").as("b_id"), lower(col("text")).as("lb")))
+    val native = pairs.select(col("a_id"), col("b_id"),
+      expr("graft_shingle_overlap(la, lb)").as("shared"))
+    // the exploded-relation formulation the DuckDB oracle uses
+    val sh = d
+      .withColumn("t", split(lower(col("text")), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN size(t) >= 3
+          |THEN transform(sequence(0, size(t) - 3),
+          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+          |ELSE array(lower(text)) END""".stripMargin))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val sqlWay = sh.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+    // sqlWay has no rows for zero-overlap pairs; native must report 0 there
+    val joined = native.join(sqlWay.withColumnRenamed("shared", "sql_shared"),
+      Seq("a_id", "b_id"), "left")
+      .withColumn("sql_shared", coalesce(col("sql_shared"), lit(0L)))
+    val diverging = joined.filter(col("shared") =!= col("sql_shared")).count()
+    assert(diverging == 0,
+      s"native shingle overlap diverges from the SQL join on $diverging pair(s)")
+  }
+
   test("changeKey: concat_ws skips nulls — 'a'|null|'c' hashes like 'a'|'c'") {
     import spark.implicits._
     val df = Seq(("a", Option.empty[String], "c"), ("a", Some("c"), null))

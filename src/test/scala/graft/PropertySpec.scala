@@ -75,6 +75,27 @@ object TextExprProps extends Properties("textExprs") {
         row.getUTF8String(k).toString.matches("^[0-9a-f]{8}$")) &&
         row.getLong(8) == expected.toLong
     }
+
+  private def shingleSet(t: String): Set[String] = {
+    val toks = t.split(" ", -1)
+    if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+    else Set(t)
+  }
+
+  property("shingle overlap = |A ∩ B| of the independent shingle sets") =
+    forAll(textGen, textGen) { (a, b) =>
+      val got = graft.plans.ShingleOverlap.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      got == (shingleSet(a) intersect shingleSet(b)).size.toLong
+    }
+
+  property("shingle overlap is symmetric and bounded by n_sh") =
+    forAll(textGen, textGen) { (a, b) =>
+      val ua = UTF8String.fromString(a); val ub = UTF8String.fromString(b)
+      val ab = graft.plans.ShingleOverlap.compute(ua, ub)
+      ab == graft.plans.ShingleOverlap.compute(ub, ua) &&
+        ab <= math.min(shingleSet(a).size, shingleSet(b).size)
+    }
 }
 
 /** Session-split invariants for the streaming sessionizer's pure core. */
