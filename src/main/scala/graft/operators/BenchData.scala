@@ -51,7 +51,13 @@ object BenchData {
             .option("maxRecordsPerFile", math.max(1000L, rows / filesPerFact))
             .parquet(s"$root/${f.getName}")
         } else {
-          Files.createSymbolicLink(Paths.get(root, f.getName), f.toPath)
+          // idempotent like the parquet side's mode("overwrite"): a
+          // retried write block (once() only marks AFTER success) or a
+          // stale tmp dir from a killed run must not die on an existing
+          // link
+          val link = Paths.get(root, f.getName)
+          Files.deleteIfExists(link)
+          Files.createSymbolicLink(link, f.toPath)
         }
       }
     }

@@ -19,15 +19,6 @@ import graft.Tables.{canon, canonOrderSql, load}
   */
 object Dedup {
 
-  /** (doc_id, shingle) with distinct 3-gram shingles per doc.
-    * Shared across the dedup family AND TextOps.contaminationCheck —
-    * one definition so the md5-based oracle parity cannot drift.
-    * Persisted: the LSH pipeline walks this relation three times
-    * (signatures, candidate verify a/b sides) and ngram_jaccard shares
-    * the identical plan — the cache turns four explode+hash passes into
-    * one. Small (shingle count ≈ token count), MEMORY_AND_DISK for
-    * safety at larger SFs.
-    */
   /** The single 3-gram shingle-array formulation (over a token array
     * column `t`), shared by every consumer so the md5-based oracle
     * parity cannot drift between copies. `fallback` is the whole-text
@@ -39,6 +30,12 @@ object Dedup {
        |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
        |ELSE array($fallback) END""".stripMargin
 
+  /** (doc_id, shingle) with distinct 3-gram shingles per doc, persisted.
+    * Consumers: ngram_jaccard (pair generation IS the shingle-key join)
+    * and TextOps.contaminationCheck (per-shingle membership counts) —
+    * the LSH path no longer touches this relation (native signatures +
+    * per-pair overlap verify). MEMORY_AND_DISK for safety at larger SFs.
+    */
   private[operators] def shingles(d: DataFrame): DataFrame =
     // repartition BEFORE the explode: the input is a handful of parquet
     // files (few input splits), but the work is per-shingle — size the

@@ -232,8 +232,12 @@ object TextOps {
     // one shared (and persisted) shingle definition with the dedup family
     val all = Dedup.shingles(d)
     val benchIds = d.filter(col("source") === "src0").select(col("doc_id"))
-    val benchSet = all.join(benchIds, Seq("doc_id"), "left_semi")
-      .select(col("shingle")).distinct()
+    // persisted: the distinct bench-shingle set feeds BOTH the bloom
+    // build and the exact semi-join — without the cache its semi-join +
+    // distinct exchange would run twice per query
+    val benchSet = Caching.persistOnce(
+      all.join(benchIds, Seq("doc_id"), "left_semi")
+        .select(col("shingle")).distinct())
     // bloom pre-filter BEFORE the exact semi-join: at 100 TB the corpus'
     // full shingle stream would otherwise shuffle into the membership
     // join; the bench set's bloom (built once, attached as a scalar

@@ -42,8 +42,10 @@ private[operators] object TmpData {
     s"${pid}_${dir}_${fingerprint(sfDir)}"
   }
 
-  /** Metadata-only source fingerprint: file count + total bytes from a
-    * driver-side listing — no data is read. Recomputed on every `tag`
+  /** Metadata-only source fingerprint: file count + total bytes + max
+    * mtime from a driver-side listing — no data is read. The mtime term
+    * catches size-preserving rewrites (equal-size regeneration, swapped
+    * files) that count+bytes alone would miss. Recomputed on every `tag`
     * call (once per QUERY invocation, never per row), so even an
     * in-place rewrite inside a long-lived session invalidates derived
     * copies; at cluster scale this is one filesystem listing per query,
@@ -55,11 +57,16 @@ private[operators] object TmpData {
     else {
       var n = 0L
       var bytes = 0L
+      var mtime = 0L
       val walk = Files.walk(root)
       try walk.forEach { p =>
-        if (Files.isRegularFile(p)) { n += 1; bytes += Files.size(p) }
+        if (Files.isRegularFile(p)) {
+          n += 1
+          bytes += Files.size(p)
+          mtime = math.max(mtime, Files.getLastModifiedTime(p).toMillis)
+        }
       } finally walk.close()
-      s"${n}f_${bytes}b"
+      s"${n}f_${bytes}b_${mtime}t"
     }
   }
 

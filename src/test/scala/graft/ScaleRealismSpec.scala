@@ -56,7 +56,8 @@ class ScaleRealismSpec extends SparkSpecBase {
     // silently never fires. The multi-row-group BenchData copy is what
     // makes the mitigation possible at all — same reason the bench uses
     // it. sf0.01 so the 1000-rows-per-file floor still yields ~10 files.
-    val benchDir = operators.BenchData.realisticCopy(spark, "/root/testdata/sf0.01")
+    val sf01 = new java.io.File(new java.io.File(sf).getParentFile, "sf0.01").getPath
+    val benchDir = operators.BenchData.realisticCopy(spark, sf01)
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
