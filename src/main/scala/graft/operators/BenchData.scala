@@ -21,10 +21,16 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchData {
 
-  private val facts = Set("lineitem", "orders", "events")
+  /** Every SF-scaled table — TPC-H facts AND the text/vector corpora
+    * (documents/embeddings feed the top-cost dedup/ANN queries; leaving
+    * them single-file would keep exactly the serial-scan artifact this
+    * helper removes). Fixed-cardinality dims stay symlinked.
+    */
+  private val scaled = Set("lineitem", "orders", "events", "documents", "embeddings")
 
-  /** Files per fact table: enough that a 32-thread local session gets
-    * real multi-task scans once maxPartitionBytes is sized to the SF.
+  /** Files per rewritten table: enough that a 32-thread local session
+    * gets real multi-task scans once maxPartitionBytes is sized to the
+    * SF.
     */
   val filesPerFact = 16
 
@@ -37,7 +43,7 @@ object BenchData {
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       for (f <- srcFiles) {
         val table = f.getName.stripSuffix(".parquet")
-        if (facts(table)) {
+        if (scaled(table)) {
           // events must round-trip at the RAW long ts (the source is
           // parquet TIMESTAMP(NANOS); Tables.load converts AFTER the
           // scan) so the copy is read by the same code path as the
@@ -57,7 +63,9 @@ object BenchData {
           // link
           val link = Paths.get(root, f.getName)
           Files.deleteIfExists(link)
-          Files.createSymbolicLink(link, f.toPath)
+          // absolute target: a relative SPARK_GRAFT_SF_DIR would
+          // otherwise store a link that resolves against /tmp and dangles
+          Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
         }
       }
     }

@@ -148,15 +148,16 @@ object Dedup {
       .withColumn("b3", md5(concat(col("s6"), col("s7"))))
       .selectExpr("doc_id",
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)")
-    // persisted: cand feeds both the verify joins and the final output
-    // join — without the cache the banded self-join subtree runs twice
-    val cand = Caching.persistOnce(banded.as("x")
+    // NOT persisted: since the native-overlap rewrite, cand has exactly
+    // one consumer (the meta join chain below) — a cache here would be a
+    // full extra write of the candidate set for zero reuse
+    val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared_bands")))
+      .agg(count(lit(1)).as("n_shared_bands"))
     // verify with true jaccard computed ONLY for candidate pairs (the LSH
     // point: intersection work is bounded by bucket collisions, never by
     // all overlapping pairs). The intersection |A ∩ B| is computed by the
@@ -244,7 +245,7 @@ object Dedup {
     * candidates (deduped), then exact hamming via bit_count(xor) keeps
     * pairs at distance <= 6. The pigeonhole principle makes recall
     * GUARANTEED for distance <= 3 (3 differing bits cannot dirty all 4
-    * bands) and high for 4-6 (SimhashRecallSpec pins the measured floor);
+    * bands) and high for 4-6 (LshRecallSpec pins the measured floor);
     * the old single high-16-bit block could miss a distance-1 pair
     * outright. Join shape is the same (band_idx, band_val) equi-join the
     * MinHash LSH path uses — candidates bounded by band collisions, never

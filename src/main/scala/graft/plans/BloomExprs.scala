@@ -25,8 +25,14 @@ object BloomExprs {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg"))) {
       reg.createOrReplaceTempFunction("graft_bloom_agg", exprs =>
-        if (exprs.length >= 2) new BloomFilterAggregate(exprs(0), exprs(1))
-        else new BloomFilterAggregate(exprs.head), "built-in")
+        exprs match {
+          case Seq(child) => new BloomFilterAggregate(child)
+          case Seq(child, items) => new BloomFilterAggregate(child, items)
+          case Seq(child, items, bits) =>
+            new BloomFilterAggregate(child, items, bits)
+          case _ => throw new IllegalArgumentException(
+            s"graft_bloom_agg expects 1-3 arguments, got ${exprs.length}")
+        }, "built-in")
     }
     if (!reg.functionExists(FunctionIdentifier("graft_bloom_contains"))) {
       reg.createOrReplaceTempFunction("graft_bloom_contains", exprs =>

@@ -57,6 +57,7 @@ class ScaleRealismSpec extends SparkSpecBase {
     // makes the mitigation possible at all — same reason the bench uses
     // it. sf0.01 so the 1000-rows-per-file floor still yields ~10 files.
     val sf01 = new java.io.File(new java.io.File(sf).getParentFile, "sf0.01").getPath
+    assume(new java.io.File(sf01).isDirectory, s"needs the sf0.01 dataset at $sf01")
     val benchDir = operators.BenchData.realisticCopy(spark, sf01)
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
