@@ -288,6 +288,85 @@ object Dedup {
     canon(out)
   }
 
+  /** 60-bit signatures (graft_simhash60) — the production-geometry face. */
+  private[operators] def simhash60Sigs(d: DataFrame): DataFrame = {
+    graft.plans.TextExprs.register(d.sparkSession)
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("graft_simhash60(lower(text))").as("simhash"))
+  }
+
+  /** Signatures accessor for the recall spec's exact baseline. */
+  def simhash60On(d: DataFrame): DataFrame = canon(simhash60Sigs(d))
+
+  /** SimHash near-dup pairs at the PRODUCTION band geometry promised in
+    * SCALING.md: 60-bit signature, 4 bands × 15 bits → 32768 buckets per
+    * band, so candidate volume shrinks ~2^7× per band vs the 8-bit demo
+    * bands while the pigeonhole guarantee (full recall at hamming ≤ 3)
+    * is unchanged — the join shape is IDENTICAL to `simhash_neardup`,
+    * only the stack() literals changed. Demonstrates that widening the
+    * geometry is a constant-edit, not a redesign.
+    */
+  def simhashWideNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashWideNeardupOn(load(spark, sfDir, "documents"))
+
+  /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
+  def simhashWideNeardupOn(d: DataFrame): DataFrame = {
+    val sigs = simhash60Sigs(d)
+    val banded = sigs.selectExpr("doc_id", "simhash",
+      """stack(4,
+        |  0, simhash           & 32767,
+        |  1, shiftright(simhash, 15) & 32767,
+        |  2, shiftright(simhash, 30) & 32767,
+        |  3, shiftright(simhash, 45) & 32767) AS (band_idx, band_val)""".stripMargin)
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
+      col("band_idx"), col("band_val"))
+    val out = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+      .distinct()
+    canon(out)
+  }
+
+  private val simhash60Cte: String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(((h60 >> $j) & 1) * 2 - 1) AS bit$j").mkString(",\n    ")
+    val sig = (0 until 60).map(j =>
+      s"CASE WHEN bit$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h60 FROM toks
+       |), sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY 1
+       |), sig AS (
+       |  SELECT doc_id, $sig AS simhash FROM sums
+       |)""".stripMargin
+  }
+
+  val simhashWideNeardupSql: String =
+    s"""WITH $simhash60Cte,
+       |banded AS (
+       |  SELECT doc_id, simhash, 0 AS band_idx, simhash & 32767 AS band_val FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sig
+       |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |      AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+       |${canonOrderSql(Seq("a_id", "b_id", "hamming"))}""".stripMargin
+
   private val simhashCte: String = {
     val bitSums = (0 until 32).map(j =>
       s"sum(((h32 >> $j) & 1) * 2 - 1) AS bit$j").mkString(",\n    ")
@@ -379,7 +458,8 @@ object Dedup {
     "ngram_jaccard" -> ngramJaccard,
     "minhash_lsh" -> minhashLsh,
     "simhash" -> simhash,
-    "simhash_neardup" -> simhashNeardup)
+    "simhash_neardup" -> simhashNeardup,
+    "simhash_neardup_wide" -> simhashWideNeardup)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -387,5 +467,6 @@ object Dedup {
     "ngram_jaccard" -> ngramJaccardSql,
     "minhash_lsh" -> minhashLshSql,
     "simhash" -> simhashSql,
-    "simhash_neardup" -> simhashNeardupSql)
+    "simhash_neardup" -> simhashNeardupSql,
+    "simhash_neardup_wide" -> simhashWideNeardupSql)
 }

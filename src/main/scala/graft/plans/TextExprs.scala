@@ -75,6 +75,67 @@ object SimHash32 {
   }
 }
 
+/** Native 60-bit SimHash — the PRODUCTION band geometry's signature
+  * (SCALING.md: w-bit bands give 2^w buckets, so candidates shrink
+  * ~N²/2^w per band; 15-bit bands need a ≥60-bit signature). 60 bits
+  * (not 64) so the value is positive in both engines: the oracle's
+  * `('0x' || substr(md5(tok),1,15))::BIGINT` parses 15 hex chars, and a
+  * 16th could overflow DuckDB's signed BIGINT. Same bit-vote semantics
+  * as [[SimHash32]], per-token h60 = first 15 md5 hex chars.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): Long = {
+    val md = md5.get()
+    val votes = new Array[Int](60)
+    val toks = s.toString.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val d = md.digest(toks(t).getBytes(StandardCharsets.UTF_8))
+      // first 15 hex chars big-endian == conv(substr(md5Hex,1,15),16,10):
+      // bytes 0..6 in full (14 nibbles) then the HIGH nibble of byte 7
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xfL)
+      var j = 0
+      while (j < 60) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
 /** Native MinHash: the 8-slot signature plus the distinct-3-gram-shingle
   * count of a whitespace-tokenized string, in ONE pass over the row —
   * replaces the shingle explode → two md5 columns → 8-min groupBy(doc_id)
@@ -232,6 +293,10 @@ object TextExprs {
     if (!reg.functionExists(FunctionIdentifier("graft_simhash"))) {
       reg.createOrReplaceTempFunction(
         "graft_simhash", exprs => SimHash32(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash60"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
     }
     if (!reg.functionExists(FunctionIdentifier("graft_minhash"))) {
       reg.createOrReplaceTempFunction(

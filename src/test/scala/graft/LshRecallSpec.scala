@@ -104,6 +104,44 @@ class LshRecallSpec extends SparkSpecBase {
       f"banded recall $recall6%.3f below the d=6 theory floor 0.6")
   }
 
+  test("simhash_neardup_wide: pigeonhole guarantee holds at the production geometry") {
+    import spark.implicits._
+    // same seeded corpus style as the 32-bit test, independent seed
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 60).map(i => s"tok$i")
+    def sentence(): Array[String] =
+      Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
+    val bases = (0 until 40).map(i => (i.toLong, sentence()))
+    val dups = bases.take(25).map { case (i, toks) =>
+      val copy = toks.clone()
+      copy(7) = vocab(rnd.nextInt(vocab.length))
+      (100L + i, copy)
+    }
+    val docs = (bases ++ dups)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    val sigs = Dedup.simhash60On(docs)
+    val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+    val truth3 = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().map(p => pairKey(p._1, p._2)).toSet
+    assert(truth3.size >= 5, s"seed produced only ${truth3.size} pairs at <= 3")
+
+    val found = Dedup.simhashWideNeardupOn(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .map(p => pairKey(p._1, p._2)).toSet
+    val recall3 = truth3.count(found).toDouble / truth3.size
+    info(f"wide-band recall: $recall3%.3f at <=3 (${truth3.size} pairs)")
+    // 4 bands x 15 bits: <= 3 differing bits still leave a clean band —
+    // the guarantee survives the 128x bucket-count increase
+    assert(recall3 == 1.0,
+      f"pigeonhole guarantee violated at 15-bit bands: $recall3%.3f")
+  }
+
   test("ann_lsh recall >= 0.6 vs exact cosine on seeded near-identical vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
