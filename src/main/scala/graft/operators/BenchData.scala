@@ -9,10 +9,10 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql.files.maxPartitionBytes` is set — scan parallelism,
   * split packing, and AQE's partition statistics never get exercised,
   * and per-query timings measure a serial scan a real layout would
-  * never produce. This helper rewrites the three fact tables
-  * (lineitem, orders, events) as multi-file copies (16 row groups via
-  * `maxRecordsPerFile`) and symlinks the dimension tables unchanged,
-  * producing a directory `Tables.load` reads exactly like the source.
+  * never produce. This helper rewrites every SF-scaled table as a
+  * 16-file copy (one row group per file) and symlinks the
+  * fixed-cardinality dimension tables unchanged, producing a directory
+  * `Tables.load` reads exactly like the source.
   *
   * Used by Bench (and the scan-parallelism spec) only — Verify keeps
   * reading the driver's original layout so oracle runs see identical
@@ -39,7 +39,9 @@ object BenchData {
     val root = TmpData.path("bench_sf", t)
     TmpData.once(s"bench_sf:$t") {
       Files.createDirectories(Paths.get(root))
-      val srcFiles = new java.io.File(sfDir).listFiles().toSeq
+      val listed = new java.io.File(sfDir).listFiles()
+      require(listed != null, s"dataset directory not found or unreadable: $sfDir")
+      val srcFiles = listed.toSeq
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       for (f <- srcFiles) {
         val table = f.getName.stripSuffix(".parquet")
@@ -52,9 +54,11 @@ object BenchData {
             if (table == "events")
               spark.read.schema(graft.Tables.eventsRawSchema).parquet(f.getPath)
             else spark.read.parquet(f.getPath)
-          val rows = df.count()
-          df.write.mode("overwrite")
-            .option("maxRecordsPerFile", math.max(1000L, rows / filesPerFact))
+          // round-robin repartition writes exactly filesPerFact files
+          // (one row group each) without the extra count() scan a
+          // maxRecordsPerFile sizing would need; row order changes,
+          // content does not, and every query canon-orders its output
+          df.repartition(filesPerFact).write.mode("overwrite")
             .parquet(s"$root/${f.getName}")
         } else {
           // idempotent like the parquet side's mode("overwrite"): a

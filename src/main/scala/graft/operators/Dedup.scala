@@ -24,7 +24,7 @@ object Dedup {
     * parity cannot drift between copies. `fallback` is the whole-text
     * shingle used for under-3-token docs.
     */
-  private[operators] def shingleArrayExpr(fallback: String): String =
+  private[graft] def shingleArrayExpr(fallback: String): String =
     s"""CASE WHEN size(t) >= 3
        |THEN transform(sequence(0, size(t) - 3),
        |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
@@ -262,23 +262,27 @@ object Dedup {
     simhashNeardupOn(load(spark, sfDir, "documents"))
 
   /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
-  def simhashNeardupOn(d: DataFrame): DataFrame = {
-    val sigs = simhashSigs(d)
+  def simhashNeardupOn(d: DataFrame): DataFrame =
+    bandedNeardup(simhashSigs(d), bandBits = 8)
+
+  /** The ONE banded near-dup pipeline, shared by the demo (4×8-bit) and
+    * production (4×15-bit) geometries — band width really is the only
+    * difference between them. Hamming filter BEFORE the dedup: a pair
+    * can collide in up to 4 bands, but the exact-hamming test is a
+    * cheap scalar on the joined row while distinct() is a shuffle —
+    * filtering first shrinks the dedup's input from all band collisions
+    * to true near-dup pairs. Same output rows either way.
+    */
+  private def bandedNeardup(sigs: DataFrame, bandBits: Int): DataFrame = {
+    val mask = (1 << bandBits) - 1
+    val bands = (0 until 4).map(i =>
+      s"$i, shiftright(simhash, ${i * bandBits}) & $mask").mkString(",\n  ")
     val banded = sigs.selectExpr("doc_id", "simhash",
-      """stack(4,
-        |  0, simhash          & 255,
-        |  1, shiftright(simhash,  8) & 255,
-        |  2, shiftright(simhash, 16) & 255,
-        |  3, shiftright(simhash, 24) & 255) AS (band_idx, band_val)""".stripMargin)
+      s"stack(4,\n  $bands) AS (band_idx, band_val)")
     val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
       col("band_idx"), col("band_val"))
     val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
       col("band_idx"), col("band_val"))
-    // hamming filter BEFORE the dedup: a pair can collide in up to 4
-    // bands, but the exact-hamming test is a cheap scalar on the joined
-    // row while distinct() is a shuffle — filtering first shrinks the
-    // dedup's input from all band collisions to true near-dup pairs
-    // (typically orders of magnitude fewer). Same output rows either way.
     val out = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
@@ -310,37 +314,23 @@ object Dedup {
     simhashWideNeardupOn(load(spark, sfDir, "documents"))
 
   /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
-  def simhashWideNeardupOn(d: DataFrame): DataFrame = {
-    val sigs = simhash60Sigs(d)
-    val banded = sigs.selectExpr("doc_id", "simhash",
-      """stack(4,
-        |  0, simhash           & 32767,
-        |  1, shiftright(simhash, 15) & 32767,
-        |  2, shiftright(simhash, 30) & 32767,
-        |  3, shiftright(simhash, 45) & 32767) AS (band_idx, band_val)""".stripMargin)
-    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
-      col("band_idx"), col("band_val"))
-    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
-      col("band_idx"), col("band_val"))
-    val out = a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-      .filter(col("hamming") <= 6)
-      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
-      .distinct()
-    canon(out)
-  }
+  def simhashWideNeardupOn(d: DataFrame): DataFrame =
+    bandedNeardup(simhash60Sigs(d), bandBits = 15)
 
-  private val simhash60Cte: String = {
-    val bitSums = (0 until 60).map(j =>
-      s"sum(((h60 >> $j) & 1) * 2 - 1) AS bit$j").mkString(",\n    ")
-    val sig = (0 until 60).map(j =>
+  /** The ONE DuckDB simhash-signature CTE, parameterized by signature
+    * width (hex chars = bits/4, per-token hash = leading hex of md5).
+    */
+  private def simhashCteFor(bits: Int): String = {
+    val hexChars = bits / 4
+    val bitSums = (0 until bits).map(j =>
+      s"sum(((h >> $j) & 1) * 2 - 1) AS bit$j").mkString(",\n    ")
+    val sig = (0 until bits).map(j =>
       s"CASE WHEN bit$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
        |  FROM documents
        |), hashed AS (
-       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h60 FROM toks
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, $hexChars))::BIGINT AS h FROM toks
        |), sums AS (
        |  SELECT doc_id,
        |    $bitSums
@@ -350,13 +340,20 @@ object Dedup {
        |)""".stripMargin
   }
 
-  val simhashWideNeardupSql: String =
-    s"""WITH $simhash60Cte,
+  private val simhashCte: String = simhashCteFor(32)
+  private val simhash60Cte: String = simhashCteFor(60)
+
+  /** The ONE banded-pairs oracle SQL, mirroring [[bandedNeardup]]. */
+  private def bandedNeardupSql(cte: String, bandBits: Int): String = {
+    val mask = (1 << bandBits) - 1
+    val bandRows = (0 until 4).map { i =>
+      val head = if (i == 0) "" else "UNION ALL "
+      s"$head  SELECT doc_id, simhash, $i AS band_idx, " +
+        s"(simhash >> ${i * bandBits}) & $mask AS band_val FROM sig"
+    }.mkString("\n")
+    s"""WITH $cte,
        |banded AS (
-       |  SELECT doc_id, simhash, 0 AS band_idx, simhash & 32767 AS band_val FROM sig
-       |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sig
-       |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sig
-       |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sig),
+       |$bandRows),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |    a.simhash AS sa, b.simhash AS sb
@@ -366,47 +363,16 @@ object Dedup {
        |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
        |${canonOrderSql(Seq("a_id", "b_id", "hamming"))}""".stripMargin
-
-  private val simhashCte: String = {
-    val bitSums = (0 until 32).map(j =>
-      s"sum(((h32 >> $j) & 1) * 2 - 1) AS bit$j").mkString(",\n    ")
-    val sig = (0 until 32).map(j =>
-      s"CASE WHEN bit$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""toks AS (
-       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-       |  FROM documents
-       |), hashed AS (
-       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h32 FROM toks
-       |), sums AS (
-       |  SELECT doc_id,
-       |    $bitSums
-       |  FROM hashed GROUP BY 1
-       |), sig AS (
-       |  SELECT doc_id, $sig AS simhash FROM sums
-       |)""".stripMargin
   }
+
+  val simhashWideNeardupSql: String = bandedNeardupSql(simhash60Cte, 15)
 
   val simhashSql: String =
     s"""WITH $simhashCte
        |SELECT doc_id, simhash FROM sig
        |${canonOrderSql(Seq("doc_id", "simhash"))}""".stripMargin
 
-  val simhashNeardupSql: String =
-    s"""WITH $simhashCte,
-       |banded AS (
-       |  SELECT doc_id, simhash, 0 AS band_idx, simhash & 255 AS band_val FROM sig
-       |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sig
-       |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sig
-       |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sig),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    a.simhash AS sa, b.simhash AS sb
-       |  FROM banded a JOIN banded b
-       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       |      AND a.doc_id < b.doc_id)
-       |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
-       |${canonOrderSql(Seq("a_id", "b_id", "hamming"))}""".stripMargin
+  val simhashNeardupSql: String = bandedNeardupSql(simhashCte, 8)
 
   /** Priority-aware exact dedup: among exact-text duplicates keep the
     * copy from the MOST TRUSTED source (curated beats crawl), breaking

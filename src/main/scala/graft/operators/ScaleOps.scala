@@ -146,7 +146,10 @@ object ScaleOps {
     val tag = TmpData.tag(sfDir)
     val dimPath = TmpData.path("evtype_dim", tag)
     TmpData.once(s"evdim:$tag") {
-      load(spark, sfDir, "events").select("event_type").distinct()
+      // distinct over the PARTITION COLUMN of the partitioned copy: the
+      // values come from the directory listing, not a full fact scan —
+      // at the 100 TB shape building a 5-row dim must not read the fact
+      e.select("event_type").distinct()
         .withColumn("category",
           when(col("event_type").isin("click", "view"), "engagement")
             .otherwise("other"))

@@ -44,8 +44,10 @@ private[operators] object TmpData {
 
   /** Metadata-only source fingerprint: file count + total bytes + max
     * mtime from a driver-side listing — no data is read. The mtime term
-    * catches size-preserving rewrites (equal-size regeneration, swapped
-    * files) that count+bytes alone would miss. Recomputed on every `tag`
+    * catches most size-preserving rewrites; a swap that also preserves
+    * mtimes (cp -p of an equal-shaped dataset) is out of scope — that
+    * requires content hashing, which a metadata-only check deliberately
+    * avoids. Recomputed on every `tag`
     * call (once per QUERY invocation, never per row), so even an
     * in-place rewrite inside a long-lived session invalidates derived
     * copies; at cluster scale this is one filesystem listing per query,

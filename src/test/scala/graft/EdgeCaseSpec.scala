@@ -53,14 +53,11 @@ class EdgeCaseSpec extends SparkSpecBase {
       .select((col("doc_id") +:
         (0 until 8).map(k => col(s"m.s$k").as(s"s$k"))) :+
         col("m.n_sh").as("n_sh"): _*)
-    // the original shingle+groupBy formulation, inline
+    // the original shingle+groupBy formulation, via the canonical
+    // shingle definition
     val sh = d
       .withColumn("t", split(lower(col("text")), " "))
-      .withColumn("sh", expr(
-        """CASE WHEN size(t) >= 3
-          |THEN transform(sequence(0, size(t) - 3),
-          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
-          |ELSE array(lower(text)) END""".stripMargin))
+      .withColumn("sh", expr(operators.Dedup.shingleArrayExpr("lower(text)")))
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
       .withColumn("h0", md5(col("shingle")))
       .withColumn("h1", md5(concat(lit("x:"), col("shingle"))))
@@ -83,14 +80,12 @@ class EdgeCaseSpec extends SparkSpecBase {
       .crossJoin(d.select(col("doc_id").as("b_id"), lower(col("text")).as("lb")))
     val native = pairs.select(col("a_id"), col("b_id"),
       expr("graft_shingle_overlap(la, lb)").as("shared"))
-    // the exploded-relation formulation the DuckDB oracle uses
+    // the exploded-relation formulation the DuckDB oracle uses — pulled
+    // from the canonical definition so this test tracks the source of
+    // truth instead of a pasted copy
     val sh = d
       .withColumn("t", split(lower(col("text")), " "))
-      .withColumn("sh", expr(
-        """CASE WHEN size(t) >= 3
-          |THEN transform(sequence(0, size(t) - 3),
-          |               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
-          |ELSE array(lower(text)) END""".stripMargin))
+      .withColumn("sh", expr(operators.Dedup.shingleArrayExpr("lower(text)")))
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
     val sqlWay = sh.select(col("doc_id").as("a_id"), col("shingle"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))

@@ -55,7 +55,8 @@ class ScaleRealismSpec extends SparkSpecBase {
     // single-row-group parquet produces) is INDIVISIBLE and skew handling
     // silently never fires. The multi-row-group BenchData copy is what
     // makes the mitigation possible at all — same reason the bench uses
-    // it. sf0.01 so the 1000-rows-per-file floor still yields ~10 files.
+    // it. sf0.01 so the per-file row groups carry enough bytes to clear
+    // the (lowered) skew threshold.
     val sf01 = new java.io.File(new java.io.File(sf).getParentFile, "sf0.01").getPath
     assume(new java.io.File(sf01).isDirectory, s"needs the sf0.01 dataset at $sf01")
     val benchDir = operators.BenchData.realisticCopy(spark, sf01)
