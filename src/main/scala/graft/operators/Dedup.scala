@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables.{canon, canonOrderSql, load}
 
 /** Deduplication family over `documents` (SURVEY.md north-star ops):
@@ -273,7 +274,13 @@ object Dedup {
     * filtering first shrinks the dedup's input from all band collisions
     * to true near-dup pairs. Same output rows either way.
     */
-  private def bandedNeardup(sigs: DataFrame, bandBits: Int): DataFrame = {
+  private def bandedNeardup(sigs: DataFrame, bandBits: Int): DataFrame =
+    canon(bandedNeardupRaw(sigs, bandBits))
+
+  /** Pre-canon pair set — clustering consumes this directly: it feeds a
+    * groupBy, so the query-facing global ORDER BY would be wasted work.
+    */
+  private def bandedNeardupRaw(sigs: DataFrame, bandBits: Int): DataFrame = {
     val mask = (1 << bandBits) - 1
     val bands = (0 until 4).map(i =>
       s"$i, shiftright(simhash, ${i * bandBits}) & $mask").mkString(",\n  ")
@@ -283,13 +290,12 @@ object Dedup {
       col("band_idx"), col("band_val"))
     val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
       col("band_idx"), col("band_val"))
-    val out = a.join(b, Seq("band_idx", "band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .distinct()
-    canon(out)
   }
 
   /** 60-bit signatures (graft_simhash60) — the production-geometry face. */
@@ -343,7 +349,6 @@ object Dedup {
   private val simhashCte: String = simhashCteFor(32)
   private val simhash60Cte: String = simhashCteFor(60)
 
-  /** The ONE banded-pairs oracle SQL, mirroring [[bandedNeardup]]. */
   /** Shared CTE prefix (signatures → bands → candidate pairs), reused by
     * the pairs oracle and the clusters oracle.
     */
@@ -365,6 +370,7 @@ object Dedup {
        |      AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** The ONE banded-pairs oracle SQL, mirroring [[bandedNeardup]]. */
   private def bandedNeardupSql(cte: String, bandBits: Int): String =
     s"""WITH ${bandedCandCte(cte, bandBits)}
        |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
@@ -380,46 +386,63 @@ object Dedup {
     * (deterministic), cluster_size includes singletons, is_canonical
     * marks the kept document.
     *
-    * Distributed shape: iterative min-label propagation — each round is
-    * one groupBy(doc_id) min over (own label ∪ neighbor labels), i.e.
-    * one shuffle keyed by doc_id; the driver loop only reads a 1-row
-    * convergence count per round, never data. Rounds needed = component
-    * DIAMETER, and near-dup components are dense low-diameter cliques
-    * (converges in 2-3 rounds here). For adversarial long-chain graphs
-    * at 100 TB, swap the body for alternating small-star/large-star
-    * (O(log n) rounds, same per-round join shape) — the driver-loop
-    * harness, labels schema, and oracle stay unchanged.
+    * Distributed shape: iterative min-label propagation WITH pointer
+    * jumping (label(v) ← label(label(v)) each round), so convergence is
+    * O(log diameter) rounds — measured 13 → 5 at sf0.1 on diameter-12
+    * chains; alternating small-star/large-star is the next rung if an
+    * adversarial graph ever needs O(log n). Each round is one shuffle
+    * keyed by doc_id plus the jump self-join; the driver reads ONE
+    * aggregate row per round for loop control (the monotone label sum,
+    * summed as DECIMAL so huge id domains can't overflow), data never
+    * collects. Lineage is truncated every round by round-tripping
+    * through an explicitly persisted RDD — without truncation the
+    * driver dies optimizing exponentially deep plans at ANY data size
+    * (observed at 500 docs) — and the previous round's blocks are
+    * unpersisted as soon as the next materializes, so executor storage
+    * holds exactly one generation.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     dedupClustersOn(load(spark, sfDir, "documents"))
 
   /** Core on an arbitrary (doc_id, text) relation (see ngramJaccardOn). */
   def dedupClustersOn(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
     val docs = d.filter(col("text").isNotNull).select(col("doc_id"))
-    val pairs = simhashWideNeardupOn(d).select(col("a_id"), col("b_id"))
+    // pre-canon pairs: the clustering groupBy destroys order, so the
+    // query-facing global sort would be pure waste; persisted because
+    // both edge directions and every round's join read it
+    val pairs = Caching.persistOnce(
+      bandedNeardupRaw(simhash60Sigs(d), bandBits = 15)
+        .select(col("a_id"), col("b_id")))
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labelSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("label", LongType)))
+    // lineage truncation with an EXPLICIT storage handle: the plan is
+    // rebuilt over a persisted RDD[Row] each round, and the superseded
+    // round's blocks are dropped immediately (localCheckpoint would
+    // leave every generation to asynchronous GC cleanup)
+    def truncate(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, labelSchema), rdd)
+    }
     // the loop runs ONLY over nodes that appear in some pair — a doc in
     // no pair is its own singleton cluster forever, and at real dup
     // rates that excludes most of the corpus from every round
-    //
-    // localCheckpoint per round TRUNCATES LINEAGE — without it every
-    // round's plan embeds the previous round's and the driver dies
-    // optimizing exponentially deep trees long before the data is big
-    // (observed: heap exhaustion at 500 docs). On a cluster with
-    // lineage-loss concerns, swap for checkpoint() on a reliable dir —
-    // the loop is otherwise unchanged.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    var (labels, curRdd) = truncate(
+      edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label")))
     // convergence via the label sum: min-propagation is monotone
     // non-increasing per node, so an unchanged sum == no change anywhere
-    // — one aggregate action per round instead of a join + count
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    // — one aggregate action per round. DECIMAL(38,0) sum: a LONG sum
+    // overflows (ANSI: throws) on billions of snowflake-sized ids, and
+    // the empty-graph sum is NULL → "0"
+    def labelSum(df: DataFrame): String =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)).map(_.toString).getOrElse("0")
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum == "0" // empty pair graph: all singletons
     var rounds = 0
     while (!converged && rounds < 50) {
       rounds += 1
@@ -430,22 +453,23 @@ object Dedup {
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
       // pointer jumping: label(v) ← label(label(v)). Every label is
       // itself a paired node, and min-propagation is monotone, so the
-      // jump can only lower labels — convergence drops from O(diameter)
-      // to O(log diameter) rounds (measured at sf0.1: 13 → 5 rounds on
-      // chains of diameter ~12)
-      labels = prop
+      // jump can only lower labels
+      val (nextLabels, nextRdd) = truncate(prop
         .join(prop.select(col("doc_id").as("p"), col("label").as("plabel")),
           col("label") === col("p"), "left")
         .select(col("doc_id"),
-          coalesce(col("plabel"), col("label")).as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(labels)
+          coalesce(col("plabel"), col("label")).as("label")))
+      val s = labelSum(nextLabels) // materializes nextRdd
+      curRdd.unpersist(false)
+      labels = nextLabels
+      curRdd = nextRdd
       converged = s == prevSum
       prevSum = s
     }
-    edges.unpersist()
     require(converged, s"label propagation did not converge in $rounds rounds")
-    // singletons (docs in no pair) rejoin with label = self
+    // singletons (docs in no pair) rejoin with label = self. The final
+    // labels RDD stays persisted — the caller's action reads it; blocks
+    // are freed by the session's ContextCleaner when the frame is GC'd
     val allLabels = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
     val sizes = allLabels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))

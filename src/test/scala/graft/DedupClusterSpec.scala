@@ -67,4 +67,23 @@ class DedupClusterSpec extends SparkSpecBase {
         s"cluster $cid: size $size != member count ${expected.count(_._2 == cid)}")
     }
   }
+
+  test("a corpus with no near-dup pairs yields all singleton clusters") {
+    import spark.implicits._
+    // maximally-distinct docs: disjoint vocabularies, no shared shingles,
+    // signatures far apart — the pair graph is empty
+    val docs = (0 until 8).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assume(Dedup.simhashWideNeardupOn(docs).count() == 0,
+      "seed unexpectedly produced a near-dup pair")
+    val clusters = Dedup.dedupClustersOn(docs)
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(clusters.length == 8)
+    clusters.foreach { case (doc, cid, size, canon) =>
+      assert(cid == doc && size == 1L && canon == 1,
+        s"doc $doc: expected singleton, got cluster=$cid size=$size")
+    }
+  }
 }
