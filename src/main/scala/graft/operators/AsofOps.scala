@@ -120,13 +120,73 @@ object AsofOps {
        |FROM ranked WHERE rn = (n + 1) // 2
        |${canonOrderSql(Seq("event_type", "median_value", "n_events"))}""".stripMargin
 
+  /** Quantile family: exact p25/p50/p75/p95 per event type (rank-based,
+    * integer ceil-div targets — bit-identical across engines) plus
+    * `sketch_ok`, asserting Spark's `approx_percentile` t-digest landed
+    * within its rank guarantee. Ties make "the rank of the estimate" an
+    * interval, so the check is two-sided: the estimate's rank interval
+    * [count(< est)+1, count(<= est)] must intersect the target window
+    * rank(q·n) ± (n/accuracy + 1). The oracle claims sketch_ok=1 for
+    * every group, so a sketch regression hash-mismatches instead of
+    * hiding behind a rows-only check (the approx_distinct pattern).
+    */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    val ranked = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val qCols = Seq(25 -> "p25", 50 -> "p50", 75 -> "p75", 95 -> "p95").map {
+      case (p, name) =>
+        max(when(col("rn") ===
+          greatest(lit(1L), expr(s"(n * $p + 99) div 100")), col("value")))
+          .as(name)
+    }
+    val exact = ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), qCols: _*)
+    val ap = e.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap50"))
+    val cnts = e.join(ap, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("at_most"))
+    val target = expr("(n_events * 50 + 99) div 100")
+    val eps = expr("n_events div 1000 + 1")
+    val out = exact.join(cnts, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        col("p25"), col("p50"), col("p75"), col("p95"),
+        when(col("below") + 1 <= target + eps && col("at_most") >= target - eps, 1)
+          .otherwise(0).as("sketch_ok"))
+    canon(out)
+  }
+
+  val approxQuantilesSql: String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value, event_id,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |)
+       |SELECT event_type, max(n) AS n_events,
+       |  max(CASE WHEN rn = greatest(1, (n * 25 + 99) // 100) THEN value END) AS p25,
+       |  max(CASE WHEN rn = greatest(1, (n * 50 + 99) // 100) THEN value END) AS p50,
+       |  max(CASE WHEN rn = greatest(1, (n * 75 + 99) // 100) THEN value END) AS p75,
+       |  max(CASE WHEN rn = greatest(1, (n * 95 + 99) // 100) THEN value END) AS p95,
+       |  1 AS sketch_ok
+       |FROM ranked GROUP BY event_type
+       |${canonOrderSql(Seq("event_type", "n_events", "p25", "p50", "p75", "p95", "sketch_ok"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofJoin,
     "event_pivot" -> eventPivot,
-    "value_median" -> valueMedian)
+    "value_median" -> valueMedian,
+    "approx_quantiles" -> approxQuantiles)
 
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinSql,
     "event_pivot" -> eventPivotSql,
-    "value_median" -> valueMedianSql)
+    "value_median" -> valueMedianSql,
+    "approx_quantiles" -> approxQuantilesSql)
 }
