@@ -105,6 +105,56 @@ object TextOps {
          "s_es", "predicted_lang"))}""".stripMargin
   }
 
+  /** Classifier evaluation against the corpus ground truth: the
+    * confusion matrix of lang_id's predictions vs the labeled `lang`
+    * column, plus per-cell share of the label's row — the quality gate
+    * any classifier-driven filter stage needs before it routes corpus
+    * slices. One aggregation over the scored relation; cardinality is
+    * |langs|² regardless of corpus size.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = langId(spark, sfDir)
+      .select(col("labeled_lang"), col("predicted_lang"))
+    val totals = scored.groupBy(col("labeled_lang"))
+      .agg(count(lit(1)).as("n_labeled"))
+    val cells = scored.groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    // share via exact integer floor-quantization (µ-units) — decimal
+    // division rounding is engine-specific, integer div is not
+    val out = cells.join(totals, Seq("labeled_lang"))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        (expr("(n_docs * 1000000) div n_labeled").cast("double") / 1e6)
+          .as("share"))
+    canon(out)
+  }
+
+  val langConfusionSql: String = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      s"len(list_filter(string_split(lower(text), ' '), x -> list_contains([${sqlList(markers)}], x))) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = langMarkers.map(_._1)
+    val chain = langs.map { lang =>
+      val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang, $scores
+       |  FROM documents
+       |), pred AS (
+       |  SELECT labeled_lang, CASE $chain ELSE 'und' END AS predicted_lang
+       |  FROM scored
+       |), cells AS (
+       |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+       |  FROM pred GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT labeled_lang, count(*) AS n_labeled FROM pred GROUP BY 1
+       |)
+       |SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+       |  CAST((c.n_docs * 1000000) // t.n_labeled AS DOUBLE) / 1e6 AS share
+       |FROM cells c JOIN totals t USING (labeled_lang)
+       |${canonOrderSql(Seq("labeled_lang", "predicted_lang", "n_docs", "share"))}""".stripMargin
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single other symbols).
     */
@@ -472,6 +522,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "lang_id" -> langId,
+    "lang_confusion" -> langConfusion,
     "token_count" -> tokenCount,
     "doc_fingerprint" -> docFingerprint,
     "tfidf_topk" -> tfidfTopk,
@@ -484,6 +535,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
+    "lang_confusion" -> langConfusionSql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql,
     "tfidf_topk" -> tfidfTopkSql,
