@@ -440,17 +440,23 @@ object Dedup {
     // the empty-graph sum is NULL → "0"
     def labelSum(df: DataFrame): String =
       Option(df.agg(sum(col("label").cast("decimal(38,0)")))
-        .head().getDecimal(0)).map(_.toString).getOrElse("0")
+        .head().getDecimal(0)).map(_.toString).getOrElse("empty")
     var prevSum = labelSum(labels)
-    var converged = prevSum == "0" // empty pair graph: all singletons
+    // empty pair graph (NULL sum, not a numeric sentinel — doc_ids may
+    // legitimately sum to zero): all docs are singletons, skip the loop
+    var converged = prevSum == "empty"
     var rounds = 0
     while (!converged && rounds < 50) {
       rounds += 1
-      // neighbor labels flow along edges; min with own label per node
-      val viaEdges = labels.join(edges, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("label"))
-      val prop = labels.unionByName(viaEdges)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      // neighbor labels flow along edges; min with own label per node —
+      // truncated+persisted because the pointer jump below self-joins it
+      // (Catalyst reuses the exchange but re-executes the aggregation
+      // once per consumer otherwise)
+      val (prop, propRdd) = truncate(
+        labels.unionByName(
+          labels.join(edges, col("doc_id") === col("src"))
+            .select(col("dst").as("doc_id"), col("label")))
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
       // pointer jumping: label(v) ← label(label(v)). Every label is
       // itself a paired node, and min-propagation is monotone, so the
       // jump can only lower labels
@@ -459,7 +465,8 @@ object Dedup {
           col("label") === col("p"), "left")
         .select(col("doc_id"),
           coalesce(col("plabel"), col("label")).as("label")))
-      val s = labelSum(nextLabels) // materializes nextRdd
+      val s = labelSum(nextLabels) // materializes propRdd then nextRdd
+      propRdd.unpersist(false)
       curRdd.unpersist(false)
       labels = nextLabels
       curRdd = nextRdd

@@ -85,25 +85,33 @@ object TextOps {
     canon(out)
   }
 
-  val langIdSql: String = {
-    val scores = langMarkers.map { case (lang, markers) =>
-      s"len(list_filter(string_split(lower(text), ' '), x -> list_contains([${sqlList(markers)}], x))) AS s_$lang"
-    }.mkString(",\n  ")
+  /** Shared oracle builders — one definition of the score expressions
+    * and the argmax chain so langIdSql and langConfusionSql cannot
+    * drift (the Spark side already shares code: langConfusion calls
+    * langId).
+    */
+  private val langScoresSql: String = langMarkers.map { case (lang, markers) =>
+    s"len(list_filter(string_split(lower(text), ' '), x -> list_contains([${sqlList(markers)}], x))) AS s_$lang"
+  }.mkString(",\n  ")
+
+  private val langChainSql: String = {
     val langs = langMarkers.map(_._1)
-    val chain = langs.map { lang =>
+    langs.map { lang =>
       val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
       s"WHEN $cond THEN '$lang'"
     }.mkString(" ")
+  }
+
+  val langIdSql: String =
     s"""WITH scored AS (
-       |  SELECT doc_id, lang AS labeled_lang, $scores
+       |  SELECT doc_id, lang AS labeled_lang, $langScoresSql
        |  FROM documents
        |)
        |SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
-       |  CASE $chain ELSE 'und' END AS predicted_lang
+       |  CASE $langChainSql ELSE 'und' END AS predicted_lang
        |FROM scored
        |${canonOrderSql(Seq("doc_id", "labeled_lang", "s_en", "s_de", "s_fr",
          "s_es", "predicted_lang"))}""".stripMargin
-  }
 
   /** Classifier evaluation against the corpus ground truth: the
     * confusion matrix of lang_id's predictions vs the labeled `lang`
@@ -128,20 +136,12 @@ object TextOps {
     canon(out)
   }
 
-  val langConfusionSql: String = {
-    val scores = langMarkers.map { case (lang, markers) =>
-      s"len(list_filter(string_split(lower(text), ' '), x -> list_contains([${sqlList(markers)}], x))) AS s_$lang"
-    }.mkString(",\n  ")
-    val langs = langMarkers.map(_._1)
-    val chain = langs.map { lang =>
-      val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
-      s"WHEN $cond THEN '$lang'"
-    }.mkString(" ")
+  val langConfusionSql: String =
     s"""WITH scored AS (
-       |  SELECT doc_id, lang AS labeled_lang, $scores
+       |  SELECT doc_id, lang AS labeled_lang, $langScoresSql
        |  FROM documents
        |), pred AS (
-       |  SELECT labeled_lang, CASE $chain ELSE 'und' END AS predicted_lang
+       |  SELECT labeled_lang, CASE $langChainSql ELSE 'und' END AS predicted_lang
        |  FROM scored
        |), cells AS (
        |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
@@ -153,7 +153,7 @@ object TextOps {
        |  CAST((c.n_docs * 1000000) // t.n_labeled AS DOUBLE) / 1e6 AS share
        |FROM cells c JOIN totals t USING (labeled_lang)
        |${canonOrderSql(Seq("labeled_lang", "predicted_lang", "n_docs", "share"))}""".stripMargin
-  }
+
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs / digit runs / single other symbols).

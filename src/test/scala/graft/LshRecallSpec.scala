@@ -14,6 +14,28 @@ class LshRecallSpec extends SparkSpecBase {
 
   private def pairKey = (a: Long, b: Long) => (math.min(a, b), math.max(a, b))
 
+  /** Shared seeded corpus for the banded-simhash tests: 40 base docs,
+    * the first 25 duplicated with ONE token mutated (near-identical
+    * token multisets put signatures within a few bits) — both geometries
+    * pin their floors on the SAME distribution, varied only by seed.
+    */
+  private def mutatedCorpus(seed: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 60).map(i => s"tok$i")
+    def sentence(): Array[String] =
+      Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
+    val bases = (0 until 40).map(i => (i.toLong, sentence()))
+    val dups = bases.take(25).map { case (i, toks) =>
+      val copy = toks.clone()
+      copy(7) = vocab(rnd.nextInt(vocab.length))
+      (100L + i, copy)
+    }
+    (bases ++ dups)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
   test("minhash_lsh recall >= 0.8 vs exact ngram-jaccard on seeded near-dups") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
@@ -55,21 +77,7 @@ class LshRecallSpec extends SparkSpecBase {
 
   test("simhash_neardup: banded recall is 1.0 at hamming <= 3 (pigeonhole) and >= 0.6 at <= 6") {
     import spark.implicits._
-    val rnd = new scala.util.Random(11)
-    val vocab = (0 until 60).map(i => s"tok$i")
-    def sentence(): Array[String] =
-      Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
-    // 40 base docs; the first 25 get a near-dup with ONE token mutated —
-    // near-identical token multisets put signatures within a few bits
-    val bases = (0 until 40).map(i => (i.toLong, sentence()))
-    val dups = bases.take(25).map { case (i, toks) =>
-      val copy = toks.clone()
-      copy(7) = vocab(rnd.nextInt(vocab.length))
-      (100L + i, copy)
-    }
-    val docs = (bases ++ dups)
-      .map { case (id, toks) => (id, toks.mkString(" ")) }
-      .toDF("doc_id", "text")
+    val docs = mutatedCorpus(seed = 11)
 
     // exact baseline: all-pairs hamming over the signatures (65 docs)
     val sigs = Dedup.simhashOn(docs)
@@ -106,20 +114,7 @@ class LshRecallSpec extends SparkSpecBase {
 
   test("simhash_neardup_wide: pigeonhole guarantee holds at the production geometry") {
     import spark.implicits._
-    // same seeded corpus style as the 32-bit test, independent seed
-    val rnd = new scala.util.Random(13)
-    val vocab = (0 until 60).map(i => s"tok$i")
-    def sentence(): Array[String] =
-      Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
-    val bases = (0 until 40).map(i => (i.toLong, sentence()))
-    val dups = bases.take(25).map { case (i, toks) =>
-      val copy = toks.clone()
-      copy(7) = vocab(rnd.nextInt(vocab.length))
-      (100L + i, copy)
-    }
-    val docs = (bases ++ dups)
-      .map { case (id, toks) => (id, toks.mkString(" ")) }
-      .toDF("doc_id", "text")
+    val docs = mutatedCorpus(seed = 13)
 
     val sigs = Dedup.simhash60On(docs)
     val a = sigs.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
