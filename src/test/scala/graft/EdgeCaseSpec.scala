@@ -44,6 +44,31 @@ class EdgeCaseSpec extends SparkSpecBase {
       "native simhash diverges from the SQL pipeline on edge inputs")
   }
 
+  test("graft_simhash60 matches the explode+bit-vote SQL pipeline on edge inputs") {
+    import spark.implicits._
+    graft.plans.TextExprs.register(spark)
+    val d = edgeDocs.toDF("doc_id", "text")
+    val native = d.select(col("doc_id"),
+      expr("graft_simhash60(lower(text))").as("simhash"))
+    // the aggregate formulation over the 15-hex-char (60-bit) hash —
+    // pins the native kernel's byte→nibble extraction (bytes 0..6 plus
+    // the HIGH nibble of byte 7) against conv(substr(md5,1,15),16,10)
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h60",
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 60).map(j =>
+      sum(expr(s"(shiftright(h60, $j) & 1) * 2 - 1")).as(s"bit$j"))
+    val sums = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map(j =>
+      when(col(s"bit$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sqlWay = sums.select(col("doc_id"), sig.as("simhash"))
+    assert(native.exceptAll(sqlWay).count() == 0 &&
+      sqlWay.exceptAll(native).count() == 0,
+      "native 60-bit simhash diverges from the SQL pipeline on edge inputs")
+  }
+
   test("graft_minhash matches the explode+groupBy-min SQL pipeline on edge inputs") {
     import spark.implicits._
     graft.plans.TextExprs.register(spark)
