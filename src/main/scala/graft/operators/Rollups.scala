@@ -137,6 +137,57 @@ object Rollups {
        |${canonOrderSql(Seq("region_name", "nation_name", "total_price",
          "n_orders", "g_region", "g_nation"))}""".stripMargin
 
+  /** Explicit GROUPING SETS — the third ANSI grouping-analytics face
+    * beside ROLLUP (`sales_rollup_cube`) and plain GROUP BY: per-region
+    * totals, per-nation totals, and the grand total in ONE pass (no
+    * union of three aggregations, no triple scan), disambiguated by
+    * grouping flags. Spark 4's `Dataset.groupingSets` maps 1:1 to the
+    * DuckDB clause.
+    */
+  def salesGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = load(spark, sfDir, "orders")
+    val c = load(spark, sfDir, "customer")
+    val n = load(spark, sfDir, "nation")
+    val r = load(spark, sfDir, "region")
+    val price = col("o_totalprice").cast("decimal(14,2)")
+    val base = o
+      // customer scales with SF — no forced hint; size stats / AQE decide
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(r("r_name").as("rn"), n("n_name").as("nn"), price.as("p"))
+    val out = base
+      .groupingSets(Seq(Seq(col("rn")), Seq(col("nn")), Seq()),
+        col("rn"), col("nn"))
+      .agg(sum(col("p")).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("rn")).as("g_region"),
+        grouping(col("nn")).as("g_nation"))
+      .select(
+        coalesce(col("rn"), lit("(all)")).as("region_name"),
+        coalesce(col("nn"), lit("(all)")).as("nation_name"),
+        col("total_price"), col("n_orders"),
+        col("g_region").cast("int").as("g_region"),
+        col("g_nation").cast("int").as("g_nation"))
+    canon(out)
+  }
+
+  val salesGroupingSetsSql: String =
+    s"""SELECT
+       |  coalesce(r.r_name, '(all)') AS region_name,
+       |  coalesce(n.n_name, '(all)') AS nation_name,
+       |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+       |  count(*) AS n_orders,
+       |  CAST(GROUPING(r.r_name) AS INT) AS g_region,
+       |  CAST(GROUPING(n.n_name) AS INT) AS g_nation
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY GROUPING SETS ((r.r_name), (n.n_name), ())
+       |${canonOrderSql(Seq("region_name", "nation_name", "total_price",
+         "n_orders", "g_region", "g_nation"))}""".stripMargin
+
   /** Approximate distinct (HLL). The raw sketch estimate is
     * engine-specific, so it is not emitted directly; instead the query
     * emits the exact distinct count (oracle-checkable) plus `hll_ok` — a
@@ -175,6 +226,7 @@ object Rollups {
     "lot_metadata" -> lotMetadata,
     "inventory_rollup" -> inventoryRollup,
     "sales_rollup_cube" -> salesRollupCube,
+    "sales_grouping_sets" -> salesGroupingSets,
     "approx_distinct" -> approxDistinct)
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +234,6 @@ object Rollups {
     "lot_metadata" -> lotMetadataSql,
     "inventory_rollup" -> inventoryRollupSql,
     "sales_rollup_cube" -> salesRollupCubeSql,
+    "sales_grouping_sets" -> salesGroupingSetsSql,
     "approx_distinct" -> approxDistinctSql)
 }
