@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Multimodal.queries ++ operators.Rollups.queries ++
       operators.Sessionize.queries ++ operators.AsofOps.queries ++
       operators.CorpusFilter.queries ++ operators.ScaleOps.queries ++
-      operators.Formats.queries
+      operators.Formats.queries ++ operators.CorpusOps.queries ++
+      operators.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++ operators.Rollups.oracles ++
       operators.Sessionize.oracles ++ operators.AsofOps.oracles ++
       operators.CorpusFilter.oracles ++ operators.ScaleOps.oracles ++
-      operators.Formats.oracles
+      operators.Formats.oracles ++ operators.CorpusOps.oracles ++
+      operators.EventOps.oracles
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+import graft.functions.Fns
+
+/** Corpus-management operators a training-data pipeline runs between
+  * ingest and training: statistical fluency scoring, per-source
+  * sampling caps, and one-pass data profiling.
+  *
+  * All arithmetic that crosses an aggregation is exact-integer
+  * (µ-unit floor quantization) so results hash-match the DuckDB
+  * oracle regardless of summation order — see the probability and
+  * ratio rules shared by centroid_residuals / repetition_stats.
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------------
+  // bigram_lm — CCNet-style statistical fluency scoring
+  // ---------------------------------------------------------------------
+
+  /** Bigram language-model scoring: train conditional bigram
+    * probabilities p(w2|w1) on the corpus itself, then score every
+    * document by its mean (and minimum) bigram probability — the
+    * classic perplexity-style quality gate (CCNet) without the libm
+    * `log`, which is not bit-portable across engines. Probabilities
+    * are exact integers in µ-units: p_micro = (c(w1,w2)*1e6) div
+    * c(w1,·), so sums and means are order-free.
+    *
+    * Scale: the bigram relation is one explode of a token array (no
+    * join to build pairs); the model aggregates to DISTINCT-BIGRAM
+    * cardinality — bounded by vocabulary², not corpus size — and the
+    * scoring join shuffles on (w1,w2) with map-side partial
+    * aggregation on doc_id afterwards. No forced broadcast: the model
+    * scales with type count, so AQE decides (it will broadcast for
+    * any natural-language vocabulary, but nothing breaks if a garbage
+    * corpus explodes the type count).
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val bigrams = Caching.persistOnce(
+      d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          """explode(transform(
+            |  if(size(toks) > 1, sequence(1, size(toks) - 1), array_repeat(1, 0)),
+            |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS bg""".stripMargin))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"),
+        expr("(c2 * 1000000L) div c1").as("p_micro"))
+    val out = bigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_micro) div count(1)").as("avg_p_micro"),
+        min(col("p_micro")).as("min_p_micro"))
+    canon(out)
+  }
+
+  val bigramLmSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, t[i.i - 1] AS w1, t[i.i] AS w2
+       |  FROM toks, unnest(generate_series(2, len(t))) AS i(i)
+       |), model AS (
+       |  SELECT w1, w2,
+       |    CAST((count(*) * 1000000) //
+       |      (sum(count(*)) OVER (PARTITION BY w1)) AS BIGINT) AS p_micro
+       |  FROM bg GROUP BY w1, w2
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(p_micro) // count(*) AS BIGINT) AS avg_p_micro,
+       |  CAST(min(p_micro) AS BIGINT) AS min_p_micro
+       |FROM bg JOIN model USING (w1, w2)
+       |GROUP BY doc_id
+       |${canonOrderSql(Seq("doc_id", "n_bigrams", "avg_p_micro", "min_p_micro"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // stratified_sample — deterministic per-source document caps
+  // ---------------------------------------------------------------------
+
+  /** Per-stratum sampling cap: keep at most K documents per `source`,
+    * chosen by a salted-hash ranking (the mixture_sample discipline:
+    * RNG-free, so the sample is identical at any partitioning and
+    * resumable). The real-pipeline use is per-domain caps before
+    * training so one crawler domain cannot dominate the mixture.
+    *
+    * Scale: one shuffle keyed by source for the per-stratum
+    * row_number. A pathologically hot stratum serializes its own
+    * window; domains at corpus scale are many and the cap output is
+    * K·|strata| — both bounded.
+    */
+  private val stratCap = 10
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val u = expr(
+      "cast(conv(substr(md5(concat('strat:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+    val rk = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id")))
+    val out = d.select(col("doc_id"), col("source"), u.as("u"))
+      .withColumn("rk", rk)
+      .filter(col("rk") <= stratCap)
+      .select(col("doc_id"), col("source"), col("rk"))
+    canon(out)
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+       |               doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, rk FROM ranked WHERE rk <= $stratCap
+       |${canonOrderSql(Seq("doc_id", "source", "rk"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // table_profile — one-pass per-column data profiling
+  // ---------------------------------------------------------------------
+
+  /** Column profiler over lineitem: per column, row count, null count,
+    * exact distinct count, and canonical min/max strings — the
+    * data-quality snapshot a pipeline records before/after each load.
+    *
+    * One aggregation pass emits every metric (Catalyst plans the
+    * multiple DISTINCT aggregates as a single Expand + two-stage agg —
+    * one shuffle whose width is #distinct-columns, not one job per
+    * column), then `stack` pivots the single metrics row to
+    * one-row-per-column. min/max are taken on the TYPED value and
+    * stringified after (string-ordering min would be wrong for
+    * numerics); doubles canonicalize via DECIMAL(18,2), timestamps via
+    * the shared µs format.
+    */
+  private val profileCols: Seq[(String, String)] = Seq(
+    // (column, kind) — kind selects the canonical string conversion
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "num2",
+    "l_extendedprice" -> "num2", "l_discount" -> "num2", "l_tax" -> "num2",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  private def canonStr(kind: String, c: Column): Column = kind match {
+    case "int"  => c.cast("string")
+    case "num2" => c.cast("decimal(18,2)").cast("string")
+    case "str"  => c
+    case "ts"   => Fns.tsStr(c)
+  }
+
+  private def canonStrSql(kind: String, e: String): String = kind match {
+    case "int"  => s"CAST($e AS VARCHAR)"
+    case "num2" => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+    case "str"  => e
+    case "ts"   => s"strftime($e, '%Y-%m-%d %H:%M:%S.%f')"
+  }
+
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    val aggs = count(lit(1)).as("n_rows") +: profileCols.flatMap {
+      case (c, kind) => Seq(
+        count(col(c)).as(s"np_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        canonStr(kind, min(col(c))).as(s"mn_$c"),
+        canonStr(kind, max(col(c))).as(s"mx_$c"))
+    }
+    val metrics = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profileCols.map { case (c, _) =>
+      s"'$c', np_$c, nd_$c, mn_$c, mx_$c"
+    }.mkString(", ")
+    val out = metrics.selectExpr("n_rows",
+      s"stack(${profileCols.size}, $stackArgs) AS (column_name, n_present, n_distinct, min_s, max_s)")
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_present")).as("n_nulls"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+    canon(out)
+  }
+
+  val tableProfileSql: String = profileCols.map { case (c, kind) =>
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  ${canonStrSql(kind, s"min($c)")} AS min_s,
+       |  ${canonStrSql(kind, s"max($c)")} AS max_s
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\n" +
+    canonOrderSql(Seq("column_name", "n_rows", "n_nulls", "n_distinct",
+      "min_s", "max_s")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bigram_lm" -> bigramLm,
+    "stratified_sample" -> stratifiedSample,
+    "table_profile" -> tableProfile)
+
+  val oracles: Map[String, String] = Map(
+    "bigram_lm" -> bigramLmSql,
+    "stratified_sample" -> stratifiedSampleSql,
+    "table_profile" -> tableProfileSql)
+}

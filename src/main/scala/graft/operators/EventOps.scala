@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+
+/** Event-sequence analytics over the events stream: ordered funnel
+  * conversion and type-2 slowly-changing-dimension history. Both are
+  * staples of the warehouse the reference feeds (its sales/audit
+  * queries aggregate event-shaped rows; these are the sequence-aware
+  * faces of the same data).
+  *
+  * Time comparisons happen in epoch MICROseconds on both engines
+  * (Spark `unix_micros` ↔ DuckDB `epoch_us`) — never seconds, never
+  * raw timestamps across the output boundary.
+  */
+object EventOps {
+
+  /** Ordered funnel: view → click → purchase, strictly increasing in
+    * event time per user. Step N's timestamp is the EARLIEST qualifying
+    * event after step N-1's timestamp, so a user who clicked before
+    * ever viewing does not count as converted.
+    *
+    * Scale: three aggregations and two joins, all keyed on user_id —
+    * one shuffle partitioning reused end-to-end (Exchange reuse), with
+    * map-side partial min()s. Output is 3 rows. No window functions,
+    * no per-user state: this is the join formulation that survives a
+    * billion-user event log.
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min(col("tus")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min(col("tus")).as("t3"))
+    val out = v.select(lit("1_view").as("step"), col("user_id"))
+      .union(c.select(lit("2_click").as("step"), col("user_id")))
+      .union(p.select(lit("3_purchase").as("step"), col("user_id")))
+      .groupBy("step").agg(count(lit(1)).as("n_users"))
+    canon(out)
+  }
+
+  val funnelStepsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+       |), v AS (
+       |  SELECT user_id, min(tus) AS t1 FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |), c AS (
+       |  SELECT e.user_id AS user_id, min(tus) AS t2
+       |  FROM e JOIN v ON e.user_id = v.user_id
+       |  WHERE event_type = 'click' AND tus > t1 GROUP BY e.user_id
+       |), p AS (
+       |  SELECT e.user_id AS user_id, min(tus) AS t3
+       |  FROM e JOIN c ON e.user_id = c.user_id
+       |  WHERE event_type = 'purchase' AND tus > t2 GROUP BY e.user_id
+       |)
+       |SELECT step, count(*) AS n_users FROM (
+       |  SELECT '1_view' AS step, user_id FROM v
+       |  UNION ALL SELECT '2_click', user_id FROM c
+       |  UNION ALL SELECT '3_purchase', user_id FROM p
+       |) GROUP BY step
+       |${canonOrderSql(Seq("step", "n_users"))}""".stripMargin
+
+  /** Type-2 slowly-changing-dimension history: treat each user's event
+    * stream as a state log (state = event_type), collapse consecutive
+    * repeats (a no-op change opens no new version), and emit validity
+    * ranges [valid_from, valid_to) with the open current version's
+    * valid_to NULL. This is the history-preserving counterpart of the
+    * type-1 `dim_upsert` (reference: bulk_loader.py's replace-style
+    * dimension load keeps no history; a warehouse consumer needs both).
+    *
+    * Scale: two window functions over the SAME (user_id; tus, event_id)
+    * partitioning/ordering — one shuffle + one sort, the second window
+    * reuses both. The (tus, event_id) ordering key makes equal-time
+    * events deterministic.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val changes = e
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(!(col("prev") <=> col("state")))
+    val out = changes
+      .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+      .select(col("user_id"), col("state"),
+        col("tus").as("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
+    canon(out)
+  }
+
+  val scd2HistorySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type AS state, epoch_us(ts) AS tus, event_id
+       |  FROM events
+       |), changes AS (
+       |  SELECT user_id, state, tus, event_id
+       |  FROM (
+       |    SELECT *, lag(state) OVER (
+       |      PARTITION BY user_id ORDER BY tus, event_id) AS prev
+       |    FROM e)
+       |  WHERE prev IS DISTINCT FROM state
+       |)
+       |SELECT user_id, state, tus AS valid_from_us,
+       |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to_us,
+       |  CASE WHEN lead(tus) OVER (
+       |    PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+       |    THEN 1 ELSE 0 END AS is_current
+       |FROM changes
+       |${canonOrderSql(Seq("user_id", "state", "valid_from_us", "valid_to_us",
+         "is_current"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_steps" -> funnelSteps,
+    "scd2_history" -> scd2History)
+
+  val oracles: Map[String, String] = Map(
+    "funnel_steps" -> funnelStepsSql,
+    "scd2_history" -> scd2HistorySql)
+}

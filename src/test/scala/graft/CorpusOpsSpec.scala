@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends SparkSpecBase {
+
+  test("bigram_lm: probabilities are valid µ-unit conditionals; every multi-token doc scored") {
+    val df = CorpusOps.bigramLm(spark, sf).cache()
+    try {
+      val bad = df.filter(
+        col("min_p_micro") <= 0 || col("min_p_micro") > 1000000L ||
+          col("avg_p_micro") < col("min_p_micro") ||
+          col("avg_p_micro") > 1000000L).count()
+      assert(bad == 0, "a bigram probability escaped (0, 1] in µ-units")
+      val docs = Tables.load(spark, sf, "documents")
+        .filter(size(split(col("text"), " ")) >= 2)
+      assert(df.count() == docs.count(), "a multi-token doc is missing a score")
+      // n_bigrams must equal token count - 1 (the chain length)
+      val wrongN = df.join(
+        docs.select(col("doc_id"),
+          (size(split(col("text"), " ")) - 1).cast("long").as("expect_n")),
+        "doc_id").filter(col("n_bigrams") =!= col("expect_n")).count()
+      assert(wrongN == 0, "bigram count disagrees with token chain length")
+    } finally df.unpersist()
+  }
+
+  test("stratified_sample: per-source cap holds and ranks are a dense 1..n prefix") {
+    val df = CorpusOps.stratifiedSample(spark, sf).cache()
+    try {
+      val perSource = df.groupBy("source")
+        .agg(count(lit(1)).as("n"), max(col("rk")).as("max_rk"),
+          countDistinct(col("rk")).as("nd_rk"))
+      val overCap = perSource.filter(col("n") > 10).count()
+      assert(overCap == 0, "a stratum exceeded its cap")
+      val sparseRk = perSource.filter(
+        col("max_rk") =!= col("n") || col("nd_rk") =!= col("n")).count()
+      assert(sparseRk == 0, "ranks are not a dense 1..n prefix")
+      // cap is min(10, stratum size): no source may be under-sampled
+      val actual = Tables.load(spark, sf, "documents")
+        .groupBy("source").agg(count(lit(1)).as("total"))
+      val underSampled = perSource.join(actual, "source")
+        .filter(col("n") < least(lit(10L), col("total"))).count()
+      assert(underSampled == 0, "a stratum was sampled below min(cap, size)")
+    } finally df.unpersist()
+  }
+
+  test("table_profile: one row per profiled column with coherent counts") {
+    val df = CorpusOps.tableProfile(spark, sf).cache()
+    try {
+      assert(df.count() == 11, "expected one row per lineitem column")
+      val incoherent = df.filter(
+        col("n_nulls") < 0 || col("n_distinct") > col("n_rows") ||
+          (col("n_distinct") === 0 && col("n_nulls") =!= col("n_rows"))).count()
+      assert(incoherent == 0, "profile metrics are incoherent")
+      // string ordering == value ordering only for the non-numeric columns
+      // (a numeric min like 9.00 sorts lexicographically after 10.00)
+      val lexiSafe = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+      val inverted = df.filter(col("column_name").isin(lexiSafe: _*) &&
+        col("min_s") > col("max_s")).count()
+      assert(inverted == 0, "min exceeds max on a lexicographically-safe column")
+      val rows = Tables.load(spark, sf, "lineitem").count()
+      assert(df.filter(col("n_rows") =!= rows).count() == 0)
+    } finally df.unpersist()
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpecBase {
+
+  test("funnel_steps: conversion counts are monotone non-increasing and non-trivial") {
+    val rows = EventOps.funnelSteps(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("1_view", "2_click", "3_purchase"))
+    assert(rows("1_view") >= rows("2_click"), "more clickers than viewers")
+    assert(rows("2_click") >= rows("3_purchase"), "more buyers than clickers")
+    assert(rows("1_view") > 0, "funnel is empty — test data regression")
+  }
+
+  test("scd2_history: one current version per user, chained non-overlapping ranges, no no-op versions") {
+    val df = EventOps.scd2History(spark, sf).cache()
+    try {
+      val perUser = df.groupBy("user_id")
+        .agg(sum(col("is_current")).as("n_current"))
+      assert(perUser.filter(col("n_current") =!= 1).count() == 0,
+        "a user has zero or multiple open versions")
+      val badRange = df.filter(
+        col("valid_to_us").isNotNull &&
+          col("valid_to_us") <= col("valid_from_us")).count()
+      assert(badRange == 0, "a version's validity range is empty or inverted")
+      val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"))
+      val seq = df.select(col("user_id"), col("state"),
+        col("valid_from_us"), col("valid_to_us"))
+        .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("next_state", lead(col("state"), 1).over(w))
+      val gaps = seq.filter(col("next_from").isNotNull &&
+        (col("valid_to_us").isNull ||
+          col("valid_to_us") =!= col("next_from"))).count()
+      assert(gaps == 0, "validity ranges do not chain exactly")
+      val noop = seq.filter(col("next_state").isNotNull &&
+        col("next_state") === col("state")).count()
+      assert(noop == 0, "consecutive versions with identical state survived collapse")
+    } finally df.unpersist()
+  }
+}
