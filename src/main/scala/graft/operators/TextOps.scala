@@ -519,7 +519,49 @@ object TextOps {
        |${canonOrderSql(Seq("doc_id", "source", "u_r"))}""".stripMargin
   }
 
+  /** Unicode NFC canonicalization via the native `graft_nfc` kernel.
+    * The corpus text is ASCII (already NFC), so the query manufactures
+    * the hard cases from the data itself: each document's first token
+    * suffixed with decomposed e+COMBINING ACUTE (U+0301), A+COMBINING
+    * RING (U+030A), and the ANGSTROM SIGN singleton (U+212B) — NFC must
+    * compose the first two and rewrite the third to U+00C5. The oracle
+    * face is DuckDB's `nfc_normalize`; digests match only if the two
+    * NFC implementations agree byte-for-byte. Length drop (2 per
+    * combining pair) is emitted so the composition is visible, not just
+    * hashed. Scale: narrow per-row map, shuffle-free.
+    */
+  def unicodeNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.TextExprs.register(spark)
+    val d = load(spark, sfDir, "documents")
+    val raw = concat(split(col("text"), " ").getItem(0),
+      lit(" cafe\u0301 A\u030a \u212b"))
+    val out = d
+      .withColumn("raw", raw)
+      .withColumn("nfc", call_function("graft_nfc", col("raw")))
+      .select(
+        col("doc_id"),
+        length(col("raw")).as("raw_len"),
+        length(col("nfc")).as("nfc_len"),
+        md5(col("nfc")).as("nfc_digest"))
+    canon(out)
+  }
+
+  val unicodeNormalizeSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    string_split(text, ' ')[1] || ' cafe' || chr(769) || ' A' || chr(778)
+       |      || ' ' || chr(8491) AS raw
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  length(raw) AS raw_len,
+       |  length(nfc_normalize(raw)) AS nfc_len,
+       |  md5(nfc_normalize(raw)) AS nfc_digest
+       |FROM r
+       |${canonOrderSql(Seq("doc_id", "raw_len", "nfc_len", "nfc_digest"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unicode_normalize" -> unicodeNormalize,
     "text_stats" -> textStats,
     "lang_id" -> langId,
     "lang_confusion" -> langConfusion,
@@ -533,6 +575,7 @@ object TextOps {
     "mixture_sample" -> mixtureSample)
 
   val oracles: Map[String, String] = Map(
+    "unicode_normalize" -> unicodeNormalizeSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "lang_confusion" -> langConfusionSql,

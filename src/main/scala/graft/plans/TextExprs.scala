@@ -283,6 +283,45 @@ object ShingleOverlap {
   }
 }
 
+/** Native Unicode NFC normalization — the canonicalization step every
+  * multilingual ingest runs before hashing/dedup (decomposed "é" and
+  * composed "é" must collide, or near-dup families silently miss
+  * cross-source duplicates). Spark has no built-in normalizer;
+  * `java.text.Normalizer` behind the standard static-helper codegen
+  * keeps the row inside WholeStageCodegen. The DuckDB oracle face is
+  * `nfc_normalize` — both implement Unicode NFC, so outputs are
+  * byte-identical.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NfcNormalize.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Skips the (allocating) normalize call for the common case of text
+    * that is already in NFC — `isNormalized` is a cheap scan.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TextExprs {
   /** Register `graft_simhash(str)`, `graft_minhash(str)` and
     * `graft_shingle_overlap(a, b)` in the session registry. Idempotent
@@ -306,6 +345,10 @@ object TextExprs {
       reg.createOrReplaceTempFunction(
         "graft_shingle_overlap",
         exprs => ShingleOverlap(exprs(0), exprs(1)), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_nfc"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
     }
   }
 }

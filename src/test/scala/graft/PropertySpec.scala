@@ -96,6 +96,24 @@ object TextExprProps extends Properties("textExprs") {
       ab == graft.plans.ShingleOverlap.compute(ub, ua) &&
         ab <= math.min(shingleSet(a).size, shingleSet(b).size)
     }
+
+  private def nfc(s: String): String =
+    graft.plans.NfcNormalize.compute(UTF8String.fromString(s)).toString
+
+  property("nfc agrees with java.text.Normalizer on arbitrary strings") =
+    forAll { (s: String) =>
+      nfc(s) == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
+  property("nfc is idempotent") =
+    forAll { (s: String) => nfc(nfc(s)) == nfc(s) }
+
+  property("nfc composes the canonical pairs and singletons") = {
+    nfc("cafe\u0301") == "caf\u00e9" &&
+      nfc("A\u030a") == "\u00c5" &&
+      nfc("\u212b") == "\u00c5" &&
+      nfc("ascii stays put") == "ascii stays put"
+  }
 }
 
 /** Session-split invariants for the streaming sessionizer's pure core. */
