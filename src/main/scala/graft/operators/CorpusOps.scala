@@ -190,13 +190,62 @@ object CorpusOps {
     canonOrderSql(Seq("column_name", "n_rows", "n_nulls", "n_distinct",
       "min_s", "max_s")))
 
+  // ---------------------------------------------------------------------
+  // inverted_index — term → posting-list build
+  // ---------------------------------------------------------------------
+
+  /** Inverted-index build: per lowercased term, document frequency,
+    * total term frequency, and an md5 digest of the SORTED posting list
+    * (the full list stays in the pipeline; the digest keeps the oracle
+    * row narrow while still pinning list content AND order). This is
+    * the indexing half of any corpus search/contamination tool.
+    *
+    * Scale: explode → distinct-per-(term,doc) → groupBy(term) — two
+    * shuffles keyed by term with map-side partials. collect_list order
+    * is nondeterministic at any parallelism, so the digest sorts FIRST
+    * (sort_array) — the classic reduce-side determinism trap, made
+    * explicit here because the oracle would catch anyone removing it.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val terms = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val perDoc = terms.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val out = perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sum(col("tf")).as("term_freq"),
+        md5(array_join(
+          expr("transform(sort_array(collect_list(doc_id)), x -> cast(x as string))"),
+          ",")).as("postings_digest"))
+    canon(out)
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents
+       |), per_doc AS (
+       |  SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY term, doc_id
+       |)
+       |SELECT term, count(*) AS doc_freq,
+       |  CAST(sum(tf) AS BIGINT) AS term_freq,
+       |  md5(array_to_string(
+       |    list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)),
+       |    ',')) AS postings_digest
+       |FROM per_doc
+       |GROUP BY term
+       |${canonOrderSql(Seq("term", "doc_freq", "term_freq", "postings_digest"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bigram_lm" -> bigramLm,
     "stratified_sample" -> stratifiedSample,
-    "table_profile" -> tableProfile)
+    "table_profile" -> tableProfile,
+    "inverted_index" -> invertedIndex)
 
   val oracles: Map[String, String] = Map(
     "bigram_lm" -> bigramLmSql,
     "stratified_sample" -> stratifiedSampleSql,
-    "table_profile" -> tableProfileSql)
+    "table_profile" -> tableProfileSql,
+    "inverted_index" -> invertedIndexSql)
 }

@@ -179,15 +179,64 @@ object ScaleOps {
        |GROUP BY 1
        |${canonOrderSql(Seq("event_type", "n_events", "total_value"))}""".stripMargin
 
+  /** Key-distribution skew profiler — the diagnostic a pipeline runs
+    * BEFORE choosing a salt factor or trusting AQE: per-key row counts
+    * histogrammed into power-of-two buckets (bucket = floor(log2(rows)),
+    * computed as length(bin(c))-1 so both engines do pure integer work —
+    * libm log2 is not bit-portable at bucket boundaries). Output is one
+    * row per occupied bucket: how many keys land there and the hottest
+    * key's share of all rows in µ-units. A healthy key space
+    * concentrates in low buckets; mass in high buckets says "salt this
+    * join".
+    *
+    * Scale: one shuffle keyed by user_id with map-side partial counts,
+    * then a second aggregation over DISTINCT-KEY cardinality rows into
+    * ≤64 buckets. Linear, no collect.
+    */
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val perKey = e.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val total = perKey.agg(sum(col("c")).as("total_rows"))
+    val out = perKey
+      .withColumn("bucket", (length(expr("bin(c)")) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("c")).as("min_rows"),
+        max(col("c")).as("max_rows"),
+        sum(col("c")).as("bucket_rows"))
+      .crossJoin(broadcast(total)) // 1-row stamp
+      .withColumn("bucket_share_micro",
+        expr("(bucket_rows * 1000000L) div total_rows"))
+      .drop("total_rows")
+    canon(out)
+  }
+
+  val skewProfileSql: String =
+    s"""WITH per_key AS (
+       |  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+       |), t AS (SELECT CAST(sum(c) AS BIGINT) AS total_rows FROM per_key)
+       |SELECT CAST(length(bin(c)) - 1 AS INT) AS bucket,
+       |  count(*) AS n_keys,
+       |  min(c) AS min_rows, max(c) AS max_rows,
+       |  CAST(sum(c) AS BIGINT) AS bucket_rows,
+       |  CAST((CAST(sum(c) AS BIGINT) * 1000000) // t.total_rows AS BIGINT)
+       |    AS bucket_share_micro
+       |FROM per_key, t
+       |GROUP BY 1, t.total_rows
+       |${canonOrderSql(Seq("bucket", "n_keys", "min_rows", "max_rows",
+         "bucket_rows", "bucket_share_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> bucketedJoin,
     "salted_join" -> saltedJoin,
     "partition_pruned" -> partitionPruned,
-    "dpp_join" -> dppJoin)
+    "dpp_join" -> dppJoin,
+    "skew_profile" -> skewProfile)
 
   val oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinSql,
     "salted_join" -> saltedJoinSql,
     "partition_pruned" -> partitionPrunedSql,
-    "dpp_join" -> dppJoinSql)
+    "dpp_join" -> dppJoinSql,
+    "skew_profile" -> skewProfileSql)
 }

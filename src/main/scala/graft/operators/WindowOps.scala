@@ -78,11 +78,66 @@ object WindowOps {
        |${canonOrderSql(Seq("user_id", "click_id", "purchase_id",
          "click_ts_str", "purchase_ts_str"))}""".stripMargin
 
+  /** Bounded-frame running aggregates: per user, the trailing-5-event
+    * sum/mean/peak of `value` in event-time order — the rolling feature
+    * every fraud/engagement model derives from an event stream. The
+    * frame is ROWS-bounded (not RANGE), so memory per key is O(frame)
+    * and the window never buffers a whole partition. Sums cross rows in
+    * DECIMAL (exact, order-free); the mean divides once at the end.
+    * (tus, event_id) ordering makes equal-time events deterministic.
+    *
+    * Scale: one shuffle + sort keyed by user_id; all three frames share
+    * the single Window operator.
+    */
+  def rollingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"),
+        col("value").cast("decimal(14,2)").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-4, 0)
+    val out = e
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_5", sum(col("v")).over(w))
+      .withColumn("max_5", max(col("v")).over(w))
+      .select(col("event_id"), col("user_id"), col("tus"),
+        col("sum_5").cast("double").as("sum_5"),
+        (col("sum_5").cast("double") / col("n_win").cast("double")).as("avg_5"),
+        col("max_5").cast("double").as("max_5"),
+        col("n_win"))
+    canon(out)
+  }
+
+  val rollingStatsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+       |    CAST(value AS DECIMAL(14,2)) AS v
+       |  FROM events
+       |), r AS (
+       |  SELECT event_id, user_id, tus,
+       |    count(*) OVER w AS n_win,
+       |    sum(v) OVER w AS sum_5,
+       |    max(v) OVER w AS max_5
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+       |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_id, user_id, tus,
+       |  CAST(sum_5 AS DOUBLE) AS sum_5,
+       |  CAST(sum_5 AS DOUBLE) / CAST(n_win AS DOUBLE) AS avg_5,
+       |  CAST(max_5 AS DOUBLE) AS max_5, n_win
+       |FROM r
+       |${canonOrderSql(Seq("event_id", "user_id", "tus", "sum_5", "avg_5",
+         "max_5", "n_win"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_assign" -> windowAssign,
-    "click_attribution" -> clickAttribution)
+    "click_attribution" -> clickAttribution,
+    "rolling_stats" -> rollingStats)
 
   val oracles: Map[String, String] = Map(
     "window_assign" -> windowAssignSql,
-    "click_attribution" -> clickAttributionSql)
+    "click_attribution" -> clickAttributionSql,
+    "rolling_stats" -> rollingStatsSql)
 }

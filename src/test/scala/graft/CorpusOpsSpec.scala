@@ -46,6 +46,22 @@ class CorpusOpsSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("inverted_index: doc_freq bounds, mass conservation vs token count") {
+    val df = CorpusOps.invertedIndex(spark, sf).cache()
+    try {
+      val nDocs = Tables.load(spark, sf, "documents").count()
+      val bad = df.filter(col("doc_freq") <= 0 || col("doc_freq") > nDocs ||
+        col("term_freq") < col("doc_freq")).count()
+      assert(bad == 0, "doc_freq/term_freq bounds violated")
+      // every token occurrence lands in exactly one posting: term_freq sums
+      // to the corpus token count
+      val totalTf = df.agg(sum(col("term_freq"))).first().getLong(0)
+      val totalToks = Tables.load(spark, sf, "documents")
+        .agg(sum(size(split(lower(col("text")), " ")))).first().getLong(0)
+      assert(totalTf == totalToks, "token occurrences lost or duplicated")
+    } finally df.unpersist()
+  }
+
   test("table_profile: one row per profiled column with coherent counts") {
     val df = CorpusOps.tableProfile(spark, sf).cache()
     try {

@@ -15,6 +15,37 @@ class EventOpsSpec extends SparkSpecBase {
     assert(rows("1_view") > 0, "funnel is empty — test data regression")
   }
 
+  test("rolling_stats: frame never exceeds 5 rows, peak bounds the mean, row count preserved") {
+    val df = graft.operators.WindowOps.rollingStats(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.load(spark, sf, "events").count(),
+        "rolling stats must be row-preserving")
+      val bad = df.filter(col("n_win") < 1 || col("n_win") > 5 ||
+        col("avg_5") > col("max_5") + lit(1e-9)).count()
+      assert(bad == 0, "frame size or mean/peak relation violated")
+    } finally df.unpersist()
+  }
+
+  test("skew_profile: every key in exactly one bucket, shares are sane") {
+    val df = graft.operators.ScaleOps.skewProfile(spark, sf).cache()
+    try {
+      val events = Tables.load(spark, sf, "events")
+      val nKeys = events.select("user_id").distinct().count()
+      val nRows = events.count()
+      val agg = df.agg(sum(col("n_keys")), sum(col("bucket_rows")),
+        sum(col("bucket_share_micro"))).first()
+      assert(agg.getLong(0) == nKeys, "a key is missing from the histogram")
+      assert(agg.getLong(1) == nRows, "row mass lost across buckets")
+      // floor-quantized shares can undershoot 1e6 by at most #buckets
+      assert(agg.getLong(2) <= 1000000L && agg.getLong(2) > 1000000L - 64,
+        "bucket shares do not sum to ~1")
+      val inverted = df.filter(col("min_rows") > col("max_rows") ||
+        expr("min_rows < shiftleft(cast(1 as bigint), bucket)") ||
+        expr("max_rows >= shiftleft(cast(1 as bigint), bucket + 1)")).count()
+      assert(inverted == 0, "a bucket holds a count outside [2^b, 2^(b+1))")
+    } finally df.unpersist()
+  }
+
   test("scd2_history: one current version per user, chained non-overlapping ranges, no no-op versions") {
     val df = EventOps.scd2History(spark, sf).cache()
     try {
