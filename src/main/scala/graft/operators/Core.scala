@@ -268,7 +268,66 @@ object Core {
        |FROM d
        |${canonOrderSql(Seq("custkey", "raw_name", "clean_name"))}""".stripMargin
 
+  /** Source-vs-target reconciliation via FULL OUTER join — the
+    * validation every migration/load pipeline runs: roll lineitem up to
+    * order grain, full-outer-join against orders, and classify every
+    * key as both_equal / both_diff / orders_only / lineitem_only, with
+    * the total absolute drift per class. Comparisons and drift stay in
+    * exact DECIMAL (a double epsilon-compare would classify
+    * nondeterministically); the synthetic totals intentionally disagree,
+    * which is the point — reconciliation reports drift, it does not
+    * assume consistency.
+    *
+    * Scale: one rollup + one full-outer shuffle join on the order key,
+    * then an aggregation to four rows. The full-outer face is the one
+    * join type no other query exercises.
+    */
+  def reconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("li_total"))
+    val o = load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_total"))
+    val joined = o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    val status = when(col("o_orderkey").isNull, "lineitem_only")
+      .when(col("l_orderkey").isNull, "orders_only")
+      .when(col("o_total") === col("li_total"), "both_equal")
+      .otherwise("both_diff")
+    val out = joined.select(status.as("status"),
+        abs(coalesce(col("o_total"), lit(0)).cast("decimal(28,2)") -
+          coalesce(col("li_total"), lit(0)).cast("decimal(28,2)")).as("drift"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("drift")).cast("double").as("total_drift"))
+    canon(out)
+  }
+
+  val reconcileSql: String =
+    s"""WITH li AS (
+       |  SELECT l_orderkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS li_total
+       |  FROM lineitem GROUP BY l_orderkey
+       |), o AS (
+       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_total
+       |  FROM orders
+       |), j AS (
+       |  SELECT o.o_orderkey, li.l_orderkey, o.o_total, li.li_total,
+       |    CASE WHEN o.o_orderkey IS NULL THEN 'lineitem_only'
+       |         WHEN li.l_orderkey IS NULL THEN 'orders_only'
+       |         WHEN o.o_total = li.li_total THEN 'both_equal'
+       |         ELSE 'both_diff' END AS status
+       |  FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+       |)
+       |SELECT status, count(*) AS n_orders,
+       |  CAST(sum(abs(CAST(coalesce(o_total, 0) AS DECIMAL(28,2)) -
+       |                CAST(coalesce(li_total, 0) AS DECIMAL(28,2)))) AS DOUBLE)
+       |    AS total_drift
+       |FROM j GROUP BY status
+       |${canonOrderSql(Seq("status", "n_orders", "total_drift"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reconcile" -> reconcile,
     "suffix_strip" -> suffixStrip,
     "events_filtered" -> eventsFiltered,
     "hierarchy_join" -> hierarchyJoin,
@@ -282,6 +341,7 @@ object Core {
     "latest_event_per_user" -> latestEventPerUser)
 
   val oracles: Map[String, String] = Map(
+    "reconcile" -> reconcileSql,
     "suffix_strip" -> suffixStripSql,
     "events_filtered" -> eventsFilteredSql,
     "hierarchy_join" -> hierarchyJoinSql,
