@@ -146,7 +146,7 @@ object CorpusOps {
 
   private def canonStr(kind: String, c: Column): Column = kind match {
     case "int"  => c.cast("string")
-    case "num2" => c.cast("decimal(18,2)").cast("string")
+    case "num2" => Fns.canonNum(c)
     case "str"  => c
     case "ts"   => Fns.tsStr(c)
   }

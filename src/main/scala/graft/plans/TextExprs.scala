@@ -311,12 +311,19 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
 
   /** Static entry point shared by interpreted eval and generated code.
-    * Skips the (allocating) normalize call for the common case of text
-    * that is already in NFC — `isNormalized` is a cheap scan.
+    * Invalid UTF-8 is substituted (U+FFFD) FIRST so malformed input is
+    * canonicalized consistently — without this, the already-NFC fast
+    * path would return raw invalid bytes while the normalize path
+    * substituted them, and identical logical content could hash
+    * differently depending on unrelated surrounding text. For valid
+    * input, the already-NFC case (the overwhelmingly common one in a
+    * real corpus) skips the allocating normalize — `isNormalized` is a
+    * cheap scan.
     */
   def compute(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    val valid = if (s.isValid) s else s.makeValid()
+    val str = valid.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) valid
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }

@@ -57,7 +57,13 @@ class EventOpsSpec extends SparkSpecBase {
         col("valid_to_us").isNotNull &&
           col("valid_to_us") <= col("valid_from_us")).count()
       assert(badRange == 0, "a version's validity range is empty or inverted")
-      val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"))
+      // tiebreak equal valid_from_us (two state changes in the same µs):
+      // the earlier version's valid_to equals that same instant, so
+      // ordering by (valid_from, valid_to NULLS LAST) reconstructs the
+      // operator's (tus, event_id) order without needing event_id
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_us"),
+          coalesce(col("valid_to_us"), lit(Long.MaxValue)))
       val seq = df.select(col("user_id"), col("state"),
         col("valid_from_us"), col("valid_to_us"))
         .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
