@@ -121,11 +121,89 @@ object EventOps {
        |${canonOrderSql(Seq("user_id", "state", "valid_from_us", "valid_to_us",
          "is_current"))}""".stripMargin
 
+  /** Weighted PageRank over the event-type transition graph: edges are
+    * consecutive-event pairs per user (one window pass), and five
+    * power iterations rank which states user flows concentrate on —
+    * the link-analysis primitive domain-ranking pipelines run, on the
+    * graph this dataset actually contains. All rank arithmetic is
+    * exact-integer µ-units (contribution = (r·w) div outw per edge,
+    * damping = 30000 + (85·Σ) div 100), so the fixpoint is
+    * bit-identical across engines and partitionings — the oracle
+    * unrolls the same five iterations as chained CTEs.
+    *
+    * Scale: the ONE data-sized job is the edge build (a lag window
+    * keyed by user_id + a transition rollup); iterations run on the
+    * |states|² edge relation — bounded by the type domain, not the
+    * corpus — so the loop costs five tiny jobs regardless of input
+    * size. Same iterative discipline as dedup_clusters, but with
+    * bounded state there is nothing to checkpoint.
+    */
+  private val prIters = 5
+
+  def eventPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type").as("dst"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val edges = Caching.persistOnce(e
+      .withColumn("src", lag(col("dst"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .withColumn("outw",
+        sum(col("w")).over(Window.partitionBy(col("src")))))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val r0 = nodes.withColumn("r", lit(200000L))
+    val rFinal = (1 to prIters).foldLeft(r0) { case (r, _) =>
+      val contribs = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(r * w) div outw").as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("contrib"))
+      nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(30000L) + expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .as("r"))
+    }
+    canon(rFinal.select(col("node"), col("r").as("rank_micro")))
+  }
+
+  val eventPagerankSql: String = {
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT n.node AS node,
+         |    CAST(30000 + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum((r.r * e.w) // e.outw) AS contrib
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) c ON n.node = c.node)"""
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS dst, epoch_us(ts) AS tus, event_id,
+       |    lag(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS src
+       |  FROM events
+       |), e0 AS (
+       |  SELECT src, dst, count(*) AS w FROM seq
+       |  WHERE src IS NOT NULL GROUP BY src, dst
+       |), edges AS (
+       |  SELECT src, dst, w,
+       |    sum(w) OVER (PARTITION BY src) AS outw
+       |  FROM e0
+       |), nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), r0 AS (SELECT node, 200000 AS r FROM nodes),
+       |${(1 to prIters).map(iter).mkString(",\n").stripMargin}
+       |SELECT node, r AS rank_micro FROM r$prIters
+       |${canonOrderSql(Seq("node", "rank_micro"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_steps" -> funnelSteps,
-    "scd2_history" -> scd2History)
+    "scd2_history" -> scd2History,
+    "event_pagerank" -> eventPagerank)
 
   val oracles: Map[String, String] = Map(
     "funnel_steps" -> funnelStepsSql,
-    "scd2_history" -> scd2HistorySql)
+    "scd2_history" -> scd2HistorySql,
+    "event_pagerank" -> eventPagerankSql)
 }

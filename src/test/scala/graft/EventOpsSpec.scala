@@ -46,6 +46,19 @@ class EventOpsSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("event_pagerank: one rank per event type, bounded below by the teleport term, mass never exceeds the start total") {
+    val df = graft.operators.EventOps.eventPagerank(spark, sf)
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("view", "click", "purchase", "signup", "error"))
+    assert(rows.values.forall(_ >= 30000L),
+      "a rank fell below the (1-d)/N teleport floor")
+    // floor-division only ever loses mass: the damped total stays under
+    // the initial 5 * 200000 µ-units
+    assert(rows.values.sum <= 1000000L, "rank mass was created from nothing")
+    assert(rows.values.sum > 900000L,
+      "floor losses should stay small on a dense 5-node graph")
+  }
+
   test("scd2_history: one current version per user, chained non-overlapping ranges, no no-op versions") {
     val df = EventOps.scd2History(spark, sf).cache()
     try {
