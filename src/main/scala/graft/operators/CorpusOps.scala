@@ -38,19 +38,32 @@ object CorpusOps {
     * any natural-language vocabulary, but nothing breaks if a garbage
     * corpus explodes the type count).
     */
-  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The per-document bigram relation (with source, for held-out
+    * splits), shared and persisted across the LM queries.
+    */
+  private def bigramRel(spark: SparkSession, sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")
-    val bigrams = Caching.persistOnce(
-      d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), expr(
+    Caching.persistOnce(
+      d.select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), expr(
           """explode(transform(
             |  if(size(toks) > 1, sequence(1, size(toks) - 1), array_repeat(1, 0)),
             |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS bg""".stripMargin))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
-    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .select(col("doc_id"), col("source"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+  }
+
+  /** Conditional-probability model in exact µ-units over a bigram set. */
+  private def lmModel(bigrams: DataFrame): DataFrame =
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .withColumn("c1", sum(col("c2")).over(Window.partitionBy("w1")))
       .select(col("w1"), col("w2"),
         expr("(c2 * 1000000L) div c1").as("p_micro"))
+
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = bigramRel(spark, sfDir)
+    val model = lmModel(bigrams)
     val out = bigrams.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -77,6 +90,59 @@ object CorpusOps {
        |FROM bg JOIN model USING (w1, w2)
        |GROUP BY doc_id
        |${canonOrderSql(Seq("doc_id", "n_bigrams", "avg_p_micro", "min_p_micro"))}""".stripMargin
+
+  /** Held-out LM scoring — the train/test discipline the in-corpus
+    * variant lacks: the model trains on every source EXCEPT src0 and
+    * scores only src0's documents, so a document never contributes to
+    * the probabilities that judge it. Unseen bigrams surface as an
+    * explicit OOV count (left join; the inner-join variant would
+    * silently drop them) and the mean covers scored bigrams only —
+    * NULL when everything is OOV, never a fake zero.
+    *
+    * Same shapes and scale behavior as [[bigramLm]]; the split is a
+    * partition-prunable filter on the shared persisted bigram relation.
+    */
+  def bigramLmHeldout(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = bigramRel(spark, sfDir)
+    val model = lmModel(bigrams.filter(col("source") =!= "src0"))
+    val out = bigrams.filter(col("source") === "src0")
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("p_micro")).as("n_scored"),
+        (count(lit(1)) - count(col("p_micro"))).as("n_oov"),
+        when(count(col("p_micro")) > 0,
+          expr("sum(p_micro) div count(p_micro)")).as("avg_p_micro"),
+        min(col("p_micro")).as("min_p_micro"))
+    canon(out)
+  }
+
+  val bigramLmHeldoutSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, source, t[i.i - 1] AS w1, t[i.i] AS w2
+       |  FROM toks, unnest(generate_series(2, len(t))) AS i(i)
+       |), model AS (
+       |  SELECT w1, w2,
+       |    CAST((count(*) * 1000000) //
+       |      (sum(count(*)) OVER (PARTITION BY w1)) AS BIGINT) AS p_micro
+       |  FROM bg WHERE source <> 'src0' GROUP BY w1, w2
+       |), scored AS (
+       |  SELECT b.doc_id, m.p_micro
+       |  FROM bg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+       |  WHERE b.source = 'src0'
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  count(p_micro) AS n_scored,
+       |  count(*) - count(p_micro) AS n_oov,
+       |  CASE WHEN count(p_micro) > 0
+       |    THEN CAST(sum(p_micro) // count(p_micro) AS BIGINT) END AS avg_p_micro,
+       |  CAST(min(p_micro) AS BIGINT) AS min_p_micro
+       |FROM scored
+       |GROUP BY doc_id
+       |${canonOrderSql(Seq("doc_id", "n_bigrams", "n_scored", "n_oov",
+         "avg_p_micro", "min_p_micro"))}""".stripMargin
 
   // ---------------------------------------------------------------------
   // stratified_sample — deterministic per-source document caps
@@ -239,12 +305,14 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bigram_lm" -> bigramLm,
+    "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
     "table_profile" -> tableProfile,
     "inverted_index" -> invertedIndex)
 
   val oracles: Map[String, String] = Map(
     "bigram_lm" -> bigramLmSql,
+    "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,
     "table_profile" -> tableProfileSql,
     "inverted_index" -> invertedIndexSql)

@@ -25,6 +25,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("bigram_lm_heldout: scores only the held-out source, OOV accounting is exact") {
+    val df = CorpusOps.bigramLmHeldout(spark, sf).cache()
+    try {
+      val heldout = Tables.load(spark, sf, "documents")
+        .filter(col("source") === "src0" &&
+          size(split(col("text"), " ")) >= 2)
+      assert(df.count() == heldout.count(),
+        "held-out scoring must cover exactly src0's multi-token docs")
+      val bad = df.filter(
+        col("n_scored") + col("n_oov") =!= col("n_bigrams") ||
+          (col("n_scored") === 0 && col("avg_p_micro").isNotNull) ||
+          (col("n_scored") > 0 &&
+            (col("avg_p_micro") <= 0 || col("avg_p_micro") > 1000000L))).count()
+      assert(bad == 0, "OOV split or probability bounds violated")
+    } finally df.unpersist()
+  }
+
   test("stratified_sample: per-source cap holds and ranks are a dense 1..n prefix") {
     val df = CorpusOps.stratifiedSample(spark, sf).cache()
     try {
