@@ -21,25 +21,11 @@ object CorpusOps {
   // bigram_lm — CCNet-style statistical fluency scoring
   // ---------------------------------------------------------------------
 
-  /** Bigram language-model scoring: train conditional bigram
-    * probabilities p(w2|w1) on the corpus itself, then score every
-    * document by its mean (and minimum) bigram probability — the
-    * classic perplexity-style quality gate (CCNet) without the libm
-    * `log`, which is not bit-portable across engines. Probabilities
-    * are exact integers in µ-units: p_micro = (c(w1,w2)*1e6) div
-    * c(w1,·), so sums and means are order-free.
-    *
-    * Scale: the bigram relation is one explode of a token array (no
-    * join to build pairs); the model aggregates to DISTINCT-BIGRAM
-    * cardinality — bounded by vocabulary², not corpus size — and the
-    * scoring join shuffles on (w1,w2) with map-side partial
-    * aggregation on doc_id afterwards. No forced broadcast: the model
-    * scales with type count, so AQE decides (it will broadcast for
-    * any natural-language vocabulary, but nothing breaks if a garbage
-    * corpus explodes the type count).
-    */
   /** The per-document bigram relation (with source, for held-out
-    * splits), shared and persisted across the LM queries.
+    * splits): one explode of the token array — no join builds pairs.
+    * Persisted because each LM query consumes it twice (model build +
+    * scoring); the callers clear caches between queries, so the reuse
+    * is intra-query.
     */
   private def bigramRel(spark: SparkSession, sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")
@@ -61,6 +47,22 @@ object CorpusOps {
       .select(col("w1"), col("w2"),
         expr("(c2 * 1000000L) div c1").as("p_micro"))
 
+  /** Bigram language-model scoring: train conditional bigram
+    * probabilities p(w2|w1) on the corpus itself, then score every
+    * document by its mean (and minimum) bigram probability — the
+    * classic perplexity-style quality gate (CCNet) without the libm
+    * `log`, which is not bit-portable across engines. Probabilities
+    * are exact integers in µ-units: p_micro = (c(w1,w2)*1e6) div
+    * c(w1,·), so sums and means are order-free.
+    *
+    * Scale: the model aggregates to DISTINCT-BIGRAM cardinality —
+    * bounded by vocabulary², not corpus size — and the scoring join
+    * shuffles on (w1,w2) with map-side partial aggregation on doc_id
+    * afterwards. No forced broadcast: the model scales with type
+    * count, so AQE decides (it will broadcast for any natural-language
+    * vocabulary, but nothing breaks if a garbage corpus explodes the
+    * type count).
+    */
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     val bigrams = bigramRel(spark, sfDir)
     val model = lmModel(bigrams)
@@ -91,21 +93,27 @@ object CorpusOps {
        |GROUP BY doc_id
        |${canonOrderSql(Seq("doc_id", "n_bigrams", "avg_p_micro", "min_p_micro"))}""".stripMargin
 
+  /** The source held out of LM training (and the only one scored). */
+  private val heldoutSrc = "src0"
+
   /** Held-out LM scoring — the train/test discipline the in-corpus
-    * variant lacks: the model trains on every source EXCEPT src0 and
-    * scores only src0's documents, so a document never contributes to
-    * the probabilities that judge it. Unseen bigrams surface as an
-    * explicit OOV count (left join; the inner-join variant would
-    * silently drop them) and the mean covers scored bigrams only —
-    * NULL when everything is OOV, never a fake zero.
+    * variant lacks: the model trains on every source EXCEPT
+    * [[heldoutSrc]] and scores only its documents, so a document never
+    * contributes to the probabilities that judge it. Unseen bigrams
+    * surface as an explicit OOV count (left join; the inner-join
+    * variant would silently drop them) and the mean covers scored
+    * bigrams only — NULL when everything is OOV, never a fake zero.
+    * (The shared-vocabulary fixtures produce zero OOV rows, so the OOV
+    * path is pinned by CorpusOpsSpec on a constructed corpus with a
+    * genuinely unseen bigram.)
     *
     * Same shapes and scale behavior as [[bigramLm]]; the split is a
-    * partition-prunable filter on the shared persisted bigram relation.
+    * filter over the shared bigram relation.
     */
   def bigramLmHeldout(spark: SparkSession, sfDir: String): DataFrame = {
     val bigrams = bigramRel(spark, sfDir)
-    val model = lmModel(bigrams.filter(col("source") =!= "src0"))
-    val out = bigrams.filter(col("source") === "src0")
+    val model = lmModel(bigrams.filter(col("source") =!= heldoutSrc))
+    val out = bigrams.filter(col("source") === heldoutSrc)
       .join(model, Seq("w1", "w2"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -127,11 +135,11 @@ object CorpusOps {
        |  SELECT w1, w2,
        |    CAST((count(*) * 1000000) //
        |      (sum(count(*)) OVER (PARTITION BY w1)) AS BIGINT) AS p_micro
-       |  FROM bg WHERE source <> 'src0' GROUP BY w1, w2
+       |  FROM bg WHERE source <> '$heldoutSrc' GROUP BY w1, w2
        |), scored AS (
        |  SELECT b.doc_id, m.p_micro
        |  FROM bg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
-       |  WHERE b.source = 'src0'
+       |  WHERE b.source = '$heldoutSrc'
        |)
        |SELECT doc_id, count(*) AS n_bigrams,
        |  count(p_micro) AS n_scored,

@@ -25,6 +25,31 @@ class CorpusOpsSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("bigram_lm_heldout: OOV path on a constructed corpus — unseen bigrams counted, all-OOV doc gets NULL mean") {
+    // the fixture corpus shares one vocabulary, so OOV never fires there;
+    // this corpus has bigrams genuinely absent from training
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    try {
+      Seq(
+        (1L, "a b a c", "train"), // model: p(a,b)=p(a,c)=0.5, p(b,a)=1.0
+        (10L, "a b x", "src0"),   // (a,b) scored at 500000; (b,x) unseen
+        (11L, "q r", "src0"))     // every bigram unseen
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = graft.operators.CorpusOps.bigramLmHeldout(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.get(4)), Option(r.get(5)))).toMap
+      assert(rows(10L) == ((2L, 1L, 1L, Some(500000L), Some(500000L))),
+        "partially-OOV doc must score only the seen bigram")
+      assert(rows(11L) == ((1L, 0L, 1L, None, None)),
+        "all-OOV doc must get NULL mean/min, not a fake zero")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bigram_lm_heldout: scores only the held-out source, OOV accounting is exact") {
     val df = CorpusOps.bigramLmHeldout(spark, sf).cache()
     try {
