@@ -43,6 +43,51 @@ object WindowOps {
        |GROUP BY 1, 2, 3
        |${canonOrderSql(Seq("window_start", "window_end", "event_type", "n_events", "total_value"))}""".stripMargin
 
+  /** Sliding event-time windows: 6-hour windows advancing every 3
+    * hours, so each event lands in exactly two overlapping windows —
+    * the smoothing variant of `window_assign`'s tumbling face (rates
+    * computed on overlapping windows don't jump at bucket edges).
+    * Spark's `window(ts, "6 hours", "3 hours")` generates the
+    * per-event window set natively; the oracle reproduces it as the
+    * union of the two 3h-aligned starts covering each event.
+    *
+    * Scale: the explode is a fixed ×(size/slide) factor (2 here), then
+    * one aggregation keyed by (window, type) — same shuffle shape as
+    * the tumbling face, input × overlap rows instead of input rows.
+    */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val out = e
+      .withColumn("w", window(col("ts"), "6 hours", "3 hours"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(
+        Fns.tsStr(col("w.start")).as("window_start"),
+        Fns.tsStr(col("w.end")).as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+    canon(out)
+  }
+
+  val slidingWindowSql: String =
+    s"""WITH ws AS (
+       |  SELECT event_type, value, time_bucket(INTERVAL 3 HOUR, ts) AS w_start
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, value,
+       |    time_bucket(INTERVAL 3 HOUR, ts) - INTERVAL 3 HOUR AS w_start
+       |  FROM events
+       |)
+       |SELECT
+       |  strftime(w_start, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       |  strftime(w_start + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+       |  event_type, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+       |FROM ws
+       |GROUP BY 1, 2, 3
+       |${canonOrderSql(Seq("window_start", "window_end", "event_type",
+         "n_events", "total_value"))}""".stripMargin
+
   /** Event-time interval join (click→purchase attribution): every
     * purchase within 1 hour AFTER a click by the same user. The batch
     * face of the stream-stream interval join in
@@ -134,10 +179,12 @@ object WindowOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_assign" -> windowAssign,
     "click_attribution" -> clickAttribution,
-    "rolling_stats" -> rollingStats)
+    "rolling_stats" -> rollingStats,
+    "sliding_window" -> slidingWindow)
 
   val oracles: Map[String, String] = Map(
     "window_assign" -> windowAssignSql,
     "click_attribution" -> clickAttributionSql,
-    "rolling_stats" -> rollingStatsSql)
+    "rolling_stats" -> rollingStatsSql,
+    "sliding_window" -> slidingWindowSql)
 }
