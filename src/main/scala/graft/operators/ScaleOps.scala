@@ -226,17 +226,74 @@ object ScaleOps {
        |${canonOrderSql(Seq("bucket", "n_keys", "min_rows", "max_rows",
          "bucket_rows", "bucket_share_micro"))}""".stripMargin
 
+  /** Range-join binning rewrite: classify orders into price bands
+    * (lo ≤ price < hi) WITHOUT the theta join a BETWEEN predicate
+    * naively produces. A theta join plans as BroadcastNestedLoopJoin —
+    * O(rows × bands) comparisons and no shuffle key — which melts at
+    * fact scale even when the band table is tiny. The rewrite computes
+    * each row's covering bin (`floor(price / width)`) and EQUI-joins on
+    * it, keeping the range test only as a residual filter; for uniform
+    * bands bin membership IS band membership, and for non-uniform bands
+    * the same shape works by expanding each band to the bins it covers.
+    * ScaleJoinsSpec asserts the plan contains a hash/merge equi-join
+    * and no nested-loop join; the oracle is the plain BETWEEN
+    * formulation, proving the rewrite is semantics-preserving.
+    *
+    * The division is double IEEE arithmetic — identical bit results in
+    * both engines for the same literal width; the floor lands exactly
+    * on integers at band boundaries because boundary prices are exact
+    * multiples of the width.
+    */
+  private val bandWidth = 50000L
+  private val nBands = 12L
+
+  def rangeBinJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = spark.range(0, nBands).select(
+      col("id").as("band_id"),
+      (col("id") * bandWidth).cast("double").as("lo"),
+      ((col("id") + 1) * bandWidth).cast("double").as("hi"))
+    val o = load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bin",
+        expr(s"cast(floor(o_totalprice / $bandWidth.0D) as bigint)"))
+    val out = o.join(bands, col("bin") === col("band_id"))
+      .filter(col("o_totalprice") >= col("lo") &&
+        col("o_totalprice") < col("hi")) // residual: redundant for uniform bands, kept as the general shape
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("band_total"))
+    canon(out)
+  }
+
+  val rangeBinJoinSql: String =
+    s"""WITH bands AS (
+       |  SELECT i AS band_id,
+       |    CAST(i * $bandWidth AS DOUBLE) AS lo,
+       |    CAST((i + 1) * $bandWidth AS DOUBLE) AS hi
+       |  FROM generate_series(0, ${nBands - 1}) t(i)
+       |)
+       |SELECT b.band_id, b.lo, b.hi, count(*) AS n_orders,
+       |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS band_total
+       |FROM orders o JOIN bands b
+       |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+       |GROUP BY b.band_id, b.lo, b.hi
+       |${canonOrderSql(Seq("band_id", "lo", "hi", "n_orders", "band_total"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> bucketedJoin,
     "salted_join" -> saltedJoin,
     "partition_pruned" -> partitionPruned,
     "dpp_join" -> dppJoin,
-    "skew_profile" -> skewProfile)
+    "skew_profile" -> skewProfile,
+    "range_bin_join" -> rangeBinJoin)
 
   val oracles: Map[String, String] = Map(
     "bucketed_join" -> bucketedJoinSql,
     "salted_join" -> saltedJoinSql,
     "partition_pruned" -> partitionPrunedSql,
     "dpp_join" -> dppJoinSql,
-    "skew_profile" -> skewProfileSql)
+    "skew_profile" -> skewProfileSql,
+    "range_bin_join" -> rangeBinJoinSql)
 }

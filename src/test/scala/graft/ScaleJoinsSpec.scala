@@ -32,6 +32,29 @@ class ScaleJoinsSpec extends SparkSpecBase {
     }
   }
 
+  test("range_bin_join plans as an equi-join, never a nested loop, and matches the theta join") {
+    val df = graft.operators.ScaleOps.rangeBinJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"binning rewrite degraded to a nested-loop theta join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join found in the rewritten plan:\n$plan")
+    // semantics-preserving: identical to the naive BETWEEN formulation
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bands = spark.range(0, 12).select(
+      col("id").as("band_id"),
+      (col("id") * 50000L).cast("double").as("lo"),
+      ((col("id") + 1) * 50000L).cast("double").as("hi"))
+    val theta = o.join(bands,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band_id").agg(count(lit(1)).as("n_orders"))
+    val mismatches = df.select("band_id", "n_orders")
+      .join(theta.withColumnRenamed("n_orders", "n_theta"), "band_id", "full_outer")
+      .filter(!(col("n_orders") <=> col("n_theta"))).count()
+    assert(mismatches == 0, "binning rewrite changed the join result")
+  }
+
   test("salted join returns the exact multiset of the plain join") {
     val e = Tables.load(spark, sf, "events")
       .select("event_id", "user_id", "value")
