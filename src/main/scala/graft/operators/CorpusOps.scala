@@ -265,6 +265,57 @@ object CorpusOps {
       "min_s", "max_s")))
 
   // ---------------------------------------------------------------------
+  // shard_pack — deterministic training-shard assignment
+  // ---------------------------------------------------------------------
+
+  /** Token-budget shard packing: concatenate each source's documents
+    * (in doc_id order) into a token stream and chunk it into
+    * fixed-budget shards — a document lands in the shard containing
+    * its first token (`(cum - n) div budget`). This is the
+    * deterministic, join-free formulation of the packing step that
+    * builds training shards; greedy bin-packing is inherently
+    * sequential, start-offset packing is one cumulative window.
+    *
+    * Scale: the cumulative sum partitions by SOURCE (shards are built
+    * per domain slice), so no global single-partition window exists —
+    * the shuffle keys on source and each partition's window is
+    * independent. Token counts and offsets are exact integers.
+    */
+  private val shardBudget = 500L
+
+  def shardPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val out = d
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - n_tokens) div $shardBudget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("shard_id"))
+    canon(out)
+  }
+
+  val shardPackSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id) AS cum_tokens
+       |  FROM d
+       |)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  CAST((cum_tokens - n_tokens) // $shardBudget AS BIGINT) AS shard_id
+       |FROM c
+       |${canonOrderSql(Seq("doc_id", "source", "n_tokens", "cum_tokens",
+         "shard_id"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
   // inverted_index — term → posting-list build
   // ---------------------------------------------------------------------
 
@@ -316,12 +367,14 @@ object CorpusOps {
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
     "table_profile" -> tableProfile,
-    "inverted_index" -> invertedIndex)
+    "inverted_index" -> invertedIndex,
+    "shard_pack" -> shardPack)
 
   val oracles: Map[String, String] = Map(
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,
     "table_profile" -> tableProfileSql,
-    "inverted_index" -> invertedIndexSql)
+    "inverted_index" -> invertedIndexSql,
+    "shard_pack" -> shardPackSql)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.CorpusOps
 
@@ -100,6 +101,28 @@ class CorpusOpsSpec extends SparkSpecBase {
       val totalToks = Tables.load(spark, sf, "documents")
         .agg(sum(size(split(lower(col("text")), " ")))).first().getLong(0)
       assert(totalTf == totalToks, "token occurrences lost or duplicated")
+    } finally df.unpersist()
+  }
+
+  test("shard_pack: shards respect the start-offset rule and cover every doc exactly once") {
+    val df = CorpusOps.shardPack(spark, sf).cache()
+    try {
+      assert(df.count() ==
+        Tables.load(spark, sf, "documents").count(),
+        "packing must cover every document exactly once")
+      val bad = df.filter(
+        col("shard_id") =!= expr("(cum_tokens - n_tokens) div 500") ||
+          col("shard_id") < 0).count()
+      assert(bad == 0, "start-offset rule violated")
+      // within a source, shard ids are non-decreasing in doc order and
+      // the cumulative stream has no gaps
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val broken = df
+        .withColumn("prev_cum", lag(col("cum_tokens"), 1, 0L).over(w))
+        .withColumn("prev_shard", lag(col("shard_id"), 1, 0L).over(w))
+        .filter(col("cum_tokens") =!= col("prev_cum") + col("n_tokens") ||
+          col("shard_id") < col("prev_shard")).count()
+      assert(broken == 0, "cumulative stream has gaps or shard ids regress")
     } finally df.unpersist()
   }
 
