@@ -22,11 +22,16 @@ object EventOps {
     * event after step N-1's timestamp, so a user who clicked before
     * ever viewing does not count as converted.
     *
-    * Scale: three aggregations and two joins, all keyed on user_id —
-    * one shuffle partitioning reused end-to-end (Exchange reuse), with
-    * map-side partial min()s. Output is 3 rows. No window functions,
-    * no per-user state: this is the join formulation that survives a
-    * billion-user event log.
+    * Scale (measured in the executed plan): each step reads its OWN
+    * pruned scan — the event_type filter is pushed to parquet, so a
+    * step never scans the other types' rows — and shuffles once on
+    * user_id with map-side partial min()s; the view-step aggregate's
+    * exchange is reused by both downstream consumers, and the tiny
+    * per-step min-relations join via AQE-chosen broadcast locally
+    * (co-partitioned SMJ at scale, where every side is already keyed
+    * on user_id). Output is 3 rows. No window functions, no per-user
+    * state: this is the join formulation that survives a billion-user
+    * event log.
     */
   def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
     val e = load(spark, sfDir, "events")
