@@ -281,7 +281,7 @@ object CorpusOps {
     * the shuffle keys on source and each partition's window is
     * independent. Token counts and offsets are exact integers.
     */
-  private val shardBudget = 500L
+  private[graft] val shardBudget = 500L
 
   def shardPack(spark: SparkSession, sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")

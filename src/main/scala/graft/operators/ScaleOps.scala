@@ -244,14 +244,20 @@ object ScaleOps {
     * on integers at band boundaries because boundary prices are exact
     * multiples of the width.
     */
-  private val bandWidth = 50000L
-  private val nBands = 12L
+  private[graft] val bandWidth = 50000L
+  private[graft] val nBands = 12L
 
-  def rangeBinJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = spark.range(0, nBands).select(
+  /** The uniform price-band table; shared with the spec so the band
+    * geometry has exactly one definition.
+    */
+  private[graft] def priceBands(spark: SparkSession): DataFrame =
+    spark.range(0, nBands).select(
       col("id").as("band_id"),
       (col("id") * bandWidth).cast("double").as("lo"),
       ((col("id") + 1) * bandWidth).cast("double").as("hi"))
+
+  def rangeBinJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = priceBands(spark)
     val o = load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
       .withColumn("bin",

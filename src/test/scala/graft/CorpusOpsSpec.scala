@@ -110,8 +110,17 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(df.count() ==
         Tables.load(spark, sf, "documents").count(),
         "packing must cover every document exactly once")
+      // recompute token counts from the SOURCE text (not the query's own
+      // output) so a tokenizer or window-ordering bug can't self-certify
+      val expected = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("src_tokens"))
+      val wrongTokens = df.join(expected, "doc_id")
+        .filter(col("n_tokens") =!= col("src_tokens")).count()
+      assert(wrongTokens == 0, "token counts disagree with the source text")
       val bad = df.filter(
-        col("shard_id") =!= expr("(cum_tokens - n_tokens) div 500") ||
+        col("shard_id") =!= expr(
+          s"(cum_tokens - n_tokens) div ${CorpusOps.shardBudget}") ||
           col("shard_id") < 0).count()
       assert(bad == 0, "start-offset rule violated")
       // within a source, shard ids are non-decreasing in doc order and

@@ -40,12 +40,10 @@ class ScaleJoinsSpec extends SparkSpecBase {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"no equi-join found in the rewritten plan:\n$plan")
     // semantics-preserving: identical to the naive BETWEEN formulation
+    // (same band builder as the operator — one definition of the geometry)
     val o = Tables.load(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-    val bands = spark.range(0, 12).select(
-      col("id").as("band_id"),
-      (col("id") * 50000L).cast("double").as("lo"),
-      ((col("id") + 1) * 50000L).cast("double").as("hi"))
+    val bands = graft.operators.ScaleOps.priceBands(spark)
     val theta = o.join(bands,
         col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
       .groupBy("band_id").agg(count(lit(1)).as("n_orders"))
