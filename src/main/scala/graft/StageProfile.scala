@@ -3,18 +3,36 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: per-stage wall time for one query. */
+/** Dev tool: per-stage wall time for one query.
+  *
+  * `SPARK_GRAFT_BENCH_LAYOUT=1` profiles against the same
+  * multi-row-group BenchData copies (and the bench's SF-sized scan
+  * splits) that graft.Bench times, so stage timings explain the bench
+  * numbers instead of the single-row-group driver parquet's serial
+  * scans.
+  */
 object StageProfile {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val name = if (args.length > 1) args(1) else "minhash_lsh"
-    val spark = SparkSession.builder()
+    val benchLayout = sys.env.get("SPARK_GRAFT_BENCH_LAYOUT").contains("1")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (benchLayout) {
+      builder.config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "256k")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sfDir =
+      if (benchLayout) {
+        val d = operators.BenchData.realisticCopy(spark, srcDir)
+        System.err.println(s"[profile] bench layout at $d")
+        d
+      } else srcDir
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val info = s.stageInfo
