@@ -265,6 +265,72 @@ object CorpusOps {
       "min_s", "max_s")))
 
   // ---------------------------------------------------------------------
+  // length_outliers — IQR-fence outlier flagging on exact quantiles
+  // ---------------------------------------------------------------------
+
+  /** Tukey-fence outlier flagging: per language, documents whose length
+    * falls outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the standard
+    * distribution-aware cleaning gate (a fixed length threshold is
+    * wrong for every language at once). Quantiles are EXACT rank
+    * statistics (the approx_quantiles discipline: ceil-div rank
+    * targets, integer arithmetic end to end — 1.5·IQR becomes
+    * (3·IQR) div 2), so the fences and flags are bit-identical across
+    * engines.
+    *
+    * Scale: the rank window partitions by lang — the documented exact
+    * baseline (per-group serialization); at 100 TB swap the rank
+    * statistic for approx_percentile per group, fences unchanged. The
+    * per-lang fence relation is domain-bounded, so the enrich join
+    * broadcasts.
+    */
+  def lengthOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    val ranked = d
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+    val fences = ranked.groupBy(col("lang"))
+      .agg(
+        min(when(col("rk") === expr("(cnt * 25 + 99) div 100"),
+          col("n_chars"))).as("q1"),
+        min(when(col("rk") === expr("(cnt * 75 + 99) div 100"),
+          col("n_chars"))).as("q3"))
+      .select(col("lang"),
+        expr("q1 - (3 * (q3 - q1)) div 2").as("lo"),
+        expr("q3 + (3 * (q3 - q1)) div 2").as("hi"))
+    val out = d.join(broadcast(fences), Seq("lang")) // lang domain is bounded
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("lo"), col("hi"),
+        when(col("n_chars") < col("lo") || col("n_chars") > col("hi"), 1)
+          .otherwise(0).as("is_outlier"))
+    canon(out)
+  }
+
+  val lengthOutliersSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents
+       |), fences AS (
+       |  SELECT lang,
+       |    min(CASE WHEN rk = (cnt * 25 + 99) // 100 THEN n_chars END) AS q1,
+       |    min(CASE WHEN rk = (cnt * 75 + 99) // 100 THEN n_chars END) AS q3
+       |  FROM ranked GROUP BY lang
+       |), f AS (
+       |  SELECT lang, q1 - (3 * (q3 - q1)) // 2 AS lo,
+       |    q3 + (3 * (q3 - q1)) // 2 AS hi
+       |  FROM fences
+       |)
+       |SELECT d.doc_id, lang, d.n_chars, f.lo, f.hi,
+       |  CASE WHEN d.n_chars < f.lo OR d.n_chars > f.hi THEN 1 ELSE 0 END
+       |    AS is_outlier
+       |FROM documents d JOIN f USING (lang)
+       |${canonOrderSql(Seq("doc_id", "lang", "n_chars", "lo", "hi",
+         "is_outlier"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
   // shard_pack — deterministic training-shard assignment
   // ---------------------------------------------------------------------
 
@@ -368,7 +434,8 @@ object CorpusOps {
     "stratified_sample" -> stratifiedSample,
     "table_profile" -> tableProfile,
     "inverted_index" -> invertedIndex,
-    "shard_pack" -> shardPack)
+    "shard_pack" -> shardPack,
+    "length_outliers" -> lengthOutliers)
 
   val oracles: Map[String, String] = Map(
     "bigram_lm" -> bigramLmSql,
@@ -376,5 +443,6 @@ object CorpusOps {
     "stratified_sample" -> stratifiedSampleSql,
     "table_profile" -> tableProfileSql,
     "inverted_index" -> invertedIndexSql,
-    "shard_pack" -> shardPackSql)
+    "shard_pack" -> shardPackSql,
+    "length_outliers" -> lengthOutliersSql)
 }

@@ -135,6 +135,25 @@ class CorpusOpsSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("length_outliers: full coverage, coherent fences, flag matches the bounds") {
+    val df = CorpusOps.lengthOutliers(spark, sf).cache()
+    try {
+      assert(df.count() == Tables.load(spark, sf, "documents").count(),
+        "every document must be classified")
+      val bad = df.filter(col("lo") > col("hi") ||
+        col("is_outlier") =!= when(
+          col("n_chars") < col("lo") || col("n_chars") > col("hi"), 1)
+          .otherwise(0)).count()
+      assert(bad == 0, "fences inverted or flag inconsistent with bounds")
+      // Tukey fences at 1.5 IQR must keep the bulk of any distribution:
+      // the interquartile half is inside the fences by construction
+      val perLang = df.groupBy("lang").agg(
+        (sum(col("is_outlier")).cast("double") / count(lit(1))).as("frac"))
+      assert(perLang.filter(col("frac") > 0.5).count() == 0,
+        "a language flagged most of its docs — fences are broken")
+    } finally df.unpersist()
+  }
+
   test("table_profile: one row per profiled column with coherent counts") {
     val df = CorpusOps.tableProfile(spark, sf).cache()
     try {
