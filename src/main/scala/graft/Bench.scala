@@ -16,19 +16,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // size scan splits to the SF (the brief's maxPartitionBytes rule):
-      // the default 128 MB split is right at 100 TB but folds the whole
-      // ~10 MB test fact into one task; with the multi-row-group copies
-      // below this gives real parallel scans + AQE partition statistics
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "256k")
-      .getOrCreate()
+    // size scan splits to the SF (the brief's maxPartitionBytes rule):
+    // the default 128 MB split is right at 100 TB but folds the whole
+    // ~10 MB test fact into one task; with the multi-row-group copies
+    // below this gives real parallel scans + AQE partition statistics
+    operators.BenchData.scanSplitConf.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.VectorExprs.register(spark)
     // multi-row-group copies of the fact tables (dims symlinked) so the

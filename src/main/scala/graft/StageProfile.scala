@@ -22,8 +22,9 @@ object StageProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (benchLayout) {
-      builder.config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "256k")
+      operators.BenchData.scanSplitConf.foreach { case (k, v) =>
+        builder.config(k, v)
+      }
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,16 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchData {
 
+  /** Scan-split sizing paired with the multi-file copies (the brief's
+    * maxPartitionBytes rule, SF-sized): ONE definition consumed by both
+    * Bench and StageProfile's bench-layout mode, so the profiler can
+    * never silently profile a different scan shape than the bench
+    * times.
+    */
+  val scanSplitConf: Seq[(String, String)] = Seq(
+    "spark.sql.files.maxPartitionBytes" -> "4m",
+    "spark.sql.files.openCostInBytes" -> "256k")
+
   /** Every SF-scaled table — TPC-H facts AND the text/vector corpora
     * (documents/embeddings feed the top-cost dedup/ANN queries; leaving
     * them single-file would keep exactly the serial-scan artifact this

@@ -55,13 +55,21 @@ object WindowOps {
     * one aggregation keyed by (window, type) — same shuffle shape as
     * the tumbling face, input × overlap rows instead of input rows.
     */
-  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = load(spark, sfDir, "events")
-    val out = e
-      .withColumn("w", window(col("ts"), "6 hours", "3 hours"))
-      .groupBy(col("w"), col("event_type"))
+  /** The sliding aggregation shared by the batch query, the streaming
+    * face (streaming.SlidingWindowStream), and the spec's batch twin —
+    * one definition so "stream agrees with batch" can never pin a
+    * stale copy. Output keeps the raw window struct as `w`.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+        sum(col("value").cast("decimal(14,2)")).cast("double")
+          .as("total_value"))
+
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = slidingCounts(load(spark, sfDir, "events"))
       .select(
         Fns.tsStr(col("w.start")).as("window_start"),
         Fns.tsStr(col("w.end")).as("window_end"),

@@ -21,13 +21,10 @@ object SlidingWindowStream {
       .schema(IncrementalPipeline.eventSchema)
       .parquet(sourceDir)
       .withWatermark("ts", "6 hours")
-    val agg = src
-      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(14,2)")).cast("double")
-          .as("total_value"))
-      .select(col("window.start").as("w_start"),
-        col("window.end").as("w_end"),
+    // the aggregation is the batch face's, verbatim — one definition
+    val agg = graft.operators.WindowOps.slidingCounts(src)
+      .select(col("w.start").as("w_start"),
+        col("w.end").as("w_end"),
         col("event_type"), col("n_events"), col("total_value"))
     agg.writeStream
       .outputMode("append")

@@ -135,6 +135,28 @@ class CorpusOpsSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("length_outliers: a genuinely extreme doc IS flagged (constructed corpus)") {
+    // the fixture corpora contain zero outliers at every SF, so without
+    // this corpus the outlier branch would be pinned by nothing (same
+    // precedent as the held-out LM's OOV corpus)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-outlier").toString
+    try {
+      val docs = ((1L to 10L).map(i => (i, "xx", 100L)) :+
+        ((11L, "xx", 90L)) :+ ((12L, "xx", 10000L)))
+        .toDF("doc_id", "lang", "n_chars")
+      docs.write.parquet(s"$dir/documents.parquet")
+      // n=12 → q1 = rank 3 = 100, q3 = rank 9 = 100 → IQR 0, fences [100,100]
+      val rows = graft.operators.CorpusOps.lengthOutliers(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
+      assert(rows(12L) == 1, "the 10000-char doc must be flagged")
+      assert(rows(11L) == 1, "the below-fence doc must be flagged")
+      assert(rows(1L) == 0, "a bulk doc must not be flagged")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("length_outliers: full coverage, coherent fences, flag matches the bounds") {
     val df = CorpusOps.lengthOutliers(spark, sf).cache()
     try {

@@ -46,15 +46,12 @@ class SlidingStreamSpec extends SparkSpecBase {
       .filter(col("count") > 1).count() == 0,
       "a window was emitted more than once")
 
-    // batch twin over the same files
+    // batch twin over the same files, through the SHARED aggregation —
+    // the agreement pin compares streaming machinery, not a copy
     val all = spark.read.parquet(src)
-    val batch = all
-      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(14,2)")).cast("double")
-          .as("total_value"))
-      .select(col("window.start").as("w_start"),
-        col("window.end").as("w_end"),
+    val batch = graft.operators.WindowOps.slidingCounts(all)
+      .select(col("w.start").as("w_start"),
+        col("w.end").as("w_end"),
         col("event_type"), col("n_events"), col("total_value"))
     val cols = batch.columns.map(col).toSeq
 
