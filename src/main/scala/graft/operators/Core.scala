@@ -326,7 +326,96 @@ object Core {
        |FROM j GROUP BY status
        |${canonOrderSql(Seq("status", "n_orders", "total_drift"))}""".stripMargin
 
+  /** INTERSECT / EXCEPT set algebra (the §2.6 faces beyond U1's union)
+    * on a COMPOSITE key: user-days with a click vs user-days with a
+    * purchase — days where a user clicked AND bought, and days where
+    * they clicked but did not. (User grain alone is vacuous at any
+    * realistic density — every user eventually does everything; the
+    * day-sliced question is the one funnels actually ask.) Spark's
+    * `intersect`/`except` are DISTINCT set semantics — planned as
+    * aggregate + semi/anti join, one shuffle per leg over pre-pruned
+    * single-type scans (the event_type filters push to parquet).
+    */
+  def setCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    def userDays(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val clicks = userDays("click")
+    val buys   = userDays("purchase")
+    val out = clicks.intersect(buys)
+      .withColumn("relation", lit("click_and_purchase"))
+      .unionByName(clicks.except(buys)
+        .withColumn("relation", lit("click_only")))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("relation"))
+    canon(out)
+  }
+
+  val setCompareSql: String =
+    s"""WITH c AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+       |      FROM events WHERE event_type = 'purchase'),
+       |both_rel AS (
+       |  SELECT user_id, day, 'click_and_purchase' AS relation
+       |  FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+       |), only_rel AS (
+       |  SELECT user_id, day, 'click_only' AS relation
+       |  FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+       |)
+       |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, relation
+       |  FROM both_rel
+       |UNION ALL
+       |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, relation
+       |  FROM only_rel
+       |${canonOrderSql(Seq("user_id", "day", "relation"))}""".stripMargin
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two
+    * per-bucket aggregates joined on a NULLABLE bucket key — the
+    * unknown-segment rows (key = NULL) must pair up, which a plain
+    * equi-join silently drops (NULL = NULL is not true). The nullable
+    * key is derived deterministically (user_id ≡ 0 mod 10 → NULL) so
+    * both engines build identical buckets.
+    *
+    * Scale: same shape as any agg-agg join — two pushed-down scans,
+    * per-bucket partials, one bounded-cardinality join. Spark plans
+    * `<=>` as a hash join key (null-safe equality is hashable), NOT a
+    * nested loop, so the shape survives scale like any equi-join.
+    */
+  def nullsafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val bucket = when(col("user_id") % 10 === 0, lit(null))
+      .otherwise(col("user_id") % 10)
+    def leg(t: String, out: String) = e
+      .filter(col("event_type") === t)
+      .select(bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val c = leg("click", "n_click")
+    val p = leg("purchase", "n_buy").withColumnRenamed("bucket", "pb")
+    val out = c.join(p, col("bucket") <=> col("pb"))
+      .select(col("bucket"), col("n_click"), col("n_buy"))
+    canon(out)
+  }
+
+  val nullsafeJoinSql: String =
+    s"""WITH c AS (
+       |  SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+       |              ELSE user_id % 10 END AS bucket,
+       |    count(*) AS n_click
+       |  FROM events WHERE event_type = 'click' GROUP BY 1
+       |), p AS (
+       |  SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+       |              ELSE user_id % 10 END AS pb,
+       |    count(*) AS n_buy
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+       |)
+       |SELECT c.bucket, c.n_click, p.n_buy
+       |FROM c JOIN p ON c.bucket IS NOT DISTINCT FROM p.pb
+       |${canonOrderSql(Seq("bucket", "n_click", "n_buy"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_compare" -> setCompare,
+    "nullsafe_join" -> nullsafeJoin,
     "reconcile" -> reconcile,
     "suffix_strip" -> suffixStrip,
     "events_filtered" -> eventsFiltered,
@@ -341,6 +430,8 @@ object Core {
     "latest_event_per_user" -> latestEventPerUser)
 
   val oracles: Map[String, String] = Map(
+    "set_compare" -> setCompareSql,
+    "nullsafe_join" -> nullsafeJoinSql,
     "reconcile" -> reconcileSql,
     "suffix_strip" -> suffixStripSql,
     "events_filtered" -> eventsFilteredSql,

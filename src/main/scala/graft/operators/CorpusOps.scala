@@ -153,6 +153,65 @@ object CorpusOps {
          "avg_p_micro", "min_p_micro"))}""".stripMargin
 
   // ---------------------------------------------------------------------
+  // pmi_cooccur — pointwise mutual information word association
+  // ---------------------------------------------------------------------
+
+  /** Associations below this pair frequency are noise — dropped. */
+  private val pmiMinSupport = 5L
+
+  /** PMI word-association mining over adjacent pairs: for each bigram
+    * with support ≥ [[pmiMinSupport]], the pointwise mutual information
+    * ratio p(w1,w2)/(p(w1)·p(w2)) — equivalently c12·N/(c1·c2) — in
+    * exact µ-units (single integer division at the end, so no libm log
+    * and no float summation anywhere). >1e6 means the pair co-occurs
+    * more than independence predicts — the collocation detector behind
+    * phrase-vocabulary induction.
+    *
+    * Scale: everything downstream of the one bigram groupBy runs at
+    * DISTINCT-BIGRAM cardinality (vocab²-bounded, like the LM model
+    * build); the marginals are windows over that bounded relation
+    * keyed by w1/w2, and N attaches as a 1-row broadcast stamp. The
+    * BIGINT product c12·N·1e6 is overflow-safe to ~10¹² bigrams; past
+    * that, swap the numerator to DECIMAL(38,0) — noted here because
+    * Spark longs wrap silently while DuckDB raises, so the overflow
+    * would not even fail loudly on the Spark side.
+    */
+  def pmiCooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = bigramRel(spark, sfDir)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tot = pairs.agg(sum(col("c12")).as("n_total"))
+    val out = pairs
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy("w2")))
+      .crossJoin(broadcast(tot))
+      .filter(col("c12") >= pmiMinSupport)
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(c12 * n_total * 1000000L) div (c1 * c2)").as("pmi_micro"))
+    canon(out)
+  }
+
+  val pmiCooccurSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, t[i.i - 1] AS w1, t[i.i] AS w2
+       |  FROM toks, unnest(generate_series(2, len(t))) AS i(i)
+       |), p AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+       |), t AS (
+       |  SELECT sum(c12) AS n_total FROM p
+       |), m AS (
+       |  SELECT w1, w2, c12,
+       |    sum(c12) OVER (PARTITION BY w1) AS c1,
+       |    sum(c12) OVER (PARTITION BY w2) AS c2
+       |  FROM p
+       |)
+       |SELECT w1, w2, c12,
+       |  CAST((c12 * n_total * 1000000) // (c1 * c2) AS BIGINT) AS pmi_micro
+       |FROM m, t WHERE c12 >= $pmiMinSupport
+       |${canonOrderSql(Seq("w1", "w2", "c12", "pmi_micro"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
   // stratified_sample — deterministic per-source document caps
   // ---------------------------------------------------------------------
 
@@ -435,7 +494,8 @@ object CorpusOps {
     "table_profile" -> tableProfile,
     "inverted_index" -> invertedIndex,
     "shard_pack" -> shardPack,
-    "length_outliers" -> lengthOutliers)
+    "length_outliers" -> lengthOutliers,
+    "pmi_cooccur" -> pmiCooccur)
 
   val oracles: Map[String, String] = Map(
     "bigram_lm" -> bigramLmSql,
@@ -444,5 +504,6 @@ object CorpusOps {
     "table_profile" -> tableProfileSql,
     "inverted_index" -> invertedIndexSql,
     "shard_pack" -> shardPackSql,
-    "length_outliers" -> lengthOutliersSql)
+    "length_outliers" -> lengthOutliersSql,
+    "pmi_cooccur" -> pmiCooccurSql)
 }

@@ -183,12 +183,17 @@ object Dedup {
     canon(out)
   }
 
-  val minhashLshSql: String = {
+  /** The minhash-LSH pair pipeline as a reusable CTE chain ending in
+    * `mh_pairs(a_id, b_id, n_shared_bands, jaccard)` — single SQL source
+    * of truth for [[minhashLshOn]], consumed by minhash_lsh itself and
+    * by TrainOps.splitLeakCheck.
+    */
+  private[operators] val minhashPairsCte: String = {
     val sigSelect = (0 until 8).map { k =>
       val src = if (k < 4) "md5(shingle)" else "md5('x:' || shingle)"
       s"min(substr($src, ${(k % 4) * 8 + 1}, 8)) AS s$k"
     }.mkString(", ")
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
        |sigs AS (SELECT doc_id, $sigSelect, count(*) AS n_sh FROM sh GROUP BY 1),
        |banded AS (
        |  SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS bucket FROM sigs
@@ -207,16 +212,21 @@ object Dedup {
        |  FROM cand c
        |  JOIN sh a ON c.a_id = a.doc_id
        |  JOIN sh b ON c.b_id = b.doc_id AND a.shingle = b.shingle
-       |  GROUP BY 1, 2)
-       |SELECT c.a_id, c.b_id, c.n_shared_bands,
-       |  CAST(coalesce(s.shared, 0) AS DOUBLE)
-       |    / CAST(ca.n_sh + cb.n_sh - coalesce(s.shared, 0) AS DOUBLE) AS jaccard
-       |FROM cand c
-       |LEFT JOIN shr s ON c.a_id = s.sa AND c.b_id = s.sb
-       |JOIN cnt ca ON c.a_id = ca.doc_id
-       |JOIN cnt cb ON c.b_id = cb.doc_id
-       |${canonOrderSql(Seq("a_id", "b_id", "n_shared_bands", "jaccard"))}""".stripMargin
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT c.a_id, c.b_id, c.n_shared_bands,
+       |    CAST(coalesce(s.shared, 0) AS DOUBLE)
+       |      / CAST(ca.n_sh + cb.n_sh - coalesce(s.shared, 0) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN shr s ON c.a_id = s.sa AND c.b_id = s.sb
+       |  JOIN cnt ca ON c.a_id = ca.doc_id
+       |  JOIN cnt cb ON c.b_id = cb.doc_id)""".stripMargin
   }
+
+  val minhashLshSql: String =
+    s"""WITH $minhashPairsCte
+       |SELECT a_id, b_id, n_shared_bands, jaccard FROM mh_pairs
+       |${canonOrderSql(Seq("a_id", "b_id", "n_shared_bands", "jaccard"))}""".stripMargin
 
   /** SimHash: 32-bit signature from per-token md5 bit votes (weighted by
     * occurrence), via the native codegen'd `graft_simhash` expression

@@ -202,13 +202,60 @@ object EventOps {
        |${canonOrderSql(Seq("node", "rank_micro"))}""".stripMargin
   }
 
+  /** Retention cohort grid: users bucketed by the week they FIRST
+    * appeared, then (cohort_week, weeks-since-first) cells counting
+    * distinct returning users and their events — the standard retention
+    * triangle. Weeks are pure integer day-arithmetic (`days-since-epoch
+    * div 7`), not calendar `date_trunc` — no engine-specific
+    * week-start convention can diverge, and the cohort key stays a
+    * compact BIGINT index.
+    *
+    * Scale: two shuffles — min(date) per user (map-side partials), then
+    * the cohort-cell aggregate whose distinct-count keys on
+    * (cohort, offset, user) before collapsing; the enrich join keys on
+    * user_id both sides, so at scale it co-partitions with the first
+    * aggregate's exchange rather than adding a third shuffle.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val out = e.join(first, Seq("user_id"))
+      .select(col("user_id"),
+        expr("datediff(d0, date'1970-01-01') div 7").as("cohort_week"),
+        expr("datediff(d, d0) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    canon(out)
+  }
+
+  val retentionCohortsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+       |), f AS (
+       |  SELECT user_id, min(d) AS d0 FROM e GROUP BY 1
+       |), x AS (
+       |  SELECT e.user_id,
+       |    date_diff('day', DATE '1970-01-01', f.d0) // 7 AS cohort_week,
+       |    date_diff('day', f.d0, e.d) // 7 AS week_offset
+       |  FROM e JOIN f USING (user_id)
+       |)
+       |SELECT cohort_week, week_offset,
+       |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       |FROM x GROUP BY 1, 2
+       |${canonOrderSql(Seq("cohort_week", "week_offset", "n_users",
+         "n_events"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_steps" -> funnelSteps,
     "scd2_history" -> scd2History,
-    "event_pagerank" -> eventPagerank)
+    "event_pagerank" -> eventPagerank,
+    "retention_cohorts" -> retentionCohorts)
 
   val oracles: Map[String, String] = Map(
     "funnel_steps" -> funnelStepsSql,
     "scd2_history" -> scd2HistorySql,
-    "event_pagerank" -> eventPagerankSql)
+    "event_pagerank" -> eventPagerankSql,
+    "retention_cohorts" -> retentionCohortsSql)
 }

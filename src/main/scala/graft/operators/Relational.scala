@@ -96,9 +96,63 @@ object Relational {
        |GROUP BY 1, 2, 3, 4, 5
        |${canonOrderSql(salesRollupCols)}""".stripMargin
 
+  /** Ranking analytics over the same star: per-nation customer revenue
+    * leaderboard exercising the full SQL ranking-function family — rank
+    * (gaps on ties), dense_rank (no gaps), percent_rank, cume_dist.
+    * Revenue sums are exact DECIMAL (the sales_rollup discipline), so
+    * the rank ORDER BY never compares floats; ties therefore rank
+    * identically in both engines WITHOUT an id tie-break — which is the
+    * point: rank/dense_rank/percent_rank/cume_dist are functions of the
+    * VALUE, deterministic under ties at any partitioning.
+    *
+    * Scale: one shuffle for the per-customer revenue agg (map-side
+    * partials), one keyed by nation for the window — nations are a
+    * coarse but bounded partition (25); at real scale the revenue agg
+    * dominates and the window input is customer-cardinality, not fact-
+    * cardinality.
+    */
+  def salesRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = load(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val c = load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val rev = o.groupBy(col("o_custkey")).agg(sum(col("p")).as("rev"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("rev").desc)
+    val out = c.join(rev, c("c_custkey") === rev("o_custkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("rev"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("rev").cast("decimal(18,2)").cast("string").as("rev_s"),
+        col("rnk"), col("dense_rnk"), col("pct_rank"), col("cume"))
+    canon(out)
+  }
+
+  val salesRankSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT c.c_custkey, c.c_nationkey,
+       |  CAST(CAST(r.rev AS DECIMAL(18,2)) AS VARCHAR) AS rev_s,
+       |  rank() OVER w AS rnk,
+       |  dense_rank() OVER w AS dense_rnk,
+       |  round(percent_rank() OVER w, 6) AS pct_rank,
+       |  round(cume_dist() OVER w, 6) AS cume
+       |FROM customer c JOIN rev r ON c.c_custkey = r.o_custkey
+       |WINDOW w AS (PARTITION BY c.c_nationkey ORDER BY r.rev DESC)
+       |${canonOrderSql(Seq("c_custkey", "c_nationkey", "rev_s", "rnk",
+         "dense_rnk", "pct_rank", "cume"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sales_rollup" -> salesRollup)
+    "sales_rollup" -> salesRollup,
+    "sales_rank" -> salesRank)
 
   val oracles: Map[String, String] = Map(
-    "sales_rollup" -> salesRollupSql)
+    "sales_rollup" -> salesRollupSql,
+    "sales_rank" -> salesRankSql)
 }

@@ -221,13 +221,58 @@ object Rollups {
        |FROM events GROUP BY 1
        |${canonOrderSql(Seq("event_type", "exact_users", "n_events", "hll_ok"))}""".stripMargin
 
+  /** Incremental-rollup maintenance: DAILY partial aggregates re-merged
+    * to the MONTHLY grain — sums add, counts add, and the mean is
+    * re-derived from the merged sums (never averaged-over-averages —
+    * the mergeability discipline that makes a rollup incrementally
+    * maintainable without rescanning facts). The oracle computes the
+    * monthly rollup DIRECTLY from lineitem, so the driver's hash check
+    * IS the merge-equals-direct proof. All arithmetic exact: DECIMAL
+    * sums, µ-unit integer mean.
+    *
+    * Scale: this is the materialized-view pattern — the daily relation
+    * is what a 100 TB pipeline persists per load; the monthly merge
+    * aggregates |days|×|flags| rows, not facts. Two narrow shuffles.
+    */
+  def rollupMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    val daily = li.groupBy(
+        to_date(col("l_shipdate")).as("d"), col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(14,2)")).as("q"),
+        count(lit(1)).as("n"))
+    val out = daily.groupBy(
+        date_format(col("d"), "yyyy-MM").as("ship_month"),
+        col("l_returnflag"))
+      .agg(sum(col("q")).cast("double").as("sum_qty"),
+        sum(col("n")).as("n_lines"),
+        expr("(cast(sum(q) * 100 as bigint) * 10000) div sum(n)")
+          .as("avg_qty_micro"))
+    canon(out)
+  }
+
+  /** Deliberately the DIRECT single-pass formulation — no daily stage.
+    * Exact DECIMAL sums are associative, so the Spark side's
+    * daily→monthly merge must hash-match this or the merge is wrong.
+    */
+  val rollupMergeSql: String =
+    s"""SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       |  l_returnflag,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+       |  count(*) AS n_lines,
+       |  CAST((CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) * 100 AS BIGINT)
+       |    * 10000) // count(*) AS BIGINT) AS avg_qty_micro
+       |FROM lineitem GROUP BY 1, 2
+       |${canonOrderSql(Seq("ship_month", "l_returnflag", "sum_qty",
+         "n_lines", "avg_qty_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schema_padding" -> schemaPadding,
     "lot_metadata" -> lotMetadata,
     "inventory_rollup" -> inventoryRollup,
     "sales_rollup_cube" -> salesRollupCube,
     "sales_grouping_sets" -> salesGroupingSets,
-    "approx_distinct" -> approxDistinct)
+    "approx_distinct" -> approxDistinct,
+    "rollup_merge" -> rollupMerge)
 
   val oracles: Map[String, String] = Map(
     "schema_padding" -> schemaPaddingSql,
@@ -235,5 +280,6 @@ object Rollups {
     "inventory_rollup" -> inventoryRollupSql,
     "sales_rollup_cube" -> salesRollupCubeSql,
     "sales_grouping_sets" -> salesGroupingSetsSql,
-    "approx_distinct" -> approxDistinctSql)
+    "approx_distinct" -> approxDistinctSql,
+    "rollup_merge" -> rollupMergeSql)
 }

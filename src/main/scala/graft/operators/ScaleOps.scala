@@ -287,7 +287,72 @@ object ScaleOps {
        |GROUP BY b.band_id, b.lo, b.hi
        |${canonOrderSql(Seq("band_id", "lo", "hi", "n_orders", "band_total"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // zorder_layout — multi-dimensional clustering for scan locality
+  // ---------------------------------------------------------------------
+
+  /** Bits per dimension in the Z-order (Morton) key. */
+  private val zBits = 10
+
+  /** Quadtree-cell width: chunks are zkey div 2^zChunkShift, so each
+    * chunk covers a 2^(zChunkShift/2) × 2^(zChunkShift/2) tile.
+    */
+  private val zChunkShift = 14
+
+  /** Z-order (Morton) layout: interleave the bits of two scan dimensions
+    * (user bucket × day bucket) into one sort key, then report per
+    * quadtree-cell chunk stats. The point of the layout: a file holding
+    * one Z-range is simultaneously narrow in BOTH dimensions (each
+    * chunk is a 128×128 tile here), so a predicate on EITHER dimension
+    * prunes files — a linear sort clusters one dimension and scatters
+    * the other. This is the data-layout move (Z-ordering) behind
+    * multi-dimensional clustering in lakehouse table formats.
+    *
+    * Chunking is `zkey div 2^$zChunkShift` — a pure projection, NOT a
+    * global row_number (which would serialize the corpus through one
+    * window partition); the one shuffle is the bounded-cardinality
+    * chunk rollup. The spec asserts the locality property itself:
+    * every chunk's span in BOTH dimensions is < 2^(zChunkShift/2).
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val sparkZ = (0 until zBits).map { i =>
+      s"shiftleft((shiftright(zx, $i) & 1), ${2 * i}) + " +
+        s"shiftleft((shiftright(zy, $i) & 1), ${2 * i + 1})"
+    }.mkString(" + ")
+    val e = load(spark, sfDir, "events")
+      .select((col("user_id") % 1024).cast("long").as("zx"),
+        expr("cast(datediff(to_date(ts), date'1970-01-01') % 1024 as bigint)")
+          .as("zy"))
+      .withColumn("zkey", expr(sparkZ))
+    val out = e
+      .groupBy(expr(s"zkey div ${1L << zChunkShift}").as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zx")).as("x_min"), max(col("zx")).as("x_max"),
+        min(col("zy")).as("y_min"), max(col("zy")).as("y_max"))
+    canon(out)
+  }
+
+  val zorderLayoutSql: String = {
+    val duckZ = (0 until zBits).map { i =>
+      s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT user_id % 1024 AS zx,
+       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 1024 AS zy
+       |  FROM events
+       |), z AS (
+       |  SELECT zx, zy, $duckZ AS zkey FROM d
+       |)
+       |SELECT zkey // ${1L << zChunkShift} AS chunk_id, count(*) AS n_rows,
+       |  min(zx) AS x_min, max(zx) AS x_max,
+       |  min(zy) AS y_min, max(zy) AS y_max
+       |FROM z GROUP BY 1
+       |${canonOrderSql(Seq("chunk_id", "n_rows", "x_min", "x_max",
+         "y_min", "y_max"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_layout" -> zorderLayout,
     "bucketed_join" -> bucketedJoin,
     "salted_join" -> saltedJoin,
     "partition_pruned" -> partitionPruned,
@@ -296,6 +361,7 @@ object ScaleOps {
     "range_bin_join" -> rangeBinJoin)
 
   val oracles: Map[String, String] = Map(
+    "zorder_layout" -> zorderLayoutSql,
     "bucketed_join" -> bucketedJoinSql,
     "salted_join" -> saltedJoinSql,
     "partition_pruned" -> partitionPrunedSql,

@@ -384,7 +384,11 @@ object Similarity {
     * table is broadcast (fixed cardinality), and the one data shuffle
     * keys on vec_id for the per-candidate distance sums + argmin window.
     */
-  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Nearest-centroid assignment relation shared by kmeans_assign and
+    * semdedup: (vec_id, own_cell, assigned_cell, d2q), one row per
+    * vector, argmin tie-broken on cell id — all exact-integer.
+    */
+  private def assignRel(spark: SparkSession, sfDir: String): DataFrame = {
     val e = load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -402,39 +406,107 @@ object Similarity {
       .agg(sum(col("sqq")).as("d2q"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2q").asc, col("cand").asc)
-    val out = dists.withColumn("rn", row_number().over(w))
+    dists.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("own_cell"),
-        col("cand").as("assigned_cell"),
-        when(col("own_cell") === col("cand"), 1).otherwise(0).as("stable"),
+        col("cand").as("assigned_cell"), col("d2q"))
+  }
+
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = assignRel(spark, sfDir)
+      .select(col("vec_id"), col("own_cell"), col("assigned_cell"),
+        when(col("own_cell") === col("assigned_cell"), 1).otherwise(0)
+          .as("stable"),
         round(sqrt(col("d2q").cast("double") / lit(1.0e12)), 6).as("dist_r"))
     canon(out)
   }
 
+  /** The assignment CTE chain shared by kmeans_assign and semdedup —
+    * one SQL source of truth for the [[assignRel]] arithmetic.
+    */
+  private val assignCteSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |px AS (SELECT vec_id, label, v,
+      |         unnest(generate_series(1, len(v))) AS i FROM e),
+      |pos AS (SELECT vec_id, label, i - 1 AS pos, v[i] AS x FROM px),
+      |q AS (SELECT vec_id, label, pos,
+      |        CAST(floor(x * 1000000) AS BIGINT) AS xq FROM pos),
+      |cent AS (SELECT label AS cand, pos,
+      |           CAST(sum(xq) AS DOUBLE) / (1000000.0 * count(*)) AS c
+      |         FROM q GROUP BY 1, 2),
+      |d AS (SELECT q.vec_id, q.label AS own_cell, c.cand,
+      |        sum(CAST(floor(
+      |          ((CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)
+      |            * (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)) * 1e12)
+      |          AS BIGINT)) AS d2q
+      |      FROM q JOIN cent c ON q.pos = c.pos
+      |      GROUP BY 1, 2, 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY d2q ASC, cand ASC) AS rn FROM d)""".stripMargin
+
   val kmeansAssignSql: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |px AS (SELECT vec_id, label, v,
-       |         unnest(generate_series(1, len(v))) AS i FROM e),
-       |pos AS (SELECT vec_id, label, i - 1 AS pos, v[i] AS x FROM px),
-       |q AS (SELECT vec_id, label, pos,
-       |        CAST(floor(x * 1000000) AS BIGINT) AS xq FROM pos),
-       |cent AS (SELECT label AS cand, pos,
-       |           CAST(sum(xq) AS DOUBLE) / (1000000.0 * count(*)) AS c
-       |         FROM q GROUP BY 1, 2),
-       |d AS (SELECT q.vec_id, q.label AS own_cell, c.cand,
-       |        sum(CAST(floor(
-       |          ((CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)
-       |            * (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)) * 1e12)
-       |          AS BIGINT)) AS d2q
-       |      FROM q JOIN cent c ON q.pos = c.pos
-       |      GROUP BY 1, 2, 3),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY d2q ASC, cand ASC) AS rn FROM d)
+    s"""$assignCteSql
        |SELECT vec_id, own_cell, cand AS assigned_cell,
        |  CASE WHEN own_cell = cand THEN 1 ELSE 0 END AS stable,
        |  round(sqrt(CAST(d2q AS DOUBLE) / 1e12), 6) AS dist_r
        |FROM r WHERE rn = 1
        |${canonOrderSql(Seq("vec_id", "own_cell", "assigned_cell", "stable", "dist_r"))}""".stripMargin
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space (the k-means assignment above), then
+    * prune, within each cluster, every vector that has a LOWER-id
+    * cluster-mate above the cosine threshold — keep-lowest-id greedy
+    * semantics, the same chain rule as dedup_embedding but blocked by
+    * the LEARNED cluster rather than the given label. One row per
+    * input vector: pruned flag, the kept representative, and the
+    * within-cluster match count.
+    *
+    * Scale: assignment is vectors × k against broadcast centroids; the
+    * pair join is cluster-blocked (never all-pairs — the whole point of
+    * SemDeDup is that the quadratic term is per-cluster), and the
+    * verdict aggregates per vector with map-side partials. The cosine
+    * is the same codegen'd graft_dot sequence as cosine_pairs, so the
+    * threshold decision is bit-identical across engines.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val asg = assignRel(spark, sfDir)
+      .select(col("vec_id"), col("assigned_cell").as("cell"))
+    val e = Caching.persistOnce(vecs(spark, sfDir).join(asg, Seq("vec_id")))
+    val a = e.select(col("vec_id").as("a_id"), col("cell"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pruned = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine)
+      .filter(col("sim") > 0.44)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    val out = e.select(col("vec_id"), col("cell"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("keep_id").isNotNull, 1).otherwise(0).as("is_pruned"),
+        col("keep_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+    canon(out)
+  }
+
+  val semDedupSql: String =
+    s"""$assignCteSql,
+       |asg AS (SELECT vec_id, cand AS cell FROM r WHERE rn = 1),
+       |ev AS (SELECT e.vec_id, a.cell, e.v
+       |       FROM e JOIN asg a ON e.vec_id = a.vec_id),
+       |pruned AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS keep_id,
+       |    count(*) AS n_dups
+       |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $duckCos > 0.44
+       |  GROUP BY 1)
+       |SELECT vec_id, cell,
+       |  CASE WHEN keep_id IS NOT NULL THEN 1 ELSE 0 END AS is_pruned,
+       |  keep_id, coalesce(n_dups, 0) AS n_dups
+       |FROM ev LEFT JOIN pruned USING (vec_id)
+       |${canonOrderSql(Seq("vec_id", "cell", "is_pruned", "keep_id", "n_dups"))}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_pairs" -> cosinePairs,
@@ -443,7 +515,8 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding,
     "centroid_residuals" -> centroidResiduals,
     "kmeans_assign" -> kmeansAssign,
-    "ann_lsh_multi" -> annLshMulti)
+    "ann_lsh_multi" -> annLshMulti,
+    "semdedup" -> semDedup)
 
   val oracles: Map[String, String] = Map(
     "cosine_pairs" -> cosinePairsSql,
@@ -452,5 +525,6 @@ object Similarity {
     "dedup_embedding" -> dedupEmbeddingSql,
     "centroid_residuals" -> centroidResidualsSql,
     "kmeans_assign" -> kmeansAssignSql,
-    "ann_lsh_multi" -> annLshMultiSql)
+    "ann_lsh_multi" -> annLshMultiSql,
+    "semdedup" -> semDedupSql)
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{canon, canonOrderSql, load}
+
+/** Training-preparation operators: the steps between a cleaned corpus
+  * and a tokenized training run — vocabulary construction, leak-proof
+  * dataset splitting, and curriculum binning.
+  *
+  * Shares the corpus-wide disciplines of [[CorpusOps]]: RNG-free
+  * determinism (salted md5, not `rand()`), exact-integer arithmetic
+  * across aggregations, and canonical output order.
+  */
+object TrainOps {
+
+  // ---------------------------------------------------------------------
+  // vocab_build — tokenizer vocabulary with deterministic id assignment
+  // ---------------------------------------------------------------------
+
+  /** Tokens below this corpus frequency stay out of the vocabulary. */
+  private val vocabMinCount = 5L
+
+  /** Vocabulary construction: corpus-wide token frequencies, a min-count
+    * floor, and a deterministic token-id assignment (ids dense from 0,
+    * ordered by frequency DESC then token ASC — the ordering every
+    * tokenizer trainer fixes so that re-running on the same corpus
+    * yields the same id map).
+    *
+    * Scale: the count aggregates token-wise with map-side partials, so
+    * the shuffle carries distinct-token partial counts — bounded by
+    * type count, not corpus size. The id-assigning window is GLOBAL
+    * (single partition) by necessity — ids are a total order — but it
+    * runs over the post-filter vocabulary, again type-count-bounded
+    * (a few million rows for any natural-language corpus, not 100 TB).
+    */
+  def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val counts = d
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_count"))
+      .filter(col("n_count") >= vocabMinCount)
+    val w = Window.orderBy(col("n_count").desc, col("token").asc)
+    val out = counts
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+    canon(out)
+  }
+
+  val vocabBuildSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+       |), c AS (
+       |  SELECT token, count(*) AS n_count FROM toks
+       |  GROUP BY token HAVING count(*) >= $vocabMinCount
+       |)
+       |SELECT token, n_count,
+       |  CAST(row_number() OVER (ORDER BY n_count DESC, token ASC) - 1
+       |    AS BIGINT) AS token_id
+       |FROM c
+       |${canonOrderSql(Seq("token", "n_count", "token_id"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dataset_split — content-hash train/valid/test assignment
+  // ---------------------------------------------------------------------
+
+  /** Deterministic train/valid/test split keyed on a hash of the TEXT,
+    * not the id: byte-identical documents always land in the same
+    * split, so exact duplicates can never leak across the train/test
+    * boundary. (Id-keyed splits — the obvious formulation — put two
+    * copies of the same document on both sides; this is the standard
+    * fix.) 80/10/10 by the first 8 md5 hex digits mod 100 — the same
+    * salted-hash discipline as mixture_sample/stratified_sample, so the
+    * assignment is identical at any partitioning and over re-runs.
+    *
+    * Scale: stateless per-row projection — no shuffle at all beyond the
+    * canonical output sort.
+    */
+  /** The raw split assignment (doc_id, source, bucket, split) — shared
+    * by dataset_split and split_leak_check.
+    */
+  private def splitRel(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), col("source"),
+      expr("cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 100")
+        .as("bucket"))
+    .withColumn("split",
+      when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "valid")
+        .otherwise("test"))
+
+  /** The matching SQL, as a CTE body over `documents`. */
+  private val splitRelSql: String =
+    """SELECT doc_id,
+      |    CASE WHEN b < 80 THEN 'train'
+      |         WHEN b < 90 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+      |        FROM documents)""".stripMargin
+
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame =
+    canon(splitRel(load(spark, sfDir, "documents")))
+
+  val datasetSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM b
+       |${canonOrderSql(Seq("doc_id", "source", "bucket", "split"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // split_leak_check — cross-split near-duplicate contamination audit
+  // ---------------------------------------------------------------------
+
+  /** Near-dup pairs that STRADDLE a split boundary: the dataset_split
+    * content-hash guard stops byte-identical leakage, but a train
+    * document that is merely NEAR-identical to a test document still
+    * contaminates evaluation. This audit runs the minhash-LSH near-dup
+    * pipeline (bucketed candidates + exact-Jaccard verify — never
+    * all-pairs) and keeps verified pairs (jaccard ≥ 0.3) whose members
+    * landed in different splits — the report an eval-integrity gate
+    * consumes before a training run ships.
+    *
+    * Scale: inherits minhash_lsh's shape (the one quadratic-free
+    * near-dup route); the two split joins key on doc_id against a
+    * stateless projection, so they co-partition with the pair
+    * relation's existing keys.
+    */
+  def splitLeakCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val pairs = Dedup.minhashLshOn(d).filter(col("jaccard") >= 0.3)
+    val sp = splitRel(d).select(col("doc_id"), col("split"))
+    val out = pairs
+      .join(sp.select(col("doc_id").as("a_id"), col("split").as("split_a")),
+        Seq("a_id"))
+      .join(sp.select(col("doc_id").as("b_id"), col("split").as("split_b")),
+        Seq("b_id"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a_id"), col("b_id"), col("split_a"), col("split_b"),
+        round(col("jaccard"), 6).as("jac_r"))
+    canon(out)
+  }
+
+  val splitLeakCheckSql: String =
+    s"""WITH ${Dedup.minhashPairsCte},
+       |splits AS (
+       |  $splitRelSql
+       |)
+       |SELECT p.a_id, p.b_id, sa.split AS split_a, sb.split AS split_b,
+       |  round(p.jaccard, 6) AS jac_r
+       |FROM mh_pairs p
+       |JOIN splits sa ON p.a_id = sa.doc_id
+       |JOIN splits sb ON p.b_id = sb.doc_id
+       |WHERE p.jaccard >= 0.3 AND sa.split <> sb.split
+       |${canonOrderSql(Seq("a_id", "b_id", "split_a", "split_b", "jac_r"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // curriculum_bins — per-language quartile binning by length
+  // ---------------------------------------------------------------------
+
+  /** Curriculum binning: each document's length quartile WITHIN its
+    * language (`ntile(4)`) — the easy→hard ordering signal a curriculum
+    * schedule consumes, computed per language because absolute length
+    * thresholds are not comparable across languages (the
+    * length_outliers argument). Ties break on doc_id so the bin
+    * boundary is deterministic.
+    *
+    * Scale: one shuffle keyed by lang for the window; a language is a
+    * coarse partition (the documented per-group serialization of the
+    * exact rank family) — at 100 TB the same ntile runs over
+    * (lang, bucket-of-doc_id) salts with a merge of boundary counts, or
+    * the fences come from approx_percentile as in length_outliers.
+    */
+  def curriculumBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val out = d.withColumn("bin", ntile(4).over(w).cast("long"))
+    canon(out)
+  }
+
+  val curriculumBinsSql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  CAST(ntile(4) OVER (
+       |    PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+       |    AS bin
+       |FROM documents
+       |${canonOrderSql(Seq("doc_id", "lang", "n_chars", "bin"))}""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_build" -> vocabBuild,
+    "dataset_split" -> datasetSplit,
+    "curriculum_bins" -> curriculumBins,
+    "split_leak_check" -> splitLeakCheck)
+
+  val oracles: Map[String, String] = Map(
+    "vocab_build" -> vocabBuildSql,
+    "dataset_split" -> datasetSplitSql,
+    "curriculum_bins" -> curriculumBinsSql,
+    "split_leak_check" -> splitLeakCheckSql)
+}

@@ -194,4 +194,30 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(df.filter(col("n_rows") =!= rows).count() == 0)
     } finally df.unpersist()
   }
+
+  test("pmi_cooccur: support floor holds; hand-computed PMI on a constructed corpus") {
+    val df = CorpusOps.pmiCooccur(spark, sf)
+    assert(df.filter(col("c12") < 5).count() == 0, "support floor violated")
+    assert(df.filter(col("pmi_micro") <= 0).count() == 0,
+      "a surviving pair has non-positive PMI ratio")
+
+    // constructed corpus: 5×"a b" and 5×"c d" → for (a,b): c12=5, c1=5,
+    // c2=5, N=10 → PMI ratio = 5·10/(5·5) = 2.0 → 2_000_000 µ-units
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    try {
+      (1 to 5).map(i => (i.toLong, "a b", "s")) ++
+        (6 to 10).map(i => (i.toLong, "c d", "s")) match {
+        case rows => rows.toDF("doc_id", "text", "source")
+          .write.parquet(s"$dir/documents.parquet")
+      }
+      val r = CorpusOps.pmiCooccur(spark, dir).collect()
+        .map(x => (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
+      assert(r(("a", "b")) == 2000000L, s"PMI(a,b) wrong: $r")
+      assert(r(("c", "d")) == 2000000L, s"PMI(c,d) wrong: $r")
+      assert(r.size == 2, s"unexpected pairs survived: $r")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

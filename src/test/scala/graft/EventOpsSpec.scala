@@ -90,4 +90,21 @@ class EventOpsSpec extends SparkSpecBase {
       assert(noop == 0, "consecutive versions with identical state survived collapse")
     } finally df.unpersist()
   }
+
+  test("retention_cohorts: offsets non-negative; week-0 users cover the whole user base") {
+    val df = operators.EventOps.retentionCohorts(spark, sf).cache()
+    try {
+      assert(df.filter(col("week_offset") < 0).count() == 0,
+        "an event predates its user's first event")
+      assert(df.filter(col("n_users") < 1 ||
+        col("n_events") < col("n_users")).count() == 0)
+      // every user appears in their cohort's offset-0 cell, so the
+      // offset-0 user sum equals the distinct user count
+      val week0 = df.filter(col("week_offset") === 0)
+        .agg(sum("n_users")).head.getLong(0)
+      val users = Tables.load(spark, sf, "events")
+        .select("user_id").distinct().count()
+      assert(week0 == users, s"offset-0 covers $week0 of $users users")
+    } finally df.unpersist()
+  }
 }

@@ -25,4 +25,23 @@ class RelationalSpec extends SparkSpecBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
   }
+
+  test("sales_rank: ranking-family invariants hold per nation") {
+    val df = operators.Relational.salesRank(spark, sf).cache()
+    try {
+      // rank 1 exists in every nation; dense_rank never exceeds rank;
+      // percent_rank/cume_dist live in [0,1] with cume > 0
+      val nations = df.select("c_nationkey").distinct().count()
+      val tops = df.filter(col("rnk") === 1)
+        .select("c_nationkey").distinct().count()
+      assert(tops == nations, "a nation lost its rank-1 customer")
+      assert(df.filter(col("dense_rnk") > col("rnk")).count() == 0)
+      assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+        col("cume") <= 0 || col("cume") > 1).count() == 0)
+      // within a nation, equal revenue => equal rank (tie correctness)
+      val tieBreaks = df.groupBy("c_nationkey", "rev_s")
+        .agg(countDistinct("rnk").as("nr")).filter(col("nr") > 1).count()
+      assert(tieBreaks == 0, "equal revenues ranked differently")
+    } finally df.unpersist()
+  }
 }

@@ -65,4 +65,32 @@ class ScaleJoinsSpec extends SparkSpecBase {
     assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).count() == 0)
     assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).count() == 0)
   }
+
+  test("zorder_layout: every chunk is narrow in BOTH dimensions (the locality property)") {
+    val df = operators.ScaleOps.zorderLayout(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      // a 2^14 z-range covers a 128x128 tile: both spans must fit it.
+      // A linear sort on one dim would scatter the other across its full
+      // 0..1023 range — this is the property z-ordering buys.
+      val wide = df.filter(
+        (col("x_max") - col("x_min")) >= 128 ||
+          (col("y_max") - col("y_min")) >= 128).count()
+      assert(wide == 0, "a z-chunk spans more than its quadtree tile")
+      // mass conservation: chunk rows sum to the event count
+      val total = df.agg(sum("n_rows")).head.getLong(0)
+      assert(total == Tables.load(spark, sf, "events").count())
+    } finally df.unpersist()
+  }
+
+  test("nullsafe_join: the NULL bucket pairs up; a plain equi-join drops it") {
+    val df = operators.Core.nullsafeJoin(spark, sf).cache()
+    try {
+      assert(df.filter(col("bucket").isNull).count() == 1,
+        "the NULL-key row did not survive the null-safe join")
+      assert(df.filter(col("n_click") < 1 || col("n_buy") < 1).count() == 0)
+      // 9 non-null buckets + 1 null bucket
+      assert(df.count() == 10, s"expected 10 buckets, got ${df.count()}")
+    } finally df.unpersist()
+  }
 }

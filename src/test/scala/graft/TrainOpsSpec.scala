@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TrainOps}
+
+class TrainOpsSpec extends SparkSpecBase {
+
+  test("vocab_build: ids dense from 0 in (count desc, token asc) order; min-count floor holds") {
+    val v = TrainOps.vocabBuild(spark, sf).cache()
+    try {
+      val n = v.count()
+      assert(n > 0, "empty vocabulary")
+      assert(v.filter(col("n_count") < 5).count() == 0,
+        "a token below the min-count floor entered the vocabulary")
+      // dense ids 0..n-1, no gaps or dups
+      assert(v.agg(min("token_id")).head.getLong(0) == 0L)
+      assert(v.agg(max("token_id")).head.getLong(0) == n - 1)
+      assert(v.select("token_id").distinct().count() == n)
+      // id order IS (count desc, token asc): walking ids ascending,
+      // (n_count desc, token asc) must be non-increasing
+      val rows = v.orderBy("token_id")
+        .select("n_count", "token").collect()
+      rows.sliding(2).foreach {
+        case Array(p, q) =>
+          val ok = q.getLong(0) < p.getLong(0) ||
+            (q.getLong(0) == p.getLong(0) &&
+              q.getString(1) > p.getString(1))
+          assert(ok, s"id order broke frequency order at $p -> $q")
+        case _ =>
+      }
+    } finally v.unpersist()
+  }
+
+  test("dataset_split: identical text always lands in the same split (leakage guard)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    try {
+      Seq(
+        (1L, "the quick brown fox", "srcA"),
+        (2L, "the quick brown fox", "srcB"), // byte-identical dup, other source
+        (3L, "a different document", "srcA"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val s = TrainOps.datasetSplit(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(s(1L) == s(2L),
+        "byte-identical documents were split apart — train/test leakage")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("dataset_split: buckets in [0,100) and split labels match the bucket ranges") {
+    val s = TrainOps.datasetSplit(spark, sf).cache()
+    try {
+      assert(s.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+      val wrong = s.filter(
+        (col("bucket") < 80 && col("split") =!= "train") ||
+          (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "valid") ||
+          (col("bucket") >= 90 && col("split") =!= "test")).count()
+      assert(wrong == 0, "a split label disagrees with its bucket range")
+      assert(s.count() ==
+        Tables.load(spark, sf, "documents").count(), "a document lost its split")
+    } finally s.unpersist()
+  }
+
+  test("curriculum_bins: per-language bins are 1..4, balanced, and ordered by (n_chars, doc_id)") {
+    val b = TrainOps.curriculumBins(spark, sf).cache()
+    try {
+      assert(b.filter(col("bin") < 1 || col("bin") > 4).count() == 0)
+      // ntile balance: within a language, bin sizes differ by at most 1
+      val skew = b.groupBy("lang", "bin").count()
+        .groupBy("lang").agg((max("count") - min("count")).as("d"))
+        .filter(col("d") > 1).count()
+      assert(skew == 0, "ntile bins unbalanced within a language")
+      // bins respect the (n_chars, doc_id) curriculum order
+      b.select("lang", "bin", "n_chars", "doc_id").collect()
+        .groupBy(_.getString(0)).foreach { case (_, rows) =>
+          val sorted = rows.sortBy(r => (r.getLong(2), r.getLong(3)))
+          val bins = sorted.map(_.getLong(1))
+          assert(bins.sameElements(bins.sorted),
+            "a longer document landed in an earlier bin")
+        }
+    } finally b.unpersist()
+  }
+
+  test("semdedup: one row per vector; pruned rows point at a lower-id cluster-mate; cluster minima never pruned") {
+    val d = Similarity.semDedup(spark, sf).cache()
+    try {
+      val n = Tables.load(spark, sf, "embeddings").count()
+      assert(d.count() == n, "semdedup dropped or duplicated a vector")
+      val badPruned = d.filter(col("is_pruned") === 1 &&
+        (col("keep_id").isNull || col("keep_id") >= col("vec_id") ||
+          col("n_dups") < 1)).count()
+      assert(badPruned == 0, "a pruned vector lacks a valid lower-id keeper")
+      val badKept = d.filter(col("is_pruned") === 0 &&
+        (col("keep_id").isNotNull || col("n_dups") =!= 0)).count()
+      assert(badKept == 0, "a kept vector carries dup metadata")
+      // the lowest id in each cluster has no lower-id mate -> never pruned
+      val minPruned = d.groupBy("cell").agg(min("vec_id").as("mn"))
+        .join(d, col("mn") === col("vec_id"))
+        .filter(col("is_pruned") === 1).count()
+      assert(minPruned == 0, "a cluster's lowest-id vector was pruned")
+    } finally d.unpersist()
+  }
+}
