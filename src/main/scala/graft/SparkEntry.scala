@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Sessionize.queries ++ operators.AsofOps.queries ++
       operators.CorpusFilter.queries ++ operators.ScaleOps.queries ++
       operators.Formats.queries ++ operators.CorpusOps.queries ++
-      operators.EventOps.queries ++ operators.TrainOps.queries
+      operators.EventOps.queries ++ operators.TrainOps.queries ++
+      operators.QualityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Sessionize.oracles ++ operators.AsofOps.oracles ++
       operators.CorpusFilter.oracles ++ operators.ScaleOps.oracles ++
       operators.Formats.oracles ++ operators.CorpusOps.oracles ++
-      operators.EventOps.oracles ++ operators.TrainOps.oracles
+      operators.EventOps.oracles ++ operators.TrainOps.oracles ++
+      operators.QualityOps.oracles
 }

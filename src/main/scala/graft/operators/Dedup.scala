@@ -575,7 +575,101 @@ object Dedup {
        |${canonOrderSql(Seq("text_hash", "keep_id", "keep_source", "n_copies"))}""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // fuzzy_match — blocked-Levenshtein entity resolution
+  // ---------------------------------------------------------------------
+
+  /** Entity resolution by blocking + composite similarity: a "dirty"
+    * registry (supplier names with one deterministically dropped
+    * character, balances intact) is matched back to the clean table.
+    * Candidates form only WITHIN a name-prefix block (never all-pairs —
+    * the fuzzy-join analog of the LSH bucket) and must pass
+    * `levenshtein ≤ 2`; resolution then ranks by the COMPOSITE key
+    * (edit distance, |balance delta| in exact cents, key). The two-field
+    * ranking is the demonstrated point: these synthetic names differ
+    * only in digits, so name distance alone is maximally ambiguous
+    * (n_candidates ≈ block size — visible in the output), and the
+    * second attribute is what makes resolution exact; real-world
+    * resolvers are composite for the same reason.
+    *
+    * Scale: the block join keys on a 16-char prefix whose trailing
+    * digits bound each block at 100 names, so per-block work is bounded
+    * regardless of table size; one more shuffle ranks candidates per
+    * dirty record. Levenshtein cost is per candidate pair, not per
+    * cross pair — and block width is THE cost knob: widening to 15
+    * chars (1000-name blocks) measured 10× the pair work at sf0.1 for
+    * recall this corruption model never needs (both corruption
+    * positions sit past char 16, so the true match always shares the
+    * 16-prefix).
+    */
+  def fuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        expr("cast(cast(s_acctbal as decimal(14,2)) * 100 as decimal(18,0))")
+          .as("cents"))
+    // drop the last char (even keys) or the 17th (odd keys) — both past
+    // the blocking prefix, so the block key survives the corruption
+    val dirty = s.select(col("s_suppkey").as("dirty_key"),
+      when(col("s_suppkey") % 2 === 0, expr("substring(s_name, 1, 17)"))
+        .otherwise(concat(expr("substring(s_name, 1, 16)"),
+          expr("substring(s_name, 18, 1)"))).as("dirty_name"),
+      col("cents").as("dirty_cents"))
+    val cand = dirty
+      .withColumn("blk", expr("substring(dirty_name, 1, 16)"))
+      .join(s.withColumn("blk", expr("substring(s_name, 1, 16)")),
+        Seq("blk"))
+      .withColumn("lev", expr("levenshtein(dirty_name, s_name)"))
+      .filter(col("lev") <= 2)
+      .withColumn("bal_delta",
+        abs(col("dirty_cents") - col("cents")).cast("long"))
+    val w = Window.partitionBy(col("dirty_key"))
+      .orderBy(col("lev").asc, col("bal_delta").asc, col("s_suppkey").asc)
+    val out = cand
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("dirty_key"))))
+      .filter(col("rn") === 1)
+      .select(col("dirty_key"), col("s_suppkey").as("matched_key"),
+        col("lev"), col("bal_delta"), col("n_candidates"))
+    canon(out)
+  }
+
+  val fuzzyMatchSql: String =
+    s"""WITH s AS (
+       |  SELECT s_suppkey, s_name,
+       |    CAST(CAST(s_acctbal AS DECIMAL(14,2)) * 100 AS DECIMAL(18,0))
+       |      AS cents
+       |  FROM supplier
+       |), dirty AS (
+       |  SELECT s_suppkey AS dirty_key,
+       |    CASE WHEN s_suppkey % 2 = 0 THEN substring(s_name, 1, 17)
+       |         ELSE substring(s_name, 1, 16) || substring(s_name, 18, 1)
+       |    END AS dirty_name,
+       |    cents AS dirty_cents
+       |  FROM s
+       |), cand AS (
+       |  SELECT d.dirty_key, s.s_suppkey,
+       |    levenshtein(d.dirty_name, s.s_name) AS lev,
+       |    CAST(abs(d.dirty_cents - s.cents) AS BIGINT) AS bal_delta
+       |  FROM dirty d JOIN s
+       |    ON substring(d.dirty_name, 1, 16) = substring(s.s_name, 1, 16)
+       |  WHERE levenshtein(d.dirty_name, s.s_name) <= 2
+       |), ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY dirty_key
+       |      ORDER BY lev ASC, bal_delta ASC, s_suppkey ASC) AS rn,
+       |    count(*) OVER (PARTITION BY dirty_key) AS n_candidates
+       |  FROM cand
+       |)
+       |SELECT dirty_key, s_suppkey AS matched_key, lev, bal_delta,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM ranked WHERE rn = 1
+       |${canonOrderSql(Seq("dirty_key", "matched_key", "lev", "bal_delta",
+         "n_candidates"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_match" -> fuzzyMatch,
     "dedup_exact" -> dedupExact,
     "dedup_priority" -> dedupPriority,
     "ngram_jaccard" -> ngramJaccard,
@@ -586,6 +680,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_match" -> fuzzyMatchSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_priority" -> dedupPrioritySql,
     "ngram_jaccard" -> ngramJaccardSql,

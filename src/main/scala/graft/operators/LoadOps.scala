@@ -150,13 +150,71 @@ object LoadOps {
        |GROUP BY 1, 2
        |${canonOrderSql(Seq("day", "event_type", "n_events", "total_value"))}""".stripMargin
 
+  /** CDC log application: replay a change stream (upserts + deletes)
+    * into final per-key state — the merge step downstream of any
+    * change-data-capture feed, and the face `dim_upsert` (no deletes)
+    * and `scd2_history` (keeps history) don't cover: LAST operation
+    * wins, and a trailing delete removes the key entirely. Ops derive
+    * deterministically from events (view/purchase = upsert payload,
+    * error = delete tombstone), ordered by (event time, event_id) so
+    * replays are bit-stable under ties.
+    *
+    * Scale: one shuffle keyed on user_id for the last-op window +
+    * per-key op count — the same key-grain as every CDC merge; state
+    * size is |keys|, not |ops|. Spark's MERGE-less formulation
+    * (window + filter) is exactly how a foreachBatch sink applies a
+    * microbatch.
+    */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val ops = load(spark, sfDir, "events")
+      .filter(col("event_type").isin("view", "purchase", "error"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"),
+        when(col("event_type") === "error", "delete")
+          .otherwise("upsert").as("op"),
+        col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val out = ops
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select(col("user_id"), Fns.canonNum(col("value")).as("value_s"),
+        col("tus").as("updated_tus"), col("n_ops"))
+    canon(out)
+  }
+
+  val cdcApplySql: String =
+    s"""WITH ops AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |    CASE WHEN event_type = 'error' THEN 'delete'
+       |         ELSE 'upsert' END AS op,
+       |    value
+       |  FROM events WHERE event_type IN ('view', 'purchase', 'error')
+       |), r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY tus DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n_ops
+       |  FROM ops
+       |)
+       |SELECT user_id,
+       |  CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_s,
+       |  tus AS updated_tus, CAST(n_ops AS BIGINT) AS n_ops
+       |FROM r WHERE rn = 1 AND op = 'upsert'
+       |${canonOrderSql(Seq("user_id", "value_s", "updated_tus", "n_ops"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply" -> cdcApply,
     "data_hash" -> dataHash,
     "dim_upsert" -> dimUpsert,
     "replace_partition" -> replacePartition,
     "audit_report" -> auditReport)
 
   val oracles: Map[String, String] = Map(
+    "cdc_apply" -> cdcApplySql,
     "data_hash" -> dataHashSql,
     "dim_upsert" -> dimUpsertSql,
     "replace_partition" -> replacePartitionSql,

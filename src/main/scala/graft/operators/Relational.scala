@@ -124,11 +124,18 @@ object Relational {
       .select(col("c_custkey"), col("c_nationkey"), col("rev"))
       .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("dense_rnk", dense_rank().over(w).cast("long"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      // floor-µ-units, NOT round(x, 6): the ratio is one IEEE division so
+      // both engines hold the identical double, but round's half-rule
+      // differs at an exact .xxxxx5 (bit at sf0.1: cume 0.5046875) —
+      // floor has no half case.
+      .withColumn("pct_rank_micro",
+        floor(percent_rank().over(w) * lit(1000000.0)).cast("long"))
+      .withColumn("cume_micro",
+        floor(cume_dist().over(w) * lit(1000000.0)).cast("long"))
       .select(col("c_custkey"), col("c_nationkey"),
         col("rev").cast("decimal(18,2)").cast("string").as("rev_s"),
-        col("rnk"), col("dense_rnk"), col("pct_rank"), col("cume"))
+        col("rnk"), col("dense_rnk"), col("pct_rank_micro"),
+        col("cume_micro"))
     canon(out)
   }
 
@@ -141,12 +148,13 @@ object Relational {
        |  CAST(CAST(r.rev AS DECIMAL(18,2)) AS VARCHAR) AS rev_s,
        |  rank() OVER w AS rnk,
        |  dense_rank() OVER w AS dense_rnk,
-       |  round(percent_rank() OVER w, 6) AS pct_rank,
-       |  round(cume_dist() OVER w, 6) AS cume
+       |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT)
+       |    AS pct_rank_micro,
+       |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cume_micro
        |FROM customer c JOIN rev r ON c.c_custkey = r.o_custkey
        |WINDOW w AS (PARTITION BY c.c_nationkey ORDER BY r.rev DESC)
        |${canonOrderSql(Seq("c_custkey", "c_nationkey", "rev_s", "rnk",
-         "dense_rnk", "pct_rank", "cume"))}""".stripMargin
+         "dense_rnk", "pct_rank_micro", "cume_micro"))}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sales_rollup" -> salesRollup,

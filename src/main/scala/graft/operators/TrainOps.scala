@@ -34,32 +34,101 @@ object TrainOps {
     * (single partition) by necessity — ids are a total order — but it
     * runs over the post-filter vocabulary, again type-count-bounded
     * (a few million rows for any natural-language corpus, not 100 TB).
+    *
+    * This relation (token, n_count, token_id) is shared by vocab_build
+    * and tokenizer_apply.
     */
-  def vocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = load(spark, sfDir, "documents")
+  private def vocabRel(d: DataFrame): DataFrame = {
     val counts = d
       .select(explode(split(lower(col("text")), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_count"))
       .filter(col("n_count") >= vocabMinCount)
     val w = Window.orderBy(col("n_count").desc, col("token").asc)
-    val out = counts
-      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+    counts.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** The matching SQL as a CTE chain ending in
+    * `vocab(token, n_count, token_id)`.
+    */
+  private val vocabCteSql: String =
+    s"""vtoks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+       |), vc AS (
+       |  SELECT token, count(*) AS n_count FROM vtoks
+       |  GROUP BY token HAVING count(*) >= $vocabMinCount
+       |), vocab AS (
+       |  SELECT token, n_count,
+       |    CAST(row_number() OVER (ORDER BY n_count DESC, token ASC) - 1
+       |      AS BIGINT) AS token_id
+       |  FROM vc
+       |)""".stripMargin
+
+  def vocabBuild(spark: SparkSession, sfDir: String): DataFrame =
+    canon(vocabRel(load(spark, sfDir, "documents")))
+
+  val vocabBuildSql: String =
+    s"""WITH $vocabCteSql
+       |SELECT token, n_count, token_id FROM vocab
+       |${canonOrderSql(Seq("token", "n_count", "token_id"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // tokenizer_apply — encode the corpus with the trained vocabulary
+  // ---------------------------------------------------------------------
+
+  /** The apply half of the vocabulary story: every document encoded as
+    * its token-id sequence under the vocab_build id map — out-of-vocab
+    * tokens become the -1 sentinel and are counted explicitly. The
+    * sequence itself is pinned by an md5 digest of the ORDERED id list
+    * (one narrow oracle row per document, but any reordering, dropped
+    * token, or wrong id changes the hash).
+    *
+    * Scale: the token explode joins the vocabulary on the token key —
+    * vocab is type-count-bounded so AQE broadcasts it (no hint: a
+    * garbage corpus degrades to SMJ, not OOM) — then one shuffle keyed
+    * by doc_id re-assembles sequences. collect_list order is
+    * nondeterministic, so the ids sort by position BEFORE the digest
+    * (the inverted_index discipline).
+    */
+  def tokenizerApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+    val ids = toks
+      .join(vocabRel(d).select(col("token"), col("token_id")),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("id"))
+    val out = ids.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === -1L, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(expr(
+          """transform(
+            |  sort_array(collect_list(named_struct('p', pos, 'id', id))),
+            |  x -> cast(x.id as string))""".stripMargin), ","))
+          .as("ids_digest"))
     canon(out)
   }
 
-  val vocabBuildSql: String =
-    s"""WITH toks AS (
-       |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
-       |), c AS (
-       |  SELECT token, count(*) AS n_count FROM toks
-       |  GROUP BY token HAVING count(*) >= $vocabMinCount
+  val tokenizerApplySql: String =
+    s"""WITH $vocabCteSql,
+       |dt AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), tok AS (
+       |  SELECT doc_id, i.i AS pos, t[i.i] AS token
+       |  FROM dt, unnest(generate_series(1, len(t))) AS i(i)
+       |), j AS (
+       |  SELECT tok.doc_id, tok.pos,
+       |    coalesce(v.token_id, -1) AS id
+       |  FROM tok LEFT JOIN vocab v ON tok.token = v.token
        |)
-       |SELECT token, n_count,
-       |  CAST(row_number() OVER (ORDER BY n_count DESC, token ASC) - 1
-       |    AS BIGINT) AS token_id
-       |FROM c
-       |${canonOrderSql(Seq("token", "n_count", "token_id"))}""".stripMargin
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  md5(array_to_string(
+       |    list_transform(list(id ORDER BY pos), x -> CAST(x AS VARCHAR)),
+       |    ',')) AS ids_digest
+       |FROM j GROUP BY doc_id
+       |${canonOrderSql(Seq("doc_id", "n_tokens", "n_oov", "ids_digest"))}""".stripMargin
 
   // ---------------------------------------------------------------------
   // dataset_split — content-hash train/valid/test assignment
@@ -76,9 +145,9 @@ object TrainOps {
     *
     * Scale: stateless per-row projection — no shuffle at all beyond the
     * canonical output sort.
-    */
-  /** The raw split assignment (doc_id, source, bucket, split) — shared
-    * by dataset_split and split_leak_check.
+    *
+    * This raw assignment (doc_id, source, bucket, split) is shared by
+    * dataset_split and split_leak_check.
     */
   private def splitRel(d: DataFrame): DataFrame = d
     .select(col("doc_id"), col("source"),
@@ -199,11 +268,13 @@ object TrainOps {
     "vocab_build" -> vocabBuild,
     "dataset_split" -> datasetSplit,
     "curriculum_bins" -> curriculumBins,
-    "split_leak_check" -> splitLeakCheck)
+    "split_leak_check" -> splitLeakCheck,
+    "tokenizer_apply" -> tokenizerApply)
 
   val oracles: Map[String, String] = Map(
     "vocab_build" -> vocabBuildSql,
     "dataset_split" -> datasetSplitSql,
     "curriculum_bins" -> curriculumBinsSql,
-    "split_leak_check" -> splitLeakCheckSql)
+    "split_leak_check" -> splitLeakCheckSql,
+    "tokenizer_apply" -> tokenizerApplySql)
 }

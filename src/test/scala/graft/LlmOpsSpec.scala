@@ -64,4 +64,23 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(df.filter(col("token_diversity") <= 0 || col("token_diversity") > 1).count() == 0)
     assert(df.filter(col("n_stopwords") > col("n_tokens")).count() == 0)
   }
+
+  test("fuzzy_match: composite ranking resolves every record exactly; name distance alone is ambiguous") {
+    val df = Dedup.fuzzyMatch(spark, sf).cache()
+    try {
+      val n = Tables.load(spark, sf, "supplier").count()
+      assert(df.count() == n, "a dirty record found no candidate in its block")
+      assert(df.filter(col("lev") > 2 || col("lev") < 1).count() == 0,
+        "resolution outside the verify band (perturbation guarantees lev >= 1)")
+      // the second attribute makes resolution exact: balance delta 0,
+      // true key recovered for every record
+      assert(df.filter(col("matched_key") =!= col("dirty_key") ||
+        col("bal_delta") =!= 0).count() == 0,
+        "composite (distance, balance) ranking failed to recover a true key")
+      // ...and the ambiguity it resolved was real: name-only candidates
+      // are plural for at least some records
+      assert(df.agg(max("n_candidates")).head.getLong(0) > 1,
+        "no ambiguity present — the composite ranking proved nothing")
+    } finally df.unpersist()
+  }
 }

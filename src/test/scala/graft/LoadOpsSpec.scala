@@ -53,4 +53,69 @@ class LoadOpsSpec extends SparkSpecBase {
     assert(df.collect().map(_.getString(0)).toSeq ==
       Seq("lbl - 3", "lbl", "0"))
   }
+
+  test("cdc_apply: trailing deletes remove the key; survivors match an independent last-op recompute") {
+    val df = LoadOps.cdcApply(spark, sf).cache()
+    try {
+      // independent formulation: max(struct(tus, event_id, op)) per user
+      val last = Tables.load(spark, sf, "events")
+        .filter(col("event_type").isin("view", "purchase", "error"))
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+          col("event_id"),
+          when(col("event_type") === "error", "delete")
+            .otherwise("upsert").as("op"))
+        .groupBy("user_id")
+        .agg(max(struct(col("tus"), col("event_id"), col("op"))).as("m"),
+          count(lit(1)).as("n"))
+      val survivors = last.filter(col("m.op") === "upsert")
+      assert(df.count() == survivors.count(),
+        "survivor set disagrees with the max-struct recompute")
+      val mismatch = df.join(survivors, Seq("user_id"))
+        .filter(col("updated_tus") =!= col("m.tus") ||
+          col("n_ops") =!= col("n")).count()
+      assert(mismatch == 0, "last-op timestamp or op count disagrees")
+      val deleted = last.filter(col("m.op") === "delete")
+        .join(df, Seq("user_id")).count()
+      assert(deleted == 0, "a tombstoned key survived")
+    } finally df.unpersist()
+  }
+
+  test("expectations_report: clean fixture passes all rules; a dirty corpus counts each violation exactly") {
+    val clean = operators.QualityOps.expectationsReport(spark, sf)
+    assert(clean.count() == 8)
+    assert(clean.filter(col("passed") =!= 1).count() == 0,
+      "the clean fixture tripped an expectation")
+
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    try {
+      // lineitem: one NULL qty, one out-of-range qty, one bad flag,
+      // one non-positive price, one orphan order key (42 not in orders)
+      Seq(
+        (1L, Some(5.0), "A", 10.0),
+        (1L, None, "N", 10.0),
+        (2L, Some(999.0), "R", 10.0),
+        (2L, Some(5.0), "X", 10.0),
+        (42L, Some(5.0), "A", -1.0))
+        .toDF("l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice")
+        .write.parquet(s"$dir/lineitem.parquet")
+      // orders: duplicated key 1, a bad status, a non-positive total
+      Seq((1L, "F", 10.0), (1L, "F", 10.0), (2L, "Z", 0.0))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      val r = operators.QualityOps.expectationsReport(spark, dir).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(r == Map(
+        "lineitem.quantity_not_null" -> 1L,
+        "lineitem.quantity_range" -> 1L,
+        "lineitem.returnflag_accepted" -> 1L,
+        "lineitem.price_positive" -> 1L,
+        "lineitem.orderkey_in_orders" -> 1L,
+        "orders.totalprice_positive" -> 1L,
+        "orders.status_accepted" -> 1L,
+        "orders.orderkey_unique" -> 1L), s"violation counts wrong: $r")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

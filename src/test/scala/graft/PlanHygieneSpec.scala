@@ -135,4 +135,30 @@ class PlanHygieneSpec extends SparkSpecBase {
     // only exchange allowed is the canonical output sort's range partition
     assert(!p.contains("hashpartitioning("), "unexpected data shuffle")
   }
+
+  test("nullsafe_join: <=> plans as a hash join, never a nested loop") {
+    val p = plan("nullsafe_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "null-safe equality degenerated to a nested loop")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a keyed join on the null-safe bucket")
+  }
+
+  test("zorder_layout: chunking is a projection — no window, no global sort before the rollup") {
+    val p = plan("zorder_layout")
+    assert(!p.contains("Window"), "z-chunking must not use a window function")
+    // one aggregate pair (partial+final) over the projected chunk id
+    assert(p.contains("HashAggregate"), "chunk rollup missing")
+  }
+
+  test("tokenizer_apply / dataset_split: the split is shuffle-free and the vocab join is not forced") {
+    val ps = plan("dataset_split")
+    assert(!ps.contains("hashpartitioning("),
+      "dataset_split should be a stateless projection (plus output sort)")
+    val pt = plan("tokenizer_apply")
+    assert(pt.contains("sort_array"),
+      "the id sequence must sort by position before the digest " +
+        "(collect_list order is nondeterministic)")
+  }
 }

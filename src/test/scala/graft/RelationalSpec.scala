@@ -36,8 +36,9 @@ class RelationalSpec extends SparkSpecBase {
         .select("c_nationkey").distinct().count()
       assert(tops == nations, "a nation lost its rank-1 customer")
       assert(df.filter(col("dense_rnk") > col("rnk")).count() == 0)
-      assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
-        col("cume") <= 0 || col("cume") > 1).count() == 0)
+      assert(df.filter(col("pct_rank_micro") < 0 ||
+        col("pct_rank_micro") > 1000000 ||
+        col("cume_micro") <= 0 || col("cume_micro") > 1000000).count() == 0)
       // within a nation, equal revenue => equal rank (tie correctness)
       val tieBreaks = df.groupBy("c_nationkey", "rev_s")
         .agg(countDistinct("rnk").as("nr")).filter(col("nr") > 1).count()

@@ -84,6 +84,41 @@ class TrainOpsSpec extends SparkSpecBase {
     } finally b.unpersist()
   }
 
+  test("tokenizer_apply: every doc encoded; OOV sentinel and exact digest on a constructed corpus") {
+    val t = TrainOps.tokenizerApply(spark, sf).cache()
+    try {
+      val docs = Tables.load(spark, sf, "documents")
+      assert(t.count() == docs.count(), "a document lost its encoding")
+      assert(t.filter(col("n_oov") > col("n_tokens") ||
+        col("n_oov") < 0).count() == 0)
+      // n_tokens is the split length
+      val wrong = t.join(docs.select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("expect_n")),
+        "doc_id").filter(col("n_tokens") =!= col("expect_n")).count()
+      assert(wrong == 0, "token count disagrees with the split length")
+    } finally t.unpersist()
+
+    // constructed corpus: x appears 6x, y 5x, z once (below min-count 5)
+    // vocab: x -> 0, y -> 1; doc 6 = "x z" encodes [0, -1]
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    try {
+      ((1 to 5).map(i => (i.toLong, "x y", "s")) :+ (6L, "x z", "s"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val r = TrainOps.tokenizerApply(spark, dir).collect()
+        .map(x => x.getLong(0) -> (x.getLong(2), x.getString(3))).toMap
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes).map("%02x".format(_)).mkString
+      assert(r(6L) == ((1L, md5hex("0,-1"))),
+        s"doc 6 should encode [0, -1] with one OOV: ${r(6L)}")
+      assert(r(1L) == ((0L, md5hex("0,1"))),
+        s"doc 1 should encode [0, 1] with no OOV: ${r(1L)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("semdedup: one row per vector; pruned rows point at a lower-id cluster-mate; cluster minima never pruned") {
     val d = Similarity.semDedup(spark, sf).cache()
     try {
