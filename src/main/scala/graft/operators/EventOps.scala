@@ -247,15 +247,100 @@ object EventOps {
        |${canonOrderSql(Seq("cohort_week", "week_offset", "n_users",
          "n_events"))}""".stripMargin
 
+  /** A/B experiment readout: users deterministically assigned to
+    * variants by salted content hash (RNG-free — re-runs, retries, and
+    * both engines agree on every assignment), conversion = a high-value
+    * purchase, and the two-proportion comparison emitted as exact
+    * µ-unit rates plus a pooled z-score. The z is the one
+    * floating-point emission: a single IEEE expression tree (divisions,
+    * sqrt — both correctly rounded) written identically on both
+    * engines, floored to µ-units (no round-half hazard).
+    *
+    * Scale: two distinct-aggregates keyed on user_id and one 1-row
+    * summary — the experiment readout never materializes more than its
+    * per-variant counters, at any corpus size.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    val u = e.select(col("user_id")).distinct()
+      .withColumn("variant", expr(
+        "if(cast(conv(substr(md5(concat('ab:', cast(user_id as string))), 1, 8), 16, 10) as bigint) % 2 = 0, 'A', 'B')"))
+    val conv = e
+      .filter(col("event_type") === "purchase" && col("value") > 200.0)
+      .select(col("user_id")).distinct()
+      .withColumn("cv", lit(1L))
+    val agg = u.join(conv, Seq("user_id"), "left").agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "A" && col("cv").isNotNull, 1L)
+        .otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === "B" && col("cv").isNotNull, 1L)
+        .otherwise(0L)).as("conv_b"))
+    val out = agg
+      .withColumn("rate_a_micro", expr("(conv_a * 1000000L) div n_a"))
+      .withColumn("rate_b_micro", expr("(conv_b * 1000000L) div n_b"))
+      .withColumn("lift_micro", col("rate_b_micro") - col("rate_a_micro"))
+      .withColumn("z_micro", expr(
+        """cast(floor(
+          |  ((cast(conv_b as double) / cast(n_b as double))
+          |    - (cast(conv_a as double) / cast(n_a as double)))
+          |  / sqrt(
+          |      ((cast(conv_a as double) + cast(conv_b as double))
+          |        / (cast(n_a as double) + cast(n_b as double)))
+          |      * (1.0 - ((cast(conv_a as double) + cast(conv_b as double))
+          |        / (cast(n_a as double) + cast(n_b as double))))
+          |      * ((1.0 / cast(n_a as double)) + (1.0 / cast(n_b as double))))
+          |  * 1000000.0) as bigint)""".stripMargin))
+    canon(out)
+  }
+
+  val abTestSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |v AS (
+       |  SELECT user_id,
+       |    CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+       |         THEN 'A' ELSE 'B' END AS variant
+       |  FROM u
+       |), c AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND value > 200.0
+       |), agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN variant = 'A' AND c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN variant = 'B' AND c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM v LEFT JOIN c USING (user_id)
+       |)
+       |SELECT n_a, n_b, conv_a, conv_b,
+       |  (conv_a * 1000000) // n_a AS rate_a_micro,
+       |  (conv_b * 1000000) // n_b AS rate_b_micro,
+       |  (conv_b * 1000000) // n_b - (conv_a * 1000000) // n_a AS lift_micro,
+       |  CAST(floor(
+       |    ((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |      - (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+       |    / sqrt(
+       |        ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+       |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+       |        * (1.0 - ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+       |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+       |        * ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE))))
+       |    * 1000000.0) AS BIGINT) AS z_micro
+       |FROM agg
+       |${canonOrderSql(Seq("n_a", "n_b", "conv_a", "conv_b",
+         "rate_a_micro", "rate_b_micro", "lift_micro", "z_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_steps" -> funnelSteps,
     "scd2_history" -> scd2History,
     "event_pagerank" -> eventPagerank,
-    "retention_cohorts" -> retentionCohorts)
+    "retention_cohorts" -> retentionCohorts,
+    "ab_test" -> abTest)
 
   val oracles: Map[String, String] = Map(
     "funnel_steps" -> funnelStepsSql,
     "scd2_history" -> scd2HistorySql,
     "event_pagerank" -> eventPagerankSql,
-    "retention_cohorts" -> retentionCohortsSql)
+    "retention_cohorts" -> retentionCohortsSql,
+    "ab_test" -> abTestSql)
 }

@@ -56,7 +56,11 @@ object Similarity {
       .withColumn("sim", cosine)
       .filter(col("sim") > 0.35)
       .select(col("a_id"), col("b_id"), col("label").as("cell"),
-        round(col("sim"), 6).as("sim_r"))
+        // floor-µ-units, not round(x, 6): round's decimal half-rule can
+        // diverge between engines on a stored double (proved by
+        // sales_rank at sf0.1); floor of the identical double has no
+        // half case. Discipline applied to every ratio emission.
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
     canon(out)
   }
 
@@ -66,10 +70,10 @@ object Similarity {
   val cosinePairsSql: String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS cell,
-       |  round($duckCos, 6) AS sim_r
+       |  CAST(floor($duckCos * 1000000.0) AS BIGINT) AS sim_micro
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE $duckCos > 0.35
-       |${canonOrderSql(Seq("a_id", "b_id", "cell", "sim_r"))}""".stripMargin
+       |${canonOrderSql(Seq("a_id", "b_id", "cell", "sim_micro"))}""".stripMargin
 
   /** ANN top-k per query vector, restricted to its IVF cell (label):
     * rank by (similarity DESC, neighbor id ASC) — deterministic.
@@ -88,7 +92,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 6).as("sim_r"))
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
     canon(out)
   }
 
@@ -102,9 +106,10 @@ object Similarity {
        |  SELECT query_id, neighbor_id, sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+       |SELECT query_id, neighbor_id, rank,
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
        |FROM ranked WHERE rank <= 3
-       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "sim_r"))}""".stripMargin
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "sim_micro"))}""".stripMargin
 
   /** Embedding-cosine near-dup: each doc maps to its lowest-id neighbor
     * above the dup threshold (transitive chains keep the min id).
@@ -194,7 +199,8 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("bucket"),
-        col("rank"), round(col("sim"), 6).as("sim_r"))
+        col("rank"),
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
     canon(out)
   }
 
@@ -213,9 +219,9 @@ object Similarity {
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM scored)
        |SELECT query_id, neighbor_id, bucket, CAST(rank AS INT) AS rank,
-       |  round(sim, 6) AS sim_r
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
        |FROM ranked WHERE rank <= 3
-       |${canonOrderSql(Seq("query_id", "neighbor_id", "bucket", "rank", "sim_r"))}""".stripMargin
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "bucket", "rank", "sim_micro"))}""".stripMargin
   }
 
   /** IVF centroid residuals — the coarse-quantizer training/assignment
@@ -248,8 +254,8 @@ object Similarity {
       .withColumn("sqq",
         floor(col("dx") * col("dx") * lit(1.0e12)).cast("bigint"))
     val out = r.groupBy(col("vec_id"), col("label").as("cell"))
-      .agg(round(sqrt(sum(col("sqq")).cast("double") / lit(1.0e12)), 6)
-        .as("dist_r"))
+      .agg(floor(sqrt(sum(col("sqq")).cast("double") / lit(1.0e12))
+        * lit(1000000.0)).cast("long").as("dist_micro"))
     canon(out)
   }
 
@@ -270,9 +276,10 @@ object Similarity {
        |          AS BIGINT) AS sqq
        |      FROM q JOIN cent c ON q.label = c.label AND q.pos = c.pos)
        |SELECT vec_id, label AS cell,
-       |  round(sqrt(CAST(sum(sqq) AS DOUBLE) / 1e12), 6) AS dist_r
+       |  CAST(floor(sqrt(CAST(sum(sqq) AS DOUBLE) / 1e12) * 1000000.0)
+       |    AS BIGINT) AS dist_micro
        |FROM r GROUP BY 1, 2
-       |${canonOrderSql(Seq("vec_id", "cell", "dist_r"))}""".stripMargin
+       |${canonOrderSql(Seq("vec_id", "cell", "dist_micro"))}""".stripMargin
 
   // ---- multi-table hyperplane LSH: the recall lever ------------------
 
@@ -333,7 +340,7 @@ object Similarity {
     val out = sym.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 6).as("sim_r"))
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
     canon(out)
   }
 
@@ -367,9 +374,9 @@ object Similarity {
        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
        |  FROM sym)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-       |  round(sim, 6) AS sim_r
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
        |FROM ranked WHERE rank <= 3
-       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "sim_r"))}""".stripMargin
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "sim_micro"))}""".stripMargin
   }
 
   /** Distributed k-means assignment (one Lloyd's iteration's assign
@@ -417,7 +424,8 @@ object Similarity {
       .select(col("vec_id"), col("own_cell"), col("assigned_cell"),
         when(col("own_cell") === col("assigned_cell"), 1).otherwise(0)
           .as("stable"),
-        round(sqrt(col("d2q").cast("double") / lit(1.0e12)), 6).as("dist_r"))
+        floor(sqrt(col("d2q").cast("double") / lit(1.0e12))
+          * lit(1000000.0)).cast("long").as("dist_micro"))
     canon(out)
   }
 
@@ -448,9 +456,10 @@ object Similarity {
     s"""$assignCteSql
        |SELECT vec_id, own_cell, cand AS assigned_cell,
        |  CASE WHEN own_cell = cand THEN 1 ELSE 0 END AS stable,
-       |  round(sqrt(CAST(d2q AS DOUBLE) / 1e12), 6) AS dist_r
+       |  CAST(floor(sqrt(CAST(d2q AS DOUBLE) / 1e12) * 1000000.0) AS BIGINT)
+       |    AS dist_micro
        |FROM r WHERE rn = 1
-       |${canonOrderSql(Seq("vec_id", "own_cell", "assigned_cell", "stable", "dist_r"))}""".stripMargin
+       |${canonOrderSql(Seq("vec_id", "own_cell", "assigned_cell", "stable", "dist_micro"))}""".stripMargin
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space (the k-means assignment above), then

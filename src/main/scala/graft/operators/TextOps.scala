@@ -500,7 +500,8 @@ object TextOps {
     }
     val out = d.select(col("doc_id"), col("source"), u.as("u"), rate.as("rate"))
       .filter(col("u") < col("rate"))
-      .select(col("doc_id"), col("source"), round(col("u"), 6).as("u_r"))
+      .select(col("doc_id"), col("source"),
+        floor(col("u") * lit(1000000.0)).cast("long").as("u_micro"))
     canon(out)
   }
 
@@ -514,9 +515,10 @@ object TextOps {
        |      / 4294967296.0 AS u,
        |    $rateCase AS rate
        |  FROM documents)
-       |SELECT doc_id, source, round(u, 6) AS u_r
+       |SELECT doc_id, source,
+       |  CAST(floor(u * 1000000.0) AS BIGINT) AS u_micro
        |FROM scored WHERE u < rate
-       |${canonOrderSql(Seq("doc_id", "source", "u_r"))}""".stripMargin
+       |${canonOrderSql(Seq("doc_id", "source", "u_micro"))}""".stripMargin
   }
 
   /** Unicode NFC canonicalization via the native `graft_nfc` kernel.

@@ -213,7 +213,7 @@ object TrainOps {
         Seq("b_id"))
       .filter(col("split_a") =!= col("split_b"))
       .select(col("a_id"), col("b_id"), col("split_a"), col("split_b"),
-        round(col("jaccard"), 6).as("jac_r"))
+        floor(col("jaccard") * lit(1000000.0)).cast("long").as("jac_micro"))
     canon(out)
   }
 
@@ -223,12 +223,12 @@ object TrainOps {
        |  $splitRelSql
        |)
        |SELECT p.a_id, p.b_id, sa.split AS split_a, sb.split AS split_b,
-       |  round(p.jaccard, 6) AS jac_r
+       |  CAST(floor(p.jaccard * 1000000.0) AS BIGINT) AS jac_micro
        |FROM mh_pairs p
        |JOIN splits sa ON p.a_id = sa.doc_id
        |JOIN splits sb ON p.b_id = sb.doc_id
        |WHERE p.jaccard >= 0.3 AND sa.split <> sb.split
-       |${canonOrderSql(Seq("a_id", "b_id", "split_a", "split_b", "jac_r"))}""".stripMargin
+       |${canonOrderSql(Seq("a_id", "b_id", "split_a", "split_b", "jac_micro"))}""".stripMargin
 
   // ---------------------------------------------------------------------
   // curriculum_bins — per-language quartile binning by length

@@ -92,7 +92,7 @@ class CoreSpec extends SparkSpecBase {
     try {
       assert(df.filter(col("split_a") === col("split_b")).count() == 0,
         "a same-split pair leaked into the report")
-      assert(df.filter(col("jac_r") < 0.3).count() == 0,
+      assert(df.filter(col("jac_micro") < 300000L).count() == 0,
         "a sub-threshold pair survived")
       // labels agree with dataset_split's assignment
       val sp = operators.TrainOps.datasetSplit(spark, sf)

@@ -107,4 +107,20 @@ class EventOpsSpec extends SparkSpecBase {
       assert(week0 == users, s"offset-0 covers $week0 of $users users")
     } finally df.unpersist()
   }
+
+  test("ab_test: variants partition the user base; rates, lift, and z cohere") {
+    val r = operators.EventOps.abTest(spark, sf).collect()
+    assert(r.length == 1, "expected a single summary row")
+    val m = r.head.getValuesMap[Long](Seq("n_a", "n_b", "conv_a", "conv_b",
+      "rate_a_micro", "rate_b_micro", "lift_micro", "z_micro"))
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(m("n_a") + m("n_b") == users, "variants do not partition users")
+    assert(m("conv_a") <= m("n_a") && m("conv_b") <= m("n_b"))
+    assert(m("rate_a_micro") == m("conv_a") * 1000000L / m("n_a"))
+    assert(m("lift_micro") == m("rate_b_micro") - m("rate_a_micro"))
+    // floor-µ lift and the exact-double z always agree in sign
+    if (m("lift_micro") > 0) assert(m("z_micro") >= 0)
+    if (m("lift_micro") < 0) assert(m("z_micro") <= 0)
+  }
 }

@@ -41,7 +41,8 @@ class LlmOpsSpec extends SparkSpecBase {
 
   test("cosine similarity is symmetric and bounded") {
     val df = Similarity.cosinePairs(spark, sf)
-    assert(df.filter(col("sim_r") > 1.0 || col("sim_r") < -1.0).count() == 0)
+    assert(df.filter(col("sim_micro") > 1000000L ||
+      col("sim_micro") < -1000000L).count() == 0)
   }
 
   test("multimodal decode stub: mapPartitions path agrees with expression path") {
