@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.CdcStream
+
+class CdcStreamSpec extends SparkSpecBase {
+
+  private def write(src: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("user_id", "tus", "event_id", "op", "value")
+      .coalesce(1).write.mode("append").parquet(src)
+  }
+
+  test("cdc stream: upserts, updates, and deletes fold across micro-batches; late ops lose") {
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val src = s"$root/src"; val state = s"$root/state"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // batch 1: three inserts
+    write(src, Seq(
+      (1L, 100L, 10L, "upsert", 1.0),
+      (2L, 100L, 11L, "upsert", 2.0),
+      (3L, 100L, 12L, "upsert", 3.0)))
+    CdcStream.start(spark, src, state, ckp).awaitTermination()
+    val s1 = spark.read.parquet(state)
+    assert(s1.count() == 3, s"batch 1 should leave 3 keys, got ${s1.count()}")
+
+    // batch 2: update key 2, delete key 3, insert key 4 (different
+    // bucket spread), and a LATE op for key 1 that must lose
+    write(src, Seq(
+      (2L, 200L, 20L, "upsert", 2.5),
+      (3L, 200L, 21L, "delete", 0.0),
+      (4L, 200L, 22L, "upsert", 4.0),
+      (1L, 50L, 23L, "upsert", 99.0))) // older tus than state's 100
+    CdcStream.start(spark, src, state, ckp).awaitTermination()
+
+    val s2 = spark.read.parquet(state).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(s2.keySet == Set(1L, 2L, 4L),
+      s"final keys wrong: ${s2.keySet} (3 deleted, 4 inserted)")
+    assert(s2(1L) == ((100L, 1.0)), s"late op regressed key 1: ${s2(1L)}")
+    assert(s2(2L) == ((200L, 2.5)), s"update lost on key 2: ${s2(2L)}")
+    assert(s2(4L) == ((200L, 4.0)), s"insert lost on key 4: ${s2(4L)}")
+
+    // restart with the same checkpoint and no new files: state unchanged
+    CdcStream.start(spark, src, state, ckp).awaitTermination()
+    val s3 = spark.read.parquet(state)
+    assert(s3.count() == 3, "an empty restart changed the state table")
+
+    // deleted key can come back in a later batch
+    write(src, Seq((3L, 300L, 30L, "upsert", 3.5)))
+    CdcStream.start(spark, src, state, ckp).awaitTermination()
+    val s4 = spark.read.parquet(state)
+      .filter(col("user_id") === 3L).collect()
+    assert(s4.length == 1 && s4.head.getDouble(3) == 3.5,
+      "re-insert after delete did not revive the key")
+  }
+}
