@@ -178,15 +178,91 @@ object AsofOps {
        |FROM ranked GROUP BY event_type
        |${canonOrderSql(Seq("event_type", "n_events", "p25", "p50", "p75", "p95", "sketch_ok"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // resample_fill — fixed-grid resampling with forward fill
+  // ---------------------------------------------------------------------
+
+  /** Grid slot width: 6 hours in epoch-µs (the reference's window). */
+  private val slotUs = 6L * 3600 * 1000000
+
+  /** Time-series resampling: each user's irregular event stream becomes
+    * a REGULAR 6-hour grid between their first and last event, with the
+    * last observed value carried forward across empty slots — the
+    * gap-filling step every feature pipeline runs before windowed
+    * models, and the one time-series face as-of join doesn't cover
+    * (as-of aligns two streams; this REGULARIZES one). Per slot the
+    * observation is the max (tus, event_id, value) struct — last write
+    * in the slot wins, ties impossible (event_id unique).
+    *
+    * Scale: per-(user, slot) aggregate with map-side partials, a
+    * bounded per-user grid explode (`sequence(min, max)` — slot count,
+    * not event count), and one user-keyed window for the forward fill.
+    * Nothing materializes the cross of users × global time range: each
+    * user's grid spans only their own activity.
+    */
+  def resampleFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"), col("value"))
+      .withColumn("slot", expr(s"tus div $slotUs"))
+    val obs = e.groupBy(col("user_id"), col("slot"))
+      .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("slot"), col("m.value").as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("slot")).as("mn"), max(col("slot")).as("mx"))
+      .select(col("user_id"),
+        explode(expr("sequence(mn, mx)")).as("slot"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("slot"))
+    val out = grid.join(obs, Seq("user_id", "slot"), "left")
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("slot"),
+        Fns.canonNum(col("v_fill")).as("value_s"),
+        when(col("v").isNotNull, 1).otherwise(0).as("is_observed"))
+    canon(out)
+  }
+
+  val resampleFillSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+       |    epoch_us(ts) // $slotUs AS slot
+       |  FROM events
+       |), r AS (
+       |  SELECT user_id, slot, value,
+       |    row_number() OVER (PARTITION BY user_id, slot
+       |      ORDER BY tus DESC, event_id DESC) AS rn
+       |  FROM e
+       |), o AS (
+       |  SELECT user_id, slot, value AS v FROM r WHERE rn = 1
+       |), bounds AS (
+       |  SELECT user_id, min(slot) AS mn, max(slot) AS mx
+       |  FROM o GROUP BY 1
+       |), grid AS (
+       |  SELECT user_id, unnest(generate_series(mn, mx)) AS slot
+       |  FROM bounds
+       |), filled AS (
+       |  SELECT g.user_id, g.slot, o.v,
+       |    last_value(o.v IGNORE NULLS) OVER (
+       |      PARTITION BY g.user_id ORDER BY g.slot
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+       |  FROM grid g LEFT JOIN o ON g.user_id = o.user_id AND g.slot = o.slot
+       |)
+       |SELECT user_id, slot,
+       |  CAST(CAST(v_fill AS DECIMAL(18,2)) AS VARCHAR) AS value_s,
+       |  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+       |FROM filled
+       |${canonOrderSql(Seq("user_id", "slot", "value_s", "is_observed"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> asofJoin,
     "event_pivot" -> eventPivot,
     "value_median" -> valueMedian,
-    "approx_quantiles" -> approxQuantiles)
+    "approx_quantiles" -> approxQuantiles,
+    "resample_fill" -> resampleFill)
 
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinSql,
     "event_pivot" -> eventPivotSql,
     "value_median" -> valueMedianSql,
-    "approx_quantiles" -> approxQuantilesSql)
+    "approx_quantiles" -> approxQuantilesSql,
+    "resample_fill" -> resampleFillSql)
 }

@@ -44,4 +44,30 @@ class AsofOpsSpec extends SparkSpecBase {
     assert(bad.count() == 0)
     assert(df.groupBy("event_type").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("resample_fill: contiguous gap-free grid per user, no null fills, first slot observed") {
+    val df = AsofOps.resampleFill(spark, sf).cache()
+    try {
+      // per user, the grid is exactly [min, max] with no gaps or dups
+      val spans = df.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        (max("slot") - min("slot") + 1).as("expect"),
+        countDistinct("slot").as("nd"))
+      assert(spans.filter(col("n") =!= col("expect") ||
+        col("nd") =!= col("n")).count() == 0, "grid has gaps or duplicates")
+      // forward fill is total: no slot lacks a value
+      assert(df.filter(col("value_s").isNull).count() == 0)
+      // a user's first slot is anchored at an observation
+      val firsts = df.groupBy("user_id").agg(min("slot").as("slot"))
+      assert(firsts.join(df, Seq("user_id", "slot"))
+        .filter(col("is_observed") =!= 1).count() == 0,
+        "a user's grid starts on an unobserved slot")
+      // observed slots match the raw event slot set
+      val rawSlots = Tables.load(spark, sf, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 21600000000").as("slot"))
+        .distinct().count()
+      assert(df.filter(col("is_observed") === 1).count() == rawSlots)
+    } finally df.unpersist()
+  }
 }
