@@ -119,6 +119,24 @@ class TrainOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("tokenizer_apply: an all-OOV corpus (empty vocabulary) encodes every token as the sentinel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-oovall").toString
+    try {
+      // every token occurs once — all below the min-count floor, so the
+      // vocabulary is EMPTY and the left join runs against zero rows
+      Seq((1L, "aa bb", "s"), (2L, "cc dd ee", "s"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val r = operators.TrainOps.tokenizerApply(spark, dir).collect()
+        .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+      assert(r == Map(1L -> ((2L, 2L)), 2L -> ((3L, 3L))),
+        s"all-OOV corpus mis-encoded: $r")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("semdedup: one row per vector; pruned rows point at a lower-id cluster-mate; cluster minima never pruned") {
     val d = Similarity.semDedup(spark, sf).cache()
     try {
