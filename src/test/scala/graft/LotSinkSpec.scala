@@ -65,4 +65,30 @@ class LotSinkSpec extends SparkSpecBase {
     assert(out.join(exact, "event_type")
       .filter(col("exact_users") =!= col("chk")).count() == 0)
   }
+
+  test("schema evolution: mergeSchema unifies drifting parquet batches; ensureColumns pads beyond") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    try {
+      // batch 1 ships two columns; a later producer adds a third —
+      // the classic upstream schema drift an ingest layer must absorb
+      Seq((1L, "a1"), (2L, "a2")).toDF("id", "a")
+        .write.mode("append").parquet(dir)
+      Seq((3L, "a3", "b3")).toDF("id", "a", "b")
+        .write.mode("append").parquet(dir)
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"),
+        s"mergeSchema lost a column: ${merged.columns.toSeq}")
+      // pre-drift rows surface the new column as NULL, not an error
+      assert(merged.filter(col("b").isNull).count() == 2)
+      assert(merged.filter(col("b") === "b3").count() == 1)
+      // the P2 padding contract then takes the unified schema the rest
+      // of the way: a column no batch ever shipped arrives as ''
+      val padded = Tables.ensureColumns(merged, Seq("id", "a", "b", "c"))
+      assert(padded.columns.toSeq == Seq("id", "a", "b", "c"))
+      assert(padded.filter(col("c") =!= "").count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
