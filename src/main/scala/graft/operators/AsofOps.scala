@@ -204,7 +204,11 @@ object AsofOps {
     val e = load(spark, sfDir, "events")
       .select(col("user_id"), expr("unix_micros(ts)").as("tus"),
         col("event_id"), col("value"))
-      .withColumn("slot", expr(s"tus div $slotUs"))
+      // FLOOR division, not `div` (trunc-toward-zero): a pre-1970 tus
+      // must slot into the PRECEDING grid cell, not share a ±6h cell 0
+      // with post-epoch events. pmod makes the dividend exactly
+      // divisible, so `div` is exact and equals floor on both signs.
+      .withColumn("slot", expr(s"(tus - pmod(tus, $slotUs)) div $slotUs"))
     val obs = e.groupBy(col("user_id"), col("slot"))
       .agg(max(struct(col("tus"), col("event_id"), col("value"))).as("m"))
       .select(col("user_id"), col("slot"), col("m.value").as("v"))
@@ -224,7 +228,8 @@ object AsofOps {
   val resampleFillSql: String =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) AS tus, event_id, value,
-       |    epoch_us(ts) // $slotUs AS slot
+       |    (epoch_us(ts) - ((epoch_us(ts) % $slotUs) + $slotUs) % $slotUs)
+       |      // $slotUs AS slot
        |  FROM events
        |), r AS (
        |  SELECT user_id, slot, value,

@@ -170,11 +170,14 @@ object CorpusOps {
     * Scale: everything downstream of the one bigram groupBy runs at
     * DISTINCT-BIGRAM cardinality (vocab²-bounded, like the LM model
     * build); the marginals are windows over that bounded relation
-    * keyed by w1/w2, and N attaches as a 1-row broadcast stamp. The
-    * BIGINT product c12·N·1e6 is overflow-safe to ~10¹² bigrams; past
-    * that, swap the numerator to DECIMAL(38,0) — noted here because
-    * Spark longs wrap silently while DuckDB raises, so the overflow
-    * would not even fail loudly on the Spark side.
+    * keyed by w1/w2, and N attaches as a 1-row broadcast stamp. Both
+    * the numerator c12·N·1e6 and the denominator c1·c2 are computed in
+    * 128-bit exact arithmetic (DECIMAL(38,0) on Spark, HUGEINT in the
+    * oracle): in BIGINT the numerator wraps once c12·N exceeds ~9.2e12
+    * — for a frequent collocation (c12 ∝ N) that is only a few million
+    * bigrams, and Spark longs wrap SILENTLY while DuckDB raises, so
+    * the overflow would not even fail loudly. The widened relation is
+    * the bounded distinct-bigram one, so the cost is nil.
     */
   def pmiCooccur(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = bigramRel(spark, sfDir)
@@ -186,7 +189,8 @@ object CorpusOps {
       .crossJoin(broadcast(tot))
       .filter(col("c12") >= pmiMinSupport)
       .select(col("w1"), col("w2"), col("c12"),
-        expr("(c12 * n_total * 1000000L) div (c1 * c2)").as("pmi_micro"))
+        expr("cast((cast(c12 as decimal(38,0)) * n_total * 1000000) div " +
+          "(cast(c1 as decimal(38,0)) * c2) as bigint)").as("pmi_micro"))
     canon(out)
   }
 
@@ -207,7 +211,8 @@ object CorpusOps {
        |  FROM p
        |)
        |SELECT w1, w2, c12,
-       |  CAST((c12 * n_total * 1000000) // (c1 * c2) AS BIGINT) AS pmi_micro
+       |  CAST((CAST(c12 AS HUGEINT) * n_total * 1000000)
+       |    // (CAST(c1 AS HUGEINT) * c2) AS BIGINT) AS pmi_micro
        |FROM m, t WHERE c12 >= $pmiMinSupport
        |${canonOrderSql(Seq("w1", "w2", "c12", "pmi_micro"))}""".stripMargin
 

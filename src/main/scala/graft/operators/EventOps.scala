@@ -222,7 +222,12 @@ object EventOps {
     val first = e.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
     val out = e.join(first, Seq("user_id"))
       .select(col("user_id"),
-        expr("datediff(d0, date'1970-01-01') div 7").as("cohort_week"),
+        // FLOOR week index: a pre-1970 cohort date must land in the
+        // preceding week, not truncate toward week 0 (week_offset is
+        // non-negative by construction — d >= d0 — so plain div is fine)
+        expr("(datediff(d0, date'1970-01-01') - " +
+          "pmod(datediff(d0, date'1970-01-01'), 7)) div 7")
+          .as("cohort_week"),
         expr("datediff(d, d0) div 7").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"),
@@ -237,7 +242,9 @@ object EventOps {
        |  SELECT user_id, min(d) AS d0 FROM e GROUP BY 1
        |), x AS (
        |  SELECT e.user_id,
-       |    date_diff('day', DATE '1970-01-01', f.d0) // 7 AS cohort_week,
+       |    (date_diff('day', DATE '1970-01-01', f.d0)
+       |      - ((date_diff('day', DATE '1970-01-01', f.d0) % 7) + 7) % 7)
+       |      // 7 AS cohort_week,
        |    date_diff('day', f.d0, e.d) // 7 AS week_offset
        |  FROM e JOIN f USING (user_id)
        |)

@@ -320,9 +320,11 @@ object ScaleOps {
         s"shiftleft((shiftright(zy, $i) & 1), ${2 * i + 1})"
     }.mkString(" + ")
     val e = load(spark, sfDir, "events")
+      // pmod, not %: a pre-1970 day index must map into [0, 1024) or
+      // the bit interleave below operates on a negative value
       .select((col("user_id") % 1024).cast("long").as("zx"),
-        expr("cast(datediff(to_date(ts), date'1970-01-01') % 1024 as bigint)")
-          .as("zy"))
+        expr("cast(pmod(datediff(to_date(ts), date'1970-01-01'), 1024) " +
+          "as bigint)").as("zy"))
       .withColumn("zkey", expr(sparkZ))
     val out = e
       .groupBy(expr(s"zkey div ${1L << zChunkShift}").as("chunk_id"))
@@ -338,7 +340,8 @@ object ScaleOps {
     }.mkString(" + ")
     s"""WITH d AS (
        |  SELECT user_id % 1024 AS zx,
-       |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 1024 AS zy
+       |    ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 1024)
+       |      + 1024) % 1024 AS zy
        |  FROM events
        |), z AS (
        |  SELECT zx, zy, $duckZ AS zkey FROM d

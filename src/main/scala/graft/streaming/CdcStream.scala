@@ -16,9 +16,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the buckets its keys touch (directory-pruned scan), merges, and
   * dynamically overwrites ONLY those bucket partitions — untouched
   * buckets are never read or rewritten, so per-batch work scales with
-  * the batch's key spread, not the state size. Late ops lose: a state
-  * row beats a batch op with an older (tus, event_id), so re-delivery
-  * and out-of-order arrival cannot regress state.
+  * the batch's key spread, not the state size.
+  *
+  * Ordering: the state table RETAINS delete tombstones (the `op`
+  * column), so every applied op — upsert or delete — keeps competing at
+  * its original (tus, event_id) against anything that arrives later.
+  * That makes cross-batch out-of-order arrival safe in both directions:
+  * a late upsert older than an applied delete loses to the tombstone
+  * (the key stays deleted) just as a late upsert older than an applied
+  * upsert loses to the state row. Serving reads go through `readState`,
+  * which filters tombstones out; `gcTombstones` reclaims tombstones once
+  * no older op can still arrive (the caller's lateness horizon).
   */
 object CdcStream {
 
@@ -35,6 +43,15 @@ object CdcStream {
 
   private def withBucket(d: DataFrame): DataFrame =
     d.withColumn("bucket", pmod(col("user_id"), lit(nBuckets)))
+
+  /** Serving view of the state table: live rows only, tombstones
+    * filtered out. This is what a consumer joins against.
+    */
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .filter(col("op") =!= "delete")
+      .select(col("user_id"), col("tus"), col("event_id"),
+        col("value"), col("bucket"))
 
   /** Merge one op micro-batch into the state table at `stateDir`.
     * Exposed for the spec; `start` wires it into foreachBatch.
@@ -56,49 +73,60 @@ object CdcStream {
       else
         spark.createDataFrame(spark.sparkContext
             .emptyRDD[org.apache.spark.sql.Row],
-          StructType(opSchema.fields.filterNot(_.name == "op") :+
-            StructField("bucket", LongType)))
-    // state rows compete as upserts at their original (tus, event_id):
-    // a batch op only wins its key if it is NEWER — late data loses
-    val cands = state.withColumn("op", lit("upsert"))
-      .unionByName(b.select(col("user_id"), col("tus"), col("event_id"),
-        col("value"), col("bucket"), col("op")))
+          StructType(opSchema.fields :+ StructField("bucket", LongType)))
+    // every state row — tombstones included — competes at its original
+    // (tus, event_id): a batch op only wins its key if it is NEWER, so
+    // late data loses even to an already-applied delete
+    val cols = Seq(col("user_id"), col("tus"), col("event_id"),
+      col("op"), col("value"), col("bucket"))
+    val cands = state.select(cols: _*).unionByName(b.select(cols: _*))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus").desc, col("event_id").desc)
     val winners = cands.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") === "upsert")
-      .select(col("user_id"), col("tus"), col("event_id"),
-        col("value"), col("bucket"))
+      .filter(col("rn") === 1)
+      .select(cols: _*)
     // materialize BEFORE the overwrite: the merged plan reads the same
     // bucket files the dynamic overwrite is about to replace
     val next = winners.persist(org.apache.spark.storage.StorageLevel
       .MEMORY_AND_DISK)
     try {
       next.count()
+      // each batch key yields exactly one winner row (live or
+      // tombstone), so every touched bucket is present in `next` and
+      // the dynamic overwrite fully replaces the touched partitions
       next.write
         .partitionBy("bucket")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(stateDir)
-      // dynamic overwrite only rewrites partitions PRESENT in the new
-      // data — a touched bucket whose last key was just deleted is
-      // absent from `next`, so its stale files must be removed
-      // explicitly or the delete never lands
-      val nonEmpty = next.select(col("bucket")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      touched.filterNot(nonEmpty).foreach { bkt =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$stateDir/bucket=$bkt"), true)
-      }
     } finally next.unpersist()
+    ()
+  }
+
+  /** Reclaim tombstones older than `horizonUs` (an absolute µs-epoch
+    * cutoff the caller derives from its lateness bound): once no op
+    * older than the cutoff can still arrive, a tombstone below it can
+    * never beat anything and is dead weight. Rewrites every bucket —
+    * this is a maintenance pass, not a per-batch step.
+    */
+  def gcTombstones(spark: SparkSession, stateDir: String,
+      horizonUs: Long): Unit = {
+    val kept = spark.read.parquet(stateDir)
+      .filter(col("op") =!= "delete" || col("tus") >= horizonUs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kept.count()
+      kept.write.partitionBy("bucket").mode("overwrite").parquet(stateDir)
+    } finally kept.unpersist()
     ()
   }
 
   /** File-source streaming runner: watch `sourceDir` for op-log parquet
     * and fold each micro-batch into the state table. The streaming
     * checkpoint makes replay exactly-once: a restart re-processes no
-    * already-committed batch, and the late-op rule makes even a manual
-    * re-delivery idempotent.
+    * already-committed batch, and the newest-op-wins rule (over a state
+    * that retains tombstones) makes even a manual re-delivery
+    * idempotent.
     */
   def start(spark: SparkSession, sourceDir: String, stateDir: String,
       checkpointDir: String): StreamingQuery = {

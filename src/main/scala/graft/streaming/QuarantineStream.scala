@@ -14,20 +14,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stopping the pipeline.
   *
   * Scale: the split is two filters over one persisted micro-batch —
-  * stateless, no shuffle; both sinks append, and the streaming
-  * checkpoint keeps re-delivery exactly-once. Quarantined rows keep
-  * their full payload so a fixed rule or replay tool can re-ingest
+  * stateless, no shuffle. Delivery is exactly-once in effect: each
+  * micro-batch lands in a batchId-deterministic partition directory
+  * (`batch_id=N`) written with overwrite, so a crash between the sink
+  * writes and the checkpoint commit replays the batch into the SAME
+  * directories instead of appending duplicates (foreachBatch guarantees
+  * a replayed epoch re-presents the same batchId). Quarantined rows
+  * keep their full payload so a fixed rule or replay tool can re-ingest
   * them.
   */
 object QuarantineStream {
 
   /** (rule name, failure predicate) — ordered; the FIRST failing rule
-    * names the quarantine reason.
+    * names the quarantine reason. NULL is a violation for every rule:
+    * the type gate checks isNull explicitly because `NULL NOT IN (...)`
+    * evaluates to NULL and would otherwise slip through the gate.
     */
   private val rules: Seq[(String, Column)] = Seq(
     "user_id_not_null" -> col("user_id").isNull,
-    "known_event_type" ->
-      !col("event_type").isin("view", "click", "purchase", "signup", "error"),
+    "known_event_type" -> (col("event_type").isNull ||
+      !col("event_type").isin("view", "click", "purchase", "signup", "error")),
     "value_non_negative" -> (col("value").isNull || col("value") < 0))
 
   private val failReason: Column =
@@ -44,18 +50,22 @@ object QuarantineStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val marked = batch.withColumn("quarantine_reason", failReason)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             marked.count()
+            // overwrite into a per-batch partition dir: replaying an
+            // uncommitted epoch rewrites, never duplicates
             marked.filter(col("quarantine_reason").isNull)
               .drop("quarantine_reason")
-              .write.mode("append").parquet(okDir)
+              .write.mode("overwrite")
+              .parquet(s"$okDir/batch_id=$batchId")
             val bad = marked.filter(col("quarantine_reason").isNotNull)
             if (!bad.isEmpty)
-              bad.write.mode("append").parquet(dlqDir)
+              bad.write.mode("overwrite")
+                .parquet(s"$dlqDir/batch_id=$batchId")
           } finally marked.unpersist()
         }
         ()

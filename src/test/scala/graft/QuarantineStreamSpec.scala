@@ -51,12 +51,23 @@ class QuarantineStreamSpec extends SparkSpecBase {
     assert(spark.read.parquet(ok).count() == 2)
     assert(spark.read.parquet(dlq).count() == 4)
 
-    // a later batch appends to both sinks
+    // a later batch appends to both sinks; a NULL event_type must NOT
+    // slip through the IN-list gate (NULL NOT IN (...) is NULL in SQL)
     write(Seq(
       (7L, ts("2024-05-01 02:00:00"), 11L, "signup", 7.0),
-      (8L, ts("2024-05-01 02:05:00"), 12L, "view", -1.0)))
+      (8L, ts("2024-05-01 02:05:00"), 12L, "view", -1.0),
+      (9L, ts("2024-05-01 02:10:00"), 13L, null, 9.0)))
     QuarantineStream.start(spark, src, ok, dlq, ckp).awaitTermination()
     assert(spark.read.parquet(ok).count() == 3)
-    assert(spark.read.parquet(dlq).count() == 5)
+    val dlq2 = spark.read.parquet(dlq)
+    assert(dlq2.count() == 6)
+    assert(dlq2.filter(col("event_id") === 9L).collect()
+      .head.getAs[String]("quarantine_reason") == "known_event_type",
+      "null event_type must quarantine under the type rule")
+
+    // sinks are laid out per-batch so an uncommitted replay overwrites
+    // its own directory instead of appending duplicates
+    assert(spark.read.parquet(ok).columns.contains("batch_id"),
+      "clean sink should be batch_id-partitioned for idempotent replay")
   }
 }
