@@ -328,6 +328,67 @@ object CorpusOps {
     canonOrderSql(Seq("column_name", "n_rows", "n_nulls", "n_distinct",
       "min_s", "max_s")))
 
+  /** The 100 TB face of [[tableProfile]]: per-column distinct counts as
+    * HLL sketches (`approx_count_distinct`, rsd 2%) — ONE aggregation
+    * pass, K mergeable sketches, NO Expand: the exact profiler's
+    * multi-DISTINCT plan replicates every row once per profiled column
+    * through an Expand before the shuffle, which is the part that dies
+    * first at corpus scale. At 100 TB you run the sketch branch alone.
+    *
+    * The oracle gate needs an exact anchor, so the plan carries a
+    * second, deliberately Expand-free exact branch: melt the profiled
+    * columns to (column_name, canonical_value) pairs with one Generate,
+    * then a SINGLE-distinct aggregate (Catalyst's single-distinct
+    * rewrite — two-stage agg keyed on the pair, no Expand). `hll_ok`
+    * asserts each sketch landed within 10% of exact (5σ at rsd 2%), so
+    * a sketch regression hash-mismatches.
+    */
+  def tableProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = load(spark, sfDir, "lineitem")
+    // sketch branch — the shape you'd actually run at 100 TB
+    val aggs = count(lit(1)).as("n_rows") +: profileCols.flatMap {
+      case (c, _) => Seq(
+        count(col(c)).as(s"np_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"ad_$c"))
+    }
+    val metrics = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profileCols.map { case (c, _) =>
+      s"'$c', np_$c, ad_$c"
+    }.mkString(", ")
+    val sketch = metrics.selectExpr("n_rows",
+      s"stack(${profileCols.size}, $stackArgs) AS (column_name, n_present, approx_nd)")
+    // exact anchor branch — Expand-free: one Generate melt + the
+    // single-distinct rewrite
+    val pairs = profileCols.map { case (c, kind) =>
+      struct(lit(c).as("column_name"), canonStr(kind, col(c)).as("v"))
+    }
+    val exact = li.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+      .groupBy(col("column_name"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+    val out = sketch.join(exact, Seq("column_name")) // 11 rows × 11 rows
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_present")).as("n_nulls"),
+        col("n_distinct"),
+        when(col("n_distinct") === 0,
+          when(col("approx_nd") === 0, 1).otherwise(0))
+          .otherwise(
+            when(abs(col("approx_nd") - col("n_distinct")).cast("double")
+              / col("n_distinct").cast("double") <= 0.1, 1).otherwise(0))
+          .as("hll_ok"))
+    canon(out)
+  }
+
+  val tableProfileApproxSql: String = profileCols.map { case (c, kind) =>
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT ${canonStrSql(kind, c)}) AS n_distinct,
+       |  1 AS hll_ok
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\n" +
+    canonOrderSql(Seq("column_name", "n_rows", "n_nulls", "n_distinct",
+      "hll_ok")))
+
   // ---------------------------------------------------------------------
   // length_outliers — IQR-fence outlier flagging on exact quantiles
   // ---------------------------------------------------------------------
@@ -347,14 +408,15 @@ object CorpusOps {
     * per-lang fence relation is domain-bounded, so the enrich join
     * broadcasts.
     */
-  def lengthOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = load(spark, sfDir, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+  /** Exact per-language Tukey fences via rank statistics — shared by the
+    * exact and approx outlier faces.
+    */
+  private def exactLengthFences(d: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
     val ranked = d
       .withColumn("rk", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
-    val fences = ranked.groupBy(col("lang"))
+    ranked.groupBy(col("lang"))
       .agg(
         min(when(col("rk") === expr("(cnt * 25 + 99) div 100"),
           col("n_chars"))).as("q1"),
@@ -363,6 +425,12 @@ object CorpusOps {
       .select(col("lang"),
         expr("q1 - (3 * (q3 - q1)) div 2").as("lo"),
         expr("q3 + (3 * (q3 - q1)) div 2").as("hi"))
+  }
+
+  def lengthOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val fences = exactLengthFences(d)
     val out = d.join(broadcast(fences), Seq("lang")) // lang domain is bounded
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("lo"), col("hi"),
@@ -393,6 +461,83 @@ object CorpusOps {
        |FROM documents d JOIN f USING (lang)
        |${canonOrderSql(Seq("doc_id", "lang", "n_chars", "lo", "hi",
          "is_outlier"))}""".stripMargin
+
+  /** Sketch accuracy for the approx quantile face: rank error is
+    * bounded by n/accuracy, so below this group size the sketch is
+    * EXACT and the approx face agrees with the exact face bit-for-bit.
+    */
+  private val lengthOutlierAccuracy = 10000
+
+  /** The 100 TB face of [[lengthOutliers]]: per-language quartiles from
+    * a mergeable `percentile_approx` sketch (one map-side-combinable
+    * aggregate — no per-group rank sort, no per-group serialization),
+    * fences and flag arithmetic unchanged. The output is the per-lang
+    * rollup: exact outlier counts (oracle-anchored), the count of docs
+    * whose approx flag disagrees with the exact flag, and an ok-flag
+    * bounding that disagreement at 1% — the approx_distinct discipline:
+    * a sketch regression hash-mismatches instead of hiding.
+    *
+    * At the gate SFs every language group is smaller than
+    * [[lengthOutlierAccuracy]], so the sketch degenerates to exact and
+    * n_disagree is exactly 0 — the oracle claims that. Past sketch
+    * scale, disagreement can only occur for docs BETWEEN the exact and
+    * approx fence (rank error ≤ n/accuracy), which the ok-flag bounds.
+    */
+  def lengthOutliersApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val ef = exactLengthFences(d)
+    val af = d.groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"),
+        array(lit(0.25), lit(0.75)), lit(lengthOutlierAccuracy)).as("qs"))
+      .select(col("lang"), col("qs").getItem(0).as("q1"),
+        col("qs").getItem(1).as("q3"))
+      .select(col("lang"),
+        expr("q1 - (3 * (q3 - q1)) div 2").as("alo"),
+        expr("q3 + (3 * (q3 - q1)) div 2").as("ahi"))
+    val flagged = d
+      .join(broadcast(ef), Seq("lang")) // lang domain is bounded
+      .join(broadcast(af), Seq("lang"))
+      .select(col("lang"),
+        when(col("n_chars") < col("lo") || col("n_chars") > col("hi"), 1)
+          .otherwise(0).as("fe"),
+        when(col("n_chars") < col("alo") || col("n_chars") > col("ahi"), 1)
+          .otherwise(0).as("fa"))
+    val out = flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fe")).as("n_outliers"),
+        sum(when(col("fe") =!= col("fa"), 1).otherwise(0)).as("n_disagree"))
+      .select(col("lang"), col("n_docs"), col("n_outliers"),
+        col("n_disagree"),
+        when(col("n_disagree") * 100 <= col("n_docs"), 1).otherwise(0)
+          .as("approx_ok"))
+    canon(out)
+  }
+
+  val lengthOutliersApproxSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents
+       |), fences AS (
+       |  SELECT lang,
+       |    min(CASE WHEN rk = (cnt * 25 + 99) // 100 THEN n_chars END) AS q1,
+       |    min(CASE WHEN rk = (cnt * 75 + 99) // 100 THEN n_chars END) AS q3
+       |  FROM ranked GROUP BY lang
+       |), f AS (
+       |  SELECT lang, q1 - (3 * (q3 - q1)) // 2 AS lo,
+       |    q3 + (3 * (q3 - q1)) // 2 AS hi
+       |  FROM fences
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN d.n_chars < f.lo OR d.n_chars > f.hi
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  CAST(0 AS BIGINT) AS n_disagree, 1 AS approx_ok
+       |FROM documents d JOIN f USING (lang)
+       |GROUP BY lang
+       |${canonOrderSql(Seq("lang", "n_docs", "n_outliers", "n_disagree",
+         "approx_ok"))}""".stripMargin
 
   // ---------------------------------------------------------------------
   // shard_pack — deterministic training-shard assignment
@@ -497,9 +642,11 @@ object CorpusOps {
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
     "table_profile" -> tableProfile,
+    "table_profile_approx" -> tableProfileApprox,
     "inverted_index" -> invertedIndex,
     "shard_pack" -> shardPack,
     "length_outliers" -> lengthOutliers,
+    "length_outliers_approx" -> lengthOutliersApprox,
     "pmi_cooccur" -> pmiCooccur)
 
   val oracles: Map[String, String] = Map(
@@ -507,8 +654,10 @@ object CorpusOps {
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,
     "table_profile" -> tableProfileSql,
+    "table_profile_approx" -> tableProfileApproxSql,
     "inverted_index" -> invertedIndexSql,
     "shard_pack" -> shardPackSql,
     "length_outliers" -> lengthOutliersSql,
+    "length_outliers_approx" -> lengthOutliersApproxSql,
     "pmi_cooccur" -> pmiCooccurSql)
 }

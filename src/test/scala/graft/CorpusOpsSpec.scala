@@ -195,6 +195,44 @@ class CorpusOpsSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("table_profile_approx: exact anchors match the exact profiler; every sketch within bound") {
+    val approx = CorpusOps.tableProfileApprox(spark, sf).cache()
+    val exact = CorpusOps.tableProfile(spark, sf).cache()
+    try {
+      assert(approx.count() == 11, "expected one row per lineitem column")
+      assert(approx.filter(col("hll_ok") =!= 1).count() == 0,
+        "an HLL sketch landed outside the 10% bound")
+      // the Expand-free exact branch must agree with the Expand-based
+      // exact profiler column for column
+      val joined = approx.select(col("column_name"),
+          col("n_distinct").as("nd_melt"), col("n_nulls").as("nn_melt"))
+        .join(exact.select(col("column_name"), col("n_distinct"),
+          col("n_nulls")), Seq("column_name"))
+      assert(joined.filter(col("nd_melt") =!= col("n_distinct") ||
+        col("nn_melt") =!= col("n_nulls")).count() == 0,
+        "melt-based exact metrics diverge from the multi-DISTINCT profiler")
+    } finally { approx.unpersist(); exact.unpersist() }
+  }
+
+  test("length_outliers_approx: below sketch scale the approx face agrees with exact bit-for-bit") {
+    val approx = CorpusOps.lengthOutliersApprox(spark, sf).cache()
+    val exact = CorpusOps.lengthOutliers(spark, sf).cache()
+    try {
+      assert(approx.filter(col("n_disagree") =!= 0).count() == 0,
+        "sketch is exact below accuracy-group-size, flags must agree")
+      assert(approx.filter(col("approx_ok") =!= 1).count() == 0,
+        "disagreement bound flag must hold")
+      // per-lang exact outlier counts must reconcile with the exact face
+      val fromExact = exact.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_e"),
+          sum(col("is_outlier")).as("n_out_e"))
+      val j = approx.join(fromExact, Seq("lang"))
+      assert(j.filter(col("n_docs") =!= col("n_docs_e") ||
+        col("n_outliers") =!= col("n_out_e")).count() == 0,
+        "approx face's exact rollup diverges from the exact face")
+    } finally { approx.unpersist(); exact.unpersist() }
+  }
+
   test("pmi_cooccur: support floor holds; hand-computed PMI on a constructed corpus") {
     val df = CorpusOps.pmiCooccur(spark, sf)
     assert(df.filter(col("c12") < 5).count() == 0, "support floor violated")

@@ -161,4 +161,27 @@ class PlanHygieneSpec extends SparkSpecBase {
       "the id sequence must sort by position before the digest " +
         "(collect_list order is nondeterministic)")
   }
+
+  test("table_profile_approx: no Expand anywhere (the exact profiler's Expand is the cost it removes)") {
+    val exact = plan("table_profile")
+    assert(exact.contains("Expand"),
+      "the exact profiler is EXPECTED to pay the multi-DISTINCT Expand " +
+        "(documented trade); if this fails, update the approx face's story")
+    val approx = plan("table_profile_approx")
+    assert(!approx.contains("Expand"),
+      "the approx profiler must not contain an Expand — that is its " +
+        "entire reason to exist")
+    assert(approx.contains("approx_count_distinct") ||
+      approx.contains("HyperLogLog"), "sketch aggregate missing from plan")
+  }
+
+  test("length_outliers_approx: sketch quartiles are one mergeable aggregate, not a rank window") {
+    val p = plan("length_outliers_approx")
+    assert(p.contains("percentile_approx") || p.contains("ApproximatePercentile"),
+      "approx quantile sketch missing from plan")
+    // the exact-anchor branch still windows; the SKETCH branch must not
+    // add a second one — exactly one window (from exactLengthFences)
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"sketch branch leaked extra rank windows: $windows")
+  }
 }
