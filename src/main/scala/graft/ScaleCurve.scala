@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve harness (dev evidence, not part of the driver
+  * contract): synthesize mult-x corpora from a base SF and time the
+  * headline scale queries at each multiple, so SCALING.md's
+  * near-linear claims are measured rather than argued.
+  *
+  * Synthesis rules (operators.CurveData) — each copy must behave like
+  * MORE data, not like a pathological all-duplicates corpus:
+  *  - documents: copy k appends a copy-specific suffix to EVERY token,
+  *    so copies are content-disjoint (zero shingle/bigram overlap
+  *    across copies). Each copy reproduces the base corpus's internal
+  *    near-dup structure, so candidate volume scales by mult, not
+  *    mult squared — exactly how a corpus of mult-x more domains
+  *    behaves.
+  *  - embeddings: copy k rotates the coordinate order by k positions —
+  *    within-copy dot products and norms are EXACTLY preserved (the
+  *    copy's neighbor structure is the base's), while sign-hyperplane
+  *    projections decorrelate across copies, so ANN bucket occupancy
+  *    scales by mult instead of stacking identical vectors.
+  *  - lineitem/orders: order keys re-keyed per copy (consistently on
+  *    both sides); customer/part foreign keys unchanged — dims stay
+  *    fixed while facts grow, the real shape of growth.
+  *  - everything else: symlinked unchanged.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleCurve
+  * Prints one markdown row per (mult, query) with the median-of-3
+  * warmed time.
+  */
+object ScaleCurve {
+
+  private val curveQueries = Seq("minhash_lsh", "simhash_neardup_wide",
+    "dedup_clusters", "ann_lsh_multi", "contamination_check",
+    "sales_rollup")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_MULTS", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    operators.BenchData.scanSplitConf.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    plans.VectorExprs.register(spark)
+    println(s"| mult | query | median_sec |")
+    println(s"|---|---|---|")
+    for (m <- mults) {
+      val dir = operators.CurveData.synth(spark, base, m)
+      for (q <- curveQueries) {
+        val fn = SparkEntry.queries(q)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm
+        val med = Seq(once(), once(), once()).sorted.apply(1)
+        spark.catalog.clearCache()
+        println(f"| ${m}x | $q | $med%.2f |")
+      }
+    }
+    spark.stop()
+  }
+}

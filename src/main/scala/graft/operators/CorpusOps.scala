@@ -403,8 +403,9 @@ object CorpusOps {
     * engines.
     *
     * Scale: the rank window partitions by lang — the documented exact
-    * baseline (per-group serialization); at 100 TB swap the rank
-    * statistic for approx_percentile per group, fences unchanged. The
+    * baseline (per-group serialization); the shipped 100 TB shape is
+    * [[lengthOutliersApprox]], which swaps the rank statistic for a
+    * mergeable percentile_approx sketch with fences unchanged. The
     * per-lang fence relation is domain-bounded, so the enrich join
     * broadcasts.
     */

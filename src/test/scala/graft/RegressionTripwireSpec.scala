@@ -1,0 +1,40 @@
+package graft
+
+/** Stage-time tripwire for the three queries whose round-3 bench
+  * recordings looked (falsely) regressed: a generous min-of-3 warmed
+  * ceiling at sf0.01. The MIN of three runs is what a layout/kernel
+  * regression cannot hide under and machine contention cannot inflate
+  * past ~3× — so a failure here means the PLAN changed (a scan
+  * serialized, an explode returned, a broadcast fell away), not that
+  * the box was busy. Ceilings carry ~10–20× headroom over the
+  * quiet-box warmed times, so this spec stays green through contention
+  * and fails only on structural damage.
+  */
+class RegressionTripwireSpec extends SparkSpecBase {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  /** (query, generous ceiling sec; quiet-box warmed ≈ 0.3–0.9 s). */
+  private val ceilings = Seq(
+    "partition_pruned" -> 8.0,
+    "orc_roundtrip" -> 8.0,
+    "minhash_lsh" -> 12.0)
+
+  test("prior worst-case queries stay under generous warmed stage ceilings at sf0.01") {
+    for ((name, ceiling) <- ceilings) {
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sf001).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm: plan, codegen, one-time tmp-table writes
+      val best = Seq(once(), once(), once()).min
+      spark.catalog.clearCache()
+      assert(best < ceiling,
+        f"$name min-of-3 warmed ${best}%.2f s exceeds the ${ceiling}%.1f s " +
+          "tripwire — a plan-level regression (serialized scan, returned " +
+          "explode, lost broadcast), not machine noise")
+    }
+  }
+}
