@@ -259,6 +259,70 @@ object CorpusOps {
        |${canonOrderSql(Seq("doc_id", "source", "rk"))}""".stripMargin
 
   // ---------------------------------------------------------------------
+  // temperature_sample — sqrt-temperature source rebalancing
+  // ---------------------------------------------------------------------
+
+  /** Target-count scale: target = floor(sqrt(n_source · 25)), so a
+    * source of ≤25 docs keeps everything and larger sources keep ~5·√n.
+    */
+  private val tempScale = 25L
+
+  /** Temperature-based source rebalancing (the multilingual-mixture
+    * move: sampling sources ∝ n^α with α<1 so head domains stop
+    * drowning tail domains): per source keep floor(sqrt(n·25)) docs —
+    * α=0.5 exactly. sqrt is the one temperature exponent that is
+    * BIT-PORTABLE across engines (IEEE sqrt is correctly rounded
+    * everywhere; pow(x, 0.7) is not), and the target is a per-source
+    * expression with no cross-source float sum, so the oracle
+    * hash-matches with zero float hazard. Selection is the
+    * salted-hash ranking discipline (RNG-free, partitioning-independent,
+    * resumable) shared with stratified/mixture_sample.
+    *
+    * Scale: one bounded groupBy for counts (broadcast back), one
+    * source-keyed window for the ranking — same shape as
+    * stratified_sample, whose hot-stratum caveat applies unchanged.
+    */
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      .withColumn("target_n", greatest(lit(1L),
+        expr(s"cast(floor(sqrt(cast(n_source as double) * $tempScale.0)) as bigint)")))
+    val u = expr(
+      "cast(conv(substr(md5(concat('temp:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+    val rk = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id")))
+    val out = d.select(col("doc_id"), col("source"), u.as("u"))
+      .withColumn("pick_rank", rk)
+      .join(broadcast(counts), Seq("source")) // source domain is bounded
+      .filter(col("pick_rank") <= col("target_n"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        col("target_n"), col("pick_rank"))
+    canon(out)
+  }
+
+  val temperatureSampleSql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_source FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT source, n_source,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor(sqrt(CAST(n_source AS DOUBLE) * $tempScale.0)) AS BIGINT))
+       |      AS target_n
+       |  FROM c
+       |), ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+       |               doc_id) AS pick_rank
+       |  FROM documents
+       |)
+       |SELECT r.doc_id, r.source, t.n_source, t.target_n, r.pick_rank
+       |FROM ranked r JOIN t USING (source)
+       |WHERE r.pick_rank <= t.target_n
+       |${canonOrderSql(Seq("doc_id", "source", "n_source", "target_n",
+         "pick_rank"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
   // table_profile — one-pass per-column data profiling
   // ---------------------------------------------------------------------
 
@@ -642,6 +706,7 @@ object CorpusOps {
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
+    "temperature_sample" -> temperatureSample,
     "table_profile" -> tableProfile,
     "table_profile_approx" -> tableProfileApprox,
     "inverted_index" -> invertedIndex,
@@ -654,6 +719,7 @@ object CorpusOps {
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "temperature_sample" -> temperatureSampleSql,
     "table_profile" -> tableProfileSql,
     "table_profile_approx" -> tableProfileApproxSql,
     "inverted_index" -> invertedIndexSql,

@@ -562,8 +562,88 @@ object TextOps {
        |FROM r
        |${canonOrderSql(Seq("doc_id", "raw_len", "nfc_len", "nfc_digest"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dup_ngram_spans — cross-document repeated-span coverage
+  // ---------------------------------------------------------------------
+
+  /** Span width for the repeated-span detector. */
+  private val spanN = 5
+
+  /** Cross-document repeated-span coverage: for every document, the
+    * fraction of its POSITIONS whose [[spanN]]-gram also appears in at
+    * least one OTHER document — the "duplicate text fraction" signal
+    * behind exact-substring dedup (boilerplate headers, licence blocks,
+    * templated spam all light up here long before whole-doc near-dup
+    * fires), and the memorization-risk score a training pipeline caps.
+    * Distinct from contamination_check: that measures overlap with a
+    * FIXED benchmark set, this measures corpus-internal duplication.
+    *
+    * Coverage is positional (a doc repeating a shared gram five times
+    * has five covered positions), duplication is by DISTINCT doc count
+    * (self-repeats inside one doc do not count as cross-doc spans).
+    * Ratio in exact µ-units (integer div — no float).
+    *
+    * Scale: the gram stream is corpus×positions (the shingle
+    * discipline); gram frequencies aggregate at DISTINCT-GRAM
+    * cardinality; the frequency join back to positions shuffles on
+    * gram — at 100 TB, pre-filter positions with a bloom of the
+    * shared-gram set exactly as contamination_check demonstrates.
+    */
+  def dupNgramSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val grams = d
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        s"""explode(transform(
+           |  if(size(toks) >= $spanN, sequence($spanN, size(toks)), array_repeat(1, 0)),
+           |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i - ${spanN - 1}, $spanN)) AS gram))) AS g""".stripMargin))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val gramsP = Caching.persistOnce(grams)
+    // shared grams: present in >= 2 DISTINCT docs (distinct-gram bounded)
+    val shared = gramsP.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val perDoc = gramsP
+      .join(shared.withColumn("is_shared", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_shared"), lit(0))).as("n_dup"))
+    val out = perDoc.select(col("doc_id"), col("n_grams"), col("n_dup"),
+      expr("(n_dup * 1000000L) div n_grams").as("dup_micro"))
+      .withColumn("flagged",
+        when(col("dup_micro") > 500000L, 1).otherwise(0))
+    canon(out)
+  }
+
+  val dupNgramSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), g AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    t[i.i - 4] || ' ' || t[i.i - 3] || ' ' || t[i.i - 2] || ' ' ||
+       |    t[i.i - 1] || ' ' || t[i.i] AS gram
+       |  FROM toks, unnest(generate_series($spanN, len(t))) AS i(i)
+       |), shared AS (
+       |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |  GROUP BY gram HAVING count(*) >= 2
+       |), agg AS (
+       |  SELECT g.doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup
+       |  FROM g LEFT JOIN shared s ON g.gram = s.gram
+       |  GROUP BY g.doc_id
+       |)
+       |SELECT doc_id, n_grams, n_dup,
+       |  (n_dup * 1000000) // n_grams AS dup_micro,
+       |  CASE WHEN (n_dup * 1000000) // n_grams > 500000 THEN 1 ELSE 0 END
+       |    AS flagged
+       |FROM agg
+       |${canonOrderSql(Seq("doc_id", "n_grams", "n_dup", "dup_micro",
+         "flagged"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unicode_normalize" -> unicodeNormalize,
+    "dup_ngram_spans" -> dupNgramSpans,
     "text_stats" -> textStats,
     "lang_id" -> langId,
     "lang_confusion" -> langConfusion,
@@ -578,6 +658,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "unicode_normalize" -> unicodeNormalizeSql,
+    "dup_ngram_spans" -> dupNgramSpansSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "lang_confusion" -> langConfusionSql,

@@ -264,7 +264,105 @@ object TrainOps {
        |FROM documents
        |${canonOrderSql(Seq("doc_id", "lang", "n_chars", "bin"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // bpe_merges — byte-pair-encoding merge-rule training
+  // ---------------------------------------------------------------------
+
+  /** Merge rounds trained (each round = one learned merge rule). */
+  private val bpeSteps = 3
+
+  /** BPE tokenizer training, the merge-rule half vocab_build doesn't
+    * cover: split every distinct word into characters, then repeatedly
+    * (a) count adjacent symbol pairs weighted by word frequency,
+    * (b) take the top pair (count DESC, then lexicographic — the
+    * deterministic tie-break every reproducible trainer fixes), and
+    * (c) rewrite the sequences with the pair merged. Emits the learned
+    * merge table (step, l, r, merged, cnt) — the artifact a tokenizer
+    * ships.
+    *
+    * The rewrite must be BIT-PORTABLE across engines, so it is defined
+    * as exactly two sentinel-padded `replace` passes
+    * (`' '||seq||' '` with pattern `' l r '` → `' lr '`, then trim):
+    * both engines' replace scans left-to-right non-overlapping with
+    * identical semantics, and the second pass catches the
+    * shared-boundary-space occurrence the first pass skips in an odd
+    * run. (This deviates from textbook BPE only on 4+ runs of the same
+    * symbol pair inside one word — and identically on both engines, so
+    * the oracle pins the exact behavior.)
+    *
+    * Scale: the classic BPE trick — train on the DISTINCT-WORD relation
+    * (type-bounded, carrying corpus counts), never the corpus. Each
+    * round is one pair-count shuffle at symbol²-bounded cardinality, a
+    * 1-row top-pair broadcast stamp, and a projection-only rewrite.
+    * Rounds are inherently sequential (merge k+1 counts pairs created
+    * by merge k) — K bounded shuffles, same dependency structure as
+    * dedup_clusters' rounds.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = load(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var seqs = words.select(col("word"), col("n"),
+      array_join(split(col("word"), ""), " ").as("seq"))
+    val merges = (1 to bpeSteps).map { k =>
+      // persisted: each round reads the relation twice (pair count +
+      // rewrite); callers own the cache lifecycle
+      val s = Caching.persistOnce(seqs)
+      val pairs = s
+        .select(col("n"), split(col("seq"), " ").as("t"))
+        .select(col("n"), expr(
+          """explode(transform(
+            |  if(size(t) > 1, sequence(2, size(t)), array_repeat(1, 0)),
+            |  i -> struct(t[i-2] AS l, t[i-1] AS r))) AS p""".stripMargin))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+      seqs = s.crossJoin(broadcast(top))
+        .select(col("word"), col("n"), trim(expr(
+          "replace(replace(concat(' ', seq, ' '), " +
+            "concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' ')), " +
+            "concat(' ', l, ' ', r, ' '), concat(' ', l, r, ' '))"))
+          .as("seq"))
+      top.select(lit(k).as("step"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+    }
+    canon(merges.reduce(_ unionByName _))
+  }
+
+  val bpeMergesSql: String = {
+    def step(k: Int): String =
+      s"""p$k AS (
+         |  SELECT t[i.i-1] AS l, t[i.i] AS r, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, string_split(seq, ' ') AS t FROM s${k - 1}) x,
+         |    unnest(generate_series(2, len(t))) AS i(i)
+         |  GROUP BY 1, 2
+         |), m$k AS (
+         |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+         |), s$k AS (
+         |  SELECT word, n,
+         |    trim(replace(replace(' '||seq||' ',
+         |      ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
+         |      ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ')) AS seq
+         |  FROM s${k - 1}, m$k m
+         |)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT tok AS word, count(*) AS n
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents) t
+       |  GROUP BY 1
+       |), s0 AS (
+       |  SELECT word, n, array_to_string(string_split(word, ''), ' ') AS seq
+       |  FROM words
+       |), ${(1 to bpeSteps).map(step).mkString(", ")}
+       |${(1 to bpeSteps).map(k =>
+           s"SELECT $k AS step, l, r, l||r AS merged, cnt FROM m$k")
+           .mkString("\nUNION ALL ")}
+       |${canonOrderSql(Seq("step", "l", "r", "merged", "cnt"))}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> bpeMerges,
     "vocab_build" -> vocabBuild,
     "dataset_split" -> datasetSplit,
     "curriculum_bins" -> curriculumBins,
@@ -272,6 +370,7 @@ object TrainOps {
     "tokenizer_apply" -> tokenizerApply)
 
   val oracles: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesSql,
     "vocab_build" -> vocabBuildSql,
     "dataset_split" -> datasetSplitSql,
     "curriculum_bins" -> curriculumBinsSql,

@@ -84,4 +84,62 @@ class LlmOpsSpec extends SparkSpecBase {
         "no ambiguity present — the composite ranking proved nothing")
     } finally df.unpersist()
   }
+
+  test("dup_ngram_spans: hand-computed coverage on a constructed corpus; self-repeats don't count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    try {
+      Seq(
+        // A and B share the 5-gram "a b c d e"; C is unique; D is ONLY
+        // the shared gram (full coverage → flagged); E repeats its own
+        // gram twice but shares with nobody (self-repeat must not count)
+        (1L, "a b c d e f g", "en", "s", 13L),
+        (2L, "a b c d e x", "en", "s", 11L),
+        (3L, "p q r s t u", "en", "s", 11L),
+        (4L, "a b c d e", "en", "s", 9L),
+        (5L, "m n o p2 q2 m n o p2 q2", "en", "s", 23L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = graft.operators.TextOps.dupNgramSpans(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+      // A: grams at pos 5,6,7 → 3 total, 1 shared → 333333, not flagged
+      assert(rows(1L) == ((3L, 1L, 333333L, 0)), s"doc A wrong: ${rows(1L)}")
+      // B: 2 grams, 1 shared → exactly 500000 → NOT flagged (strict >)
+      assert(rows(2L) == ((2L, 1L, 500000L, 0)), s"doc B wrong: ${rows(2L)}")
+      // C: nothing shared
+      assert(rows(3L) == ((2L, 0L, 0L, 0)), s"doc C wrong: ${rows(3L)}")
+      // D: its single gram is shared → full coverage, flagged
+      assert(rows(4L) == ((1L, 1L, 1000000L, 1)), s"doc D wrong: ${rows(4L)}")
+      // E: 6 grams, all self-repeats, zero cross-doc → no dup credit
+      assert(rows(5L)._2 == 0L && rows(5L)._4 == 0,
+        s"self-repeat counted as cross-doc duplication: ${rows(5L)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("temperature_sample: sqrt-temperature caps the head source, keeps the tail whole, deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-temp").toString
+    try {
+      val docs =
+        (1L to 100L).map(i => (i, s"doc $i", "en", "head", 10L)) ++
+          (101L to 104L).map(i => (i, s"doc $i", "en", "tail", 10L))
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val once = graft.operators.CorpusOps.temperatureSample(spark, dir)
+      val kept = once.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // head: floor(sqrt(100·25)) = 50 of 100; tail: target 10 > 4 → all 4
+      assert(kept == Map("head" -> 50L, "tail" -> 4L),
+        s"wrong per-source keep counts: $kept")
+      // salted-hash selection is deterministic: a re-run picks the same set
+      val again = graft.operators.CorpusOps.temperatureSample(spark, dir)
+      assert(once.select("doc_id").except(again.select("doc_id")).count() == 0,
+        "temperature sampling is not deterministic across runs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

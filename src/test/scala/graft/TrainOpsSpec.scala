@@ -156,4 +156,27 @@ class TrainOpsSpec extends SparkSpecBase {
       assert(minPruned == 0, "a cluster's lowest-id vector was pruned")
     } finally d.unpersist()
   }
+
+  test("bpe_merges: hand-computed merge sequence — frequency order, lexicographic tie-break, merged symbols pair up") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    try {
+      // corpus: "aaab" ×2, "aab" ×1 (as documents)
+      Seq((1L, "aaab aaab", "en", "s", 9L), (2L, "aab", "en", "s", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = graft.operators.TrainOps.bpeMerges(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1)
+      // step 1: (a,a) weighted 2·2+1 = 5 beats (a,b) 3
+      assert(rows(0) == ((1, "a", "a", "aa", 5L)), s"step1: ${rows(0)}")
+      // step 2: 'aa a b'(×2) + 'aa b'(×1) → (aa,a)=2 TIES (a,b)=2;
+      // lexicographic l breaks it: 'a' < 'aa' → (a,b) wins
+      assert(rows(1) == ((2, "a", "b", "ab", 2L)), s"step2: ${rows(1)}")
+      // step 3: merged symbols pair up — 'aa ab'(×2) → (aa,ab)=2
+      assert(rows(2) == ((3, "aa", "ab", "aaab", 2L)), s"step3: ${rows(2)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
