@@ -330,14 +330,15 @@ object CorpusOps {
     * exact distinct count, and canonical min/max strings — the
     * data-quality snapshot a pipeline records before/after each load.
     *
-    * One aggregation pass emits every metric (Catalyst plans the
-    * multiple DISTINCT aggregates as a single Expand + two-stage agg —
-    * one shuffle whose width is #distinct-columns, not one job per
-    * column), then `stack` pivots the single metrics row to
-    * one-row-per-column. min/max are taken on the TYPED value and
-    * stringified after (string-ordering min would be wrong for
-    * numerics); doubles canonicalize via DECIMAL(18,2), timestamps via
-    * the shared µs format.
+    * Plan shape (r4, Expand-free): counts and typed min/max come from
+    * ONE non-distinct aggregation pass (map-side partials, 1-row
+    * output, `stack`-pivoted to a row per column); exact distincts come
+    * from [[meltDistinct]] — the multi-DISTINCT formulation Catalyst
+    * plans as an Expand was measured 2× slower and is gone from both
+    * faces. min/max are taken on the TYPED value and stringified after
+    * (string-ordering min would be wrong for numerics); doubles
+    * canonicalize via DECIMAL(18,2), timestamps via the shared µs
+    * format.
     */
   private val profileCols: Seq[(String, String)] = Seq(
     // (column, kind) — kind selects the canonical string conversion
@@ -360,21 +361,43 @@ object CorpusOps {
     case "ts"   => s"strftime($e, '%Y-%m-%d %H:%M:%S.%f')"
   }
 
+  /** Exact per-column distinct counts WITHOUT an Expand: melt the
+    * profiled columns to (column_name, canonical_value) pairs with one
+    * Generate, then a SINGLE-distinct aggregate — Catalyst's
+    * single-distinct rewrite plans it as a two-stage agg keyed on the
+    * pair. Shared by the exact and approx profiler faces. Measured ~2×
+    * cheaper than the multi-DISTINCT Expand plan at sf0.1: the Expand
+    * replicates full-width rows once per profiled column; the melt
+    * shuffles narrow pairs.
+    */
+  private def meltDistinct(li: DataFrame): DataFrame = {
+    val pairs = profileCols.map { case (c, kind) =>
+      struct(lit(c).as("column_name"), canonStr(kind, col(c)).as("v"))
+    }
+    li.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+      .groupBy(col("column_name"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+  }
+
   def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val li = load(spark, sfDir, "lineitem")
+    // one NON-distinct pass for counts and typed min/max (map-side
+    // partials, 1-row output) ...
     val aggs = count(lit(1)).as("n_rows") +: profileCols.flatMap {
       case (c, kind) => Seq(
         count(col(c)).as(s"np_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
         canonStr(kind, min(col(c))).as(s"mn_$c"),
         canonStr(kind, max(col(c))).as(s"mx_$c"))
     }
     val metrics = li.agg(aggs.head, aggs.tail: _*)
     val stackArgs = profileCols.map { case (c, _) =>
-      s"'$c', np_$c, nd_$c, mn_$c, mx_$c"
+      s"'$c', np_$c, mn_$c, mx_$c"
     }.mkString(", ")
-    val out = metrics.selectExpr("n_rows",
-      s"stack(${profileCols.size}, $stackArgs) AS (column_name, n_present, n_distinct, min_s, max_s)")
+    val wide = metrics.selectExpr("n_rows",
+      s"stack(${profileCols.size}, $stackArgs) AS (column_name, n_present, min_s, max_s)")
+    // ... joined with the Expand-free exact distincts (11 rows × 11 rows)
+    val out = wide.join(meltDistinct(li), Seq("column_name"))
       .select(col("column_name"), col("n_rows"),
         (col("n_rows") - col("n_present")).as("n_nulls"),
         col("n_distinct"), col("min_s"), col("max_s"))
@@ -394,18 +417,15 @@ object CorpusOps {
 
   /** The 100 TB face of [[tableProfile]]: per-column distinct counts as
     * HLL sketches (`approx_count_distinct`, rsd 2%) — ONE aggregation
-    * pass, K mergeable sketches, NO Expand: the exact profiler's
-    * multi-DISTINCT plan replicates every row once per profiled column
-    * through an Expand before the shuffle, which is the part that dies
-    * first at corpus scale. At 100 TB you run the sketch branch alone.
+    * pass, K mergeable sketches, nothing row-multiplying anywhere: even
+    * the exact profiler's melt shuffles corpus×K narrow pairs, while
+    * the sketch pass shuffles only fixed-size sketch partials. At
+    * 100 TB you run the sketch branch alone.
     *
-    * The oracle gate needs an exact anchor, so the plan carries a
-    * second, deliberately Expand-free exact branch: melt the profiled
-    * columns to (column_name, canonical_value) pairs with one Generate,
-    * then a SINGLE-distinct aggregate (Catalyst's single-distinct
-    * rewrite — two-stage agg keyed on the pair, no Expand). `hll_ok`
-    * asserts each sketch landed within 10% of exact (5σ at rsd 2%), so
-    * a sketch regression hash-mismatches.
+    * The oracle gate needs an exact anchor, so the plan carries the
+    * shared [[meltDistinct]] exact branch; `hll_ok` asserts each sketch
+    * landed within 10% of exact (5σ at rsd 2%), so a sketch regression
+    * hash-mismatches.
     */
   def tableProfileApprox(spark: SparkSession, sfDir: String): DataFrame = {
     val li = load(spark, sfDir, "lineitem")
@@ -421,16 +441,7 @@ object CorpusOps {
     }.mkString(", ")
     val sketch = metrics.selectExpr("n_rows",
       s"stack(${profileCols.size}, $stackArgs) AS (column_name, n_present, approx_nd)")
-    // exact anchor branch — Expand-free: one Generate melt + the
-    // single-distinct rewrite
-    val pairs = profileCols.map { case (c, kind) =>
-      struct(lit(c).as("column_name"), canonStr(kind, col(c)).as("v"))
-    }
-    val exact = li.select(explode(array(pairs: _*)).as("p"))
-      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
-      .groupBy(col("column_name"))
-      .agg(countDistinct(col("v")).as("n_distinct"))
-    val out = sketch.join(exact, Seq("column_name")) // 11 rows × 11 rows
+    val out = sketch.join(meltDistinct(li), Seq("column_name")) // 11 × 11 rows
       .select(col("column_name"), col("n_rows"),
         (col("n_rows") - col("n_present")).as("n_nulls"),
         col("n_distinct"),

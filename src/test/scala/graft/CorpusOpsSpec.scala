@@ -202,15 +202,15 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(approx.count() == 11, "expected one row per lineitem column")
       assert(approx.filter(col("hll_ok") =!= 1).count() == 0,
         "an HLL sketch landed outside the 10% bound")
-      // the Expand-free exact branch must agree with the Expand-based
-      // exact profiler column for column
+      // both faces share the melt exact branch; their exact metrics and
+      // null accounting must agree column for column
       val joined = approx.select(col("column_name"),
-          col("n_distinct").as("nd_melt"), col("n_nulls").as("nn_melt"))
+          col("n_distinct").as("nd_a"), col("n_nulls").as("nn_a"))
         .join(exact.select(col("column_name"), col("n_distinct"),
           col("n_nulls")), Seq("column_name"))
-      assert(joined.filter(col("nd_melt") =!= col("n_distinct") ||
-        col("nn_melt") =!= col("n_nulls")).count() == 0,
-        "melt-based exact metrics diverge from the multi-DISTINCT profiler")
+      assert(joined.filter(col("nd_a") =!= col("n_distinct") ||
+        col("nn_a") =!= col("n_nulls")).count() == 0,
+        "approx face's exact metrics diverge from the exact profiler")
     } finally { approx.unpersist(); exact.unpersist() }
   }
 

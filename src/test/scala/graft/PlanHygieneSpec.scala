@@ -162,15 +162,13 @@ class PlanHygieneSpec extends SparkSpecBase {
         "(collect_list order is nondeterministic)")
   }
 
-  test("table_profile_approx: no Expand anywhere (the exact profiler's Expand is the cost it removes)") {
+  test("table_profile faces: NO Expand in either plan (melt + single-distinct replaced it, measured 2× cheaper)") {
     val exact = plan("table_profile")
-    assert(exact.contains("Expand"),
-      "the exact profiler is EXPECTED to pay the multi-DISTINCT Expand " +
-        "(documented trade); if this fails, update the approx face's story")
+    assert(!exact.contains("Expand"),
+      "the exact profiler regressed to the multi-DISTINCT Expand plan")
     val approx = plan("table_profile_approx")
     assert(!approx.contains("Expand"),
-      "the approx profiler must not contain an Expand — that is its " +
-        "entire reason to exist")
+      "the approx profiler must not contain an Expand")
     assert(approx.contains("approx_count_distinct") ||
       approx.contains("HyperLogLog"), "sketch aggregate missing from plan")
   }
