@@ -337,8 +337,134 @@ object EventOps {
        |${canonOrderSql(Seq("n_a", "n_b", "conv_a", "conv_b",
          "rate_a_micro", "rate_b_micro", "lift_micro", "z_micro"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // trend_slope — per-user exact-integer OLS trend
+  // ---------------------------------------------------------------------
+
+  /** Per-user linear trend of value over time: the OLS slope
+    * (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) computed ENTIRELY in exact integer
+    * arithmetic — x is whole hours since the user's first event, y is
+    * exact cents (DECIMAL(18,2)·100), the four moment sums and the
+    * final ratio run in 128-bit (DECIMAL(38,0) / HUGEINT; the
+    * numerator n·Σxy·10⁶ overflows BIGINT at ordinary activity levels),
+    * and the slope floors to µ-cents-per-hour. No float enters at any
+    * point, so the oracle hash-matches regardless of summation order —
+    * the same discipline that makes this trustworthy across 1000
+    * executors. Users with a degenerate x spread (one event, or all in
+    * one hour bucket) emit NULL rather than a fake slope.
+    *
+    * Scale: one user-keyed aggregate with map-side partials (moment
+    * sums are associative — this is the mergeable-statistics shape),
+    * anchored on a per-user min that co-partitions with the main
+    * aggregate's shuffle.
+    */
+  def trendSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("value"))
+    val t0 = e.groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+    val xy = e.join(t0, Seq("user_id")) // co-partitions with the agg below
+      .select(col("user_id"),
+        expr("cast((tus - t0) div 3600000000L as decimal(38,0))").as("x"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as decimal(38,0))")
+          .as("y"))
+    val out = xy.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("user_id"), col("n_events"),
+        expr("""cast(CASE
+                |  WHEN n_events * sxx - sx * sx = 0 THEN NULL
+                |  ELSE (1000000 * (n_events * sxy - sx * sy))
+                |       div (n_events * sxx - sx * sx)
+                |END as bigint)""".stripMargin).as("slope_micro"))
+    canon(out)
+  }
+
+  val trendSlopeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+       |), t0 AS (
+       |  SELECT user_id, min(tus) AS t0 FROM e GROUP BY 1
+       |), xy AS (
+       |  SELECT e.user_id,
+       |    CAST((e.tus - t0.t0) // 3600000000 AS HUGEINT) AS x,
+       |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+       |  FROM e JOIN t0 USING (user_id)
+       |), m AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM xy GROUP BY 1
+       |)
+       |SELECT user_id, n_events,
+       |  CAST(CASE
+       |    WHEN n_events * sxx - sx * sx = 0 THEN NULL
+       |    ELSE (1000000 * (n_events * sxy - sx * sy))
+       |         // (n_events * sxx - sx * sx)
+       |  END AS BIGINT) AS slope_micro
+       |FROM m
+       |${canonOrderSql(Seq("user_id", "n_events", "slope_micro"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // event_transitions — first-order Markov transition matrix
+  // ---------------------------------------------------------------------
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for every ordered pair of event types, the count of adjacent
+    * (prev → next) transitions and the exact µ-unit conditional
+    * probability p(next | prev) — the behavioral model behind
+    * session-flow analysis and synthetic-trace generation. Ordering is
+    * the deterministic (tus, event_id) discipline; probabilities are
+    * integer-division µ-units (no float), so rows hash-match.
+    *
+    * Scale: one user-keyed window for the lag (the sessionize shuffle
+    * shape), then an aggregate at |event_types|² cardinality — the
+    * output is domain-bounded however large the corpus.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val pairs = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val out = pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("n_from",
+        sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        expr("(n_trans * 1000000L) div n_from").as("p_micro"))
+    canon(out)
+  }
+
+  val eventTransitionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+       |  FROM events
+       |), p AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id) AS prev_type
+       |  FROM e
+       |), c AS (
+       |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+       |  FROM p WHERE prev_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |)
+       |SELECT prev_type, next_type, n_trans,
+       |  CAST((n_trans * 1000000) //
+       |    (sum(n_trans) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_micro
+       |FROM c
+       |${canonOrderSql(Seq("prev_type", "next_type", "n_trans",
+         "p_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_steps" -> funnelSteps,
+    "trend_slope" -> trendSlope,
+    "event_transitions" -> eventTransitions,
     "scd2_history" -> scd2History,
     "event_pagerank" -> eventPagerank,
     "retention_cohorts" -> retentionCohorts,
@@ -346,6 +472,8 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "funnel_steps" -> funnelStepsSql,
+    "trend_slope" -> trendSlopeSql,
+    "event_transitions" -> eventTransitionsSql,
     "scd2_history" -> scd2HistorySql,
     "event_pagerank" -> eventPagerankSql,
     "retention_cohorts" -> retentionCohortsSql,

@@ -123,4 +123,54 @@ class EventOpsSpec extends SparkSpecBase {
     if (m("lift_micro") > 0) assert(m("z_micro") >= 0)
     if (m("lift_micro") < 0) assert(m("z_micro") <= 0)
   }
+
+  test("trend_slope: hand-computed OLS on a constructed stream; degenerate spread is NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    try {
+      // events store raw NANOSECOND longs (Tables.eventsRawSchema)
+      def ts(h: Int): Long =
+        (java.sql.Timestamp.valueOf(f"2024-05-01 $h%02d:00:00").getTime
+          * 1000000L)
+      // user 1: y = 2.00·x + 1.00 exactly at hours 0,1,2 → slope 200 c/h
+      // user 2: decreasing 10.00 − 0.50·x → slope −50 c/h
+      // user 3: single event → NULL; user 4: two events same hour → NULL
+      Seq(
+        (1L, 1L, ts(0), "view", 1.00), (2L, 1L, ts(1), "view", 3.00),
+        (3L, 1L, ts(2), "view", 5.00),
+        (4L, 2L, ts(0), "view", 10.00), (5L, 2L, ts(2), "view", 9.00),
+        (6L, 3L, ts(5), "view", 7.00),
+        (7L, 4L, ts(3), "view", 1.00), (8L, 4L, ts(3), "view", 9.00))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+        .write.parquet(s"$dir/events.parquet")
+      val rows = graft.operators.EventOps.trendSlope(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(rows(1L) == Some(200L * 1000000L), s"user 1: ${rows(1L)}")
+      assert(rows(2L) == Some(-50L * 1000000L), s"user 2: ${rows(2L)}")
+      assert(rows(3L).isEmpty, "single event must yield NULL slope")
+      assert(rows(4L).isEmpty, "zero x-spread must yield NULL slope")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("event_transitions: rows are a valid conditional distribution per source type") {
+    val df = EventOps.eventTransitions(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      // per prev_type, floor-µ probabilities sum into (1e6 − |row|, 1e6]
+      val sums = df.groupBy("prev_type")
+        .agg(sum(col("p_micro")).as("s"), count(lit(1)).as("k"))
+      assert(sums.filter(col("s") > 1000000L ||
+        col("s") <= lit(1000000L) - col("k")).count() == 0,
+        "conditional probabilities do not sum to one within floor slack")
+      // transition mass conserves: Σ n_trans = Σ (per-user n − 1)
+      val total = df.agg(sum("n_trans")).head.getLong(0)
+      val expected = Tables.load(spark, sf, "events")
+        .groupBy("user_id").count()
+        .agg(sum(col("count") - 1)).head.getLong(0)
+      assert(total == expected, s"transition mass $total != $expected")
+    } finally df.unpersist()
+  }
 }
