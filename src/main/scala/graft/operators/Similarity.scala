@@ -395,7 +395,11 @@ object Similarity {
     * semdedup: (vec_id, own_cell, assigned_cell, d2q), one row per
     * vector, argmin tie-broken on cell id — all exact-integer.
     */
-  private def assignRel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Full centroid-distance ranking per vector: (vec_id, own_cell,
+    * cand, d2q, rn) with rn = 1 the nearest cell — rn = 1 is the
+    * assignment, rn ≤ p is the multi-probe list.
+    */
+  private def assignRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -414,10 +418,13 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2q").asc, col("cand").asc)
     dists.withColumn("rn", row_number().over(w))
+  }
+
+  private def assignRel(spark: SparkSession, sfDir: String): DataFrame =
+    assignRanked(spark, sfDir)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("own_cell"),
         col("cand").as("assigned_cell"), col("d2q"))
-  }
 
   def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val out = assignRel(spark, sfDir)
@@ -460,6 +467,78 @@ object Similarity {
        |    AS dist_micro
        |FROM r WHERE rn = 1
        |${canonOrderSql(Seq("vec_id", "own_cell", "assigned_cell", "stable", "dist_micro"))}""".stripMargin
+
+  /** Probe width for the IVF query face. */
+  private val ivfProbes = 2
+
+  /** The IVF QUERY face (completing the build stack of
+    * centroid_residuals / kmeans_assign): every vector queries the
+    * index by searching the vectors ASSIGNED to its `ivfProbes`
+    * nearest cells — the nprobe recall/cost knob every IVF system
+    * exposes. nprobe=1 misses true neighbors that sit just across a
+    * cell boundary; widening to 2 recovers most of them for ~2× the
+    * candidate volume (and the spec measures exactly that recall gain
+    * against brute force). Ranking and µ-floor are the shared ANN
+    * discipline.
+    *
+    * Scale: candidates are CELL-BLOCKED (probe list ⋈ assignment on
+    * cell — never all-pairs); the centroid ranking reuses the exact
+    * same broadcast-centroid arithmetic as the assignment relation,
+    * so the whole face adds one cell-keyed equi-join to the index
+    * it already maintains.
+    */
+  def annIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Caching.persistOnce(assignRanked(spark, sfDir)
+      .select(col("vec_id"), col("cand"), col("rn")))
+    val base = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("b_id"), col("cand").as("cell"))
+    val probes = ranked.filter(col("rn") <= ivfProbes)
+      .select(col("vec_id").as("a_id"), col("cand").as("cell"))
+    val cand = probes.join(base, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val e = Caching.persistOnce(vecs(spark, sfDir))
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim", cosine)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("rank"),
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
+    canon(out)
+  }
+
+  val annIvfProbeSql: String =
+    s"""$assignCteSql,
+       |probes AS (SELECT vec_id AS a_id, cand AS cell FROM r
+       |           WHERE rn <= $ivfProbes),
+       |base AS (SELECT vec_id AS b_id, cand AS cell FROM r WHERE rn = 1),
+       |cand AS (SELECT DISTINCT a_id, b_id
+       |         FROM probes JOIN base USING (cell) WHERE a_id <> b_id),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) *
+       |       sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM cand c
+       |  JOIN ev a ON c.a_id = a.vec_id
+       |  JOIN ev b ON c.b_id = b.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY sim DESC, b_id ASC) AS rank FROM scored)
+       |SELECT a_id AS query_id, b_id AS neighbor_id,
+       |  CAST(rank AS INT) AS rank,
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
+         "sim_micro"))}""".stripMargin
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space (the k-means assignment above), then
@@ -524,6 +603,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbedding,
     "centroid_residuals" -> centroidResiduals,
     "kmeans_assign" -> kmeansAssign,
+    "ann_ivf_probe" -> annIvfProbe,
     "ann_lsh_multi" -> annLshMulti,
     "semdedup" -> semDedup)
 
@@ -534,6 +614,7 @@ object Similarity {
     "dedup_embedding" -> dedupEmbeddingSql,
     "centroid_residuals" -> centroidResidualsSql,
     "kmeans_assign" -> kmeansAssignSql,
+    "ann_ivf_probe" -> annIvfProbeSql,
     "ann_lsh_multi" -> annLshMultiSql,
     "semdedup" -> semDedupSql)
 }

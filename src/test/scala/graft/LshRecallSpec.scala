@@ -189,4 +189,92 @@ class LshRecallSpec extends SparkSpecBase {
       f"multi-table recall $recallMulti%.3f below floor 0.8")
     spark.catalog.clearCache()
   }
+
+  test("ann_ivf_probe: nprobe=2 recall@3 vs brute force; structure valid") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Similarity.annIvfProbe(spark, sf).cache()
+    try {
+      assert(df.filter(col("query_id") === col("neighbor_id")).count() == 0,
+        "self-match leaked into the neighbor list")
+      assert(df.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+      val probe = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      // brute-force truth: top-3 by (sim desc, id asc) over ALL pairs
+      graft.plans.VectorExprs.register(spark)
+      val e = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          expr("cast(embedding as array<double>)").as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val scored = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim", expr("graft_dot(va, vb) / " +
+          "(sqrt(graft_dot(va, va)) * sqrt(graft_dot(vb, vb)))"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("sim").desc, col("b_id").asc)
+      val truth = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val recall = truth.count(probe).toDouble / truth.size
+      info(f"ann_ivf_probe recall@3: $recall%.3f over ${truth.size} truths")
+      // the fixture's labels are NOT geometric clusters, so recall can
+      // only track probe coverage (nprobe/k = 2/5 = 0.4 here) — the
+      // honest IVF property: index quality bounds recall, nprobe buys
+      // coverage. The geometric-cluster test below shows the same code
+      // at ~1.0 when cells mean something.
+      assert(recall >= 0.35,
+        f"nprobe=2 recall $recall%.3f fell below the 2-of-5-cell " +
+          "coverage baseline — the probe join itself is broken")
+    } finally { df.unpersist(); spark.catalog.clearCache() }
+  }
+
+  test("ann_ivf_probe: near-perfect recall on geometric clusters incl. cross-boundary queries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      // three well-separated clusters (centers 10·e0, 10·e1, 10·e2) with
+      // deterministic jitter, plus boundary points midway A↔B whose
+      // nearest neighbors live in BOTH cells — exactly what nprobe=1
+      // misses and nprobe=2 must recover
+      def vec(c: Int, j: Int): Array[Float] = {
+        val v = Array.fill(8)(0.0f)
+        v(c) = 10.0f
+        v((c + j) % 8) += 0.1f * (j + 1)
+        v
+      }
+      val core = for (c <- 0 until 3; j <- 0 until 10)
+        yield (c * 100L + j, vec(c, j), c)
+      val boundary = (0 until 4).map { j =>
+        val v = Array.fill(8)(0.0f)
+        v(0) = 7.0f; v(1) = 7.0f; v(7) = 0.05f * (j + 1)
+        (900L + j, v, j % 2) // labeled A or B — either way both get probed
+      }
+      (core ++ boundary).toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+
+      val probe = Similarity.annIvfProbe(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      graft.plans.VectorExprs.register(spark)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          expr("cast(embedding as array<double>)").as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id").asc)
+      val truth = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim", expr("graft_dot(va, vb) / " +
+          "(sqrt(graft_dot(va, va)) * sqrt(graft_dot(vb, vb)))"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val recall = truth.count(probe).toDouble / truth.size
+      info(f"geometric-cluster recall@3: $recall%.3f over ${truth.size}")
+      assert(recall >= 0.9,
+        f"recall $recall%.3f < 0.9 on separable clusters — the probe " +
+          "face is not recovering cross-boundary neighbors")
+      spark.catalog.clearCache()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
