@@ -165,6 +165,49 @@ object LoadOps {
     * (window + filter) is exactly how a foreachBatch sink applies a
     * microbatch.
     */
+  /** Small-file compaction: rewrite a parquet dataset so each output
+    * file holds ~`targetFileBytes` — the table-maintenance pass every
+    * streaming/incremental sink needs, because foreachBatch appends and
+    * per-batch dynamic overwrites accrete files until scan task count
+    * (and NameNode/listing pressure) is driven by FILE COUNT, not data
+    * size. Returns (filesBefore, filesAfter).
+    *
+    * Swap protocol: write to a staging dir, re-read and count to verify
+    * the copy, then delete the original and rename staging into place —
+    * the strongest guarantee a bare filesystem offers (a crash between
+    * delete and rename leaves the staged copy intact next to the
+    * missing original, recoverable by hand). Real table formats do this
+    * transactionally; this is the honest filesystem analog, and the
+    * reason the swap is verify-then-swap rather than write-in-place.
+    *
+    * Scale: one read + one write of the dataset, `ceil(bytes/target)`
+    * output tasks via round-robin repartition — no shuffle beyond the
+    * repartition exchange, layout-only (every query canon-orders, so
+    * row order is free to change).
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetFileBytes: Long): (Int, Int) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-"))
+    val before = parts(path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val src = spark.read.parquet(dir)
+    val expected = src.count()
+    val staging = new org.apache.hadoop.fs.Path(dir + "_compact_staging")
+    fs.delete(staging, true)
+    src.repartition(nOut).write.parquet(staging.toString)
+    val got = spark.read.parquet(staging.toString).count()
+    require(got == expected,
+      s"compaction staging lost rows ($got != $expected); original untouched")
+    fs.delete(path, true)
+    require(fs.rename(staging, path), s"rename $staging -> $path failed")
+    (before.size, parts(path).size)
+  }
+
   def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     val ops = load(spark, sfDir, "events")
       .filter(col("event_type").isin("view", "purchase", "error"))

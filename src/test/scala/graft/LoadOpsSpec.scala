@@ -118,4 +118,35 @@ class LoadOpsSpec extends SparkSpecBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("compactParquet: many small files collapse to the byte-target count; content identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val data = s"$dir/data"
+    try {
+      // simulate an accreted streaming sink: 40 one-row appends
+      for (i <- 1 to 40)
+        Seq((i.toLong, s"payload-$i", i * 1.5))
+          .toDF("id", "name", "v").coalesce(1)
+          .write.mode("append").parquet(data)
+      val beforeDf = spark.read.parquet(data)
+      val beforeHash = beforeDf.orderBy("id").collect().toSeq
+
+      // a generous byte target collapses everything to one file
+      val (nBefore, nAfter) =
+        graft.operators.LoadOps.compactParquet(spark, data, 64L * 1024 * 1024)
+      assert(nBefore == 40, s"expected 40 part files before, got $nBefore")
+      assert(nAfter == 1, s"expected 1 part file after, got $nAfter")
+
+      val afterDf = spark.read.parquet(data)
+      assert(afterDf.count() == 40)
+      assert(afterDf.orderBy("id").collect().toSeq == beforeHash,
+        "compaction changed content")
+      // no staging residue
+      assert(!new java.io.File(data + "_compact_staging").exists(),
+        "staging directory left behind")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
