@@ -226,6 +226,74 @@ object ScaleOps {
        |${canonOrderSql(Seq("bucket", "n_keys", "min_rows", "max_rows",
          "bucket_rows", "bucket_share_micro"))}""".stripMargin
 
+  /** Output rows per source row beyond which a join key is "hot". */
+  private val fanoutThreshold = 50L
+
+  /** Pre-join fan-out guard, the companion diagnostic to
+    * [[skewProfile]]: skew asks "is one key heavy on ONE side"; this
+    * asks "what does the JOIN PRODUCE" — per key, both sides'
+    * cardinalities and their product (the exact output row count an
+    * inner join emits for that key). A many-to-many key whose product
+    * explodes is the classic silent pipeline killer: each input scans
+    * fine, the join output is quadratic in the hot key. Run this
+    * BEFORE shipping a new join; keys flagged `hot` get pre-aggregated,
+    * deduplicated, or salted first. Here over orders⋈lineitem on
+    * orderkey (safely 1-to-few — the audit proves it and pins the
+    * worst key).
+    *
+    * Scale: two map-side-combinable per-key aggregates co-partitioned
+    * on the join key, then a key-keyed equi-join of the two BOUNDED
+    * per-key relations and a domain-bounded rollup — strictly cheaper
+    * than the join it audits.
+    */
+  def fanoutGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = load(spark, sfDir, "orders").groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = load(spark, sfDir, "lineitem").groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("n_right"))
+    val perKey = l.join(r, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    val flagged = perKey
+      .withColumn("hot", when(col("out_rows") > fanoutThreshold, 1)
+        .otherwise(0))
+      .withColumn("mx", max(col("out_rows")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hot"))))
+    val out = flagged.groupBy(col("hot"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("out_rows")).as("join_output_rows"),
+        max(col("out_rows")).as("worst_key_rows"),
+        max(when(col("out_rows") === col("mx"), col("k"))).as("worst_key"))
+    canon(out)
+  }
+
+  val fanoutGuardSql: String =
+    s"""WITH l AS (
+       |  SELECT o_orderkey AS k, count(*) AS n_left FROM orders GROUP BY 1
+       |), r AS (
+       |  SELECT l_orderkey AS k, count(*) AS n_right FROM lineitem GROUP BY 1
+       |), per_key AS (
+       |  SELECT coalesce(l.k, r.k) AS k,
+       |    coalesce(n_left, 0) AS n_left, coalesce(n_right, 0) AS n_right,
+       |    coalesce(n_left, 0) * coalesce(n_right, 0) AS out_rows
+       |  FROM l FULL OUTER JOIN r ON l.k = r.k
+       |), h AS (
+       |  SELECT k, out_rows,
+       |    CASE WHEN out_rows > $fanoutThreshold THEN 1 ELSE 0 END AS hot,
+       |    max(out_rows) OVER (PARTITION BY CASE WHEN out_rows > $fanoutThreshold
+       |      THEN 1 ELSE 0 END) AS mx
+       |  FROM per_key
+       |)
+       |SELECT hot, count(*) AS n_keys,
+       |  CAST(sum(out_rows) AS BIGINT) AS join_output_rows,
+       |  CAST(max(out_rows) AS BIGINT) AS worst_key_rows,
+       |  max(CASE WHEN out_rows = mx THEN k END) AS worst_key
+       |FROM h GROUP BY hot
+       |${canonOrderSql(Seq("hot", "n_keys", "join_output_rows",
+         "worst_key_rows", "worst_key"))}""".stripMargin
+
   /** Range-join binning rewrite: classify orders into price bands
     * (lo ≤ price < hi) WITHOUT the theta join a BETWEEN predicate
     * naively produces. A theta join plans as BroadcastNestedLoopJoin —
@@ -361,6 +429,7 @@ object ScaleOps {
     "partition_pruned" -> partitionPruned,
     "dpp_join" -> dppJoin,
     "skew_profile" -> skewProfile,
+    "fanout_guard" -> fanoutGuard,
     "range_bin_join" -> rangeBinJoin)
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +439,6 @@ object ScaleOps {
     "partition_pruned" -> partitionPrunedSql,
     "dpp_join" -> dppJoinSql,
     "skew_profile" -> skewProfileSql,
+    "fanout_guard" -> fanoutGuardSql,
     "range_bin_join" -> rangeBinJoinSql)
 }
