@@ -585,11 +585,18 @@ object TextOps {
     *
     * Scale: the gram stream is corpus×positions (the shingle
     * discipline); gram frequencies aggregate at DISTINCT-GRAM
-    * cardinality; the frequency join back to positions shuffles on
-    * gram — at 100 TB, pre-filter positions with a bloom of the
-    * shared-gram set exactly as contamination_check demonstrates.
+    * cardinality. The expensive part is the frequency join back to
+    * positions, so a bloom of the shared-gram set pre-filters the
+    * position stream BEFORE the exact semi-join (the
+    * contamination_check machinery): positions whose gram cannot be
+    * shared never shuffle — and since most positions in a clean corpus
+    * are NOT duplicated, the bloom drops the bulk of the join input.
+    * False positives are re-checked by the exact semi-join; false
+    * negatives can't happen, and n_grams comes from the un-filtered
+    * persisted stream, so totals are unaffected.
     */
   def dupNgramSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.BloomExprs.register(spark)
     val d = load(spark, sfDir, "documents")
     val grams = d
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
@@ -600,14 +607,21 @@ object TextOps {
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
     val gramsP = Caching.persistOnce(grams)
     // shared grams: present in >= 2 DISTINCT docs (distinct-gram bounded)
-    val shared = gramsP.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("gram"))
-    val perDoc = gramsP
-      .join(shared.withColumn("is_shared", lit(1)), Seq("gram"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("is_shared"), lit(0))).as("n_dup"))
+    val shared = Caching.persistOnce(
+      gramsP.select(col("doc_id"), col("gram")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select(col("gram")))
+    val bloom = shared
+      .agg(expr("graft_bloom_agg(xxhash64(gram))").as("bf")).scalar()
+    val nearHits = gramsP.filter(
+      call_function("graft_bloom_contains", bloom, xxhash64(col("gram"))))
+    val dupCounts = nearHits
+      .join(shared, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    val perDoc = gramsP.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
     val out = perDoc.select(col("doc_id"), col("n_grams"), col("n_dup"),
       expr("(n_dup * 1000000L) div n_grams").as("dup_micro"))
       .withColumn("flagged",

@@ -127,6 +127,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), "exact semi-join verify must remain")
   }
 
+  test("dup_ngram_spans: bloom pre-filter ahead of the shared-gram semi-join") {
+    val p = plan("dup_ngram_spans")
+    assert(p.contains("might_contain"),
+      "bloom pre-filter missing — every gram position would shuffle " +
+        "into the shared-gram join at scale")
+    assert(p.contains("LeftSemi"), "exact semi-join verify must remain")
+  }
+
   test("simhash: native graft_simhash, no explode/aggregate/shuffle before the output sort") {
     val p = plan("simhash")
     assert(p.contains("graft_simhash"), "native simhash expression missing")
