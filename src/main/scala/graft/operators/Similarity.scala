@@ -294,6 +294,15 @@ object Similarity {
     * 8-plane table) to ~0.87 (4×6), for the same number of plane dots
     * per vector (24 vs 8, still O(1)). Cost shape is unchanged: one
     * equi-join on (table, bucket), pairs bounded by bucket collisions.
+    *
+    * SIZE THE PLANE COUNT TO THE CORPUS (measured, SCALING.md
+    * §Measured): the bucket space is 2^planes per table, so once
+    * N exceeds bucket-count × target-occupancy, per-bucket population
+    * grows ∝ N and candidate pairs ∝ N² — the 6-plane geometry here is
+    * right for thousands of vectors and measurably super-linear by
+    * ~sf1 (11.6× time at 10× data). Planes must scale with log₂(N)
+    * (~20 at billions) to hold occupancy constant; nothing else in the
+    * operator changes.
     */
   def annLshMulti(spark: SparkSession, sfDir: String): DataFrame =
     annLshMultiOn(vecs(spark, sfDir))
