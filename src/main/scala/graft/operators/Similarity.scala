@@ -284,7 +284,7 @@ object Similarity {
   // ---- multi-table hyperplane LSH: the recall lever ------------------
 
   /** Per-table plane sets (6 planes each), salted by table id. */
-  private[operators] def planesFor(table: Int): Seq[Array[Double]] =
+  private[graft] def planesFor(table: Int): Seq[Array[Double]] =
     mkPlanes(6, j => s"mt:$table:$j")
 
   /** ANN via MULTI-TABLE hyperplane LSH: 4 independent tables of 6
@@ -307,8 +307,37 @@ object Similarity {
   def annLshMulti(spark: SparkSession, sfDir: String): DataFrame =
     annLshMultiOn(vecs(spark, sfDir))
 
+  /** Planes per table for the wide (corpus-sized) geometry: 2¹⁰ buckets
+    * per table instead of 2⁶ — the log₂(N) sizing rule measured in
+    * SCALING.md §Measured applied, exactly as simhash_neardup_wide
+    * applies it to banded signatures.
+    */
+  private val widePlanes = 10
+
+  private[graft] def planesForWide(table: Int): Seq[Array[Double]] =
+    mkPlanes(widePlanes, j => s"mtw:$table:$j")
+
+  /** The production-geometry face of [[annLshMulti]]: same 4-table
+    * collide-in-ANY structure, 10 planes per table — 2⁴× more buckets,
+    * so per-bucket occupancy (and the quadratic within-bucket candidate
+    * term that made the 6-plane geometry super-linear by ~sf1 in the
+    * measured curve) drops by the same factor. Recall per table falls
+    * (more planes = stricter collision), which is why the table count
+    * is the companion knob — at real scale you raise both together.
+    * The spec demonstrates the occupancy/candidate reduction on the
+    * same corpus; everything else (join shape, scoring, ranking) is
+    * byte-identical to the narrow face.
+    */
+  def annLshMultiWide(spark: SparkSession, sfDir: String): DataFrame =
+    annLshCore(vecs(spark, sfDir), 4, planesForWide)
+
   /** Core on an arbitrary (vec_id, label, embedding) relation. */
-  def annLshMultiOn(d: DataFrame): DataFrame = {
+  def annLshMultiOn(d: DataFrame): DataFrame =
+    annLshCore(d, 4, planesFor)
+
+  /** Shared multi-table LSH pipeline, parameterized by plane geometry. */
+  private def annLshCore(d: DataFrame, nTables: Int,
+      planes: Int => Seq[Array[Double]]): DataFrame = {
     // persisted: the vector relation feeds the bucket build and both
     // sides of the scoring joins, and the bucket relation sits on both
     // sides of the candidate self-join — Catalyst does not dedup
@@ -316,8 +345,8 @@ object Similarity {
     // dots run twice and its norm four times (callers own the cache
     // lifecycle: Verify/Bench clearCache between queries)
     val e = Caching.persistOnce(if (d.columns.contains("v")) d else vecsOn(d))
-    val tableStructs = (0 until 4).map { l =>
-      val bucket = planesFor(l).zipWithIndex.map { case (p, j) =>
+    val tableStructs = (0 until nTables).map { l =>
+      val bucket = planes(l).zipWithIndex.map { case (p, j) =>
         when(expr(s"graft_dot(v, ${planeSparkLit(p)})") > 0, lit(1 << j))
           .otherwise(lit(0))
       }.reduce(_ + _)
@@ -353,9 +382,13 @@ object Similarity {
     canon(out)
   }
 
-  val annLshMultiSql: String = {
+  val annLshMultiSql: String = annLshCoreSql(planesFor)
+
+  val annLshMultiWideSql: String = annLshCoreSql(planesForWide)
+
+  private def annLshCoreSql(planes: Int => Seq[Array[Double]]): String = {
     val tables = (0 until 4).map { l =>
-      val bucketSql = planesFor(l).zipWithIndex.map { case (p, j) =>
+      val bucketSql = planes(l).zipWithIndex.map { case (p, j) =>
         s"CASE WHEN list_dot_product(v, ${planeSqlLit(p)}) > 0 THEN ${1 << j} ELSE 0 END"
       }.mkString(" + ")
       s"SELECT vec_id, v, $l AS tbl, $bucketSql AS bucket FROM e"
@@ -614,6 +647,7 @@ object Similarity {
     "kmeans_assign" -> kmeansAssign,
     "ann_ivf_probe" -> annIvfProbe,
     "ann_lsh_multi" -> annLshMulti,
+    "ann_lsh_multi_wide" -> annLshMultiWide,
     "semdedup" -> semDedup)
 
   val oracles: Map[String, String] = Map(
@@ -625,5 +659,6 @@ object Similarity {
     "kmeans_assign" -> kmeansAssignSql,
     "ann_ivf_probe" -> annIvfProbeSql,
     "ann_lsh_multi" -> annLshMultiSql,
+    "ann_lsh_multi_wide" -> annLshMultiWideSql,
     "semdedup" -> semDedupSql)
 }

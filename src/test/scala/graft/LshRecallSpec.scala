@@ -228,6 +228,41 @@ class LshRecallSpec extends SparkSpecBase {
     } finally { df.unpersist(); spark.catalog.clearCache() }
   }
 
+  test("ann_lsh_multi_wide: 10-plane geometry cuts bucket occupancy and candidate pairs vs 6-plane") {
+    // the knob for the measured super-linear saturation (SCALING.md
+    // §Measured): same corpus, both geometries, occupancy compared
+    graft.plans.VectorExprs.register(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
+    def pairsFor(planes: Int => Seq[Array[Double]]): (Long, Long) = {
+      val occ = (0 until 4).map { l =>
+        val bucket = planes(l).zipWithIndex.map { case (p, j) =>
+          val lit = p.map(x => s"${x}D").mkString("array(", ", ", ")")
+          when(expr(s"graft_dot(v, $lit)") > 0,
+            org.apache.spark.sql.functions.lit(1 << j))
+            .otherwise(org.apache.spark.sql.functions.lit(0))
+        }.reduce(_ + _)
+        e.select(org.apache.spark.sql.functions.lit(l).as("tbl"),
+          bucket.as("bucket"))
+      }.reduce(_ unionByName _)
+        .groupBy("tbl", "bucket").count()
+      val maxOcc = occ.agg(max("count")).head.getLong(0)
+      val pairs = occ.agg(sum(expr("count * (count - 1) div 2")))
+        .head.getLong(0)
+      (maxOcc, pairs)
+    }
+    val (maxNarrow, pairsNarrow) =
+      pairsFor(graft.operators.Similarity.planesFor)
+    val (maxWide, pairsWide) =
+      pairsFor(graft.operators.Similarity.planesForWide)
+    info(s"occupancy max narrow=$maxNarrow wide=$maxWide; " +
+      s"candidate pairs narrow=$pairsNarrow wide=$pairsWide")
+    assert(maxWide < maxNarrow,
+      "wide geometry did not reduce peak bucket occupancy")
+    assert(pairsWide * 4 <= pairsNarrow,
+      s"expected >=4x candidate reduction, got $pairsNarrow -> $pairsWide")
+  }
+
   test("ann_ivf_probe: near-perfect recall on geometric clusters incl. cross-boundary queries") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
