@@ -66,7 +66,10 @@ object ScaleCurve {
         once() // warm
         val med = Seq(once(), once(), once()).sorted.apply(1)
         spark.catalog.clearCache()
-        println(f"| ${m}x | $q | $med%.2f |")
+        // locale-pinned: a comma-decimal default locale must not change
+        // the artifact's number format
+        println(s"| ${m}x | $q | " +
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(med)) + " |")
       }
     }
     spark.stop()

@@ -44,11 +44,41 @@ object BenchData {
     */
   val filesPerFact = 16
 
+  /** Marker file that publishes a cache dir as complete: written LAST
+    * into staging, so its presence in the content-keyed path proves the
+    * atomic rename moved a fully-built copy.
+    */
+  private val okMarker = "_GRAFT_COPY_OK"
+
   def realisticCopy(spark: SparkSession, sfDir: String): String = {
+    // Cross-process cache keyed on (source path, content fingerprint):
+    // the copy is a pure function of the input bytes, and rebuilding it
+    // on every JVM launch cost the round-4 driver bench minutes of its
+    // wall budget before the first query ran. A later source rewrite
+    // changes the fingerprint -> new key -> fresh build; the stale dir
+    // is pruned below.
+    val tmpdir = System.getProperty("java.io.tmpdir")
+    val dirSlug = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val cacheRoot = Paths.get(s"$tmpdir/graft_bench_cache_${TmpData.contentTag(sfDir)}")
+    if (Files.exists(cacheRoot.resolve(okMarker))) return cacheRoot.toString
+    // prune completed caches of OTHER fingerprints for this source path
+    // (a rewritten sf dir would otherwise leak its old copy forever);
+    // in-flight staging dirs are pid-keyed and self-clean on exit
+    val sibs = cacheRoot.getParent.toFile.listFiles()
+    if (sibs != null) sibs.filter { d =>
+      d.getName.startsWith(s"graft_bench_cache_${dirSlug}_") &&
+        d.toPath != cacheRoot
+    }.foreach { d =>
+      try Files.walk(d.toPath).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Exception => () } // best-effort; a losing racer retries
+    }
+    // build into a pid-unique staging dir (no concurrent-JVM races),
+    // publish by atomic rename: readers only ever see absent or complete
     val t = TmpData.tag(sfDir)
-    val root = TmpData.path("bench_sf", t)
-    TmpData.once(s"bench_sf:$t") {
-      Files.createDirectories(Paths.get(root))
+    val staging = TmpData.path("bench_stage", t)
+    TmpData.once(s"bench_stage:$t") {
+      Files.createDirectories(Paths.get(staging))
       val listed = new java.io.File(sfDir).listFiles()
       require(listed != null, s"dataset directory not found or unreadable: $sfDir")
       val srcFiles = listed.toSeq
@@ -69,20 +99,33 @@ object BenchData {
           // maxRecordsPerFile sizing would need; row order changes,
           // content does not, and every query canon-orders its output
           df.repartition(filesPerFact).write.mode("overwrite")
-            .parquet(s"$root/${f.getName}")
+            .parquet(s"$staging/${f.getName}")
         } else {
           // idempotent like the parquet side's mode("overwrite"): a
           // retried write block (once() only marks AFTER success) or a
           // stale tmp dir from a killed run must not die on an existing
           // link
-          val link = Paths.get(root, f.getName)
+          val link = Paths.get(staging, f.getName)
           Files.deleteIfExists(link)
           // absolute target: a relative SPARK_GRAFT_SF_DIR would
           // otherwise store a link that resolves against /tmp and dangles
           Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
         }
       }
+      // marker written LAST: rename below can only ever publish a dir
+      // that already contains it
+      Files.createFile(Paths.get(staging, okMarker))
     }
-    root
+    try {
+      Files.move(Paths.get(staging), cacheRoot,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      cacheRoot.toString
+    } catch {
+      case _: java.nio.file.FileSystemException =>
+        // another process published first (target exists) -> use theirs
+        // if complete; else fall back to our own complete staging copy
+        if (Files.exists(cacheRoot.resolve(okMarker))) cacheRoot.toString
+        else staging
+    }
   }
 }

@@ -357,6 +357,14 @@ object EventOps {
     * sums are associative — this is the mergeable-statistics shape),
     * anchored on a per-user min that co-partitions with the main
     * aggregate's shuffle.
+    *
+    * Known engine asymmetry at the 128-bit CEILING: if a decimal(38,0)
+    * product itself overflows 38 digits (≳10³⁸ — ~10²⁵ events per user
+    * at these unit scales, beyond any physical corpus), Spark's
+    * non-ANSI decimal arithmetic yields NULL for that user while the
+    * HUGEINT oracle raises. The failure mode is a NULL slope, never a
+    * silently wrong one — the reason decimal(38,0) is used instead of
+    * BIGINT, which wraps silently at ~9.2e18.
     */
   def trendSlope(spark: SparkSession, sfDir: String): DataFrame = {
     val e = load(spark, sfDir, "events")
@@ -436,7 +444,13 @@ object EventOps {
       .withColumn("n_from",
         sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
       .select(col("prev_type"), col("next_type"), col("n_trans"),
-        expr("(n_trans * 1000000L) div n_from").as("p_micro"))
+        // 128-bit numerator (the pmi_cooccur discipline): n_trans·1e6
+        // wraps BIGINT at ~9.2e12 transitions in one matrix cell —
+        // reachable at corpus scale — and Spark wraps SILENTLY while
+        // the HUGEINT oracle raises, so the overflow would surface as
+        // a quiet divergence, not an error
+        expr("cast((cast(n_trans as decimal(38,0)) * 1000000) " +
+          "div n_from as bigint)").as("p_micro"))
     canon(out)
   }
 
@@ -455,7 +469,7 @@ object EventOps {
        |  GROUP BY 1, 2
        |)
        |SELECT prev_type, next_type, n_trans,
-       |  CAST((n_trans * 1000000) //
+       |  CAST((CAST(n_trans AS HUGEINT) * 1000000) //
        |    (sum(n_trans) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_micro
        |FROM c
        |${canonOrderSql(Seq("prev_type", "next_type", "n_trans",

@@ -259,13 +259,18 @@ object ScaleOps {
     val flagged = perKey
       .withColumn("hot", when(col("out_rows") > fanoutThreshold, 1)
         .otherwise(0))
-      .withColumn("mx", max(col("out_rows")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("hot"))))
+    // worst key via max_by on (out_rows, k) INSIDE the aggregate: a
+    // window partitioned by the 2-valued `hot` column would funnel
+    // every distinct join key through at most 2 sort tasks — the exact
+    // serialization this audit exists to catch, and a contradiction of
+    // the "strictly cheaper than the join it audits" contract. max_by
+    // keeps map-side partials; the struct's k term makes the tie-break
+    // deterministic (max k among keys at the max out_rows).
     val out = flagged.groupBy(col("hot"))
       .agg(count(lit(1)).as("n_keys"),
         sum(col("out_rows")).as("join_output_rows"),
         max(col("out_rows")).as("worst_key_rows"),
-        max(when(col("out_rows") === col("mx"), col("k"))).as("worst_key"))
+        max_by(col("k"), struct(col("out_rows"), col("k"))).as("worst_key"))
     canon(out)
   }
 

@@ -38,8 +38,21 @@ private[operators] object TmpData {
     */
   def tag(sfDir: String): String = {
     val pid = ProcessHandle.current().pid()
+    s"${pid}_${contentTag(sfDir)}"
+  }
+
+  /** Like `tag` but WITHOUT the pid term: identifies the source dataset
+    * by (path, content fingerprint) alone, so a derived copy keyed on it
+    * can be shared ACROSS processes — the bench's multi-row-group copy
+    * is identical bytes for identical input, and rebuilding it per JVM
+    * is what blew the driver's wall budget in round 4. Cross-process
+    * sharing needs its own publish protocol (build staging under the
+    * pid-unique `tag`, then atomic-rename into the content-keyed path);
+    * see BenchData.realisticCopy.
+    */
+  def contentTag(sfDir: String): String = {
     val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${pid}_${dir}_${fingerprint(sfDir)}"
+    s"${dir}_${fingerprint(sfDir)}"
   }
 
   /** Metadata-only source fingerprint: file count + total bytes + max

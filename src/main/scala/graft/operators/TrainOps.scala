@@ -302,8 +302,16 @@ object TrainOps {
     val words = load(spark, sfDir, "documents")
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    // "(?!$)" splits at every inter-character boundary but NOT at end of
+    // string: Java's split(regex, -1) keeps the trailing empty element a
+    // bare "" pattern produces, so round-1 counts would see a phantom
+    // (last-char, "") pair weighted by word frequency — frequent enough
+    // on realistic text (final 'e' etc.) to WIN round 1 and emit a bogus
+    // merge rule. DuckDB's string_split(word, '') never yields the
+    // phantom, so this is also a silent cross-engine divergence;
+    // TrainOpsSpec pins a fixture where the phantom pair would win.
     var seqs = words.select(col("word"), col("n"),
-      array_join(split(col("word"), ""), " ").as("seq"))
+      array_join(split(col("word"), "(?!$)"), " ").as("seq"))
     val merges = (1 to bpeSteps).map { k =>
       // persisted: each round reads the relation twice (pair count +
       // rewrite); callers own the cache lifecycle

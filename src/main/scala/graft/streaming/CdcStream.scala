@@ -41,6 +41,14 @@ object CdcStream {
 
   private val nBuckets = 16
 
+  /** State-table schema = op log + the bucket partition column. Reads go
+    * through this EXPLICIT schema, never inference: a fully-GC'd state
+    * table is an empty directory with no data files to infer from, and
+    * it must read as zero rows, not fail.
+    */
+  val stateSchema: StructType =
+    StructType(opSchema.fields :+ StructField("bucket", LongType))
+
   private def withBucket(d: DataFrame): DataFrame =
     d.withColumn("bucket", pmod(col("user_id"), lit(nBuckets)))
 
@@ -48,7 +56,7 @@ object CdcStream {
     * filtered out. This is what a consumer joins against.
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
+    spark.read.schema(stateSchema).parquet(stateDir)
       .filter(col("op") =!= "delete")
       .select(col("user_id"), col("tus"), col("event_id"),
         col("value"), col("bucket"))
@@ -68,12 +76,11 @@ object CdcStream {
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state: DataFrame =
       if (fs.exists(statePath))
-        spark.read.parquet(stateDir)
+        spark.read.schema(stateSchema).parquet(stateDir)
           .filter(col("bucket").isin(touched: _*))
       else
         spark.createDataFrame(spark.sparkContext
-            .emptyRDD[org.apache.spark.sql.Row],
-          StructType(opSchema.fields :+ StructField("bucket", LongType)))
+          .emptyRDD[org.apache.spark.sql.Row], stateSchema)
     // every state row — tombstones included — competes at its original
     // (tus, event_id): a batch op only wins its key if it is NEWER, so
     // late data loses even to an already-applied delete
@@ -111,13 +118,37 @@ object CdcStream {
     */
   def gcTombstones(spark: SparkSession, stateDir: String,
       horizonUs: Long): Unit = {
-    val kept = spark.read.parquet(stateDir)
+    // verify-then-swap (compactParquet's protocol), NOT overwrite-in-
+    // place: an in-place overwrite's plan lineage reads the very files
+    // it deletes, so a lost executor or evicted cached block mid-write
+    // would recompute from already-deleted inputs and corrupt the state.
+    // Staging is written from the live files, count-verified, and only
+    // then swapped in; a crash before the swap leaves the original
+    // intact.
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(stateDir + "_gc_staging")
+    fs.delete(staging, true)
+    val kept = spark.read.schema(stateSchema).parquet(stateDir)
       .filter(col("op") =!= "delete" || col("tus") >= horizonUs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      kept.count()
-      kept.write.partitionBy("bucket").mode("overwrite").parquet(stateDir)
-    } finally kept.unpersist()
+    val expected = kept.count()
+    if (expected == 0) {
+      // everything reclaimed: swap in an EMPTY directory. A partitioned
+      // write of zero rows emits no data files anyway; readers survive
+      // because every state read uses the explicit stateSchema instead
+      // of schema inference.
+      fs.mkdirs(staging)
+    } else {
+      kept.write.partitionBy("bucket").parquet(staging.toString)
+      val got = spark.read.schema(stateSchema)
+        .parquet(staging.toString).count()
+      require(got == expected,
+        s"tombstone GC staging lost rows ($got != $expected); " +
+          "original state untouched")
+    }
+    fs.delete(statePath, true)
+    require(fs.rename(staging, statePath),
+      s"rename $staging -> $statePath failed")
     ()
   }
 

@@ -95,8 +95,34 @@ class CdcStreamSpec extends SparkSpecBase {
     write(src, Seq((6L, 400L, 13L, "upsert", 6.0)))
     CdcStream.start(spark, src, state, ckp).awaitTermination()
     CdcStream.gcTombstones(spark, state, horizonUs = 350L)
-    val afterGc = spark.read.parquet(state).collect()
+    val afterGc = spark.read.schema(CdcStream.stateSchema)
+      .parquet(state).collect()
     assert(afterGc.length == 1 && afterGc.head.getAs[Long]("user_id") == 6L,
       s"GC should keep only the live row, got ${afterGc.toSeq}")
+  }
+
+  test("cdc stream: GC that reclaims EVERY row leaves a readable empty state and the stream keeps working") {
+    val root = Files.createTempDirectory("graft-cdc-gcall").toString
+    val src = s"$root/src"; val state = s"$root/state"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // one key, deleted: the state table holds only a tombstone
+    write(src, Seq(
+      (7L, 100L, 10L, "upsert", 7.0),
+      (7L, 200L, 11L, "delete", 0.0)))
+    CdcStream.start(spark, src, state, ckp).awaitTermination()
+
+    // GC with a horizon above every op reclaims everything — the state
+    // directory ends with ZERO data files and must still read cleanly
+    CdcStream.gcTombstones(spark, state, horizonUs = 1000L)
+    assert(CdcStream.readState(spark, state).count() == 0,
+      "empty state table must read as zero rows, not fail")
+
+    // and the next micro-batch folds into the emptied state normally
+    write(src, Seq((8L, 300L, 12L, "upsert", 8.0)))
+    CdcStream.start(spark, src, state, ckp).awaitTermination()
+    val s = CdcStream.readState(spark, state).collect()
+    assert(s.length == 1 && s.head.getLong(0) == 8L,
+      s"post-GC batch did not land: ${s.toSeq}")
   }
 }

@@ -157,6 +157,30 @@ class TrainOpsSpec extends SparkSpecBase {
     } finally d.unpersist()
   }
 
+  test("bpe_merges: no phantom (char, '') pair — fixture where the trailing-empty split artifact would win round 1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-phantom").toString
+    try {
+      // five DISTINCT words sharing the final char 'b': a trailing-empty
+      // split would count a phantom (b, '') pair with cnt 5, beating
+      // every real pair (each cnt 1) and emitting a bogus round-1 merge
+      // rule. Correct round 1: all real pairs tie at 1 -> lexicographic
+      // (l asc, r asc) picks (a, b); rounds 2-3 then take (c,b), (d,b).
+      Seq((1L, "ab cb db eb fb", "en", "s", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = graft.operators.TrainOps.bpeMerges(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1)
+      assert(rows(0) == ((1, "a", "b", "ab", 1L)),
+        s"round 1 must be the real (a,b), not a phantom (b,''): ${rows(0)}")
+      assert(rows(1) == ((2, "c", "b", "cb", 1L)), s"step2: ${rows(1)}")
+      assert(rows(2) == ((3, "d", "b", "db", 1L)), s"step3: ${rows(2)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bpe_merges: hand-computed merge sequence — frequency order, lexicographic tie-break, merged symbols pair up") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
