@@ -249,17 +249,74 @@ object LoadOps {
        |FROM r WHERE rn = 1 AND op = 'upsert'
        |${canonOrderSql(Seq("user_id", "value_s", "updated_tus", "n_ops"))}""".stripMargin
 
+  /** T8's second report face: the reference's 7-day recent-lot-updates
+    * query (queries.py:53-57, `GET_RECENT_LOT_UPDATES` over the `lots`
+    * dimension) — lots whose last update falls within 7 days of the
+    * anchor, with their first-load date. Runs over the same upserted-dim
+    * relation [[dimUpsert]] maintains (`first_loaded` = earliest order
+    * ever, `last_updated` = latest in-window order), horizon anchored to
+    * the dataset's max update like [[auditReport]] so the result is
+    * deterministic on frozen test data. DORMANT dim rows (sentinel
+    * last_updated) can never enter the window — exactly the reference
+    * report's "recently updated only" semantics.
+    *
+    * Scale: ONE aggregate over orders keyed on custkey (first/last are
+    * conditional min/max in the same pass — no second shuffle), a 1-row
+    * broadcast anchor stamp, and a custkey equi-join to the customer
+    * dim; output is bounded by the 7-day active set.
+    */
+  def lotUpdatesReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = load(spark, sfDir, "customer")
+    val o = load(spark, sfDir, "orders")
+    val agg = o.groupBy(col("o_custkey").as("custkey"))
+      .agg(Fns.dayStr(min(col("o_orderdate"))).as("first_loaded"),
+        max(when(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"),
+          col("o_orderdate"))).as("lu"))
+      .filter(col("lu").isNotNull)
+    val anchor = agg.agg(max(col("lu")).as("mx"))
+    val out = agg
+      .crossJoin(broadcast(anchor)) // 1-row stamp
+      .filter(col("lu") > col("mx") - expr("INTERVAL 7 DAYS"))
+      .join(c, col("custkey") === c("c_custkey"))
+      .select(
+        concat(lit("LOT-"), col("custkey").cast("string")).as("lot_number"),
+        c("c_name").as("product_name"),
+        lit("ACTIVE").as("status"),
+        col("first_loaded"),
+        Fns.dayStr(col("lu")).as("last_updated"))
+    canon(out)
+  }
+
+  val lotUpdatesReportSql: String =
+    s"""WITH a AS (
+       |  SELECT o_custkey AS custkey,
+       |    strftime(min(o_orderdate), '%Y-%m-%d') AS first_loaded,
+       |    max(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+       |        THEN o_orderdate END) AS lu
+       |  FROM orders GROUP BY 1
+       |), m AS (SELECT max(lu) AS mx FROM a)
+       |SELECT 'LOT-' || CAST(a.custkey AS VARCHAR) AS lot_number,
+       |  c.c_name AS product_name, 'ACTIVE' AS status,
+       |  a.first_loaded, strftime(a.lu, '%Y-%m-%d') AS last_updated
+       |FROM a, m
+       |JOIN customer c ON a.custkey = c.c_custkey
+       |WHERE a.lu IS NOT NULL AND a.lu > m.mx - INTERVAL 7 DAY
+       |${canonOrderSql(Seq("lot_number", "product_name", "status",
+         "first_loaded", "last_updated"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_apply" -> cdcApply,
     "data_hash" -> dataHash,
     "dim_upsert" -> dimUpsert,
     "replace_partition" -> replacePartition,
-    "audit_report" -> auditReport)
+    "audit_report" -> auditReport,
+    "lot_updates_report" -> lotUpdatesReport)
 
   val oracles: Map[String, String] = Map(
     "cdc_apply" -> cdcApplySql,
     "data_hash" -> dataHashSql,
     "dim_upsert" -> dimUpsertSql,
     "replace_partition" -> replacePartitionSql,
-    "audit_report" -> auditReportSql)
+    "audit_report" -> auditReportSql,
+    "lot_updates_report" -> lotUpdatesReportSql)
 }

@@ -123,9 +123,121 @@ object LotPipeline {
        |WHERE NOT ('user_' || CAST(e.user_id AS VARCHAR) LIKE 'user_14%')
        |${canonOrderSql(cols)}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // lot_fallback — the ②′ per-record fallback-metadata path, set-oriented
+  // ---------------------------------------------------------------------
+
+  /** Records below this value are not "current" metadata captures. */
+  private val fallbackValueFloor = 95.0
+
+  /** The reference's per-record fallback protocol (bulk_fetch.py:73-81 +
+    * data_processor.py:97-152), re-expressed as ONE set-oriented query
+    * instead of a per-lot Python loop:
+    *
+    *  - primary metadata per lot = the batch-record fetch
+    *    (`fetch_batch_records_by_lot`);
+    *  - where primary is EMPTY, fall back to the data-capture fetch
+    *    (`fetch_data_capture_by_lot`), whose differently-named fields
+    *    are renamed into the primary schema (the reference's
+    *    masterTemplateName→productName / productionRecordStatus→status
+    *    rename — here the BR-/TPL- product prefixes make the source
+    *    face visible);
+    *  - lots where BOTH are empty emit status "Fail" with the
+    *    reference's exact message into the status relation
+    *    (`status_tracker.log_status`), folded into the same output.
+    *
+    * On the test data: purchases above the value floor play the primary
+    * batch records, views above it the fallback captures; lots with
+    * neither exercise the both-empty Fail path (all three classes are
+    * non-empty at every test SF).
+    *
+    * Scale: three aggregates/distincts ALL keyed on user_id, then two
+    * left joins on that same key — one co-partitioned shuffle family,
+    * no broadcast of anything data-sized, output = |lots|.
+    */
+  def lotFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = load(spark, sfDir, "events")
+    // the per-record loop's lot list
+    val lots = e.select(col("user_id")).distinct()
+    // primary: batch-record metadata
+    val primary = e
+      .filter(col("event_type") === "purchase" &&
+        col("value") > fallbackValueFloor)
+      .groupBy(col("user_id").as("pk"))
+      .agg(Fns.dayStr(max(col("ts"))).as("p_date"),
+        count(lit(1)).as("p_n"))
+    // fallback: data-capture metadata, renamed into the primary schema
+    val fallback = e
+      .filter(col("event_type") === "view" &&
+        col("value") > fallbackValueFloor)
+      .groupBy(col("user_id").as("fk"))
+      .agg(Fns.dayStr(max(col("ts"))).as("f_date"),
+        count(lit(1)).as("f_n"))
+    val out = lots
+      .join(primary, col("user_id") === col("pk"), "left")
+      .join(fallback, col("user_id") === col("fk"), "left")
+      .select(
+        concat(lit("LOT-"), col("user_id").cast("string")).as("lot_number"),
+        when(col("pk").isNotNull, lit("primary"))
+          .when(col("fk").isNotNull, lit("fallback"))
+          .otherwise(lit("none")).as("meta_source"),
+        when(col("pk").isNotNull,
+            concat(lit("BR-"), col("user_id").cast("string")))
+          .when(col("fk").isNotNull,
+            concat(lit("TPL-"), col("user_id").cast("string")))
+          .otherwise(lit("")).as("product_name"),
+        coalesce(col("p_date"), col("f_date"), lit("")).as("record_date"),
+        coalesce(col("p_n"), col("f_n"), lit(0L)).as("n_records"),
+        when(col("pk").isNull && col("fk").isNull, lit("Fail"))
+          .otherwise(lit("Success")).as("status"),
+        when(col("pk").isNull && col("fk").isNull,
+            lit("Both api_1 calls returned empty"))
+          .otherwise(lit("")).as("message"))
+    canon(out)
+  }
+
+  val lotFallbackSql: String =
+    s"""WITH lots AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), p AS (
+       |  SELECT user_id, strftime(max(ts), '%Y-%m-%d') AS p_date,
+       |    count(*) AS p_n
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value > $fallbackValueFloor
+       |  GROUP BY 1
+       |), f AS (
+       |  SELECT user_id, strftime(max(ts), '%Y-%m-%d') AS f_date,
+       |    count(*) AS f_n
+       |  FROM events
+       |  WHERE event_type = 'view' AND value > $fallbackValueFloor
+       |  GROUP BY 1
+       |)
+       |SELECT 'LOT-' || CAST(l.user_id AS VARCHAR) AS lot_number,
+       |  CASE WHEN p.user_id IS NOT NULL THEN 'primary'
+       |       WHEN f.user_id IS NOT NULL THEN 'fallback'
+       |       ELSE 'none' END AS meta_source,
+       |  CASE WHEN p.user_id IS NOT NULL
+       |         THEN 'BR-' || CAST(l.user_id AS VARCHAR)
+       |       WHEN f.user_id IS NOT NULL
+       |         THEN 'TPL-' || CAST(l.user_id AS VARCHAR)
+       |       ELSE '' END AS product_name,
+       |  coalesce(p_date, f_date, '') AS record_date,
+       |  CAST(coalesce(p_n, f_n, 0) AS BIGINT) AS n_records,
+       |  CASE WHEN p.user_id IS NULL AND f.user_id IS NULL
+       |       THEN 'Fail' ELSE 'Success' END AS status,
+       |  CASE WHEN p.user_id IS NULL AND f.user_id IS NULL
+       |       THEN 'Both api_1 calls returned empty' ELSE '' END AS message
+       |FROM lots l
+       |LEFT JOIN p ON l.user_id = p.user_id
+       |LEFT JOIN f ON l.user_id = f.user_id
+       |${canonOrderSql(Seq("lot_number", "meta_source", "product_name",
+         "record_date", "n_records", "status", "message"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lot_pipeline" -> lotPipeline)
+    "lot_pipeline" -> lotPipeline,
+    "lot_fallback" -> lotFallback)
 
   val oracles: Map[String, String] = Map(
-    "lot_pipeline" -> lotPipelineSql)
+    "lot_pipeline" -> lotPipelineSql,
+    "lot_fallback" -> lotFallbackSql)
 }

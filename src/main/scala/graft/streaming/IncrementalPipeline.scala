@@ -94,6 +94,34 @@ object IncrementalPipeline {
       .start()
   }
 
+  /** T3's degrade contract (reference checkpoint_manager.py:31-37): a
+    * corrupt or unreadable checkpoint must not wedge the pipeline — the
+    * reference catches the bad JSON, falls back to the default watermark
+    * (-1), and reprocesses from scratch. The Structured-Streaming
+    * equivalent: attempt a normal resume; if the query dies on an
+    * unusable checkpoint, wipe the checkpoint AND the derived output and
+    * rerun the full source. Restart-from-scratch is SAFE for exactly the
+    * reason the reference can default to -1: the sink is idempotent
+    * (dynamic partition overwrite at the aggregate grain), so
+    * reprocessing rewrites every partition instead of duplicating rows.
+    * One retry only — a second failure is a real error and propagates.
+    */
+  def runResilient(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    def runOnce(): Unit =
+      start(spark, sourceDir, outDir, checkpointDir).awaitTermination()
+    try runOnce()
+    catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val ckp = new org.apache.hadoop.fs.Path(checkpointDir)
+        ckp.getFileSystem(conf).delete(ckp, true)
+        val out = new org.apache.hadoop.fs.Path(outDir)
+        out.getFileSystem(conf).delete(out, true)
+        runOnce()
+    }
+  }
+
   /** S12 + load loop: run one AvailableNow pass over `sourceDir`, then
     * archive exactly the files that pass consumed (reference
     * bulk_loader.py:53-54,85-86 — load, then archive each file).

@@ -25,6 +25,38 @@ class LoadOpsSpec extends SparkSpecBase {
     assert(df.groupBy("custkey").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("lot_fallback: primary wins over fallback; fallback fills primary gaps; both-empty flags Fail with the reference message") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lotfb").toString
+    try {
+      // events store raw NANOSECOND longs (Tables.eventsRawSchema)
+      val t0 = java.sql.Timestamp.valueOf("2024-05-01 12:00:00")
+        .getTime * 1000000L
+      // user 1: qualifying purchase AND view -> primary must win
+      // user 2: qualifying view only        -> fallback
+      // user 3: only sub-floor / other events -> both empty -> Fail
+      Seq(
+        (1L, 1L, t0, "purchase", 99.0), (2L, 1L, t0, "view", 99.0),
+        (3L, 2L, t0, "view", 99.0),
+        (4L, 3L, t0, "click", 99.0), (5L, 3L, t0, "purchase", 10.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+        .write.parquet(s"$dir/events.parquet")
+      val r = graft.operators.LotPipeline.lotFallback(spark, dir).collect()
+        .map(x => x.getString(0) -> (x.getString(1), x.getString(2),
+          x.getString(5), x.getString(6))).toMap
+      assert(r("LOT-1") == (("primary", "BR-1", "Success", "")),
+        s"primary metadata must win when both exist: ${r("LOT-1")}")
+      assert(r("LOT-2") == (("fallback", "TPL-2", "Success", "")),
+        s"fallback must fill a primary gap: ${r("LOT-2")}")
+      assert(r("LOT-3") == (("none", "", "Fail",
+        "Both api_1 calls returned empty")),
+        s"both-empty lot must flag Fail with the reference message: ${r("LOT-3")}")
+      assert(r.size == 3, s"one status row per lot, got ${r.size}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("data_hash is stable and 32-hex") {
     val df = LoadOps.dataHash(spark, sf)
     assert(df.filter(!col("data_hash").rlike("^[0-9a-f]{32}$")).count() == 0)

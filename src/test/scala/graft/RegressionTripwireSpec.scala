@@ -37,4 +37,31 @@ class RegressionTripwireSpec extends SparkSpecBase {
           "explode, lost broadcast), not machine noise")
     }
   }
+
+  /** Driver-budget tripwire: the driver benches every registered query
+    * in SINGLE-RUN mode (Bench's default protocol). This runs exactly
+    * that — every query once, cold, sum of wall times — under a ceiling
+    * generous enough for a contended box (quiet-box sum ≈ 60–90 s at
+    * sf0.01) but far below the driver's wall budget, so a future
+    * pathological query (the round-4 failure mode: a bench that cannot
+    * finish) is caught HERE, before the driver ever runs it.
+    */
+  test("single-run sweep of every registered query stays within the driver-budget ceiling at sf0.01") {
+    val budget = 300.0
+    var total = 0.0
+    var worst = ("", 0.0)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val t0 = System.nanoTime()
+      fn(spark, sf001).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      total += dt
+      if (dt > worst._2) worst = (name, dt)
+      assert(total < budget,
+        f"single-run sweep blew the ${budget}%.0f s driver-budget ceiling " +
+          f"after '$name' (sum ${total}%.1f s; worst so far ${worst._1} " +
+          f"${worst._2}%.1f s) — a query got pathologically slow and " +
+          "would time out the driver's bench")
+    }
+  }
 }

@@ -56,4 +56,45 @@ class StreamingSpec extends SparkSpecBase {
       "view aggregate in the replaced window was deleted by the overwrite")
     assert(w1views.agg(sum("n_events")).collect()(0).getLong(0) == 1)
   }
+
+  test("corrupt checkpoint degrades to a clean restart-from-scratch, never a wedge or duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ckpcorrupt").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    def writeBatch(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+
+    writeBatch(Seq(
+      (1L, ts("2024-05-01 01:00:00"), 7L, "click", 10.0),
+      (2L, ts("2024-05-01 07:00:00"), 8L, "view", 1.0)))
+    IncrementalPipeline.runResilient(spark, src, out, ckp)
+    assert(spark.read.parquet(out).agg(sum("n_events"))
+      .collect()(0).getLong(0) == 2, "first pass did not land")
+
+    // corrupt the offset log the way checkpoint_manager.py:31-37 models
+    // it (unparsable JSON on disk), then deliver more data
+    val offsets = java.nio.file.Paths.get(ckp, "offsets")
+    val logFiles = java.nio.file.Files.list(offsets).toArray
+    assert(logFiles.nonEmpty, "no offset log to corrupt — test setup broke")
+    logFiles.foreach { p =>
+      java.nio.file.Files.writeString(
+        p.asInstanceOf[java.nio.file.Path], "{not json")
+    }
+    writeBatch(Seq(
+      (3L, ts("2024-05-01 08:00:00"), 9L, "click", 2.0)))
+
+    // the resilient runner must detect the unusable checkpoint, wipe it,
+    // and reprocess the FULL source — same totals as a fresh run, no
+    // duplicated windows from the pre-corruption output
+    IncrementalPipeline.runResilient(spark, src, out, ckp)
+    val after = spark.read.parquet(out)
+    assert(after.agg(sum("n_events")).collect()(0).getLong(0) == 3,
+      "restart-from-scratch must reprocess every event exactly once")
+    assert(after.groupBy("window_start", "event_type").count()
+      .filter(col("count") > 1).count() == 0,
+      "restart produced duplicate (window, type) aggregates")
+  }
 }
