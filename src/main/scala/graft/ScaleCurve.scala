@@ -33,7 +33,8 @@ object ScaleCurve {
 
   private val curveQueries = Seq("minhash_lsh", "simhash_neardup_wide",
     "dedup_clusters", "ann_lsh_multi", "contamination_check",
-    "sales_rollup", "bpe_merges", "dup_ngram_spans", "fanout_guard")
+    "sales_rollup", "bpe_merges", "dup_ngram_spans", "fanout_guard",
+    "ann_ivf_probe")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,23 +55,29 @@ object ScaleCurve {
     plans.VectorExprs.register(spark)
     println(s"| mult | query | median_sec |")
     println(s"|---|---|---|")
+    def time(q: String, dir: String, label: String, m: Int): Unit = {
+      val fn = SparkEntry.queries(q)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      val med = Seq(once(), once(), once()).sorted.apply(1)
+      spark.catalog.clearCache()
+      // locale-pinned: a comma-decimal default locale must not change
+      // the artifact's number format
+      println(s"| ${m}x | $label | " +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(med)) + " |")
+    }
     for (m <- mults) {
       val dir = operators.CurveData.synth(spark, base, m)
-      for (q <- curveQueries) {
-        val fn = SparkEntry.queries(q)
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        once() // warm
-        val med = Seq(once(), once(), once()).sorted.apply(1)
-        spark.catalog.clearCache()
-        // locale-pinned: a comma-decimal default locale must not change
-        // the artifact's number format
-        println(s"| ${m}x | $q | " +
-          String.format(java.util.Locale.ROOT, "%.2f", Double.box(med)) + " |")
-      }
+      for (q <- curveQueries) time(q, dir, q, m)
+      // adversarial fixture: IDENTICAL copies, so every base gram is a
+      // cross-doc duplicate and the bloom pre-filter passes ~everything
+      // — the selectivity-collapse floor of the repeated-span detector
+      val dupDir = operators.CurveData.synthDup(spark, base, m)
+      time("dup_ngram_spans", dupDir, "dup_ngram_spans@highdup", m)
     }
     spark.stop()
   }

@@ -634,19 +634,79 @@ object CorpusOps {
     */
   private[graft] val shardBudget = 500L
 
-  def shardPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The packing relation shared by [[shardPack]] (its canon face) and
+    * [[packEfficiency]] (its rollup), so the two can never disagree on
+    * shard geometry.
+    */
+  private def shardRel(spark: SparkSession, sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val w = Window.partitionBy("source").orderBy("doc_id")
-    val out = d
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("shard_id",
         expr(s"(cum_tokens - n_tokens) div $shardBudget"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"), col("shard_id"))
+  }
+
+  def shardPack(spark: SparkSession, sfDir: String): DataFrame =
+    canon(shardRel(spark, sfDir))
+
+  /** Packing-efficiency audit over the [[shardPack]] assignment: per
+    * (source, shard) the document count, token load, exact µ-unit fill
+    * ratio against the budget, and an over-budget flag (a shard exceeds
+    * the budget exactly when a document straddles its boundary — the
+    * first-token rule never splits documents). The report that sizes
+    * padding waste and decides whether the budget or the packing rule
+    * needs tuning before a training run materializes shards.
+    *
+    * Scale: one groupBy at (source, shard) grain downstream of the
+    * shardRel window — output is |shards|, map-side combinable.
+    * fill_micro stays in BIGINT: tokens·1e6 wraps only past ~9.2e12
+    * shard tokens, and a shard is budget-bounded by construction
+    * (budget + one document), far below that for any sane budget.
+    */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = shardRel(spark, sfDir)
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"))
+      .select(col("source"), col("shard_id"), col("n_docs"),
+        col("shard_tokens"),
+        expr(s"(shard_tokens * 1000000L) div $shardBudget")
+          .as("fill_micro"),
+        when(col("shard_tokens") > shardBudget, 1).otherwise(0)
+          .as("over_budget"))
     canon(out)
   }
+
+  val packEfficiencySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, n_tokens,
+       |    sum(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id) AS cum_tokens
+       |  FROM d
+       |), s AS (
+       |  SELECT source,
+       |    CAST((cum_tokens - n_tokens) // $shardBudget AS BIGINT)
+       |      AS shard_id,
+       |    n_tokens
+       |  FROM c
+       |)
+       |SELECT source, shard_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |  (CAST(sum(n_tokens) AS BIGINT) * 1000000) // $shardBudget
+       |    AS fill_micro,
+       |  CASE WHEN sum(n_tokens) > $shardBudget THEN 1 ELSE 0 END
+       |    AS over_budget
+       |FROM s GROUP BY 1, 2
+       |${canonOrderSql(Seq("source", "shard_id", "n_docs", "shard_tokens",
+         "fill_micro", "over_budget"))}""".stripMargin
 
   val shardPackSql: String =
     s"""WITH d AS (
@@ -722,6 +782,7 @@ object CorpusOps {
     "table_profile_approx" -> tableProfileApprox,
     "inverted_index" -> invertedIndex,
     "shard_pack" -> shardPack,
+    "pack_efficiency" -> packEfficiency,
     "length_outliers" -> lengthOutliers,
     "length_outliers_approx" -> lengthOutliersApprox,
     "pmi_cooccur" -> pmiCooccur)
@@ -735,6 +796,7 @@ object CorpusOps {
     "table_profile_approx" -> tableProfileApproxSql,
     "inverted_index" -> invertedIndexSql,
     "shard_pack" -> shardPackSql,
+    "pack_efficiency" -> packEfficiencySql,
     "length_outliers" -> lengthOutliersSql,
     "length_outliers_approx" -> lengthOutliersApproxSql,
     "pmi_cooccur" -> pmiCooccurSql)

@@ -65,14 +65,44 @@ object CurveData {
         .parquet(s"$root/orders.parquet")
 
       val synthesized = Set("documents", "embeddings", "lineitem", "orders")
-      for (f <- new java.io.File(baseDir).listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet"))
-          .filterNot(f => synthesized(f.getName.stripSuffix(".parquet")))) {
-        val link = Paths.get(root, f.getName)
-        Files.deleteIfExists(link)
-        Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
-      }
+      linkRest(baseDir, root, synthesized)
     }
     root
+  }
+
+  /** High-duplication documents fixture: mult copies of the base corpus
+    * with RE-KEYED doc_ids but UNCHANGED text — the adversarial opposite
+    * of [[synth]]'s content-disjoint copies. Every gram present in the
+    * base becomes a cross-document duplicate, so the bloom pre-filter in
+    * dup_ngram_spans passes essentially every position and the exact
+    * semi-join sees the FULL gram stream: this measures the operator's
+    * floor when its selectivity assumption ("most positions are NOT
+    * duplicated") is maximally violated — template-spam / boilerplate
+    * corpora do exactly this in production.
+    */
+  def synthDup(spark: SparkSession, baseDir: String, mult: Int): String = {
+    val t = TmpData.tag(baseDir)
+    val root = TmpData.path(s"curvedup${mult}x", t)
+    TmpData.once(s"curvedup${mult}x:$t") {
+      Files.createDirectories(Paths.get(root))
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      unionCopies(docs, mult) { (d, k) =>
+        d.withColumn("doc_id", col("doc_id") + lit(k * keyStride))
+      }.repartition(16 * mult).write.mode("overwrite")
+        .parquet(s"$root/documents.parquet")
+      linkRest(baseDir, root, Set("documents"))
+    }
+    root
+  }
+
+  private def linkRest(baseDir: String, root: String,
+      synthesized: Set[String]): Unit = {
+    for (f <- new java.io.File(baseDir).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .filterNot(f => synthesized(f.getName.stripSuffix(".parquet")))) {
+      val link = Paths.get(root, f.getName)
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
+    }
   }
 }

@@ -369,10 +369,96 @@ object TrainOps {
        |${canonOrderSql(Seq("step", "l", "r", "merged", "cnt"))}""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // split_balance — language-mix audit across the train/valid/test split
+  // ---------------------------------------------------------------------
+
+  /** Does the content-hash split skew the language mixture? For every
+    * (split, lang) cell: document and token counts, the language's
+    * token share WITHIN the split, its share in the full corpus, and the
+    * skew ratio between the two — all in exact µ-units (the ratio of
+    * ratios is one 128-bit multiply per side, single integer division
+    * at the end, no float anywhere). skew_micro ≈ 1e6 means the split
+    * preserved the corpus mixture; a cell far from 1e6 is the signal an
+    * eval-integrity gate alarms on (a test split over-weighted in one
+    * language silently reweights the benchmark). Companion to
+    * split_leak_check: that audits content leakage, this audits
+    * distributional drift.
+    *
+    * Scale: one (split, lang)-keyed aggregate over the corpus with
+    * map-side partials; the share windows and the global total run over
+    * the POST-aggregate relation (|splits|·|langs| rows — bounded), so
+    * the unpartitioned window is over a handful of rows, never the
+    * corpus.
+    */
+  def splitBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val s = splitRel(d).select(col("doc_id"), col("split"))
+    val base = toks.join(s, Seq("doc_id")) // co-keyed on doc_id
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val out = base
+      .withColumn("split_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy(col("split"))))
+      .withColumn("lang_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy(col("lang"))))
+      // global total over the bounded post-aggregate relation
+      .withColumn("corpus_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy(lit(1))))
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        expr("cast((cast(n_tokens as decimal(38,0)) * 1000000) " +
+          "div split_tokens as bigint)").as("split_share_micro"),
+        expr("cast((cast(lang_tokens as decimal(38,0)) * 1000000) " +
+          "div corpus_tokens as bigint)").as("corpus_share_micro"),
+        expr("cast((cast(n_tokens as decimal(38,0)) * corpus_tokens " +
+          "* 1000000) div (cast(split_tokens as decimal(38,0)) " +
+          "* lang_tokens) as bigint)").as("skew_micro"))
+    canon(out)
+  }
+
+  val splitBalanceSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train'
+       |         WHEN b < 90 THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |          ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+       |        FROM documents)
+       |), t AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |), base AS (
+       |  SELECT split, lang, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM t JOIN sp USING (doc_id) GROUP BY 1, 2
+       |), w AS (
+       |  SELECT *,
+       |    sum(n_tokens) OVER (PARTITION BY split) AS split_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang) AS lang_tokens,
+       |    sum(n_tokens) OVER () AS corpus_tokens
+       |  FROM base
+       |)
+       |SELECT split, lang, n_docs, n_tokens,
+       |  CAST((CAST(n_tokens AS HUGEINT) * 1000000) // split_tokens
+       |    AS BIGINT) AS split_share_micro,
+       |  CAST((CAST(lang_tokens AS HUGEINT) * 1000000) // corpus_tokens
+       |    AS BIGINT) AS corpus_share_micro,
+       |  CAST((CAST(n_tokens AS HUGEINT) * corpus_tokens * 1000000)
+       |    // (CAST(split_tokens AS HUGEINT) * lang_tokens)
+       |    AS BIGINT) AS skew_micro
+       |FROM w
+       |${canonOrderSql(Seq("split", "lang", "n_docs", "n_tokens",
+         "split_share_micro", "corpus_share_micro", "skew_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> bpeMerges,
     "vocab_build" -> vocabBuild,
     "dataset_split" -> datasetSplit,
+    "split_balance" -> splitBalance,
     "curriculum_bins" -> curriculumBins,
     "split_leak_check" -> splitLeakCheck,
     "tokenizer_apply" -> tokenizerApply)
@@ -381,6 +467,7 @@ object TrainOps {
     "bpe_merges" -> bpeMergesSql,
     "vocab_build" -> vocabBuildSql,
     "dataset_split" -> datasetSplitSql,
+    "split_balance" -> splitBalanceSql,
     "curriculum_bins" -> curriculumBinsSql,
     "split_leak_check" -> splitLeakCheckSql,
     "tokenizer_apply" -> tokenizerApplySql)

@@ -57,6 +57,37 @@ class LoadOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("lot_updates_report: only lots updated within 7 days of the anchor; first_loaded spans full history; dormant lots excluded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lotupd").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    try {
+      // c1: anchors the window (latest update overall), first order 1995
+      // c2: updated 3 days before the anchor -> included
+      // c3: updated 10 days before the anchor -> outside the 7-day window
+      // c4: only pre-2000 orders -> dormant, never enters the report
+      Seq(
+        (1L, ts("1995-06-01")), (1L, ts("2001-08-10")),
+        (2L, ts("2001-08-07")),
+        (3L, ts("2001-07-31")),
+        (4L, ts("1999-05-05")))
+        .toDF("o_custkey", "o_orderdate")
+        .write.parquet(s"$dir/orders.parquet")
+      Seq((1L, "Cust1"), (2L, "Cust2"), (3L, "Cust3"), (4L, "Cust4"))
+        .toDF("c_custkey", "c_name")
+        .write.parquet(s"$dir/customer.parquet")
+      val r = LoadOps.lotUpdatesReport(spark, dir).collect()
+        .map(x => x.getString(0) -> (x.getString(3), x.getString(4))).toMap
+      assert(r.keySet == Set("LOT-1", "LOT-2"),
+        s"7-day window wrong: ${r.keySet} (LOT-3 is 10 days stale, LOT-4 dormant)")
+      assert(r("LOT-1") == (("1995-06-01", "2001-08-10")),
+        s"first_loaded must span full history: ${r("LOT-1")}")
+      assert(r("LOT-2") == (("2001-08-07", "2001-08-07")), s"${r("LOT-2")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("data_hash is stable and 32-hex") {
     val df = LoadOps.dataHash(spark, sf)
     assert(df.filter(!col("data_hash").rlike("^[0-9a-f]{32}$")).count() == 0)

@@ -43,6 +43,33 @@ class PlanHygieneSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("lot_fallback: equi-joins only (no nested loop), events scan pruned to the needed columns") {
+    val p = plan("lot_fallback")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "fallback coalesce must stay an equi-join family on user_id")
+    val evSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("event_type")).get
+    assert(!evSchema.contains("props"),
+      "unused props column read from events")
+    assert(!evSchema.contains("event_id"),
+      "unused event_id column read from events")
+  }
+
+  test("lot_updates_report: orders scan pruned to custkey+orderdate; one aggregate pass, no second orders shuffle") {
+    val p = plan("lot_updates_report")
+    val oSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("o_custkey")).get
+    assert(!oSchema.contains("o_totalprice") && !oSchema.contains("o_comment"),
+      "unused columns read from orders")
+    // first_loaded and last_updated are conditional min/max in ONE
+    // aggregate: only one orders-side hashpartitioning(custkey) exchange
+    val custShuffles = "hashpartitioning\\(custkey".r.findAllIn(p).length +
+      "hashpartitioning\\(o_custkey".r.findAllIn(p).length
+    assert(custShuffles <= 2, // partial/final agg pair + possible join side
+      s"orders aggregated more than once: $custShuffles custkey exchanges")
+  }
+
   test("conditional_agg: exactly one data shuffle (partial agg is map-side)") {
     val p = plan("conditional_agg")
     // FormattedMode lists partitioning on Arguments lines

@@ -18,7 +18,11 @@ class RegressionTripwireSpec extends SparkSpecBase {
   private val ceilings = Seq(
     "partition_pruned" -> 8.0,
     "orc_roundtrip" -> 8.0,
-    "minhash_lsh" -> 12.0)
+    "minhash_lsh" -> 12.0,
+    // round-5 curve additions: the bloom-prefiltered span detector and
+    // the IVF probe face (quiet-box warmed ≈ 0.5–1.5 s at sf0.01)
+    "dup_ngram_spans" -> 15.0,
+    "ann_ivf_probe" -> 15.0)
 
   test("prior worst-case queries stay under generous warmed stage ceilings at sf0.01") {
     for ((name, ceiling) <- ceilings) {
