@@ -34,7 +34,7 @@ object ScaleCurve {
   private val curveQueries = Seq("minhash_lsh", "simhash_neardup_wide",
     "dedup_clusters", "ann_lsh_multi", "contamination_check",
     "sales_rollup", "bpe_merges", "dup_ngram_spans", "fanout_guard",
-    "ann_ivf_probe")
+    "ann_ivf_probe", "ann_ivf_subcell")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

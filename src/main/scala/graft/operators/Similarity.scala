@@ -441,16 +441,23 @@ object Similarity {
     * cand, d2q, rn) with rn = 1 the nearest cell — rn = 1 is the
     * assignment, rn ≤ p is the multi-probe list.
     */
-  private def assignRanked(spark: SparkSession, sfDir: String): DataFrame = {
+  /** µ-quantized per-dimension view: (vec_id, label, pos, xq). */
+  private def quantizedRel(spark: SparkSession, sfDir: String): DataFrame = {
     val e = load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val pos = e.select(col("vec_id"), col("label"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val q = pos.withColumn("xq", floor(col("x") * 1000000).cast("bigint"))
-    val cent = q.groupBy(col("label").as("cand"), col("pos"))
+    e.select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * 1000000).cast("bigint"))
+  }
+
+  /** Per-cell centroids of the quantized view: (cand, pos, c). */
+  private def centroidsOf(q: DataFrame): DataFrame =
+    q.groupBy(col("label").as("cand"), col("pos"))
       .agg((sum(col("xq")).cast("double") /
         (lit(1000000.0) * count(lit(1)))).as("c"))
+
+  private def assignRankedFrom(q: DataFrame, cent: DataFrame): DataFrame = {
     val dists = q.join(broadcast(cent), Seq("pos"))
       .withColumn("dx", col("xq").cast("double") / lit(1000000.0) - col("c"))
       .withColumn("sqq",
@@ -460,6 +467,11 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2q").asc, col("cand").asc)
     dists.withColumn("rn", row_number().over(w))
+  }
+
+  private def assignRanked(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantizedRel(spark, sfDir)
+    assignRankedFrom(q, centroidsOf(q))
   }
 
   private def assignRel(spark: SparkSession, sfDir: String): DataFrame =
@@ -582,6 +594,132 @@ object Similarity {
        |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
          "sim_micro"))}""".stripMargin
 
+  /** Residual-sign bits per (vector, cell): the scaling knob the
+    * round-5 curve demands (see SCALING.md §round-5: ann_ivf_probe goes
+    * ~N² once the fixed label-cell space saturates).
+    */
+  private val ivfSubBits = 3
+
+  /** (vec_id, cand, sub): the [[ivfSubBits]]-bit subcell of a vector
+    * WITHIN a cell — bit p set iff the residual against that cell's
+    * centroid is ≥ 0 in dimension p. Near-identical vectors have
+    * near-identical residuals, so they share a subcell except when a
+    * residual component sits exactly at a centroid boundary.
+    * Deterministic across engines: xq/1e6 and the centroid are the same
+    * IEEE doubles both sides (the d2q discipline), so the ≥ 0 test is
+    * bit-stable.
+    */
+  private def subcellsOf(q: DataFrame, cent: DataFrame): DataFrame =
+    q.filter(col("pos") < ivfSubBits)
+      .join(broadcast(cent.filter(col("pos") < ivfSubBits)), Seq("pos"))
+      .groupBy(col("vec_id"), col("cand"))
+      .agg(sum(when(
+        col("xq").cast("double") / lit(1000000.0) - col("c") >= 0,
+        expr("shiftleft(1L, cast(pos as int))")).otherwise(lit(0L)))
+        .as("sub"))
+
+  /** Test-facing view of the refined blocking: each vector's ASSIGNED
+    * cell and its residual-sign subcell there — what LshRecallSpec uses
+    * to compare block occupancy with and without the refinement.
+    */
+  private[graft] def ivfAssignedBlocks(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val q = quantizedRel(spark, sfDir)
+    val cent = centroidsOf(q)
+    assignRankedFrom(q, cent).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cand"))
+      .join(subcellsOf(q, cent), Seq("vec_id", "cand"))
+      .select(col("vec_id"), col("cand").as("cell"), col("sub"))
+  }
+
+  /** The IVF saturation KNOB (SCALING.md §round-5 measured ann_ivf_probe
+    * at 27.8× for 10× data — fixed cells go quadratic past saturation):
+    * refine every cell with an [[ivfSubBits]]-bit residual-sign subcell,
+    * multiplying the effective cell count by 2³ without retraining —
+    * the poor man's form of "k must scale with N" (production IVF
+    * retrains its coarse quantizer; residual sign bits are the
+    * train-free equivalent, exactly the 1-bit product-quantizer idea).
+    * Candidates must now match on (cell, subcell), cutting per-cell
+    * candidate volume ~2^bits× at the cost of missing neighbors whose
+    * residual flips a sign — the recall/occupancy trade every blocking
+    * scheme prices (LshRecallSpec measures both sides).
+    *
+    * Scale: subcell computation is vectors × k × bits against the same
+    * broadcast centroid table the distance ranking already uses; the
+    * candidate join keys widen from cell to (cell, sub) — shape
+    * unchanged, blocks 8× finer.
+    */
+  def annIvfSubcell(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
+    val cent = Caching.persistOnce(centroidsOf(q))
+    val ranked = Caching.persistOnce(assignRankedFrom(q, cent)
+      .select(col("vec_id"), col("cand"), col("rn")))
+    val sub = Caching.persistOnce(subcellsOf(q, cent))
+    val base = ranked.filter(col("rn") === 1)
+      .join(sub, Seq("vec_id", "cand"))
+      .select(col("vec_id").as("b_id"), col("cand").as("cell"), col("sub"))
+    val probes = ranked.filter(col("rn") <= ivfProbes)
+      .join(sub, Seq("vec_id", "cand"))
+      .select(col("vec_id").as("a_id"), col("cand").as("cell"), col("sub"))
+    val cand = probes.join(base, Seq("cell", "sub"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val e = Caching.persistOnce(vecs(spark, sfDir))
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim", cosine)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("rank"),
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
+    canon(out)
+  }
+
+  val annIvfSubcellSql: String =
+    s"""$assignCteSql,
+       |sub AS (
+       |  SELECT q.vec_id, c.cand,
+       |    CAST(sum(CASE WHEN CAST(q.xq AS DOUBLE) / 1000000.0 - c.c >= 0
+       |      THEN (CAST(1 AS BIGINT) << q.pos) ELSE 0 END) AS BIGINT)
+       |      AS sub
+       |  FROM q JOIN cent c ON q.pos = c.pos
+       |  WHERE q.pos < $ivfSubBits GROUP BY 1, 2),
+       |probes AS (SELECT r.vec_id AS a_id, r.cand AS cell, s.sub
+       |           FROM r JOIN sub s
+       |             ON r.vec_id = s.vec_id AND r.cand = s.cand
+       |           WHERE r.rn <= $ivfProbes),
+       |base AS (SELECT r.vec_id AS b_id, r.cand AS cell, s.sub
+       |         FROM r JOIN sub s
+       |           ON r.vec_id = s.vec_id AND r.cand = s.cand
+       |         WHERE r.rn = 1),
+       |cand AS (SELECT DISTINCT a_id, b_id
+       |         FROM probes JOIN base USING (cell, sub)
+       |         WHERE a_id <> b_id),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) *
+       |       sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM cand c
+       |  JOIN ev a ON c.a_id = a.vec_id
+       |  JOIN ev b ON c.b_id = b.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY sim DESC, b_id ASC) AS rank FROM scored)
+       |SELECT a_id AS query_id, b_id AS neighbor_id,
+       |  CAST(rank AS INT) AS rank,
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
+         "sim_micro"))}""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space (the k-means assignment above), then
     * prune, within each cluster, every vector that has a LOWER-id
@@ -646,6 +784,7 @@ object Similarity {
     "centroid_residuals" -> centroidResiduals,
     "kmeans_assign" -> kmeansAssign,
     "ann_ivf_probe" -> annIvfProbe,
+    "ann_ivf_subcell" -> annIvfSubcell,
     "ann_lsh_multi" -> annLshMulti,
     "ann_lsh_multi_wide" -> annLshMultiWide,
     "semdedup" -> semDedup)
@@ -658,6 +797,7 @@ object Similarity {
     "centroid_residuals" -> centroidResidualsSql,
     "kmeans_assign" -> kmeansAssignSql,
     "ann_ivf_probe" -> annIvfProbeSql,
+    "ann_ivf_subcell" -> annIvfSubcellSql,
     "ann_lsh_multi" -> annLshMultiSql,
     "ann_lsh_multi_wide" -> annLshMultiWideSql,
     "semdedup" -> semDedupSql)

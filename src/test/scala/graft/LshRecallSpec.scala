@@ -263,6 +263,69 @@ class LshRecallSpec extends SparkSpecBase {
       s"expected >=4x candidate reduction, got $pairsNarrow -> $pairsWide")
   }
 
+  test("ann_ivf_subcell: residual-sign refinement cuts block occupancy; recall holds on seeded near-identical vectors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsub").toString
+    try {
+      // ONE label cell: the subcell refinement is the only blocking, so
+      // this isolates exactly what the knob buys. 40 base vectors, the
+      // first 24 get a near-identical dup (cosine ≈ 0.999) — residuals
+      // of a dup pair share sign except where a component sits within
+      // the perturbation of the centroid boundary.
+      val rnd = new scala.util.Random(11)
+      def vec(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+      val bases = (0 until 40).map(i => (i.toLong, vec()))
+      val dups = bases.take(24).map { case (i, v) =>
+        (100L + i, v.map(x => x + 0.02 * rnd.nextGaussian()))
+      }
+      (bases ++ dups).map { case (id, v) => (id, 0L, v.toSeq) }
+        .toDF("vec_id", "label", "embedding")
+        .write.parquet(s"$dir/embeddings.parquet")
+
+      // occupancy: blocks by cell alone vs (cell, sub) — the candidate
+      // volume Σ n(n-1)/2 is what saturates at scale
+      val blocks = Similarity.ivfAssignedBlocks(spark, dir).cache()
+      def pairs(cols: Seq[String]): Long =
+        blocks.groupBy(cols.map(col): _*).count()
+          .agg(sum(expr("count * (count - 1) div 2"))).head.getLong(0)
+      val cellPairs = pairs(Seq("cell"))
+      val subPairs = pairs(Seq("cell", "sub"))
+      info(s"candidate pairs: cell-only=$cellPairs refined=$subPairs")
+      assert(subPairs * 3 <= cellPairs,
+        s"expected >=3x candidate reduction from ${1 << 3} subcells, " +
+          s"got $cellPairs -> $subPairs")
+      blocks.unpersist()
+
+      // recall on the seeded dup pairs (the exact cosine > 0.9 truths)
+      graft.plans.VectorExprs.register(spark)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", expr("graft_dot(va, vb)") /
+          (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))))
+        .filter(col("sim") > 0.9)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+        .map(p => pairKey(p._1, p._2)).toSet
+      assert(truth.size == 24, s"expected 24 seeded dup pairs, got ${truth.size}")
+      val found = Similarity.annIvfSubcell(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .map(p => pairKey(p._1, p._2)).toSet
+      val recall = truth.count(found).toDouble / truth.size
+      info(f"ann_ivf_subcell recall: $recall%.3f over ${truth.size} true pairs")
+      // a dup pair separates only when a residual component lies within
+      // the perturbation of the centroid boundary (~2% per bit, 3 bits)
+      assert(recall >= 0.75,
+        f"subcell recall $recall%.3f below floor 0.75 — refinement is " +
+          "splitting near-identical pairs far beyond the boundary-flip rate")
+      spark.catalog.clearCache()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ann_ivf_probe: near-perfect recall on geometric clusters incl. cross-boundary queries") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
