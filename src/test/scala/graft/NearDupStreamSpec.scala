@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.NearDupStream
+
+class NearDupStreamSpec extends SparkSpecBase {
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+
+  private def write(src: String, rows: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("append").parquet(src)
+  }
+
+  test("near-dup ingestion gate: cross-batch and within-batch dups flagged once, verified, exactly-once across restarts") {
+    val root = Files.createTempDirectory("graft-neardup").toString
+    val src = s"$root/src"; val state = s"$root/state"
+    val out = s"$root/out"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // batch 1: two distinct docs + a within-batch near-identical pair
+    // (3L is 1L plus a trailing word — high Jaccard on 3-gram shingles)
+    write(src, Seq(
+      (1L, baseText, "s"),
+      (2L, "completely different content about database engines and " +
+        "query planners in distributed systems running on clusters", "s"),
+      (3L, baseText + " tonight", "s")))
+    NearDupStream.start(spark, src, state, out, ckp).awaitTermination()
+    val after1 = spark.read.parquet(out)
+      .select("new_id", "dup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after1 == Set((3L, 1L)),
+      s"batch 1 should flag exactly the within-batch pair (3,1): $after1")
+
+    // batch 2: a near-dup of doc 1 (cross-batch, against the INDEX —
+    // doc 1's text is never re-delivered) + an unrelated doc
+    write(src, Seq(
+      (10L, baseText + " again", "s"),
+      (11L, "unrelated words entirely fresh material nothing shared " +
+        "with any earlier document in this stream at all honestly", "s")))
+    NearDupStream.start(spark, src, state, out, ckp).awaitTermination()
+    val after2 = spark.read.parquet(out)
+      .select("new_id", "dup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 collides with both 1 and 3 (all share the base text's shingles)
+    assert(after2.contains((10L, 1L)) && after2.contains((10L, 3L)),
+      s"cross-batch near-dups of the indexed docs not flagged: $after2")
+    assert(!after2.exists(p => p._1 == 11L || p._2 == 11L),
+      s"unrelated doc flagged: $after2")
+    assert(!after2.exists(p => p._1 == 2L || p._2 == 2L),
+      s"distinct doc flagged: $after2")
+    // every emitted pair is verified: jaccard present and >= the floor
+    assert(spark.read.parquet(out)
+      .filter(col("jaccard") < 0.5 || col("jaccard").isNull)
+      .count() == 0, "an unverified pair was emitted")
+
+    // restart with the same checkpoint and no new data: nothing re-emitted
+    val n2 = spark.read.parquet(out).count()
+    NearDupStream.start(spark, src, state, out, ckp).awaitTermination()
+    assert(spark.read.parquet(out).count() == n2,
+      "an empty restart re-emitted pairs")
+
+    // manual re-delivery of a processed batch (same batchId) is
+    // idempotent end-to-end: same emissions, same index
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(10L, baseText + " again", "s"),
+        org.apache.spark.sql.Row(11L, "unrelated words entirely fresh " +
+          "material nothing shared with any earlier document in this " +
+          "stream at all honestly", "s"))), NearDupStream.docSchema)
+    val bucketsBefore = spark.read.parquet(s"$state/buckets").count()
+    NearDupStream.applyBatch(spark, state, out, batch, batchId = 1L)
+    assert(spark.read.parquet(out)
+      .select("new_id", "dup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == after2,
+      "re-delivered batch changed the emitted pair set")
+    assert(spark.read.parquet(s"$state/buckets").count() == bucketsBefore,
+      "re-delivered batch grew the bucket index")
+
+    // the index holds one docs row per doc and 4 band rows per doc
+    assert(spark.read.parquet(s"$state/docs")
+      .select("doc_id").distinct().count() == 5)
+    assert(spark.read.parquet(s"$state/buckets").count() == 5 * 4)
+  }
+}
