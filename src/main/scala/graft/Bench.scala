@@ -43,9 +43,10 @@ object Bench {
 
   /** Locale-pinned number format: the f-interpolator honors the default
     * locale, and a comma-decimal locale would emit invalid JSON
-    * ("0,123").
+    * ("0,123"). package-visible so BenchFormatSpec can pin this under a
+    * comma-decimal default locale.
     */
-  private def fmt(v: Double): String =
+  private[graft] def fmt(v: Double): String =
     if (v < 0) "-1"
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 

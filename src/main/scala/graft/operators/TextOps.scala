@@ -655,7 +655,82 @@ object TextOps {
        |${canonOrderSql(Seq("doc_id", "n_grams", "n_dup", "dup_micro",
          "flagged"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ngram_novelty — first-occurrence novelty per document
+  // ---------------------------------------------------------------------
+
+  /** Novelty floor below which a document is flagged as mostly-seen. */
+  private val noveltyFloorMicro = 300000L
+
+  /** Per-document n-gram NOVELTY in doc_id order: the fraction of a
+    * document's [[spanN]]-gram positions whose gram first appears in
+    * THIS document (min doc_id over the corpus) — the ordered-curation
+    * dual of dup_ngram_spans (that asks "how much of me exists
+    * elsewhere", this asks "what do I add beyond every earlier doc").
+    * Streams deduped in arrival order use exactly this signal to drop
+    * low-novelty documents; within-doc repeats of a first-seen gram
+    * count novel (the doc introduced them), in exact µ-units.
+    *
+    * Scale: gram counts aggregate at (doc, gram) grain with map-side
+    * partials; first-occurrence is a min at DISTINCT-GRAM cardinality;
+    * the join back keys on gram, co-partitioned with the aggregate
+    * that produced it. Unlike dup_ngram_spans no bloom helps here —
+    * novel grams are the MAJORITY in a clean corpus, so there is no
+    * selective side to prefilter; the join is distinct-gram bounded by
+    * construction.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val grams = d
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        s"""explode(transform(
+           |  if(size(toks) >= $spanN, sequence($spanN, size(toks)), array_repeat(1, 0)),
+           |  i -> concat_ws(' ', slice(toks, i - ${spanN - 1}, $spanN)))) AS gram""".stripMargin))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val out = grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), col("c"))
+          .otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000L) div n_grams").as("novelty_micro"))
+      .withColumn("flagged",
+        when(col("novelty_micro") < noveltyFloorMicro, 1).otherwise(0))
+    canon(out)
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    t[i.i - 4] || ' ' || t[i.i - 3] || ' ' || t[i.i - 2] || ' ' ||
+       |    t[i.i - 1] || ' ' || t[i.i] AS gram
+       |  FROM toks, unnest(generate_series($spanN, len(t))) AS i(i)
+       |), dg AS (
+       |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+       |), f AS (
+       |  SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1
+       |), agg AS (
+       |  SELECT dg.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN c ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM dg JOIN f USING (gram) GROUP BY 1
+       |)
+       |SELECT doc_id, n_grams, n_novel,
+       |  (n_novel * 1000000) // n_grams AS novelty_micro,
+       |  CASE WHEN (n_novel * 1000000) // n_grams < $noveltyFloorMicro
+       |       THEN 1 ELSE 0 END AS flagged
+       |FROM agg
+       |${canonOrderSql(Seq("doc_id", "n_grams", "n_novel",
+         "novelty_micro", "flagged"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty" -> ngramNovelty,
     "unicode_normalize" -> unicodeNormalize,
     "dup_ngram_spans" -> dupNgramSpans,
     "text_stats" -> textStats,
@@ -671,6 +746,7 @@ object TextOps {
     "mixture_sample" -> mixtureSample)
 
   val oracles: Map[String, String] = Map(
+    "ngram_novelty" -> ngramNoveltySql,
     "unicode_normalize" -> unicodeNormalizeSql,
     "dup_ngram_spans" -> dupNgramSpansSql,
     "text_stats" -> textStatsSql,
