@@ -396,17 +396,22 @@ object TrainOps {
     val toks = d.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val s = splitRel(d).select(col("doc_id"), col("split"))
-    val base = toks.join(s, Seq("doc_id")) // co-keyed on doc_id
-      .groupBy(col("split"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val base = Caching.persistOnce(
+      toks.join(s, Seq("doc_id")) // co-keyed on doc_id
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens")))
+    // corpus total as a 1-row broadcast stamp (the house pattern) over
+    // the persisted bounded aggregate — not an unpartitioned window
+    // (same 15 rows, but window-over-no-partition trips the planner's
+    // single-partition warning and reads as a scale smell it isn't)
+    val tot = base.agg(sum(col("n_tokens")).as("corpus_tokens"))
     val out = base
       .withColumn("split_tokens",
         sum(col("n_tokens")).over(Window.partitionBy(col("split"))))
       .withColumn("lang_tokens",
         sum(col("n_tokens")).over(Window.partitionBy(col("lang"))))
-      // global total over the bounded post-aggregate relation
-      .withColumn("corpus_tokens",
-        sum(col("n_tokens")).over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(tot))
       .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
         expr("cast((cast(n_tokens as decimal(38,0)) * 1000000) " +
           "div split_tokens as bigint)").as("split_share_micro"),
