@@ -188,6 +188,51 @@ object NearDupStream {
     ()
   }
 
+  /** Maintenance pass closing the loop between the accreting state
+    * sinks and LoadOps.compactParquet: every micro-batch dynamic-
+    * overwrites only the partitions it touches, so UNTOUCHED partitions
+    * keep their historical small files and file count — not data size —
+    * starts to drive scan task count and listing pressure. Each
+    * partition directory is itself a flat parquet dataset, so the
+    * verify-then-swap compactor applies per partition; only partitions
+    * above `minFiles` are rewritten (touched-partition work only, the
+    * same bounded-work discipline as the batches). Returns
+    * (partitionsCompacted, filesBefore, filesAfter).
+    *
+    * Run it OUTSIDE the foreachBatch (between stream runs, like any
+    * table-maintenance job): compaction is layout-only and the swap is
+    * crash-safe, but rewriting partitions mid-batch would race the
+    * batch's own dynamic overwrite.
+    */
+  def compactState(spark: SparkSession, stateDir: String,
+      targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var parts = 0; var before = 0; var after = 0
+    for (sub <- Seq("buckets", "docs")) {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        // partition dirs at any nesting depth (band_idx=i/bpfx=xx, or
+        // dbucket=n) — a leaf is a dir containing part- files
+        def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+          val st = fs.listStatus(p).toSeq
+          val dirs = st.filter(_.isDirectory)
+          if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+        }
+        for (leaf <- leaves(root) if leaf != root) {
+          val n = fs.listStatus(leaf).count(s => s.isFile &&
+            s.getPath.getName.startsWith("part-"))
+          if (n >= minFiles) {
+            val (b, a) = graft.operators.LoadOps
+              .compactParquet(spark, leaf.toString, targetFileBytes)
+            parts += 1; before += b; after += a
+          }
+        }
+      }
+    }
+    (parts, before, after)
+  }
+
   /** File-source streaming runner: watch `sourceDir` for document
     * parquet and run each micro-batch through the ingestion gate.
     */

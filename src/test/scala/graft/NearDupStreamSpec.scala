@@ -85,4 +85,38 @@ class NearDupStreamSpec extends SparkSpecBase {
       .select("doc_id").distinct().count() == 5)
     assert(spark.read.parquet(s"$state/buckets").count() == 5 * 4)
   }
+
+  test("state compaction: accreted small files collapse per partition; index content and the stream survive") {
+    val root = Files.createTempDirectory("graft-neardup-compact").toString
+    val src = s"$root/src"; val state = s"$root/state"
+    val out = s"$root/out"; val ckp = s"$root/ckp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // several batches hitting the SAME doc bucket (doc_ids ≡ 0 mod 16)
+    // accrete one file per batch in that partition
+    for (k <- 0 until 3) {
+      write(src, Seq((k * 16L,
+        s"unique content batch $k " + ("filler word " * 10) + k, "s")))
+      NearDupStream.start(spark, src, state, out, ckp).awaitTermination()
+    }
+    val docsBefore = spark.read.parquet(s"$state/docs").collect().toSet
+    val (parts, before, after) =
+      NearDupStream.compactState(spark, state, targetFileBytes = 64L * 1024 * 1024)
+    assert(parts >= 1, "no partition qualified for compaction — fixture broke")
+    assert(after < before,
+      s"compaction did not reduce file count ($before -> $after)")
+    assert(spark.read.parquet(s"$state/docs").collect().toSet == docsBefore,
+      "compaction changed index content")
+
+    // the stream keeps working against the compacted index: a near-dup
+    // of the first doc is still caught
+    write(src, Seq((999L,
+      "unique content batch 0 " + ("filler word " * 10) + "0 extra", "s")))
+    NearDupStream.start(spark, src, state, out, ckp).awaitTermination()
+    val flagged = spark.read.parquet(out)
+      .select("new_id", "dup_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.contains((999L, 0L)),
+      s"post-compaction batch missed a near-dup of an indexed doc: $flagged")
+  }
 }
