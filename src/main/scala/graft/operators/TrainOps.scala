@@ -298,7 +298,13 @@ object TrainOps {
     * by merge k) — K bounded shuffles, same dependency structure as
     * dedup_clusters' rounds.
     */
-  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The BPE training loop's full result: the per-step merge rules AND
+    * the final post-merge sequences — one implementation feeding both
+    * [[bpeMerges]] (the rule table) and [[bpeVocab]] (the symbol
+    * vocabulary the rules induce).
+    */
+  private def bpeTrain(spark: SparkSession,
+      sfDir: String): (Seq[DataFrame], DataFrame) = {
     val words = load(spark, sfDir, "documents")
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -335,10 +341,50 @@ object TrainOps {
       top.select(lit(k).as("step"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("cnt"))
     }
-    canon(merges.reduce(_ unionByName _))
+    (merges, seqs)
   }
 
-  val bpeMergesSql: String = {
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    canon(bpeTrain(spark, sfDir)._1.reduce(_ unionByName _))
+
+  /** The OTHER half of the tokenizer-training artifact: the symbol
+    * vocabulary the learned merges induce — every distinct symbol in
+    * the post-merge sequences with its corpus occurrence count (word
+    * counts weighting each in-word occurrence). After K merges the
+    * vocabulary is base characters plus ≤ K merged symbols; a tokenizer
+    * ships exactly (merge rules, vocabulary) as its model.
+    *
+    * Scale: the symbol explode runs over the DISTINCT-WORD relation
+    * (type-bounded, like the training loop itself), and the final
+    * aggregate is at vocabulary cardinality — map-side combinable.
+    */
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, seqs) = bpeTrain(spark, sfDir)
+    val out = seqs
+      .select(col("n"), explode(split(col("seq"), " ")).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("n")).as("n_count"))
+      .withColumn("is_merged",
+        when(length(col("symbol")) > 1, 1).otherwise(0))
+    canon(out)
+  }
+
+  val bpeVocabSql: String =
+    s"""$bpeCtes
+       |SELECT symbol, CAST(sum(n) AS BIGINT) AS n_count,
+       |  CASE WHEN length(symbol) > 1 THEN 1 ELSE 0 END AS is_merged
+       |FROM (SELECT n, unnest(string_split(seq, ' ')) AS symbol
+       |      FROM s$bpeSteps) t
+       |GROUP BY 1
+       |${canonOrderSql(Seq("symbol", "n_count", "is_merged"))}""".stripMargin
+
+  /** The BPE training loop as a shared CTE chain ending in the final
+    * sequences `s<K>` and per-step winners `m1..mK` — single SQL source
+    * of truth for [[bpeMergesSql]] and [[bpeVocabSql]].
+    */
+  // def, not val: bpeVocabSql is declared ABOVE this and a val would
+  // still be null during its initializer (object init runs in order)
+  private def bpeCtes: String = {
     def step(k: Int): String =
       s"""p$k AS (
          |  SELECT t[i.i-1] AS l, t[i.i] AS r, CAST(sum(n) AS BIGINT) AS cnt
@@ -362,12 +408,15 @@ object TrainOps {
        |), s0 AS (
        |  SELECT word, n, array_to_string(string_split(word, ''), ' ') AS seq
        |  FROM words
-       |), ${(1 to bpeSteps).map(step).mkString(", ")}
+       |), ${(1 to bpeSteps).map(step).mkString(", ")}""".stripMargin
+  }
+
+  val bpeMergesSql: String =
+    s"""$bpeCtes
        |${(1 to bpeSteps).map(k =>
            s"SELECT $k AS step, l, r, l||r AS merged, cnt FROM m$k")
            .mkString("\nUNION ALL ")}
        |${canonOrderSql(Seq("step", "l", "r", "merged", "cnt"))}""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // split_balance — language-mix audit across the train/valid/test split
@@ -461,6 +510,7 @@ object TrainOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> bpeMerges,
+    "bpe_vocab" -> bpeVocab,
     "vocab_build" -> vocabBuild,
     "dataset_split" -> datasetSplit,
     "split_balance" -> splitBalance,
@@ -470,6 +520,7 @@ object TrainOps {
 
   val oracles: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
+    "bpe_vocab" -> bpeVocabSql,
     "vocab_build" -> vocabBuildSql,
     "dataset_split" -> datasetSplitSql,
     "split_balance" -> splitBalanceSql,
