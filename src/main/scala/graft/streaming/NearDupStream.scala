@@ -233,6 +233,37 @@ object NearDupStream {
     (parts, before, after)
   }
 
+  /** The KEEP/DROP policy view a training-data writer consumes: one
+    * row per INDEXED document with its verdict — `drop` iff the doc was
+    * flagged as a near-dup of an earlier (lower-id or earlier-arriving)
+    * document, plus the kept representative it duplicates. Derived
+    * entirely from the index and the emission log, so it can be read at
+    * any point in the stream's life; keep-lowest-id greedy semantics,
+    * the same chain rule as the batch dedup family (a doc that
+    * duplicates a dropped doc still points at ITS representative — the
+    * flagged pair always names the earlier doc).
+    */
+  def keepDecisions(spark: SparkSession, stateDir: String,
+      outDir: String): DataFrame = {
+    val docs = readOrEmpty(spark, s"$stateDir/docs", docsSchema)
+      .select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("new_id", LongType),
+      StructField("dup_id", LongType),
+      StructField("jaccard", DoubleType),
+      StructField("batch_id", LongType)))
+    val flagged = readOrEmpty(spark, outDir, outSchema)
+      // one verdict per dropped doc: the smallest representative
+      // (deterministic under ties on multiple flagged partners)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("dup_id")).as("kept_id"))
+    docs.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("kept_id").isNull, lit("keep")).otherwise(lit("drop"))
+          .as("verdict"),
+        col("kept_id"))
+  }
+
   /** File-source streaming runner: watch `sourceDir` for document
     * parquet and run each micro-batch through the ingestion gate.
     */

@@ -84,6 +84,18 @@ class NearDupStreamSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$state/docs")
       .select("doc_id").distinct().count() == 5)
     assert(spark.read.parquet(s"$state/buckets").count() == 5 * 4)
+
+    // the keep/drop policy view a training-data writer consumes:
+    // near-dups drop and point at their smallest representative
+    val verdicts = NearDupStream.keepDecisions(spark, state, out)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(verdicts(1L) == (("keep", -1L)) &&
+      verdicts(2L) == (("keep", -1L)) && verdicts(11L) == (("keep", -1L)),
+      s"originals must keep: $verdicts")
+    assert(verdicts(3L) == (("drop", 1L)) && verdicts(10L) == (("drop", 1L)),
+      s"near-dups must drop toward the smallest representative: $verdicts")
+    assert(verdicts.size == 5, s"one verdict per indexed doc: $verdicts")
   }
 
   test("state compaction: accreted small files collapse per partition; index content and the stream survive") {
