@@ -94,31 +94,90 @@ object IncrementalPipeline {
       .start()
   }
 
+  /** Is the checkpoint's metadata log unusable (the reference's
+    * "unparsable JSON on disk" failure, checkpoint_manager.py:31-37)?
+    * Structured Streaming's HDFSMetadataLog contract: every offsets/ and
+    * commits/ entry is a `v<N>` version header followed by one JSON
+    * object (or, for some sources, a bare integer offset) per line. A
+    * file that violates that format can never be resumed from; anything
+    * that PARSES is a healthy checkpoint and the failure lies elsewhere
+    * (bad source file, transient executor loss) — those must propagate
+    * untouched, because a plain re-run resumes incrementally.
+    */
+  private[graft] def checkpointUnusable(
+      conf: org.apache.hadoop.conf.Configuration,
+      checkpointDir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return false
+    def badLog(sub: String): Boolean = {
+      val d = new org.apache.hadoop.fs.Path(root, sub)
+      fs.exists(d) && fs.listStatus(d).exists { st =>
+        st.isFile && !st.getPath.getName.startsWith(".") && {
+          val in = fs.open(st.getPath)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val lines = txt.split("\n", -1).toSeq
+          def entryOk(l: String): Boolean =
+            l.isEmpty || (l.startsWith("{") && l.endsWith("}")) ||
+              l.matches("-?\\d+")
+          lines.isEmpty || !lines.head.startsWith("v") ||
+            lines.tail.exists(l => !entryOk(l))
+        }
+      }
+    }
+    badLog("offsets") || badLog("commits")
+  }
+
   /** T3's degrade contract (reference checkpoint_manager.py:31-37): a
     * corrupt or unreadable checkpoint must not wedge the pipeline — the
     * reference catches the bad JSON, falls back to the default watermark
-    * (-1), and reprocesses from scratch. The Structured-Streaming
-    * equivalent: attempt a normal resume; if the query dies on an
-    * unusable checkpoint, wipe the checkpoint AND the derived output and
-    * rerun the full source. Restart-from-scratch is SAFE for exactly the
-    * reason the reference can default to -1: the sink is idempotent
-    * (dynamic partition overwrite at the aggregate grain), so
-    * reprocessing rewrites every partition instead of duplicating rows.
-    * One retry only — a second failure is a real error and propagates.
+    * (-1), and reprocesses from scratch. Restart-from-scratch is SAFE
+    * for exactly the reason the reference can default to -1: the sink is
+    * idempotent (dynamic partition overwrite at the aggregate grain).
+    *
+    * Two hardening rules (ADVICE r5) beyond the naive wipe-and-rerun:
+    *
+    *  - the degrade is SCOPED to checkpoint-unusable failures
+    *    ([[checkpointUnusable]] — the reference's unparsable-JSON case).
+    *    A transient or data-induced failure propagates with checkpoint
+    *    AND output intact: the checkpoint is still resumable, so
+    *    destroying state would turn a retryable blip into a full (or
+    *    lost) reprocess.
+    *  - even a legitimate degrade never deletes the previous output
+    *    before its replacement exists: the full-source rebuild lands in
+    *    a STAGING directory (fresh checkpoint) and swaps in only after
+    *    the rerun succeeds — the compactParquet verify-then-swap
+    *    discipline. If the rerun fails too, the old output survives and
+    *    the error propagates.
     */
   def runResilient(spark: SparkSession, sourceDir: String, outDir: String,
       checkpointDir: String): Unit = {
-    def runOnce(): Unit =
-      start(spark, sourceDir, outDir, checkpointDir).awaitTermination()
-    try runOnce()
+    def runOnce(out: String, ckp: String): Unit =
+      start(spark, sourceDir, out, ckp).awaitTermination()
+    try runOnce(outDir, checkpointDir)
     catch {
-      case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
         val conf = spark.sparkContext.hadoopConfiguration
+        if (!checkpointUnusable(conf, checkpointDir)) throw e
+        val stagingOut = outDir + "_rebuild_staging"
+        val stagingCkp = checkpointDir + "_rebuild_staging"
+        val so = new org.apache.hadoop.fs.Path(stagingOut)
+        val sc = new org.apache.hadoop.fs.Path(stagingCkp)
+        so.getFileSystem(conf).delete(so, true)
+        sc.getFileSystem(conf).delete(sc, true)
+        runOnce(stagingOut, stagingCkp)
+        // success: swap the rebuilt output in and promote the fresh
+        // checkpoint so the NEXT run resumes incrementally from here
+        val out = new org.apache.hadoop.fs.Path(outDir)
+        val ofs = out.getFileSystem(conf)
+        ofs.delete(out, true)
+        require(ofs.rename(so, out), s"rename $so -> $out failed")
         val ckp = new org.apache.hadoop.fs.Path(checkpointDir)
         ckp.getFileSystem(conf).delete(ckp, true)
-        val out = new org.apache.hadoop.fs.Path(outDir)
-        out.getFileSystem(conf).delete(out, true)
-        runOnce()
+        require(sc.getFileSystem(conf).rename(sc, ckp),
+          s"rename $sc -> $ckp failed")
     }
   }
 

@@ -100,9 +100,43 @@ object NearDupStream {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Durably materialize `df` into `stagingDir`, then dynamic-overwrite
+    * `destDir`'s touched partitions FROM THE STAGING FILES. The
+    * gcTombstones/compactParquet verify-then-swap discipline applied to
+    * a partitioned sink (ADVICE r5): a persist+count before overwriting
+    * the very partitions the plan read is NOT crash-safe — an executor
+    * loss mid-write drops cached blocks and the recompute reads
+    * already-deleted files. The staging write is an ACTION against
+    * untouched inputs; the overwrite's lineage then roots in the staging
+    * files, never in the partitions being replaced. Costs one extra
+    * write+read of the touched volume (bounded by the batch's hash
+    * spread, not the corpus).
+    */
+  private def stageAndOverwrite(spark: SparkSession, df: DataFrame,
+      schema: StructType, stagingDir: String, destDir: String,
+      partCols: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    df.write.mode("overwrite").parquet(stagingDir)
+    spark.read.schema(schema).parquet(stagingDir)
+      .write.partitionBy(partCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(destDir)
+    fs.delete(p, true)
+  }
+
   /** Check one micro-batch against the index, emit verified pairs to
     * `outDir/batch_id=<id>/`, and fold the batch into the index.
     * Exposed for the spec; `start` wires it into foreachBatch.
+    *
+    * Crash-consistency: emissions land first (batchId-keyed overwrite),
+    * then the buckets fold, then the docs fold — each fold via
+    * [[stageAndOverwrite]]. A crash between any two steps leaves the
+    * index halves momentarily inconsistent, and the RETRY heals it:
+    * foreachBatch re-delivers the uncommitted batch, every step is a
+    * merge-dedup or keyed overwrite, so re-applying converges to the
+    * identical state (the idempotence the spec pins).
     */
   def applyBatch(spark: SparkSession, stateDir: String, outDir: String,
       batch: DataFrame, batchId: Long): Unit = {
@@ -123,9 +157,15 @@ object NearDupStream {
         .collect().map(r => (r.getInt(0), r.getString(1)))
       val touchedDb = dNew.select(col("dbucket")).distinct()
         .collect().map(_.getLong(0)).toSeq
+      // prune on the EXACT touched (band_idx, bpfx) pairs — an
+      // isin × isin filter is their cross product, and since all 4
+      // band_idx values are present in almost every batch it reads (and
+      // then rewrites, byte-identical) up to ~4× more partitions than
+      // the docs actually hash into (ADVICE r5)
+      val pairKeys = touchedPfx.map { case (bi, px) => s"$bi/$px" }.toSeq
       val oldBuckets = readOrEmpty(spark, bucketsDir, bucketsSchema)
-        .filter(col("band_idx").isin(touchedPfx.map(_._1).distinct: _*) &&
-          col("bpfx").isin(touchedPfx.map(_._2).distinct: _*))
+        .filter(concat_ws("/", col("band_idx"), col("bpfx"))
+          .isin(pairKeys: _*))
       // candidates: a new doc against anything already indexed in its
       // buckets, plus within-batch collisions; lower id = kept rep
       val known = oldBuckets.select(col("band_idx"), col("bucket"),
@@ -137,53 +177,58 @@ object NearDupStream {
             col("y.doc_id") < col("x.doc_id"))
         .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("dup_id"))
         .distinct()
-      // verify with true Jaccard before emitting (candidate-only work);
-      // the dup side's text comes from the docs side-table — the corpus
-      // itself is never re-read
-      val allDocs = readOrEmpty(spark, docsDir, docsSchema)
-        .select(col("doc_id"), col("lt"), col("n_sh"))
-        .unionByName(dNew.select(col("doc_id"), col("lt"), col("n_sh")))
-      val flagged = cand
-        .join(allDocs.select(col("doc_id").as("new_id"),
-          col("lt").as("la"), col("n_sh").as("na")), Seq("new_id"))
-        .join(allDocs.select(col("doc_id").as("dup_id"),
-          col("lt").as("lb"), col("n_sh").as("nb")), Seq("dup_id"))
-        .withColumn("shared", expr("graft_shingle_overlap(la, lb)"))
-        .withColumn("jaccard", col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")).cast("double"))
-        .filter(col("jaccard") >= jaccardFloor)
-        .select(col("new_id"), col("dup_id"), col("jaccard"))
-      // batchId-keyed dynamic overwrite: a retried batch REPLACES its
-      // own emission partition (idempotent), never appends a duplicate
-      flagged.withColumn("batch_id", lit(batchId))
-        .write.partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(outDir)
-      // fold the batch into the index: merge-dedup ONLY the touched
-      // partitions, materialized before the overwrite (the CdcStream
-      // read-then-replace discipline)
-      val mergedBuckets = oldBuckets
-        .unionByName(b.select(bucketsSchema.fieldNames.map(col).toSeq: _*))
-        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        mergedBuckets.count()
-        mergedBuckets.write.partitionBy("band_idx", "bpfx")
+        // verify with true Jaccard before emitting (candidate-only
+        // work). The new side's text lives in the BATCH (dNew); the dup
+        // side's read of the docs side-table is CANDIDATE-BOUNDED —
+        // directory-pruned to the candidates' doc buckets, then
+        // semi-joined to the candidate id set — so per-batch verify
+        // work scales with candidates, never with corpus size
+        // (ADVICE r5: an unpruned read grew with the corpus).
+        val dupIds = cand.select(col("dup_id")).distinct()
+        val dupDb = dupIds
+          .select(pmod(col("dup_id"), lit(nDocBuckets)).as("dbucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ 16, fixed
+        val dupDocs = readOrEmpty(spark, docsDir, docsSchema)
+          .filter(col("dbucket").isin(dupDb: _*))
+          .join(broadcast(dupIds), col("doc_id") === col("dup_id"),
+            "left_semi")
+          .select(col("doc_id"), col("lt"), col("n_sh"))
+          .unionByName(dNew.select(col("doc_id"), col("lt"), col("n_sh")))
+        val flagged = cand
+          .join(dNew.select(col("doc_id").as("new_id"),
+            col("lt").as("la"), col("n_sh").as("na")), Seq("new_id"))
+          .join(dupDocs.select(col("doc_id").as("dup_id"),
+            col("lt").as("lb"), col("n_sh").as("nb")), Seq("dup_id"))
+          .withColumn("shared", expr("graft_shingle_overlap(la, lb)"))
+          .withColumn("jaccard", col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")).cast("double"))
+          .filter(col("jaccard") >= jaccardFloor)
+          .select(col("new_id"), col("dup_id"), col("jaccard"))
+        // batchId-keyed dynamic overwrite: a retried batch REPLACES its
+        // own emission partition (idempotent), never appends a duplicate
+        flagged.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
           .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(bucketsDir)
-      } finally mergedBuckets.unpersist()
+          .mode("overwrite").parquet(outDir)
+      } finally cand.unpersist()
+      // fold the batch into the index: merge-dedup ONLY the touched
+      // partitions, via the crash-safe staging protocol
+      stageAndOverwrite(spark,
+        oldBuckets
+          .unionByName(b.select(bucketsSchema.fieldNames.map(col).toSeq: _*))
+          .distinct(),
+        bucketsSchema, s"$stateDir/buckets_batch_staging", bucketsDir,
+        Seq("band_idx", "bpfx"))
       val oldDocs = readOrEmpty(spark, docsDir, docsSchema)
         .filter(col("dbucket").isin(touchedDb: _*))
-      val mergedDocs = oldDocs
-        .unionByName(dNew.select(docsSchema.fieldNames.map(col).toSeq: _*))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        mergedDocs.count()
-        mergedDocs.write.partitionBy("dbucket")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(docsDir)
-      } finally mergedDocs.unpersist()
+      stageAndOverwrite(spark,
+        oldDocs
+          .unionByName(dNew.select(docsSchema.fieldNames.map(col).toSeq: _*))
+          .distinct(),
+        docsSchema, s"$stateDir/docs_batch_staging", docsDir,
+        Seq("dbucket"))
     } finally { b.unpersist(); dNew.unpersist() }
     ()
   }
@@ -238,10 +283,20 @@ object NearDupStream {
     * flagged as a near-dup of an earlier (lower-id or earlier-arriving)
     * document, plus the kept representative it duplicates. Derived
     * entirely from the index and the emission log, so it can be read at
-    * any point in the stream's life; keep-lowest-id greedy semantics,
-    * the same chain rule as the batch dedup family (a doc that
-    * duplicates a dropped doc still points at ITS representative — the
-    * flagged pair always names the earlier doc).
+    * any point in the stream's life.
+    *
+    * `kept_id` is resolved TRANSITIVELY to a document whose own verdict
+    * is `keep` (ADVICE r5): a doc flagged only against a mid-chain
+    * near-dup would otherwise point at a partner that is itself
+    * dropped, and a writer dereferencing `kept_id` as "the retained
+    * representative" would read a discarded doc. Every flagged pair has
+    * dup_id < new_id, so the min-partner mapping is strictly
+    * id-decreasing and its fixpoint is a doc with no flagged row — a
+    * keep. Pointer jumping (kept ← kept's own kept, where present)
+    * reaches the fixpoint in O(log chain-depth) rounds; each round is
+    * one self-join of the SMALL flagged relation (dropped docs only,
+    * never the corpus), materialized per round so plan depth stays
+    * constant.
     */
   def keepDecisions(spark: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
@@ -252,12 +307,31 @@ object NearDupStream {
       StructField("dup_id", LongType),
       StructField("jaccard", DoubleType),
       StructField("batch_id", LongType)))
-    val flagged = readOrEmpty(spark, outDir, outSchema)
-      // one verdict per dropped doc: the smallest representative
-      // (deterministic under ties on multiple flagged partners)
+    // one candidate verdict per dropped doc: the smallest flagged
+    // partner (deterministic under ties), then chain-resolved below
+    var cur = readOrEmpty(spark, outDir, outSchema)
       .groupBy(col("new_id").as("doc_id"))
       .agg(min(col("dup_id")).as("kept_id"))
-    docs.join(flagged, Seq("doc_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var done = false
+    while (!done) {
+      val jumped = cur.as("a")
+        .join(cur.select(col("doc_id").as("kept_id"),
+          col("kept_id").as("jump")).as("b"), Seq("kept_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("jump"), col("kept_id")).as("kept_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      jumped.count()
+      // converged when no kept_id is itself a dropped doc
+      done = jumped.as("a")
+        .join(jumped.select(col("doc_id")).as("b"),
+          col("a.kept_id") === col("b.doc_id"), "left_semi")
+        .isEmpty
+      cur.unpersist()
+      cur = jumped
+    }
+    docs.join(cur, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("kept_id").isNull, lit("keep")).otherwise(lit("drop"))
           .as("verdict"),

@@ -98,6 +98,34 @@ class NearDupStreamSpec extends SparkSpecBase {
     assert(verdicts.size == 5, s"one verdict per indexed doc: $verdicts")
   }
 
+  test("keepDecisions resolves kept_id transitively to a keep-verdict representative") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-neardup-chain").toString
+    val state = s"$root/state"; val out = s"$root/out"
+    // synthetic index + emission log (keepDecisions reads only these):
+    // chain 3→2→1 where 3 was never flagged against 1 (its Jaccard to
+    // the chain head fell below the floor), plus a diamond 5→{2,4}
+    // whose min partner 2 is itself dropped, and an untouched doc 9
+    Seq(1L, 2L, 3L, 4L, 5L, 9L)
+      .map(id => (id, s"t$id", 1L, id % 16))
+      .toDF("doc_id", "lt", "n_sh", "dbucket")
+      .write.partitionBy("dbucket").parquet(s"$state/docs")
+    Seq((2L, 1L, 0.9, 0L), (3L, 2L, 0.8, 1L),
+        (5L, 2L, 0.7, 2L), (5L, 4L, 0.9, 2L))
+      .toDF("new_id", "dup_id", "jaccard", "batch_id")
+      .write.partitionBy("batch_id").parquet(out)
+    val v = NearDupStream.keepDecisions(spark, state, out)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(v(1L) == (("keep", -1L)) && v(9L) == (("keep", -1L)))
+    assert(v(4L) == (("keep", -1L)), s"4 was only a dup TARGET: $v")
+    assert(v(2L) == (("drop", 1L)))
+    assert(v(3L) == (("drop", 1L)),
+      s"3's immediate partner 2 is dropped — must resolve to 1: $v")
+    assert(v(5L) == (("drop", 1L)),
+      s"5's min partner 2 is dropped — must resolve through it to 1: $v")
+  }
+
   test("state compaction: accreted small files collapse per partition; index content and the stream survive") {
     val root = Files.createTempDirectory("graft-neardup-compact").toString
     val src = s"$root/src"; val state = s"$root/state"
@@ -105,12 +133,30 @@ class NearDupStreamSpec extends SparkSpecBase {
     Files.createDirectories(java.nio.file.Paths.get(src))
 
     // several batches hitting the SAME doc bucket (doc_ids ≡ 0 mod 16)
-    // accrete one file per batch in that partition
     for (k <- 0 until 3) {
       write(src, Seq((k * 16L,
         s"unique content batch $k " + ("filler word " * 10) + k, "s")))
       NearDupStream.start(spark, src, state, out, ckp).awaitTermination()
     }
+    // At spec scale the staging fold's AQE-coalesced shuffle leaves ONE
+    // file per touched partition; at production scale each fold's
+    // multi-split staging read accretes several files per partition.
+    // Fragment the dbucket=0 leaf into one-row files to model that —
+    // content-identical, only the file layout changes.
+    val leaf = s"$state/docs/dbucket=0"
+    val frag = s"$root/frag"
+    spark.read.parquet(leaf).repartition(3)
+      .write.mode("overwrite").parquet(frag)
+    val fs = new org.apache.hadoop.fs.Path(leaf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(leaf))
+      .foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(frag))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach { s =>
+        fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(leaf, s.getPath.getName))
+      }
     val docsBefore = spark.read.parquet(s"$state/docs").collect().toSet
     val (parts, before, after) =
       NearDupStream.compactState(spark, state, targetFileBytes = 64L * 1024 * 1024)

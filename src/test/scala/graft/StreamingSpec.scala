@@ -86,10 +86,22 @@ class StreamingSpec extends SparkSpecBase {
     writeBatch(Seq(
       (3L, ts("2024-05-01 08:00:00"), 9L, "click", 2.0)))
 
+    // the degrade is SCOPED (ADVICE r5): the predicate must say
+    // "unusable" for THIS corruption and "usable" for a healthy log —
+    // a transient failure over a healthy checkpoint propagates with
+    // checkpoint and output intact instead of destroying both
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(IncrementalPipeline.checkpointUnusable(conf, ckp),
+      "corrupted offset log not classified unusable")
+    assert(!IncrementalPipeline.checkpointUnusable(conf, s"$root/nope"),
+      "a missing checkpoint is a fresh start, not a corrupt one")
+
     // the resilient runner must detect the unusable checkpoint, wipe it,
     // and reprocess the FULL source — same totals as a fresh run, no
     // duplicated windows from the pre-corruption output
     IncrementalPipeline.runResilient(spark, src, out, ckp)
+    assert(!IncrementalPipeline.checkpointUnusable(conf, ckp),
+      "the promoted rebuild checkpoint must be healthy")
     val after = spark.read.parquet(out)
     assert(after.agg(sum("n_events")).collect()(0).getLong(0) == 3,
       "restart-from-scratch must reprocess every event exactly once")
