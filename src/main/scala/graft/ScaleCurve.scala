@@ -34,13 +34,24 @@ object ScaleCurve {
   private val curveQueries = Seq("minhash_lsh", "simhash_neardup_wide",
     "dedup_clusters", "ann_lsh_multi", "contamination_check",
     "sales_rollup", "bpe_merges", "dup_ngram_spans", "fanout_guard",
-    "ann_ivf_probe", "ann_ivf_subcell")
+    "ann_ivf_probe", "ann_ivf_subcell",
+    // round-6 additions: the auto-sized default IVF face, and the
+    // round-5 queries the verdict flagged as curve-less — of which
+    // ngram_novelty's (gram, doc)-grain first-occurrence min is the
+    // one with real super-linearity potential
+    "ann_ivf_auto", "ngram_novelty", "bpe_vocab", "split_balance",
+    "pack_efficiency", "lot_fallback")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val mults = sys.env.getOrElse("SPARK_GRAFT_MULTS", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
+    // comma-separated subset filter for targeted re-measurement
+    val onlyQ = sys.env.get("SPARK_GRAFT_CURVE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(qs: Seq[String]): Seq[String] =
+      onlyQ.fold(qs)(f => qs.filter(f))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,12 +83,14 @@ object ScaleCurve {
     }
     for (m <- mults) {
       val dir = operators.CurveData.synth(spark, base, m)
-      for (q <- curveQueries) time(q, dir, q, m)
+      for (q <- selected(curveQueries)) time(q, dir, q, m)
       // adversarial fixture: IDENTICAL copies, so every base gram is a
       // cross-doc duplicate and the bloom pre-filter passes ~everything
       // — the selectivity-collapse floor of the repeated-span detector
-      val dupDir = operators.CurveData.synthDup(spark, base, m)
-      time("dup_ngram_spans", dupDir, "dup_ngram_spans@highdup", m)
+      if (selected(Seq("dup_ngram_spans")).nonEmpty) {
+        val dupDir = operators.CurveData.synthDup(spark, base, m)
+        time("dup_ngram_spans", dupDir, "dup_ngram_spans@highdup", m)
+      }
     }
     spark.stop()
   }

@@ -540,6 +540,12 @@ object Similarity {
     * same broadcast-centroid arithmetic as the assignment relation,
     * so the whole face adds one cell-keyed equi-join to the index
     * it already maintains.
+    *
+    * DIDACTIC FACE, NOT THE DEFAULT: its cell count is fixed, so the
+    * measured curve saturates (27.8× at 10× data, SCALING.md round-5)
+    * — kept, like ann_lsh_multi's narrow geometry, as the measured
+    * baseline the sizing rule is judged against. Production workloads
+    * use [[annIvfAuto]], whose block count scales with the corpus.
     */
   def annIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val ranked = Caching.persistOnce(assignRanked(spark, sfDir)
@@ -610,8 +616,12 @@ object Similarity {
     * bit-stable.
     */
   private def subcellsOf(q: DataFrame, cent: DataFrame): DataFrame =
-    q.filter(col("pos") < ivfSubBits)
-      .join(broadcast(cent.filter(col("pos") < ivfSubBits)), Seq("pos"))
+    subcellsOfBits(q, cent, ivfSubBits)
+
+  private def subcellsOfBits(q: DataFrame, cent: DataFrame,
+      bits: Int): DataFrame =
+    q.filter(col("pos") < bits)
+      .join(broadcast(cent.filter(col("pos") < bits)), Seq("pos"))
       .groupBy(col("vec_id"), col("cand"))
       .agg(sum(when(
         col("xq").cast("double") / lit(1000000.0) - col("c") >= 0,
@@ -720,6 +730,169 @@ object Similarity {
        |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
          "sim_micro"))}""".stripMargin
 
+  // ---- auto-sized IVF: the DEFAULT production face -------------------
+
+  /** Target per-(cell, subcell) occupancy for [[annIvfAuto]]. */
+  private val ivfTargetOcc = 8L
+
+  /** Upper bound on auto-sized subcell bits (2¹⁶ subcells per cell is
+    * far past any corpus this sizing rule meets before occupancy ~1).
+    */
+  private val ivfMaxAutoBits = 16
+
+  /** The sizing rule SCALING.md states and the fixed faces violate:
+    * block count must be a function of N, never a constant. Smallest
+    * b ∈ [1, 16] with k·2^b·targetOcc ≥ n — i.e. enough subcells that
+    * expected (cell, subcell) occupancy stays ≤ [[ivfTargetOcc]] as the
+    * corpus grows. 10× data ⇒ ~log₂10 ≈ 3.3 more bits ⇒ ~10× more
+    * blocks ⇒ occupancy (and the per-block quadratic candidate term)
+    * stays ~constant, so candidate volume scales ∝ N.
+    */
+  private[graft] def ivfAutoBits(n: Long, k: Long): Int = {
+    var b = 1
+    while (b < ivfMaxAutoBits &&
+      k.max(1L) * (1L << b) * ivfTargetOcc < n) b += 1
+    b
+  }
+
+  /** Test-facing view of the auto-sized blocking: each vector's
+    * assigned (cell, subcell) under [[ivfAutoBits]] geometry, plus the
+    * chosen width — what the occupancy/curve specs inspect.
+    */
+  private[graft] def ivfAutoBlocks(spark: SparkSession,
+      sfDir: String): (Int, DataFrame) = {
+    val st = load(spark, sfDir, "embeddings")
+      .agg(count(lit(1)), countDistinct(col("label"))).head
+    val bits = ivfAutoBits(st.getLong(0), st.getLong(1))
+    val q = quantizedRel(spark, sfDir)
+    val cent = centroidsOf(q)
+    (bits, assignRankedFrom(q, cent).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cand"))
+      .join(subcellsOfBits(q, cent, bits), Seq("vec_id", "cand"))
+      .select(col("vec_id"), col("cand").as("cell"), col("sub")))
+  }
+
+  /** The DEFAULT IVF ANN face (round-6: the fixed-geometry
+    * `ann_ivf_probe` measured 27.8× at 10× data — its label-cell count
+    * is constant, so per-cell occupancy grows ∝ N and the within-cell
+    * candidate join ∝ N²). Here the refinement width is DERIVED FROM
+    * THE CORPUS ([[ivfAutoBits]]): k·2^bits blocks sized so expected
+    * occupancy stays ≤ [[ivfTargetOcc]], which holds the per-block
+    * quadratic term constant and the total candidate volume ∝ N — the
+    * "k scales with N" law production IVF implements by retraining its
+    * coarse quantizer, realized train-free with residual-sign bits.
+    *
+    * Recall is defended two ways as bits grow: cell-level multi-probe
+    * (rn ≤ [[ivfProbes]], unchanged), and HAMMING-1 SUBCELL MULTI-PROBE
+    * — each query probes its own subcell plus every 1-bit flip of it,
+    * so a near-neighbor is missed only when ≥ 2 residual components
+    * sit across their centroid boundaries (boundary-flip probability is
+    * per-bit small and independent; the spec pins the floor on seeded
+    * near-identical pairs). Probe volume is (bits+1)× the base — log-
+    * growth in N, amortized by the occupancy cut it buys.
+    *
+    * The one driver-side read is the 2-long metadata row sizing the
+    * geometry (count, distinct labels) — the same bounded-collect
+    * contract as the streaming maintenance paths, never data-sized.
+    */
+  def annIvfAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = load(spark, sfDir, "embeddings")
+      .agg(count(lit(1)), countDistinct(col("label"))).head
+    val bits = ivfAutoBits(st.getLong(0), st.getLong(1))
+    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
+    val cent = Caching.persistOnce(centroidsOf(q))
+    val ranked = Caching.persistOnce(assignRankedFrom(q, cent)
+      .select(col("vec_id"), col("cand"), col("rn")))
+    val sub = Caching.persistOnce(subcellsOfBits(q, cent, bits))
+    val base = ranked.filter(col("rn") === 1)
+      .join(sub, Seq("vec_id", "cand"))
+      .select(col("vec_id").as("b_id"), col("cand").as("cell"), col("sub"))
+    // probe list: own subcell + every Hamming-1 flip of it
+    val variants = col("sub") +: (0 until bits).map(p =>
+      col("sub").bitwiseXOR(lit(1L << p)))
+    val probes = ranked.filter(col("rn") <= ivfProbes)
+      .join(sub, Seq("vec_id", "cand"))
+      .select(col("vec_id").as("a_id"), col("cand").as("cell"),
+        explode(array(variants: _*)).as("sub"))
+    val cand = probes.join(base, Seq("cell", "sub"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val e = Caching.persistOnce(vecs(spark, sfDir))
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim", cosine)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("rank"),
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
+    canon(out)
+  }
+
+  /** Oracle: the SAME sizing rule computed in SQL (coalesce(min b, 16)
+    * over the identical inequality), so both engines derive the same
+    * bits from the same data — the geometry is part of the checked
+    * semantics, not a hidden constant.
+    */
+  val annIvfAutoSql: String =
+    s"""$assignCteSql,
+       |bstat AS (SELECT count(*) AS n, count(DISTINCT label) AS k
+       |          FROM embeddings),
+       |bsel AS (SELECT coalesce(min(b), $ivfMaxAutoBits) AS bits
+       |         FROM (SELECT unnest(generate_series(1, $ivfMaxAutoBits))
+       |                 AS b), bstat
+       |         WHERE greatest(k, 1) * (CAST(1 AS BIGINT) << b)
+       |                 * $ivfTargetOcc >= n),
+       |sub AS (
+       |  SELECT q.vec_id, c.cand,
+       |    CAST(sum(CASE WHEN CAST(q.xq AS DOUBLE) / 1000000.0 - c.c >= 0
+       |      THEN (CAST(1 AS BIGINT) << q.pos) ELSE 0 END) AS BIGINT)
+       |      AS sub
+       |  FROM q JOIN cent c ON q.pos = c.pos, bsel
+       |  WHERE q.pos < bsel.bits GROUP BY 1, 2),
+       |psub AS (
+       |  SELECT vec_id, cand, sub FROM sub
+       |  UNION ALL
+       |  SELECT s.vec_id, s.cand,
+       |    xor(s.sub, CAST(1 AS BIGINT) << g.p) AS sub
+       |  FROM sub s CROSS JOIN (
+       |    SELECT unnest(generate_series(0,
+       |      (SELECT bits - 1 FROM bsel))) AS p) g),
+       |probes AS (SELECT r.vec_id AS a_id, r.cand AS cell, s.sub
+       |           FROM r JOIN psub s
+       |             ON r.vec_id = s.vec_id AND r.cand = s.cand
+       |           WHERE r.rn <= $ivfProbes),
+       |base AS (SELECT r.vec_id AS b_id, r.cand AS cell, s.sub
+       |         FROM r JOIN sub s
+       |           ON r.vec_id = s.vec_id AND r.cand = s.cand
+       |         WHERE r.rn = 1),
+       |cand AS (SELECT DISTINCT a_id, b_id
+       |         FROM probes JOIN base USING (cell, sub)
+       |         WHERE a_id <> b_id),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) *
+       |       sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM cand c
+       |  JOIN ev a ON c.a_id = a.vec_id
+       |  JOIN ev b ON c.b_id = b.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY sim DESC, b_id ASC) AS rank FROM scored)
+       |SELECT a_id AS query_id, b_id AS neighbor_id,
+       |  CAST(rank AS INT) AS rank,
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
+         "sim_micro"))}""".stripMargin
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space (the k-means assignment above), then
     * prune, within each cluster, every vector that has a LOWER-id
@@ -785,6 +958,7 @@ object Similarity {
     "kmeans_assign" -> kmeansAssign,
     "ann_ivf_probe" -> annIvfProbe,
     "ann_ivf_subcell" -> annIvfSubcell,
+    "ann_ivf_auto" -> annIvfAuto,
     "ann_lsh_multi" -> annLshMulti,
     "ann_lsh_multi_wide" -> annLshMultiWide,
     "semdedup" -> semDedup)
@@ -798,6 +972,7 @@ object Similarity {
     "kmeans_assign" -> kmeansAssignSql,
     "ann_ivf_probe" -> annIvfProbeSql,
     "ann_ivf_subcell" -> annIvfSubcellSql,
+    "ann_ivf_auto" -> annIvfAutoSql,
     "ann_lsh_multi" -> annLshMultiSql,
     "ann_lsh_multi_wide" -> annLshMultiWideSql,
     "semdedup" -> semDedupSql)

@@ -326,6 +326,78 @@ class LshRecallSpec extends SparkSpecBase {
     }
   }
 
+  test("ann_ivf_auto: bits derive from corpus size; occupancy stays bounded; Hamming-1 probing holds recall on seeded near-identicals") {
+    import spark.implicits._
+    // the sizing rule itself: block count tracks N (the SCALING.md law)
+    assert(Similarity.ivfAutoBits(100, 10) == 1)
+    assert(Similarity.ivfAutoBits(1000, 10) == 4)
+    assert(Similarity.ivfAutoBits(10000, 10) == 7)
+    assert(Similarity.ivfAutoBits(100000, 10) == 11)
+    // 10x data => +3..4 bits => ~10x blocks => occupancy ~constant
+    assert(Similarity.ivfAutoBits(10, 1) == 1, "tiny corpora floor at 1 bit")
+    assert(Similarity.ivfAutoBits(Long.MaxValue / 16, 1) == 16, "cap holds")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfauto").toString
+    try {
+      // one label cell, 80 bases + 40 seeded near-identical dups: n=120,
+      // k=1 → bits = 4 (1·2⁴·8 = 128 ≥ 120), i.e. 16 subcells — WIDER
+      // than the fixed 3-bit face, which is the point of the auto sizing
+      val rnd = new scala.util.Random(11)
+      def vec(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+      val bases = (0 until 80).map(i => (i.toLong, vec()))
+      val dups = bases.take(40).map { case (i, v) =>
+        (200L + i, v.map(x => x + 0.02 * rnd.nextGaussian()))
+      }
+      (bases ++ dups).map { case (id, v) => (id, 0L, v.toSeq) }
+        .toDF("vec_id", "label", "embedding")
+        .write.parquet(s"$dir/embeddings.parquet")
+
+      val (bits, blocks0) = Similarity.ivfAutoBlocks(spark, dir)
+      assert(bits == 4,
+        s"auto face must size from the corpus (n=120, k=1 -> 4), got $bits")
+      val blocks = blocks0.cache()
+      def pairs(cols: Seq[String]): Long =
+        blocks.groupBy(cols.map(col): _*).count()
+          .agg(sum(expr("count * (count - 1) div 2"))).head.getLong(0)
+      val cellPairs = pairs(Seq("cell"))
+      val subPairs = pairs(Seq("cell", "sub"))
+      info(s"bits=$bits candidate pairs: cell-only=$cellPairs auto=$subPairs")
+      // 2^4 subcells on near-gaussian data: expect a much deeper cut
+      // than the fixed 3-bit face's 3x floor
+      assert(subPairs * 5 <= cellPairs,
+        s"auto blocking cut only $cellPairs -> $subPairs")
+      blocks.unpersist()
+
+      // recall on the seeded dup pairs: a pair separates only when >= 2
+      // residual components straddle their centroid boundary (Hamming-1
+      // probing recovers every single-flip miss)
+      graft.plans.VectorExprs.register(spark)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", expr("graft_dot(va, vb)") /
+          (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))))
+        .filter(col("sim") > 0.9)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+        .map(p => pairKey(p._1, p._2)).toSet
+      assert(truth.size == 40, s"expected 40 seeded dup pairs, got ${truth.size}")
+      val found = Similarity.annIvfAuto(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .map(p => pairKey(p._1, p._2)).toSet
+      val recall = truth.count(found).toDouble / truth.size
+      info(f"ann_ivf_auto recall: $recall%.3f over ${truth.size} true pairs")
+      assert(recall >= 0.85,
+        f"auto recall $recall%.3f below floor 0.85 — Hamming-1 probing " +
+          "is not recovering boundary flips")
+      spark.catalog.clearCache()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ann_ivf_probe: near-perfect recall on geometric clusters incl. cross-boundary queries") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
