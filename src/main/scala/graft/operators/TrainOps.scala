@@ -347,6 +347,100 @@ object TrainOps {
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     canon(bpeTrain(spark, sfDir)._1.reduce(_ unionByName _))
 
+  /** Adjacent-symbol pair counts over a (n, seq) relation — the
+    * per-round aggregate both training loops share.
+    */
+  private def bpePairCounts(s: DataFrame): DataFrame = s
+    .select(col("n"), split(col("seq"), " ").as("t"))
+    .select(col("n"), expr(
+      """explode(transform(
+        |  if(size(t) > 1, sequence(2, size(t)), array_repeat(1, 0)),
+        |  i -> struct(t[i-2] AS l, t[i-1] AS r))) AS p""".stripMargin))
+    .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+    .agg(sum(col("n")).as("cnt"))
+
+  /** The production form of [[bpeTrain]]: N merge rounds at FLAT
+    * per-round cost. The 3-round face above is the oracle anchor (a
+    * recursive-CTE chain DuckDB can mirror); a real tokenizer trains
+    * thousands of rounds, and the unrolled loop is driver-side plan
+    * growth waiting to happen — round k's sequences are a plan over
+    * round k-1's, so analysis/optimization cost grows with k even
+    * though each round's DATA work is constant.
+    *
+    * Same recipe as dedup_clusters' propagation loop
+    * ([[Dedup.dedupClustersOn]]): each round's sequences are rebuilt
+    * over an explicitly persisted RDD[Row] (lineage truncated to depth
+    * 1), the superseded generation's blocks are dropped as soon as the
+    * next is materialized, and the only driver-side data is the 1-row
+    * winning pair per round — the same bounded driver pattern as the
+    * convergence sum there. The winner is stamped into the rewrite as
+    * a LITERAL (not the 3-round face's crossJoin(broadcast(top))), so
+    * plan size is round-independent.
+    *
+    * Rewrite semantics are bit-identical to the 3-round face (same
+    * two sentinel-padded replace passes); BpeTrainNSpec pins rounds
+    * 1-3 equal to [[bpeMerges]] and per-round wall time flat over 50
+    * rounds. Returns (merge table, per-round wall seconds).
+    */
+  private[graft] def bpeTrainN(spark: SparkSession, sfDir: String,
+      steps: Int): (DataFrame, Seq[Double]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val words = load(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val seqSchema = StructType(Seq(
+      StructField("n", LongType), StructField("seq", StringType)))
+    def truncate(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[Row]) = {
+      val rdd = df.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, seqSchema), rdd)
+    }
+    // the word column is training metadata the loop never reads — drop
+    // it so each generation's persisted footprint is (count, sequence)
+    var (seqs, curRdd) = truncate(words.select(col("n"),
+      array_join(split(col("word"), "(?!$)"), " ").as("seq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val roundSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var k = 0
+    var exhausted = false
+    while (k < steps && !exhausted) {
+      k += 1
+      val t0 = System.nanoTime()
+      // one driver row per round: the winning (l, r, cnt). This action
+      // also materializes the current generation's persisted RDD.
+      val top = bpePairCounts(seqs)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) {
+        // every word is a single symbol — nothing left to merge
+        exhausted = true
+      } else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Row(k, l, r, l + r, cnt)
+        val pat = concat(lit(" "), lit(l), lit(" "), lit(r), lit(" "))
+        val rep = concat(lit(" "), lit(l + r), lit(" "))
+        val padded = concat(lit(" "), col("seq"), lit(" "))
+        val (next, nextRdd) = truncate(seqs.select(col("n"),
+          trim(replace(replace(padded, pat, rep), pat, rep)).as("seq")))
+        nextRdd.count() // materialize BEFORE dropping the parent blocks
+        curRdd.unpersist(false)
+        seqs = next
+        curRdd = nextRdd
+      }
+      roundSecs += (System.nanoTime() - t0) / 1e9
+    }
+    curRdd.unpersist(false)
+    val mergeSchema = StructType(Seq(
+      StructField("step", org.apache.spark.sql.types.IntegerType),
+      StructField("l", StringType), StructField("r", StringType),
+      StructField("merged", StringType), StructField("cnt", LongType)))
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), mergeSchema)
+    (canon(out), roundSecs.toSeq)
+  }
+
   /** The OTHER half of the tokenizer-training artifact: the symbol
     * vocabulary the learned merges induce — every distinct symbol in
     * the post-merge sequences with its corpus occurrence count (word
