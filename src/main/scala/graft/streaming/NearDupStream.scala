@@ -14,20 +14,36 @@ import org.apache.spark.sql.types._
   * flag (and optionally drop) a document the moment it arrives, without
   * ever re-scanning the accumulated corpus.
   *
-  * Index layout is the scale story (the CdcStream bucket discipline
-  * applied to an LSH index):
+  * Index layout is the scale story — an LSM-shaped partitioned index
+  * (round 6; the round-5 merge-dedup fold read AND rewrote the touched
+  * partitions' full occupancy every batch, a per-batch write term that
+  * approaches rewriting the whole index once batches spread across the
+  * partition domain):
   *
   *  - `buckets/` — (band_idx, bucket, doc_id), partitioned by
-  *    (band_idx, bpfx) where bpfx = first hex byte of the bucket hash:
-  *    4 × 256 = 1024 fixed partitions. A micro-batch touches only the
-  *    partitions its docs hash into (≤ 4 × batch size, ≤ 1024), reads
-  *    ONLY those (directory-pruned scan), and dynamically overwrites
-  *    only those — per-batch work scales with the batch's hash spread
-  *    TIMES the occupancy of the touched buckets, never with corpus
-  *    size.
+  *    (band_idx, bpfx, ingest) where bpfx = first hex byte of the
+  *    bucket hash (4 × 256 = 1024 fixed hash partitions) and ingest =
+  *    the batch id that wrote the rows. A micro-batch APPENDS its own
+  *    rows as a new `ingest=<batchId>` generation under the (band,
+  *    bpfx) dirs its docs hash into — per-batch WRITE work is O(batch),
+  *    it never reads accumulated state to fold, and a retried batch
+  *    dynamic-overwrites exactly its own generation dirs (idempotent).
+  *    The candidate READ is directory-pruned to the touched (band_idx,
+  *    bpfx) pairs — that read scales with the touched buckets'
+  *    occupancy (inherent: a new doc must be compared against
+  *    everything indexed in its buckets), and with nothing else.
   *  - `docs/` — (doc_id, lt, n_sh) the verify side-table (lowered text
   *    + shingle count, ONE copy per doc, never 4×), partitioned by
-  *    pmod(doc_id, 16) exactly like CdcStream state.
+  *    (pmod(doc_id, 256), ingest) the same way. The verify read is
+  *    candidate-bounded: dbucket directory pruning plus — when the
+  *    candidate id set is small enough to collect (the normal case) —
+  *    a doc_id IN (...) predicate that reaches the parquet row-group
+  *    stats, so verify IO tracks the candidate set, not the corpus.
+  *
+  * Generations are consolidated by [[compactState]] (the LSM
+  * compaction), run as a maintenance job between stream runs — so
+  * per-batch cost stays flat while listing pressure is bounded by
+  * maintenance cadence, the same contract as LoadOps.compactParquet.
   *
   * Candidates are banded-bucket collisions (new docs vs accumulated ∪
   * within-batch, lower doc_id = the kept representative), verified with
@@ -38,8 +54,8 @@ import org.apache.spark.sql.types._
   * Exactly-once: emissions are written with dynamic partition overwrite
   * keyed on batch_id (the QuarantineStream idempotence discipline) — a
   * retried micro-batch REPLACES its own output partition instead of
-  * appending a duplicate; index updates are merge-dedup overwrites of
-  * the touched partitions, so re-applying a batch is a no-op there too.
+  * appending a duplicate; index folds REPLACE the batch's own ingest
+  * generation, so re-applying a batch converges to the identical index.
   */
 object NearDupStream {
 
@@ -48,22 +64,46 @@ object NearDupStream {
     StructField("text", StringType),
     StructField("source", StringType)))
 
+  /** Stored layout: data columns + hash partition dirs + the ingest
+    * generation dir. Reads always go through these (ingest included);
+    * writers add `ingest` per batch.
+    */
   private val bucketsSchema: StructType = StructType(Seq(
     StructField("band_idx", IntegerType),
     StructField("bucket", StringType),
     StructField("doc_id", LongType),
-    StructField("bpfx", StringType)))
+    StructField("bpfx", StringType),
+    StructField("ingest", LongType)))
 
   private val docsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("lt", StringType),
     StructField("n_sh", LongType),
-    StructField("dbucket", LongType)))
+    StructField("dbucket", LongType),
+    StructField("ingest", LongType)))
 
   /** Verified-Jaccard floor for emitting a pair. */
   private val jaccardFloor = 0.5
 
-  private val nDocBuckets = 16
+  /** Doc-bucket count for the verify side-table. 256, not 16 (round
+    * 6): directory pruning on dbucket saturates once the candidate set
+    * covers the bucket domain — the fixed-block law again — so the
+    * domain must comfortably exceed a batch's typical candidate
+    * spread. Beyond dir pruning the verify read carries a doc_id IN
+    * predicate (bounded collect below) that prunes at row-group grain,
+    * so dbucket width only has to keep the DIRECTORY scan shortlist
+    * small.
+    */
+  private val nDocBuckets = 256
+
+  /** Largest candidate-id set the verify read will collect and push
+    * down as a doc_id IN (...) parquet predicate (~0.5 MB of longs at
+    * the cap — bounded driver cost). Above it — a pathological
+    * all-duplicates batch — verification falls back to a semi-join
+    * against the dbucket-pruned scan, which stays correct and
+    * distributed at any candidate volume.
+    */
+  private val verifyIdPushdownMax = 65536
 
   /** Banded signature rows of a (doc_id, text) relation — the exact
     * band geometry of Dedup.minhashLshOn (8 native minhashes, 4 bands
@@ -100,43 +140,21 @@ object NearDupStream {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Durably materialize `df` into `stagingDir`, then dynamic-overwrite
-    * `destDir`'s touched partitions FROM THE STAGING FILES. The
-    * gcTombstones/compactParquet verify-then-swap discipline applied to
-    * a partitioned sink (ADVICE r5): a persist+count before overwriting
-    * the very partitions the plan read is NOT crash-safe — an executor
-    * loss mid-write drops cached blocks and the recompute reads
-    * already-deleted files. The staging write is an ACTION against
-    * untouched inputs; the overwrite's lineage then roots in the staging
-    * files, never in the partitions being replaced. Costs one extra
-    * write+read of the touched volume (bounded by the batch's hash
-    * spread, not the corpus).
-    */
-  private def stageAndOverwrite(spark: SparkSession, df: DataFrame,
-      schema: StructType, stagingDir: String, destDir: String,
-      partCols: Seq[String]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stagingDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    df.write.mode("overwrite").parquet(stagingDir)
-    spark.read.schema(schema).parquet(stagingDir)
-      .write.partitionBy(partCols: _*)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(destDir)
-    fs.delete(p, true)
-  }
-
   /** Check one micro-batch against the index, emit verified pairs to
     * `outDir/batch_id=<id>/`, and fold the batch into the index.
     * Exposed for the spec; `start` wires it into foreachBatch.
     *
     * Crash-consistency: emissions land first (batchId-keyed overwrite),
-    * then the buckets fold, then the docs fold — each fold via
-    * [[stageAndOverwrite]]. A crash between any two steps leaves the
-    * index halves momentarily inconsistent, and the RETRY heals it:
-    * foreachBatch re-delivers the uncommitted batch, every step is a
-    * merge-dedup or keyed overwrite, so re-applying converges to the
-    * identical state (the idempotence the spec pins).
+    * then the buckets fold, then the docs fold. Each fold writes ONLY
+    * the batch's own rows into `ingest=<batchId>` generation dirs —
+    * its lineage roots in the (persisted) batch, never in partitions
+    * being replaced, so the round-5 self-overwrite hazard cannot
+    * arise, and there is nothing to stage. A crash between steps
+    * leaves the index halves momentarily inconsistent, and the RETRY
+    * heals it: foreachBatch re-delivers the uncommitted batch and
+    * every step is a keyed overwrite of its own partitions, so
+    * re-applying converges to the identical state (the idempotence the
+    * spec pins).
     */
   def applyBatch(spark: SparkSession, stateDir: String, outDir: String,
       batch: DataFrame, batchId: Long): Unit = {
@@ -150,18 +168,15 @@ object NearDupStream {
     val dNew = sigRel(batch).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // touched partition sets are bounded: ≤ 4 × batch docs and ≤ the
-      // fixed 4 × 256 (bpfx) / 16 (dbucket) domains — fixed-size driver
-      // lists, not data-sized collects
+      // touched hash-partition set is bounded: ≤ 4 × batch docs and ≤
+      // the fixed 4 × 256 (band_idx, bpfx) domain — a fixed-size driver
+      // list, not a data-sized collect
       val touchedPfx = b.select(col("band_idx"), col("bpfx")).distinct()
         .collect().map(r => (r.getInt(0), r.getString(1)))
-      val touchedDb = dNew.select(col("dbucket")).distinct()
-        .collect().map(_.getLong(0)).toSeq
       // prune on the EXACT touched (band_idx, bpfx) pairs — an
       // isin × isin filter is their cross product, and since all 4
-      // band_idx values are present in almost every batch it reads (and
-      // then rewrites, byte-identical) up to ~4× more partitions than
-      // the docs actually hash into (ADVICE r5)
+      // band_idx values are present in almost every batch it would read
+      // up to ~4× more partitions than the docs hash into (ADVICE r5)
       val pairKeys = touchedPfx.map { case (bi, px) => s"$bi/$px" }.toSeq
       val oldBuckets = readOrEmpty(spark, bucketsDir, bucketsSchema)
         .filter(concat_ws("/", col("band_idx"), col("bpfx"))
@@ -181,20 +196,35 @@ object NearDupStream {
       try {
         // verify with true Jaccard before emitting (candidate-only
         // work). The new side's text lives in the BATCH (dNew); the dup
-        // side's read of the docs side-table is CANDIDATE-BOUNDED —
-        // directory-pruned to the candidates' doc buckets, then
-        // semi-joined to the candidate id set — so per-batch verify
-        // work scales with candidates, never with corpus size
-        // (ADVICE r5: an unpruned read grew with the corpus).
+        // side's read of the docs side-table is CANDIDATE-BOUNDED:
+        // normally the candidate ids fit the bounded collect and become
+        // a dbucket-dir prune PLUS a doc_id IN predicate the parquet
+        // reader prunes row groups with; a pathological batch overflows
+        // to a dbucket-pruned scan + semi-join — correct and
+        // distributed at any candidate volume (ADVICE r5: an unpruned
+        // read grew with the corpus).
         val dupIds = cand.select(col("dup_id")).distinct()
-        val dupDb = dupIds
-          .select(pmod(col("dup_id"), lit(nDocBuckets)).as("dbucket"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ 16, fixed
-        val dupDocs = readOrEmpty(spark, docsDir, docsSchema)
-          .filter(col("dbucket").isin(dupDb: _*))
-          .join(broadcast(dupIds), col("doc_id") === col("dup_id"),
-            "left_semi")
-          .select(col("doc_id"), col("lt"), col("n_sh"))
+        val idSample = dupIds.limit(verifyIdPushdownMax + 1)
+          .collect().map(_.getLong(0)) // one bounded action
+        val dupBase = readOrEmpty(spark, docsDir, docsSchema)
+        val dupSide =
+          if (idSample.length <= verifyIdPushdownMax) {
+            val dbs = idSample.map(i => i % nDocBuckets).distinct.toSeq
+            dupBase.filter(col("dbucket").isin(dbs: _*) &&
+              col("doc_id").isin(idSample.toSeq: _*))
+          } else {
+            val dupDb = dupIds
+              .select(pmod(col("dup_id"), lit(nDocBuckets)).as("dbucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
+            dupBase.filter(col("dbucket").isin(dupDb: _*))
+              .join(dupIds, col("doc_id") === col("dup_id"), "left_semi")
+          }
+        // distinct: generations are merge-free, so a doc re-indexed by
+        // an upstream anomaly (or a batch re-delivered after its
+        // generation was compacted away) may appear in two generations;
+        // candidate-bounded relation, so the dedup is cheap
+        val dupDocs = dupSide
+          .select(col("doc_id"), col("lt"), col("n_sh")).distinct()
           .unionByName(dNew.select(col("doc_id"), col("lt"), col("n_sh")))
         val flagged = cand
           .join(dNew.select(col("doc_id").as("new_id"),
@@ -213,41 +243,46 @@ object NearDupStream {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(outDir)
       } finally cand.unpersist()
-      // fold the batch into the index: merge-dedup ONLY the touched
-      // partitions, via the crash-safe staging protocol
-      stageAndOverwrite(spark,
-        oldBuckets
-          .unionByName(b.select(bucketsSchema.fieldNames.map(col).toSeq: _*))
-          .distinct(),
-        bucketsSchema, s"$stateDir/buckets_batch_staging", bucketsDir,
-        Seq("band_idx", "bpfx"))
-      val oldDocs = readOrEmpty(spark, docsDir, docsSchema)
-        .filter(col("dbucket").isin(touchedDb: _*))
-      stageAndOverwrite(spark,
-        oldDocs
-          .unionByName(dNew.select(docsSchema.fieldNames.map(col).toSeq: _*))
-          .distinct(),
-        docsSchema, s"$stateDir/docs_batch_staging", docsDir,
-        Seq("dbucket"))
+      // LSM fold: the batch's own rows become a new ingest generation
+      // under the hash partitions they belong to. O(batch) write, zero
+      // read of accumulated state; dynamic overwrite keyed on the
+      // batch's own (… , ingest=batchId) dirs makes a retry replace —
+      // not duplicate — its generation.
+      b.withColumn("ingest", lit(batchId))
+        .write.partitionBy("band_idx", "bpfx", "ingest")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(bucketsDir)
+      dNew.withColumn("ingest", lit(batchId))
+        .write.partitionBy("dbucket", "ingest")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(docsDir)
     } finally { b.unpersist(); dNew.unpersist() }
     ()
   }
 
-  /** Maintenance pass closing the loop between the accreting state
-    * sinks and LoadOps.compactParquet: every micro-batch dynamic-
-    * overwrites only the partitions it touches, so UNTOUCHED partitions
-    * keep their historical small files and file count — not data size —
-    * starts to drive scan task count and listing pressure. Each
-    * partition directory is itself a flat parquet dataset, so the
-    * verify-then-swap compactor applies per partition; only partitions
-    * above `minFiles` are rewritten (touched-partition work only, the
-    * same bounded-work discipline as the batches). Returns
-    * (partitionsCompacted, filesBefore, filesAfter).
+  /** The LSM compaction: every micro-batch appends an
+    * `ingest=<batchId>` generation under the hash partitions it
+    * touches, so per-batch cost stays O(batch) while GENERATION COUNT
+    * — not data size — starts to drive listing pressure, scan task
+    * count, and candidate-read file opens. This pass consolidates each
+    * sub-table's generations into a single `ingest=-1` generation
+    * (deduped — a batch re-delivered after its generation was already
+    * merged converges here), sized to `targetFileBytes`, as ONE
+    * read→write job per sub-table — not a per-partition driver loop,
+    * which over the 1024-dir domain would mean thousands of sequential
+    * Spark jobs. Runs only if some partition holds ≥ `minFiles` data
+    * files. Returns (fragmentedPartitionsBefore, filesBefore,
+    * filesAfter).
     *
-    * Run it OUTSIDE the foreachBatch (between stream runs, like any
-    * table-maintenance job): compaction is layout-only and the swap is
-    * crash-safe, but rewriting partitions mid-batch would race the
-    * batch's own dynamic overwrite.
+    * Crash contract (compactParquet's): staging write + row-count
+    * verify BEFORE any delete; the window between moving the old root
+    * aside and renaming the staging in is a read hole, not data loss
+    * (both dirs survive for manual recovery). Run it OUTSIDE the
+    * foreachBatch, against a CLEANLY STOPPED stream (checkpoint
+    * committed): compacting an uncommitted batch's generation away
+    * would let its re-delivery re-append rows the merged generation
+    * already holds — the read-side distinct()s keep that correct, but
+    * the duplicate bytes persist until the next compaction.
     */
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
@@ -257,21 +292,54 @@ object NearDupStream {
       val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
       val fs = root.getFileSystem(conf)
       if (fs.exists(root)) {
-        // partition dirs at any nesting depth (band_idx=i/bpfx=xx, or
-        // dbucket=n) — a leaf is a dir containing part- files
-        def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-          val st = fs.listStatus(p).toSeq
-          val dirs = st.filter(_.isDirectory)
-          if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+        // hash-partition dirs = parents of ingest=* generation dirs
+        def partDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+          if (dirs.exists(_.getPath.getName.startsWith("ingest="))) Seq(p)
+          else dirs.flatMap(d => partDirs(d.getPath))
         }
-        for (leaf <- leaves(root) if leaf != root) {
-          val n = fs.listStatus(leaf).count(s => s.isFile &&
-            s.getPath.getName.startsWith("part-"))
-          if (n >= minFiles) {
-            val (b, a) = graft.operators.LoadOps
-              .compactParquet(spark, leaf.toString, targetFileBytes)
-            parts += 1; before += b; after += a
+        def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+          val st = fs.listStatus(p).toSeq
+          st.filter(s => s.isFile && s.getPath.getName.startsWith("part-")) ++
+            st.filter(_.isDirectory).flatMap(d => dataFiles(d.getPath))
+        }
+        val fragmented = partDirs(root)
+          .map(pd => dataFiles(pd).size).count(_ >= minFiles)
+        if (fragmented > 0) {
+          val files = dataFiles(root)
+          val (schema, hashCols) = sub match {
+            case "buckets" => (bucketsSchema, Seq("band_idx", "bpfx"))
+            case _ => (docsSchema, Seq("dbucket"))
           }
+          val dataCols =
+            schema.fieldNames.toSeq.filterNot(hashCols.contains)
+              .filterNot(_ == "ingest")
+          val src = spark.read.schema(schema).parquet(root.toString)
+            .select((dataCols ++ hashCols).map(col): _*).distinct()
+          val expected = src.count()
+          val totalBytes = files.map(_.getLen).sum
+          val nOut = math.max(1L,
+            (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val staging =
+            new org.apache.hadoop.fs.Path(s"$stateDir/${sub}_compact_staging")
+          val retired =
+            new org.apache.hadoop.fs.Path(s"$stateDir/${sub}_pre_compact")
+          fs.delete(staging, true); fs.delete(retired, true)
+          // repartition on the hash columns so each partition dir gets
+          // ~one file per output task that holds it, not task-count many
+          src.repartition(nOut, hashCols.map(col): _*)
+            .withColumn("ingest", lit(-1L))
+            .write.partitionBy((hashCols :+ "ingest"): _*)
+            .parquet(staging.toString)
+          val got = spark.read.schema(schema).parquet(staging.toString).count()
+          require(got == expected,
+            s"compaction staging lost rows ($got != $expected) for $root; " +
+              "original untouched")
+          require(fs.rename(root, retired), s"rename $root -> $retired failed")
+          require(fs.rename(staging, root), s"rename $staging -> $root failed")
+          fs.delete(retired, true)
+          parts += fragmented; before += files.size
+          after += dataFiles(root).size
         }
       }
     }
@@ -301,7 +369,7 @@ object NearDupStream {
   def keepDecisions(spark: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
     val docs = readOrEmpty(spark, s"$stateDir/docs", docsSchema)
-      .select(col("doc_id"))
+      .select(col("doc_id")).distinct()
     val outSchema = StructType(Seq(
       StructField("new_id", LongType),
       StructField("dup_id", LongType),

@@ -107,9 +107,9 @@ class NearDupStreamSpec extends SparkSpecBase {
     // the chain head fell below the floor), plus a diamond 5→{2,4}
     // whose min partner 2 is itself dropped, and an untouched doc 9
     Seq(1L, 2L, 3L, 4L, 5L, 9L)
-      .map(id => (id, s"t$id", 1L, id % 16))
-      .toDF("doc_id", "lt", "n_sh", "dbucket")
-      .write.partitionBy("dbucket").parquet(s"$state/docs")
+      .map(id => (id, s"t$id", 1L, id % 256, 0L))
+      .toDF("doc_id", "lt", "n_sh", "dbucket", "ingest")
+      .write.partitionBy("dbucket", "ingest").parquet(s"$state/docs")
     Seq((2L, 1L, 0.9, 0L), (3L, 2L, 0.8, 1L),
         (5L, 2L, 0.7, 2L), (5L, 4L, 0.9, 2L))
       .toDF("new_id", "dup_id", "jaccard", "batch_id")
@@ -126,44 +126,42 @@ class NearDupStreamSpec extends SparkSpecBase {
       s"5's min partner 2 is dropped — must resolve through it to 1: $v")
   }
 
-  test("state compaction: accreted small files collapse per partition; index content and the stream survive") {
+  test("state compaction: accreted ingest generations collapse per partition; index content and the stream survive") {
     val root = Files.createTempDirectory("graft-neardup-compact").toString
     val src = s"$root/src"; val state = s"$root/state"
     val out = s"$root/out"; val ckp = s"$root/ckp"
     Files.createDirectories(java.nio.file.Paths.get(src))
 
-    // several batches hitting the SAME doc bucket (doc_ids ≡ 0 mod 16)
+    // several batches hitting the SAME doc bucket (doc_ids ≡ 0 mod 256)
+    // — each leaves its own ingest=<batchId> generation, so the
+    // fragmentation the compactor exists for accretes NATURALLY
     for (k <- 0 until 3) {
-      write(src, Seq((k * 16L,
+      write(src, Seq((k * 256L,
         s"unique content batch $k " + ("filler word " * 10) + k, "s")))
       NearDupStream.start(spark, src, state, out, ckp).awaitTermination()
     }
-    // At spec scale the staging fold's AQE-coalesced shuffle leaves ONE
-    // file per touched partition; at production scale each fold's
-    // multi-split staging read accretes several files per partition.
-    // Fragment the dbucket=0 leaf into one-row files to model that —
-    // content-identical, only the file layout changes.
-    val leaf = s"$state/docs/dbucket=0"
-    val frag = s"$root/frag"
-    spark.read.parquet(leaf).repartition(3)
-      .write.mode("overwrite").parquet(frag)
-    val fs = new org.apache.hadoop.fs.Path(leaf)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(leaf))
-      .foreach(s => fs.delete(s.getPath, false))
-    fs.listStatus(new org.apache.hadoop.fs.Path(frag))
-      .filter(_.getPath.getName.startsWith("part-"))
-      .foreach { s =>
-        fs.rename(s.getPath,
-          new org.apache.hadoop.fs.Path(leaf, s.getPath.getName))
-      }
-    val docsBefore = spark.read.parquet(s"$state/docs").collect().toSet
+    val dbDir = new org.apache.hadoop.fs.Path(s"$state/docs/dbucket=0")
+    val fs = dbDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(dbDir).count(s => s.isDirectory &&
+      s.getPath.getName.startsWith("ingest=")) == 3,
+      "each batch must leave its own ingest generation")
+    // content comparison on data + hash-partition columns: compaction
+    // rewrites generations, so ingest is exactly what may change
+    def docsContent(): Set[(Long, String, Long, Long)] =
+      spark.read.parquet(s"$state/docs")
+        .select(col("doc_id"), col("lt"), col("n_sh"),
+          col("dbucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val docsBefore = docsContent()
     val (parts, before, after) =
       NearDupStream.compactState(spark, state, targetFileBytes = 64L * 1024 * 1024)
     assert(parts >= 1, "no partition qualified for compaction — fixture broke")
     assert(after < before,
       s"compaction did not reduce file count ($before -> $after)")
-    assert(spark.read.parquet(s"$state/docs").collect().toSet == docsBefore,
+    assert(fs.listStatus(dbDir).count(_.isDirectory) == 1,
+      "generations under dbucket=0 must collapse to the single ingest=-1")
+    assert(docsContent() == docsBefore,
       "compaction changed index content")
 
     // the stream keeps working against the compacted index: a near-dup
