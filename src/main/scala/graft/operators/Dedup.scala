@@ -668,7 +668,110 @@ object Dedup {
        |${canonOrderSql(Seq("dirty_key", "matched_key", "lev", "bal_delta",
          "n_candidates"))}""".stripMargin
 
+  /** Cross-corpus NEAR-dup contamination: the train/eval leakage scan
+    * [[graft.operators.TextOps.contaminationCheck]] can't do — that
+    * face counts exact shingle membership, so an eval document lightly
+    * paraphrased into the training set (reordered sentences, a few
+    * token edits) sails under it. This face runs the minhash-LSH
+    * machinery ACROSS the split boundary: bench = the `src0` slice
+    * (the same eval-set convention as contamination_check), train =
+    * everything else, candidates = banded-bucket collisions between a
+    * train doc and a bench doc ONLY — never train×train (the dedup
+    * family owns those), never bench×bench. One row per train doc that
+    * collides with any bench doc: its best-matching bench partner
+    * (highest verified Jaccard, ties to the smaller bench id), its
+    * candidate count, and a flag at the 0.5 floor.
+    *
+    * Scale: the bucket join is train-bands × BENCH-bands — the right
+    * side scales with the eval corpus (tiny vs training data), so the
+    * collision volume is bench-bounded, not corpus²; verification is
+    * the same candidate-only graft_shingle_overlap contract as
+    * minhash_lsh. No forced broadcast: AQE broadcasts the bench side
+    * while it is actually small.
+    *
+    * Oracle note: candidates here are exactly the cross-source subset
+    * of minhash_lsh's pair set, so the oracle reuses
+    * [[minhashPairsCte]] and filters — one SQL source of truth for the
+    * signature arithmetic.
+    */
+  def contaminationNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = load(spark, sfDir, "documents")
+    graft.plans.TextExprs.register(spark)
+    val sigs = d
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), lower(col("text")).as("lt"),
+        expr("graft_minhash(lower(text))").as("m"))
+      .select((col("doc_id") +: col("source") +: col("lt") +:
+        (0 until 8).map(k => col(s"m.s$k").as(s"s$k"))) :+
+        col("m.n_sh").as("n_sh"): _*)
+    val banded = sigs
+      .withColumn("b0", md5(concat(col("s0"), col("s1"))))
+      .withColumn("b1", md5(concat(col("s2"), col("s3"))))
+      .withColumn("b2", md5(concat(col("s4"), col("s5"))))
+      .withColumn("b3", md5(concat(col("s6"), col("s7"))))
+      .selectExpr("doc_id", "source",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)")
+    val bench = banded.filter(col("source") === "src0")
+    val train = banded.filter(col("source") =!= "src0")
+    val cand = train.as("x")
+      .join(bench.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket"))
+      .groupBy(col("x.doc_id").as("doc_id"), col("y.doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val meta = sigs.select(col("doc_id"), col("lt"), col("n_sh"))
+    val verified = cand
+      .join(meta.select(col("doc_id").as("ka"), col("lt").as("la"),
+        col("n_sh").as("na")), col("doc_id") === col("ka"))
+      .join(meta.select(col("doc_id").as("kb"), col("lt").as("lb"),
+        col("n_sh").as("nb")), col("bench_id") === col("kb"))
+      .withColumn("shared", expr("graft_shingle_overlap(la, lb)"))
+      .select(col("doc_id"), col("bench_id"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"))
+          .as("jaccard"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("bench_id").asc)
+    val out = verified
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_cand",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_cand"),
+        col("bench_id").as("best_bench_id"),
+        col("jaccard").as("best_jaccard"),
+        when(col("jaccard") >= 0.5, 1).otherwise(0).as("flagged"))
+    canon(out)
+  }
+
+  val contaminationNeardupSql: String =
+    s"""WITH $minhashPairsCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |crossp AS (
+       |  SELECT
+       |    CASE WHEN sa.source = 'src0' THEN p.b_id ELSE p.a_id END AS doc_id,
+       |    CASE WHEN sa.source = 'src0' THEN p.a_id ELSE p.b_id END AS bench_id,
+       |    p.jaccard
+       |  FROM mh_pairs p
+       |  JOIN src sa ON p.a_id = sa.doc_id
+       |  JOIN src sb ON p.b_id = sb.doc_id
+       |  WHERE (sa.source = 'src0') <> (sb.source = 'src0')),
+       |r AS (
+       |  SELECT doc_id, bench_id, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, bench_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_cand
+       |  FROM crossp)
+       |SELECT doc_id, CAST(n_cand AS BIGINT) AS n_cand,
+       |  bench_id AS best_bench_id, jaccard AS best_jaccard,
+       |  CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END AS flagged
+       |FROM r WHERE rn = 1
+       |${canonOrderSql(Seq("doc_id", "n_cand", "best_bench_id",
+         "best_jaccard", "flagged"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_neardup" -> contaminationNeardup,
     "fuzzy_match" -> fuzzyMatch,
     "dedup_exact" -> dedupExact,
     "dedup_priority" -> dedupPriority,
@@ -680,6 +783,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "contamination_neardup" -> contaminationNeardupSql,
     "fuzzy_match" -> fuzzyMatchSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_priority" -> dedupPrioritySql,

@@ -602,7 +602,79 @@ object TrainOps {
        |${canonOrderSql(Seq("split", "lang", "n_docs", "n_tokens",
          "split_share_micro", "corpus_share_micro", "skew_micro"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // doc_chunk — context-window chunking with overlap
+  // ---------------------------------------------------------------------
+
+  /** Tokens per chunk / stride between chunk starts (overlap = 16). */
+  private val chunkLen = 128
+  private val chunkStride = 112
+
+  /** Context-window chunking: split each document's token stream into
+    * overlapping fixed-width windows — the step between a cleaned
+    * corpus and sequence packing, where a doc longer than the model
+    * context must become several training sequences whose boundaries
+    * overlap (so no bigram at a cut point is lost to every sequence).
+    * One row per (doc, chunk): its start offset, its token count
+    * (= chunkLen except the tail), and the md5 of the space-joined
+    * chunk text — the digest keeps the oracle row narrow while pinning
+    * the exact chunk CONTENT, not just its geometry.
+    *
+    * Chunk rule: starts at 0, chunkStride, 2·chunkStride, … while
+    * start < n_tokens — every token is covered, consecutive chunks
+    * share chunkLen − chunkStride tokens, and a short tail chunk is
+    * emitted rather than silently dropping the remainder.
+    *
+    * Scale: one Generate in the pipeline — rows multiply by
+    * ceil(n_tokens / stride) with NO shuffle and no materialized
+    * blowup (the explode streams through the projection into the
+    * digest); output volume is corpus tokens / stride. The only
+    * exchange is the canonical output sort.
+    */
+  def docChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val out = d.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_tokens"), expr(
+        s"""explode(transform(
+           |  sequence(0, (size(t) - 1) div $chunkStride),
+           |  k -> struct(k AS chunk_idx,
+           |              k * $chunkStride AS start_tok,
+           |              md5(concat_ws(' ',
+           |                slice(t, k * $chunkStride + 1, $chunkLen)))
+           |                AS chunk_md5))) AS c""".stripMargin))
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        least(lit(chunkLen), col("n_tokens") - col("c.start_tok"))
+          .cast("long").as("n_chunk_tokens"),
+        col("c.chunk_md5"))
+    canon(out)
+  }
+
+  val docChunkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL
+       |), ch AS (
+       |  SELECT doc_id, len(t) AS n_tokens, k.k AS chunk_idx,
+       |    k.k * $chunkStride AS start_tok,
+       |    md5(array_to_string(
+       |      t[k.k * $chunkStride + 1 : k.k * $chunkStride + $chunkLen], ' '))
+       |      AS chunk_md5
+       |  FROM toks, unnest(generate_series(0, (len(t) - 1) // $chunkStride))
+       |    AS k(k))
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(least($chunkLen, n_tokens - start_tok) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  chunk_md5
+       |FROM ch
+       |${canonOrderSql(Seq("doc_id", "chunk_idx", "start_tok",
+         "n_chunk_tokens", "chunk_md5"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk" -> docChunk,
     "bpe_merges" -> bpeMerges,
     "bpe_vocab" -> bpeVocab,
     "vocab_build" -> vocabBuild,
@@ -613,6 +685,7 @@ object TrainOps {
     "tokenizer_apply" -> tokenizerApply)
 
   val oracles: Map[String, String] = Map(
+    "doc_chunk" -> docChunkSql,
     "bpe_merges" -> bpeMergesSql,
     "bpe_vocab" -> bpeVocabSql,
     "vocab_build" -> vocabBuildSql,

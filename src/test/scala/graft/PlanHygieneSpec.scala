@@ -217,4 +217,27 @@ class PlanHygieneSpec extends SparkSpecBase {
     val windows = p.linesIterator.count(_.trim.startsWith("Window"))
     assert(windows <= 2, s"sketch branch leaked extra rank windows: $windows")
   }
+
+  test("doc_chunk: one Generate in the pipeline, no shuffle except the canonical sort") {
+    val p = plan("doc_chunk")
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Generate.*""")) == 1,
+      "chunking must be a single streamed Generate")
+    // the only exchange is the range partitioning for the output sort —
+    // a chunker that shuffles data to chunk has lost the pipeline shape
+    assert(p.linesIterator.count(
+        _.trim.matches("""\(\d+\) Exchange.*""")) == 1 &&
+      p.contains("rangepartitioning"),
+      "unexpected exchanges in a pipeline-only operator")
+  }
+
+  test("contamination_neardup: equi bucket join, never a cross product") {
+    val p = plan("contamination_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cross-corpus candidates must come from the banded equi-join")
+    assert(p.contains("graft_shingle_overlap") ||
+      p.contains("ShingleOverlap"),
+      "candidate-only verify kernel missing from the plan")
+  }
 }
