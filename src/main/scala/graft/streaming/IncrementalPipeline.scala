@@ -169,11 +169,20 @@ object IncrementalPipeline {
         sc.getFileSystem(conf).delete(sc, true)
         runOnce(stagingOut, stagingCkp)
         // success: swap the rebuilt output in and promote the fresh
-        // checkpoint so the NEXT run resumes incrementally from here
+        // checkpoint so the NEXT run resumes incrementally from here.
+        // Swap order is rename-aside -> rename-in -> delete-retired
+        // (compactState's discipline): a crash mid-swap leaves BOTH the
+        // retired dir and the staging rebuild on disk — a read hole,
+        // never data loss. A delete-then-rename would have a window
+        // with no live output at all (ADVICE r6).
         val out = new org.apache.hadoop.fs.Path(outDir)
         val ofs = out.getFileSystem(conf)
-        ofs.delete(out, true)
+        val retired = new org.apache.hadoop.fs.Path(outDir + "_pre_rebuild")
+        ofs.delete(retired, true)
+        if (ofs.exists(out))
+          require(ofs.rename(out, retired), s"rename $out -> $retired failed")
         require(ofs.rename(so, out), s"rename $so -> $out failed")
+        ofs.delete(retired, true)
         val ckp = new org.apache.hadoop.fs.Path(checkpointDir)
         ckp.getFileSystem(conf).delete(ckp, true)
         require(sc.getFileSystem(conf).rename(sc, ckp),
