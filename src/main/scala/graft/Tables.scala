@@ -17,12 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType (PARQUET_TYPE_ILLEGAL). Request the physical INT64
-    * via an explicit schema (no session-wide legacy flag — mutating
-    * global conf as a read side effect would change how OTHER nanos
-    * parquet reads behave in the same session), then convert to a
-    * µs-precision TimestampType (sub-µs digits are zero in this data).
+  /** events.ts has shipped in more than one physical parquet encoding
+    * across dataset generations:
+    *   - TIMESTAMP(MICROS) logical type (current pyarrow writers) —
+    *     Spark maps it to TimestampType (or TimestampNTZType when the
+    *     footer says isAdjustedToUTC=false and NTZ inference is on);
+    *   - TIMESTAMP(NANOS) logical type (older writers) — Spark 4
+    *     refuses to map it (PARQUET_TYPE_ILLEGAL), so it must be read
+    *     as raw INT64 via an explicit schema and divided down to µs;
+    *   - plain INT64 epoch-nanoseconds with no logical type (test
+    *     fixtures and legacy copies).
+    * An engine must read the bytes actually on disk, so `loadEvents`
+    * inspects the inferred schema and picks the matching decode instead
+    * of assuming one encoding. No session-wide legacy flag is mutated —
+    * that would change how OTHER nanos parquet reads behave in the same
+    * session. All decode paths land on µs-precision TimestampType
+    * (sub-µs digits are zero in this data), and absent optional columns
+    * are padded with typed nulls so the surface is stable across
+    * generations.
     */
   private[graft] val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -32,13 +44,50 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The stable events surface: eventsRawSchema's columns with ts as a
+    * decoded TimestampType.
+    */
+  private[graft] val eventsSchema = StructType(eventsRawSchema.map(f =>
+    if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+    if (name == "events") loadEvents(spark, s"$sfDir/$name.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private[graft] def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    val decoded =
+      try {
+        val df = spark.read.parquet(path)
+        df.schema("ts").dataType match {
+          case TimestampType => df
+          // naive wall-clock micros; session tz is pinned to UTC by every
+          // entry point, so this cast is instant-preserving
+          case TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case LongType => // epoch-nanoseconds stored as plain INT64
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case other => throw new IllegalStateException(
+            s"events.ts: unsupported on-disk type $other at $path")
+        }
+      } catch {
+        // TIMESTAMP(NANOS) logical type: Spark cannot map it, so re-read
+        // the physical INT64 directly. Only the footer-conversion error is
+        // caught; anything else (missing path, corrupt file) propagates.
+        case e: Exception if Option(e.getMessage).exists(m =>
+            m.contains("NANOS") || m.contains("Illegal Parquet type")) =>
+          spark.read.schema(eventsRawSchema).parquet(path)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      }
+    // pad columns a fixture generation may omit (e.g. props), keep the
+    // canonical column order, then append any extra columns untouched
+    val present = decoded.columns.toSet
+    val extras = decoded.columns.filterNot(eventsSchema.fieldNames.contains)
+    val cols = eventsSchema.fields.map { f =>
+      if (present.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ extras.map(col)
+    decoded.select(cols.toSeq: _*)
+  }
 
   /** Canonical deterministic output order: all columns, sorted by column
     * name, ascending (Spark default = NULLS FIRST). Every oracle SQL must

@@ -86,13 +86,14 @@ object BenchData {
       for (f <- srcFiles) {
         val table = f.getName.stripSuffix(".parquet")
         if (scaled(table)) {
-          // events must round-trip at the RAW long ts (the source is
-          // parquet TIMESTAMP(NANOS); Tables.load converts AFTER the
-          // scan) so the copy is read by the same code path as the
-          // original
+          // events.ts has shipped in several on-disk encodings; decode
+          // through the same adaptive path readers use (Tables.loadEvents)
+          // and write the copy as plain TimestampType parquet, which that
+          // same path reads back — the copy never depends on which
+          // generation of writer produced the source
           val df =
             if (table == "events")
-              spark.read.schema(graft.Tables.eventsRawSchema).parquet(f.getPath)
+              graft.Tables.loadEvents(spark, f.getPath)
             else spark.read.parquet(f.getPath)
           // round-robin repartition writes exactly filesPerFact files
           // (one row group each) without the extra count() scan a
