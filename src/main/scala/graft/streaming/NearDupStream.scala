@@ -131,6 +131,45 @@ object NearDupStream {
       .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
   }
 
+  /** Index layout version, stamped as `stateDir/_LAYOUT` the first time
+    * a state dir is touched and checked on every subsequent touch. The
+    * layout has already changed once (round 6: 16→256 doc buckets plus
+    * the `ingest=` generation dirs); an old-layout index read by new
+    * code is silently mishandled (wrong-dir pruning makes verification
+    * drop docs, compaction no-ops), so a mismatch — or pre-existing
+    * state with no marker at all — must FAIL FAST instead.
+    */
+  private[graft] val layoutVersion =
+    "graft-neardup-v2 buckets=(band_idx,bpfx,ingest):4x256 docs=(dbucket=pmod256,ingest)"
+  private val layoutMarker = "_LAYOUT"
+
+  private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(root, layoutMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(found == layoutVersion,
+        s"near-dup index at $stateDir has layout '$found' but this build " +
+          s"expects '$layoutVersion' — refusing to read it (silent " +
+          "mis-pruning); recompact/migrate the index or point at a fresh dir")
+    } else {
+      val preExisting = Seq("buckets", "docs").exists(s =>
+        fs.exists(new org.apache.hadoop.fs.Path(root, s)))
+      require(!preExisting,
+        s"near-dup index at $stateDir predates layout markers (no " +
+          s"$layoutMarker file) — refusing to guess its layout; migrate it " +
+          "or point at a fresh dir")
+      fs.mkdirs(root)
+      val out = fs.create(marker, false)
+      try out.write(layoutVersion.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   private def readOrEmpty(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -159,6 +198,7 @@ object NearDupStream {
   def applyBatch(spark: SparkSession, stateDir: String, outDir: String,
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
+    ensureLayout(spark, stateDir)
     val bucketsDir = s"$stateDir/buckets"
     val docsDir = s"$stateDir/docs"
     // distinct() everywhere batch rows enter state: a re-delivered
@@ -209,7 +249,12 @@ object NearDupStream {
         val dupBase = readOrEmpty(spark, docsDir, docsSchema)
         val dupSide =
           if (idSample.length <= verifyIdPushdownMax) {
-            val dbs = idSample.map(i => i % nDocBuckets).distinct.toSeq
+            // floorMod, NOT Scala's signed %: the write side buckets
+            // with pmod(doc_id, n) which is always non-negative, so a
+            // negative doc_id under % would prune the WRONG dbucket dir
+            // and silently drop the doc from verification
+            val dbs =
+              idSample.map(i => Math.floorMod(i, nDocBuckets.toLong)).distinct.toSeq
             dupBase.filter(col("dbucket").isin(dbs: _*) &&
               col("doc_id").isin(idSample.toSeq: _*))
           } else {
@@ -219,12 +264,21 @@ object NearDupStream {
             dupBase.filter(col("dbucket").isin(dupDb: _*))
               .join(dupIds, col("doc_id") === col("dup_id"), "left_semi")
           }
-        // distinct: generations are merge-free, so a doc re-indexed by
-        // an upstream anomaly (or a batch re-delivered after its
-        // generation was compacted away) may appear in two generations;
-        // candidate-bounded relation, so the dedup is cheap
+        // exactly ONE verify row per dup-side doc_id. Two hazards:
+        // (a) generations are merge-free, so a doc re-indexed by an
+        // upstream anomaly (or a batch re-delivered after its
+        // generation was compacted away) may appear in two generations
+        // — handled by the stored-side distinct; (b) a doc_id present
+        // in BOTH the stored side-table and the current batch would
+        // yield one row from each leg, and every flagged pair against
+        // it would emit twice — handled by anti-joining the batch's
+        // ids out of the stored leg FIRST (the batch's row wins; it is
+        // also robust to text drift between the two copies, where a
+        // union-then-distinct would still keep both). Candidate-bounded
+        // relation, so both steps are cheap.
         val dupDocs = dupSide
           .select(col("doc_id"), col("lt"), col("n_sh")).distinct()
+          .join(dNew.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .unionByName(dNew.select(col("doc_id"), col("lt"), col("n_sh")))
         val flagged = cand
           .join(dNew.select(col("doc_id").as("new_id"),
@@ -260,6 +314,65 @@ object NearDupStream {
     ()
   }
 
+  /** Compaction cadence contract. Per-batch folds are O(batch) and
+    * never read accumulated state, so the quantity that grows without
+    * bound between maintenance runs is the GENERATION COUNT: each
+    * batch adds one `ingest=<id>` dir (≈ one data file) under every
+    * hash-partition dir it touches, and the candidate/verify reads
+    * open every generation of every touched partition. Read
+    * amplification is therefore bounded by generations-per-partition,
+    * and the cadence rule is: run [[compactState]] whenever the worst
+    * partition dir holds ≥ `defaultMaxGenerations` generations. Under
+    * that cadence (enforceable via [[compactIfDue]] after each batch,
+    * or between stream runs) a candidate read opens at most
+    * G = `defaultMaxGenerations` files per touched partition dir — the
+    * bounded-read invariant NearDupScaleSpec pins.
+    */
+  val defaultMaxGenerations = 8
+
+  /** Worst-case generations per hash-partition dir across both
+    * sub-tables — the read-amplification factor of the next candidate
+    * lookup. Pure driver-side listing of a fixed dir domain (≤ 1024 +
+    * 256 partition dirs), no Spark job.
+    */
+  def maxGenerations(spark: SparkSession, stateDir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var worst = 0
+    for (sub <- Seq("buckets", "docs")) {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        def walk(p: org.apache.hadoop.fs.Path): Unit = {
+          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+          val gens = dirs.count(_.getPath.getName.startsWith("ingest="))
+          if (gens > 0) worst = math.max(worst, gens)
+          else dirs.foreach(d => walk(d.getPath))
+        }
+        walk(root)
+      }
+    }
+    worst
+  }
+
+  /** True when the cadence rule says to compact now. */
+  def compactionDue(spark: SparkSession, stateDir: String,
+      maxGen: Int = defaultMaxGenerations): Boolean =
+    maxGenerations(spark, stateDir) >= maxGen
+
+  /** Enforce the cadence: compact iff due. Returns whether compaction
+    * ran. Call between micro-batches (foreachBatch tail) or between
+    * stream runs — see compactState's crash contract for the
+    * cleanly-stopped-stream caveat on compacting uncommitted
+    * generations.
+    */
+  def compactIfDue(spark: SparkSession, stateDir: String,
+      targetFileBytes: Long,
+      maxGen: Int = defaultMaxGenerations): Boolean = {
+    val due = compactionDue(spark, stateDir, maxGen)
+    if (due) compactState(spark, stateDir, targetFileBytes)
+    due
+  }
+
   /** The LSM compaction: every micro-batch appends an
     * `ingest=<batchId>` generation under the hash partitions it
     * touches, so per-batch cost stays O(batch) while GENERATION COUNT
@@ -286,6 +399,7 @@ object NearDupStream {
     */
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
+    ensureLayout(spark, stateDir)
     val conf = spark.sparkContext.hadoopConfiguration
     var parts = 0; var before = 0; var after = 0
     for (sub <- Seq("buckets", "docs")) {
@@ -368,6 +482,7 @@ object NearDupStream {
     */
   def keepDecisions(spark: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
+    ensureLayout(spark, stateDir)
     val docs = readOrEmpty(spark, s"$stateDir/docs", docsSchema)
       .select(col("doc_id")).distinct()
     val outSchema = StructType(Seq(

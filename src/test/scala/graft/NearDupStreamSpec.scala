@@ -110,6 +110,10 @@ class NearDupStreamSpec extends SparkSpecBase {
       .map(id => (id, s"t$id", 1L, id % 256, 0L))
       .toDF("doc_id", "lt", "n_sh", "dbucket", "ingest")
       .write.partitionBy("dbucket", "ingest").parquet(s"$state/docs")
+    // a hand-authored index must carry the layout marker (the version
+    // fail-fast refuses unmarked pre-existing state)
+    Files.write(java.nio.file.Paths.get(state, "_LAYOUT"),
+      NearDupStream.layoutVersion.getBytes("UTF-8"))
     Seq((2L, 1L, 0.9, 0L), (3L, 2L, 0.8, 1L),
         (5L, 2L, 0.7, 2L), (5L, 4L, 0.9, 2L))
       .toDF("new_id", "dup_id", "jaccard", "batch_id")
