@@ -40,7 +40,10 @@ object ScaleCurve {
     // ngram_novelty's (gram, doc)-grain first-occurrence min is the
     // one with real super-linearity potential
     "ann_ivf_auto", "ngram_novelty", "bpe_vocab", "split_balance",
-    "pack_efficiency", "lot_fallback")
+    "pack_efficiency", "lot_fallback",
+    // round-8: the auto-sized LSH face (and the fixed wide face it
+    // replaces as the default, kept to measure its saturation)
+    "ann_lsh_auto", "ann_lsh_multi_wide")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -166,7 +166,7 @@ object Similarity {
   private def planeSqlLit(p: Array[Double]): String =
     p.map(x => if (x == x.floor) f"$x%.1f" else x.toString).mkString("[", ", ", "]")
 
-  private def planeSparkLit(p: Array[Double]): String =
+  private[graft] def planeSparkLit(p: Array[Double]): String =
     p.map(x => s"${x}D").mkString("array(", ", ", ")")
 
   /** ANN via hyperplane LSH: bucket = sign bits of 8 projections;
@@ -334,6 +334,160 @@ object Similarity {
   /** Core on an arbitrary (vec_id, label, embedding) relation. */
   def annLshMultiOn(d: DataFrame): DataFrame =
     annLshCore(d, 4, planesFor)
+
+  // ---- auto-sized multi-table LSH: the DEFAULT production face -------
+
+  /** Target per-bucket occupancy for [[annLshAuto]] — the same knob
+    * role as [[ivfTargetOcc]] plays for the auto-sized IVF face.
+    */
+  private val lshTargetOcc = 8L
+
+  /** Upper bound on auto-sized planes per table (2¹⁶ buckets per table
+    * is past any corpus this rule meets before occupancy ~1; it is also
+    * the fixed width of the pre-generated plane sets below).
+    */
+  private val lshMaxAutoPlanes = 16
+
+  private val lshAutoTables = 4
+
+  /** The sizing rule, applied to hyperplane LSH: planes per table must
+    * be a FUNCTION OF N, never a constant (the narrow 6-plane and wide
+    * 10-plane faces above are both fixed geometries, and both saturate
+    * — per-bucket occupancy grows ∝ N once N exceeds bucket-count ×
+    * occupancy, and the within-bucket candidate term goes ∝ N²).
+    * Smallest p ∈ [1, 16] with 2^p · targetOcc ≥ n, i.e.
+    * p ≈ ⌈log₂(n / targetOcc)⌉: 10× data ⇒ ~3.3 more planes ⇒ ~10×
+    * more buckets ⇒ occupancy (and the quadratic term) stays ~constant
+    * and candidate volume scales ∝ N.
+    */
+  private[graft] def lshAutoPlanes(n: Long): Int = {
+    var p = 1
+    while (p < lshMaxAutoPlanes && (1L << p) * lshTargetOcc < n) p += 1
+    p
+  }
+
+  /** PREFIX-MASKABLE plane sets: each table owns a fixed, deterministic
+    * 16-plane set, and a corpus using p planes hashes with the FIRST p
+    * — equivalently the low-p-bit mask of the full 16-bit bucket. Both
+    * engines can therefore share one static plane literal set while the
+    * WIDTH is derived from the data (the oracle SQL computes the same
+    * p from count(*) and masks the same 16-bit bucket), and growing the
+    * corpus refines existing buckets by splitting instead of rehashing
+    * — the same property a prefix-coded LSM or extendible hash uses.
+    */
+  private[graft] def planesForAuto(table: Int): Seq[Array[Double]] =
+    mkPlanes(lshMaxAutoPlanes, j => s"mta:$table:$j")
+
+  /** The DEFAULT multi-table LSH ANN face: 4 tables whose per-table
+    * plane count is [[lshAutoPlanes]](N) — corpus-derived, exactly as
+    * [[annIvfAuto]] derives its subcell bits — with recall defended
+    * two ways as p grows: the 4-table collide-in-ANY union (unchanged),
+    * and HAMMING-1 BUCKET MULTI-PROBE on the query side — each query
+    * probes its own bucket plus every 1-bit flip of it, so a
+    * near-neighbor is missed in a table only when ≥ 2 of that table's
+    * hyperplanes separate the pair. Probe volume is 4·(p+1) buckets
+    * per vector — log-growth in N, amortized by the occupancy cut it
+    * buys. The only driver-side read is the corpus count that sizes p
+    * (the bounded-collect contract every auto face follows).
+    */
+  def annLshAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = load(spark, sfDir, "embeddings").count()
+    val p = lshAutoPlanes(n)
+    val e = Caching.persistOnce(vecs(spark, sfDir))
+    val tableStructs = (0 until lshAutoTables).map { l =>
+      // first p planes of the fixed 16-plane set = low-p-bit mask
+      val bucket = planesForAuto(l).take(p).zipWithIndex.map { case (pl, j) =>
+        when(expr(s"graft_dot(v, ${planeSparkLit(pl)})") > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(l).as("tbl"), bucket.as("bucket"))
+    }
+    val b = Caching.persistOnce(e.select(col("vec_id"),
+        explode(array(tableStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket")))
+    // query-side probe list: own bucket + every Hamming-1 flip of it
+    val variants = col("bucket") +: (0 until p).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = b.select(col("vec_id").as("a_id"), col("tbl"),
+      explode(array(variants: _*)).as("bucket"))
+    // directional candidates: probes are query-side only, so (a,b) and
+    // (b,a) each arise from their own probe row — no symmetrize step
+    val cand = probes
+      .join(b.select(col("vec_id").as("b_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim", cosine)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("rank"),
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
+    canon(out)
+  }
+
+  /** Oracle: the SAME sizing rule computed in SQL from count(*) (the
+    * geometry is checked semantics, not a hidden constant), masking the
+    * same static 16-plane buckets to the derived width and probing the
+    * same Hamming-1 neighborhood.
+    */
+  val annLshAutoSql: String = {
+    val tables = (0 until lshAutoTables).map { l =>
+      val bucketSql = planesForAuto(l).zipWithIndex.map { case (pl, j) =>
+        s"CASE WHEN list_dot_product(v, ${planeSqlLit(pl)}) > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $l AS tbl, $bucketSql AS bucket16 FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |psel AS (SELECT coalesce(min(pb), $lshMaxAutoPlanes) AS p
+       |         FROM (SELECT unnest(generate_series(1, $lshMaxAutoPlanes))
+       |                 AS pb),
+       |              (SELECT count(*) AS n FROM embeddings)
+       |         WHERE (CAST(1 AS BIGINT) << pb) * $lshTargetOcc >= n),
+       |b16 AS (
+       |  $tables),
+       |b AS (SELECT vec_id, tbl,
+       |        bucket16 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
+       |      FROM b16, psel),
+       |probes AS (
+       |  SELECT vec_id AS a_id, tbl, bucket FROM b
+       |  UNION ALL
+       |  SELECT b.vec_id, b.tbl,
+       |    xor(b.bucket, CAST(1 AS BIGINT) << g.i) AS bucket
+       |  FROM b CROSS JOIN (
+       |    SELECT unnest(generate_series(0, (SELECT p - 1 FROM psel)))
+       |      AS i) g),
+       |cand AS (
+       |  SELECT DISTINCT pr.a_id, q.vec_id AS b_id
+       |  FROM probes pr JOIN b q ON pr.tbl = q.tbl AND pr.bucket = q.bucket
+       |  WHERE pr.a_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    list_dot_product(a.v, x.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))) AS sim
+       |  FROM cand c
+       |  JOIN e a ON c.a_id = a.vec_id
+       |  JOIN e x ON c.b_id = x.vec_id),
+       |ranked AS (
+       |  SELECT a_id, b_id, sim,
+       |    row_number() OVER (PARTITION BY a_id
+       |      ORDER BY sim DESC, b_id ASC) AS rank
+       |  FROM scored)
+       |SELECT a_id AS query_id, b_id AS neighbor_id,
+       |  CAST(rank AS INT) AS rank,
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
+         "sim_micro"))}""".stripMargin
+  }
 
   /** Shared multi-table LSH pipeline, parameterized by plane geometry. */
   private def annLshCore(d: DataFrame, nTables: Int,
@@ -961,6 +1115,7 @@ object Similarity {
     "ann_ivf_auto" -> annIvfAuto,
     "ann_lsh_multi" -> annLshMulti,
     "ann_lsh_multi_wide" -> annLshMultiWide,
+    "ann_lsh_auto" -> annLshAuto,
     "semdedup" -> semDedup)
 
   val oracles: Map[String, String] = Map(
@@ -975,5 +1130,6 @@ object Similarity {
     "ann_ivf_auto" -> annIvfAutoSql,
     "ann_lsh_multi" -> annLshMultiSql,
     "ann_lsh_multi_wide" -> annLshMultiWideSql,
+    "ann_lsh_auto" -> annLshAutoSql,
     "semdedup" -> semDedupSql)
 }

@@ -447,4 +447,86 @@ class LshRecallSpec extends SparkSpecBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("ann_lsh_auto: planes derive from corpus size; occupancy tracks the target at 10x data; recall holds on seeded near-identicals") {
+    import spark.implicits._
+    // the sizing rule: smallest p with 2^p * 8 >= n (p ~ log2(n/8))
+    assert(Similarity.lshAutoPlanes(10) == 1, "tiny corpora floor at 1 plane")
+    assert(Similarity.lshAutoPlanes(100) == 4)
+    assert(Similarity.lshAutoPlanes(1000) == 7)
+    assert(Similarity.lshAutoPlanes(10000) == 11)
+    assert(Similarity.lshAutoPlanes(100000) == 14)
+    assert(Similarity.lshAutoPlanes(Long.MaxValue / 16) == 16, "cap holds")
+
+    // prefix-maskability: the first p planes of the fixed 16-plane set
+    // ARE the p-plane geometry, so growing p refines buckets by
+    // splitting — verify the plane sets are stable and table-distinct
+    assert(Similarity.planesForAuto(0).take(4).map(_.toSeq) ==
+      Similarity.planesForAuto(0).take(4).map(_.toSeq))
+    assert(Similarity.planesForAuto(0).head.toSeq !=
+      Similarity.planesForAuto(1).head.toSeq)
+
+    def corpus(nBase: Int, seed: Int): Seq[(Long, Long, Seq[Double])] = {
+      val rnd = new scala.util.Random(seed)
+      def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+      val bases = (0 until nBase).map(i => (i.toLong, vec()))
+      val dups = bases.take(nBase / 2).map { case (i, v) =>
+        (100000L + i, v.map(x => x + 0.02 * rnd.nextGaussian()))
+      }
+      (bases ++ dups).map { case (id, v) => (id, 0L, v.toSeq) }
+    }
+
+    // occupancy law: avg bucket occupancy stays near the target as the
+    // corpus grows 10x, because p grows with log2(N)
+    def avgOccupancy(rows: Seq[(Long, Long, Seq[Double])]): Double = {
+      graft.plans.VectorExprs.register(spark)
+      val p = Similarity.lshAutoPlanes(rows.size)
+      val e = rows.toDF("vec_id", "label", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucket = Similarity.planesForAuto(0).take(p).zipWithIndex
+        .map { case (pl, j) =>
+          when(expr(s"graft_dot(v, ${Similarity.planeSparkLit(pl)})") > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      e.select(bucket.as("b")).groupBy("b").count()
+        .agg(avg("count")).head.getDouble(0)
+    }
+    val occ1 = avgOccupancy(corpus(80, 11))
+    val occ10 = avgOccupancy(corpus(800, 12))
+    info(f"avg occupancy: 1x=$occ1%.1f 10x=$occ10%.1f (target 8)")
+    assert(occ10 <= 3 * occ1 + 8,
+      f"occupancy must stay ~flat across 10x data, got $occ1%.1f -> $occ10%.1f")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshauto").toString
+    try {
+      corpus(80, 11).toDF("vec_id", "label", "embedding")
+        .write.parquet(s"$dir/embeddings.parquet")
+      graft.plans.VectorExprs.register(spark)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", expr("graft_dot(va, vb)") /
+          (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))))
+        .filter(col("sim") > 0.9)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+        .map(p => pairKey(p._1, p._2)).toSet
+      assert(truth.size == 40, s"expected 40 seeded dup pairs, got ${truth.size}")
+      val found = Similarity.annLshAuto(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .map(p => pairKey(p._1, p._2)).toSet
+      val recall = truth.count(found).toDouble / truth.size
+      info(f"ann_lsh_auto recall: $recall%.3f over ${truth.size} true pairs")
+      // near-identical pairs flip a plane only when it passes between
+      // them; 4 tables + Hamming-1 probing make a miss need >= 2 flips
+      // in EVERY table
+      assert(recall >= 0.9,
+        f"auto recall $recall%.3f below floor 0.9")
+      spark.catalog.clearCache()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
