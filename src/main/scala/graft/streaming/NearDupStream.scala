@@ -141,43 +141,16 @@ object NearDupStream {
     */
   private[graft] val layoutVersion =
     "graft-neardup-v2 buckets=(band_idx,bpfx,ingest):4x256 docs=(dbucket=pmod256,ingest)"
-  private val layoutMarker = "_LAYOUT"
 
-  private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = root.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(root, layoutMarker)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val found =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      require(found == layoutVersion,
-        s"near-dup index at $stateDir has layout '$found' but this build " +
-          s"expects '$layoutVersion' — refusing to read it (silent " +
-          "mis-pruning); recompact/migrate the index or point at a fresh dir")
-    } else {
-      val preExisting = Seq("buckets", "docs").exists(s =>
-        fs.exists(new org.apache.hadoop.fs.Path(root, s)))
-      require(!preExisting,
-        s"near-dup index at $stateDir predates layout markers (no " +
-          s"$layoutMarker file) — refusing to guess its layout; migrate it " +
-          "or point at a fresh dir")
-      fs.mkdirs(root)
-      val out = fs.create(marker, false)
-      try out.write(layoutVersion.getBytes("UTF-8")) finally out.close()
-    }
-  }
+  private val subTables = Seq(
+    LsmIndex.Sub("buckets", bucketsSchema, Seq("band_idx", "bpfx")),
+    LsmIndex.Sub("docs", docsSchema, Seq("dbucket")))
+
+  private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit =
+    LsmIndex.ensureLayout(spark, stateDir, layoutVersion, subTables.map(_.name))
 
   private def readOrEmpty(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+      schema: StructType): DataFrame = LsmIndex.readOrEmpty(spark, dir, schema)
 
   /** Check one micro-batch against the index, emit verified pairs to
     * `outDir/batch_id=<id>/`, and fold the batch into the index.
@@ -335,24 +308,8 @@ object NearDupStream {
     * lookup. Pure driver-side listing of a fixed dir domain (≤ 1024 +
     * 256 partition dirs), no Spark job.
     */
-  def maxGenerations(spark: SparkSession, stateDir: String): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    var worst = 0
-    for (sub <- Seq("buckets", "docs")) {
-      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-      val fs = root.getFileSystem(conf)
-      if (fs.exists(root)) {
-        def walk(p: org.apache.hadoop.fs.Path): Unit = {
-          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
-          val gens = dirs.count(_.getPath.getName.startsWith("ingest="))
-          if (gens > 0) worst = math.max(worst, gens)
-          else dirs.foreach(d => walk(d.getPath))
-        }
-        walk(root)
-      }
-    }
-    worst
-  }
+  def maxGenerations(spark: SparkSession, stateDir: String): Int =
+    LsmIndex.maxGenerations(spark, stateDir, subTables.map(_.name))
 
   /** True when the cadence rule says to compact now. */
   def compactionDue(spark: SparkSession, stateDir: String,
@@ -400,64 +357,7 @@ object NearDupStream {
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
     ensureLayout(spark, stateDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    var parts = 0; var before = 0; var after = 0
-    for (sub <- Seq("buckets", "docs")) {
-      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-      val fs = root.getFileSystem(conf)
-      if (fs.exists(root)) {
-        // hash-partition dirs = parents of ingest=* generation dirs
-        def partDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
-          if (dirs.exists(_.getPath.getName.startsWith("ingest="))) Seq(p)
-          else dirs.flatMap(d => partDirs(d.getPath))
-        }
-        def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-          val st = fs.listStatus(p).toSeq
-          st.filter(s => s.isFile && s.getPath.getName.startsWith("part-")) ++
-            st.filter(_.isDirectory).flatMap(d => dataFiles(d.getPath))
-        }
-        val fragmented = partDirs(root)
-          .map(pd => dataFiles(pd).size).count(_ >= minFiles)
-        if (fragmented > 0) {
-          val files = dataFiles(root)
-          val (schema, hashCols) = sub match {
-            case "buckets" => (bucketsSchema, Seq("band_idx", "bpfx"))
-            case _ => (docsSchema, Seq("dbucket"))
-          }
-          val dataCols =
-            schema.fieldNames.toSeq.filterNot(hashCols.contains)
-              .filterNot(_ == "ingest")
-          val src = spark.read.schema(schema).parquet(root.toString)
-            .select((dataCols ++ hashCols).map(col): _*).distinct()
-          val expected = src.count()
-          val totalBytes = files.map(_.getLen).sum
-          val nOut = math.max(1L,
-            (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-          val staging =
-            new org.apache.hadoop.fs.Path(s"$stateDir/${sub}_compact_staging")
-          val retired =
-            new org.apache.hadoop.fs.Path(s"$stateDir/${sub}_pre_compact")
-          fs.delete(staging, true); fs.delete(retired, true)
-          // repartition on the hash columns so each partition dir gets
-          // ~one file per output task that holds it, not task-count many
-          src.repartition(nOut, hashCols.map(col): _*)
-            .withColumn("ingest", lit(-1L))
-            .write.partitionBy((hashCols :+ "ingest"): _*)
-            .parquet(staging.toString)
-          val got = spark.read.schema(schema).parquet(staging.toString).count()
-          require(got == expected,
-            s"compaction staging lost rows ($got != $expected) for $root; " +
-              "original untouched")
-          require(fs.rename(root, retired), s"rename $root -> $retired failed")
-          require(fs.rename(staging, root), s"rename $staging -> $root failed")
-          fs.delete(retired, true)
-          parts += fragmented; before += files.size
-          after += dataFiles(root).size
-        }
-      }
-    }
-    (parts, before, after)
+    LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
   }
 
   /** The KEEP/DROP policy view a training-data writer consumes: one

@@ -1,0 +1,339 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection for EMBEDDINGS at ingestion: the streaming
+  * face of the auto-sized multi-table hyperplane LSH
+  * (operators.Similarity.annLshAuto) — vectors arrive in micro-batches,
+  * each batch is checked against an incrementally-maintained LSH index
+  * of everything seen so far, and cosine-verified near-dup pairs are
+  * emitted as they are discovered. This is the embedding-level dedup
+  * gate a training-data pipeline runs beside the text gate
+  * ([[NearDupStream]]): catch semantic duplicates (re-encodes,
+  * paraphrases, mirrored pages) the shingle-based gate cannot see,
+  * without ever re-scanning the accumulated corpus.
+  *
+  * THE PREFIX-MASKABLE INDEX IS THE SCALE STORY. A fixed-width LSH
+  * index saturates as the corpus grows (occupancy ∝ N ⇒ within-bucket
+  * candidates ∝ N² — measured for the batch faces in SCALING.md), but
+  * a growing stream cannot rehash its accumulated state every time the
+  * right width changes. So the index stores the FULL 16-bit bucket of
+  * each vector under every table's fixed plane set
+  * (Similarity.planesForAuto — the same deterministic planes the batch
+  * face uses), and each READ masks those stored values down to
+  * p = lshAutoPlanes(N) bits for the CURRENT corpus size: growing N
+  * refines existing buckets by bit-extension, never by rehashing, the
+  * extendible-hashing property applied to LSH. Directory layout uses
+  * the LOW BYTE of the stored bucket (`bpfx` = bucket16 & 255) as the
+  * hash-partition key, which is a prefix of every mask wider than 8
+  * bits — so directory pruning stays exact at production widths and
+  * merely widens (2^(8−p) dirs per probe) for tiny corpora.
+  *
+  * Everything else follows the document gate's contracts: LSM
+  * `ingest=` generations (O(batch) writes, no state reads on the write
+  * path), batchId-keyed dynamic-overwrite emissions (idempotent
+  * retries), candidate-bounded verification with bounded id-pushdown
+  * collect and a distributed semi-join fallback, `_LAYOUT` fail-fast
+  * versioning, and the compaction cadence rule (read amplification ≤ G
+  * generations per touched partition dir).
+  */
+object VecDupStream {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType)),
+    StructField("source", StringType)))
+
+  /** Stored layouts: data columns + hash partition dirs + the ingest
+    * generation dir.
+    */
+  private val bucketsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("bucket16", LongType),
+    StructField("tbl", IntegerType),
+    StructField("bpfx", LongType),
+    StructField("ingest", LongType)))
+
+  private val vecsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("nrm", DoubleType),
+    StructField("vbucket", LongType),
+    StructField("ingest", LongType)))
+
+  private val subTables = Seq(
+    LsmIndex.Sub("buckets", bucketsSchema, Seq("tbl", "bpfx")),
+    LsmIndex.Sub("vecs", vecsSchema, Seq("vbucket")))
+
+  private[graft] val layoutVersion =
+    "graft-vecdup-v1 buckets=(tbl,bpfx=low8(bucket16),ingest):4x256 " +
+      "prefix-maskable16 vecs=(vbucket=pmod256,ingest)"
+
+  /** Cosine floor for emitting a verified pair. */
+  private val simFloor = 0.9
+
+  private val nTables = 4
+  private val nVecBuckets = 256
+
+  /** Largest candidate-id set the verify read collects and pushes down
+    * as a vec_id IN (...) parquet predicate; above it verification
+    * falls back to a vbucket-pruned semi-join (same contract as
+    * NearDupStream.verifyIdPushdownMax).
+    */
+  private val verifyIdPushdownMax = 65536
+
+  val defaultMaxGenerations: Int = NearDupStream.defaultMaxGenerations
+
+  private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit =
+    LsmIndex.ensureLayout(spark, stateDir, layoutVersion, subTables.map(_.name))
+
+  def maxGenerations(spark: SparkSession, stateDir: String): Int =
+    LsmIndex.maxGenerations(spark, stateDir, subTables.map(_.name))
+
+  def compactionDue(spark: SparkSession, stateDir: String,
+      maxGen: Int = defaultMaxGenerations): Boolean =
+    maxGenerations(spark, stateDir) >= maxGen
+
+  def compactIfDue(spark: SparkSession, stateDir: String,
+      targetFileBytes: Long,
+      maxGen: Int = defaultMaxGenerations): Boolean = {
+    val due = compactionDue(spark, stateDir, maxGen)
+    if (due) compactState(spark, stateDir, targetFileBytes)
+    due
+  }
+
+  def compactState(spark: SparkSession, stateDir: String,
+      targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
+    ensureLayout(spark, stateDir)
+    LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
+  }
+
+  /** Full-width (16-bit) bucket rows of a (vec_id, embedding) relation:
+    * one row per (vector, table) under the SAME fixed plane sets as the
+    * batch face, so the stored signatures never depend on the read
+    * width.
+    */
+  private def bucketRel(d: DataFrame): DataFrame = {
+    graft.plans.VectorExprs.register(d.sparkSession)
+    val base = d.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tableStructs = (0 until nTables).map { l =>
+      val bucket = graft.operators.Similarity.planesForAuto(l).zipWithIndex
+        .map { case (pl, j) =>
+          when(expr(
+            s"graft_dot(v, ${graft.operators.Similarity.planeSparkLit(pl)})") > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      struct(lit(l).as("tbl"), bucket.as("bucket16"))
+    }
+    base.select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket16").as("bucket16"))
+      .withColumn("bpfx", col("bucket16").bitwiseAND(lit(255L)))
+  }
+
+  /** Verify side-table rows of a (vec_id, embedding) relation. */
+  private def sigRel(d: DataFrame): DataFrame = {
+    graft.plans.VectorExprs.register(d.sparkSession)
+    d.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .withColumn("vbucket", pmod(col("vec_id"), lit(nVecBuckets)))
+  }
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = LsmIndex.readOrEmpty(spark, dir, schema)
+
+  /** The `bpfx` dirs a query bucket's Hamming-1 probe set can land in,
+    * at read width p. Flips at bit positions < min(p, 8) change the low
+    * byte; flips at ≥ 8 do not. For p < 8 the mask is coarser than the
+    * dir key, so every dir whose low p bits match a probe is included
+    * (2^(8−p) dirs per probe — only ever at tiny corpora).
+    */
+  private[streaming] def probeDirs(b255: Long, p: Int): Seq[Long] = {
+    val maskP = (1L << p) - 1
+    val qm = b255 & maskP
+    val probesLow = qm +: (0 until math.min(p, 8)).map(i => qm ^ (1L << i))
+    if (p >= 8) probesLow.distinct
+    else {
+      val targets = probesLow.toSet
+      (0L until 256L).filter(y => targets.contains(y & maskP))
+    }
+  }
+
+  /** Check one micro-batch against the index, emit verified pairs to
+    * `outDir/batch_id=<id>/`, and fold the batch into the index. Same
+    * crash/idempotence contract as NearDupStream.applyBatch: emissions
+    * land first, each fold dynamic-overwrites only its own
+    * `ingest=<batchId>` generation, re-application converges.
+    */
+  def applyBatch(spark: SparkSession, stateDir: String, outDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    ensureLayout(spark, stateDir)
+    val bucketsDir = s"$stateDir/buckets"
+    val vecsDir = s"$stateDir/vecs"
+    val b = bucketRel(batch).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dNew = sigRel(batch).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // READ WIDTH for this batch: p from the corpus size AFTER this
+      // batch lands. The stored-row count is parquet-metadata work
+      // (count-star over footers), never a data scan; ÷ nTables because
+      // each vector stores one row per table. Generations hold
+      // duplicates only from re-delivered-then-compacted anomalies, a
+      // bounded overcount that can only make p (log₂) conservative.
+      val batchN = dNew.count()
+      val storedN =
+        readOrEmpty(spark, bucketsDir, bucketsSchema).count() / nTables
+      val p = graft.operators.Similarity.lshAutoPlanes(storedN + batchN)
+      val maskP = (1L << p) - 1
+      // touched (tbl, bpfx) dir shortlist: batch dirs expanded by the
+      // Hamming-1 probe reach — ≤ 9 dirs per (vector, table) at p ≥ 8,
+      // capped by the fixed 4 × 256 domain; a fixed-size driver list
+      val touched = b.select(col("tbl"), col("bpfx")).distinct()
+        .collect().flatMap(r =>
+          probeDirs(r.getLong(1), p).map(d => s"${r.getInt(0)}/$d"))
+        .distinct.toSeq
+      val oldBuckets = readOrEmpty(spark, bucketsDir, bucketsSchema)
+        .filter(concat_ws("/", col("tbl"), col("bpfx")).isin(touched: _*))
+      // known = stored ∪ within-batch, masked to the CURRENT width —
+      // state written at any earlier width reads correctly because the
+      // mask is applied at read time (the prefix-maskable property)
+      val known = oldBuckets.select(col("tbl"),
+          col("bucket16").bitwiseAND(lit(maskP)).as("mb"), col("vec_id"))
+        .unionByName(b.select(col("tbl"),
+          col("bucket16").bitwiseAND(lit(maskP)).as("mb"), col("vec_id")))
+      // query-side probes: own masked bucket + every Hamming-1 flip
+      val variants = col("mb") +: (0 until p).map(i =>
+        col("mb").bitwiseXOR(lit(1L << i)))
+      val probes = b.select(col("vec_id").as("new_id"), col("tbl"),
+          col("bucket16").bitwiseAND(lit(maskP)).as("mb"))
+        .select(col("new_id"), col("tbl"),
+          explode(array(variants: _*)).as("mb"))
+      val cand = probes.join(known,
+          probes("tbl") === known("tbl") && probes("mb") === known("mb") &&
+            known("vec_id") < probes("new_id"))
+        .select(col("new_id"), known("vec_id").as("dup_id"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // verify with true cosine before emitting; dup-side reads are
+        // candidate-bounded (vbucket dir prune + bounded id pushdown,
+        // semi-join fallback), batch ids anti-joined out of the stored
+        // leg so a vec_id in both legs yields exactly one verify row
+        val dupIds = cand.select(col("dup_id")).distinct()
+        val idSample = dupIds.limit(verifyIdPushdownMax + 1)
+          .collect().map(_.getLong(0))
+        val dupBase = readOrEmpty(spark, vecsDir, vecsSchema)
+        val dupSide =
+          if (idSample.length <= verifyIdPushdownMax) {
+            val vbs = idSample.map(i => Math.floorMod(i, nVecBuckets.toLong))
+              .distinct.toSeq
+            dupBase.filter(col("vbucket").isin(vbs: _*) &&
+              col("vec_id").isin(idSample.toSeq: _*))
+          } else {
+            val dupVb = dupIds
+              .select(pmod(col("dup_id"), lit(nVecBuckets)).as("vbucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
+            dupBase.filter(col("vbucket").isin(dupVb: _*))
+              .join(dupIds, col("vec_id") === col("dup_id"), "left_semi")
+          }
+        val dupVecs = dupSide
+          .select(col("vec_id"), col("v"), col("nrm")).distinct()
+          .join(dNew.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(dNew.select(col("vec_id"), col("v"), col("nrm")))
+        val flagged = cand
+          .join(dNew.select(col("vec_id").as("new_id"), col("v").as("va"),
+            col("nrm").as("na")), Seq("new_id"))
+          .join(dupVecs.select(col("vec_id").as("dup_id"),
+            col("v").as("vb"), col("nrm").as("nb")), Seq("dup_id"))
+          .withColumn("sim",
+            expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+          .filter(col("sim") >= simFloor)
+          .select(col("new_id"), col("dup_id"),
+            floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
+        flagged.withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      } finally cand.unpersist()
+      b.withColumn("ingest", lit(batchId))
+        .write.partitionBy("tbl", "bpfx", "ingest")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(bucketsDir)
+      dNew.withColumn("ingest", lit(batchId))
+        .write.partitionBy("vbucket", "ingest")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(vecsDir)
+    } finally { b.unpersist(); dNew.unpersist() }
+    ()
+  }
+
+  /** KEEP/DROP policy view: one row per indexed vector, `drop` iff it
+    * was flagged against an earlier vector; kept_id chain-resolved to a
+    * keep-verdict representative exactly as
+    * [[NearDupStream.keepDecisions]] (dup_id < new_id makes the
+    * min-partner map strictly decreasing, so pointer jumping converges
+    * on a flag-free vector).
+    */
+  def keepDecisions(spark: SparkSession, stateDir: String,
+      outDir: String): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val vecs = readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
+      .select(col("vec_id")).distinct()
+    val outSchema = StructType(Seq(
+      StructField("new_id", LongType),
+      StructField("dup_id", LongType),
+      StructField("sim_micro", LongType),
+      StructField("batch_id", LongType)))
+    var cur = readOrEmpty(spark, outDir, outSchema)
+      .groupBy(col("new_id").as("vec_id"))
+      .agg(min(col("dup_id")).as("kept_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var done = false
+    while (!done) {
+      val jumped = cur.as("a")
+        .join(cur.select(col("vec_id").as("kept_id"),
+          col("kept_id").as("jump")).as("b"), Seq("kept_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("jump"), col("kept_id")).as("kept_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      jumped.count()
+      done = jumped.as("a")
+        .join(jumped.select(col("vec_id")).as("b"),
+          col("a.kept_id") === col("b.vec_id"), "left_semi")
+        .isEmpty
+      cur.unpersist()
+      cur = jumped
+    }
+    vecs.join(cur, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("kept_id").isNull, lit("keep")).otherwise(lit("drop"))
+          .as("verdict"),
+        col("kept_id"))
+  }
+
+  /** File-source streaming runner: watch `sourceDir` for embedding
+    * parquet and run each micro-batch through the ingestion gate.
+    */
+  def start(spark: SparkSession, sourceDir: String, stateDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(vecSchema)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(spark, stateDir, outDir, batch, id)
+      }
+      .start()
+  }
+}
