@@ -342,11 +342,17 @@ object Similarity {
     */
   private val lshTargetOcc = 8L
 
-  /** Upper bound on auto-sized planes per table (2¹⁶ buckets per table
-    * is past any corpus this rule meets before occupancy ~1; it is also
-    * the fixed width of the pre-generated plane sets below).
+  /** Upper bound on auto-sized planes per table — the fixed width of
+    * the pre-generated plane sets below. 32 (round 8, was 16): the
+    * sizing rule wants p = ⌈log₂(N/occ)⌉ ≈ 27 at 10⁹ vectors, so a
+    * 16-bit ceiling re-entered quadratic growth at N ≈ occ·2¹⁶ ≈ 5×10⁵
+    * — measured in SCALING.md's crossover table. At 32 the cap binds
+    * only past ~3×10¹⁰ vectors. Cost of the width is the ONE-OFF
+    * signature computation (32 dots per table instead of 16) on the
+    * write path; reads mask to the corpus-derived p and never touch
+    * the unused high bits.
     */
-  private val lshMaxAutoPlanes = 16
+  private val lshMaxAutoPlanes = 32
 
   private val lshAutoTables = 4
 
@@ -367,11 +373,11 @@ object Similarity {
   }
 
   /** PREFIX-MASKABLE plane sets: each table owns a fixed, deterministic
-    * 16-plane set, and a corpus using p planes hashes with the FIRST p
-    * — equivalently the low-p-bit mask of the full 16-bit bucket. Both
+    * 32-plane set, and a corpus using p planes hashes with the FIRST p
+    * — equivalently the low-p-bit mask of the full 32-bit bucket. Both
     * engines can therefore share one static plane literal set while the
     * WIDTH is derived from the data (the oracle SQL computes the same
-    * p from count(*) and masks the same 16-bit bucket), and growing the
+    * p from count(*) and masks the same 32-bit bucket), and growing the
     * corpus refines existing buckets by splitting instead of rehashing
     * — the same property a prefix-coded LSM or extendible hash uses.
     */
@@ -395,7 +401,7 @@ object Similarity {
     val p = lshAutoPlanes(n)
     val e = Caching.persistOnce(vecs(spark, sfDir))
     val tableStructs = (0 until lshAutoTables).map { l =>
-      // first p planes of the fixed 16-plane set = low-p-bit mask
+      // first p planes of the fixed 32-plane set = low-p-bit mask
       val bucket = planesForAuto(l).take(p).zipWithIndex.map { case (pl, j) =>
         when(expr(s"graft_dot(v, ${planeSparkLit(pl)})") > 0, lit(1L << j))
           .otherwise(lit(0L))
@@ -436,7 +442,7 @@ object Similarity {
 
   /** Oracle: the SAME sizing rule computed in SQL from count(*) (the
     * geometry is checked semantics, not a hidden constant), masking the
-    * same static 16-plane buckets to the derived width and probing the
+    * same static 32-plane buckets to the derived width and probing the
     * same Hamming-1 neighborhood.
     */
   val annLshAutoSql: String = {
@@ -445,7 +451,7 @@ object Similarity {
         s"CASE WHEN list_dot_product(v, ${planeSqlLit(pl)}) > 0 " +
           s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
       }.mkString(" + ")
-      s"SELECT vec_id, $l AS tbl, $bucketSql AS bucket16 FROM e"
+      s"SELECT vec_id, $l AS tbl, $bucketSql AS bucket32 FROM e"
     }.mkString("\n  UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |psel AS (SELECT coalesce(min(pb), $lshMaxAutoPlanes) AS p
@@ -453,11 +459,11 @@ object Similarity {
        |                 AS pb),
        |              (SELECT count(*) AS n FROM embeddings)
        |         WHERE (CAST(1 AS BIGINT) << pb) * $lshTargetOcc >= n),
-       |b16 AS (
+       |b32 AS (
        |  $tables),
        |b AS (SELECT vec_id, tbl,
-       |        bucket16 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
-       |      FROM b16, psel),
+       |        bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
+       |      FROM b32, psel),
        |probes AS (
        |  SELECT vec_id AS a_id, tbl, bucket FROM b
        |  UNION ALL

@@ -20,14 +20,14 @@ import org.apache.spark.sql.types._
   * index saturates as the corpus grows (occupancy ∝ N ⇒ within-bucket
   * candidates ∝ N² — measured for the batch faces in SCALING.md), but
   * a growing stream cannot rehash its accumulated state every time the
-  * right width changes. So the index stores the FULL 16-bit bucket of
+  * right width changes. So the index stores the FULL 32-bit bucket of
   * each vector under every table's fixed plane set
   * (Similarity.planesForAuto — the same deterministic planes the batch
   * face uses), and each READ masks those stored values down to
   * p = lshAutoPlanes(N) bits for the CURRENT corpus size: growing N
   * refines existing buckets by bit-extension, never by rehashing, the
   * extendible-hashing property applied to LSH. Directory layout uses
-  * the LOW BYTE of the stored bucket (`bpfx` = bucket16 & 255) as the
+  * the LOW BYTE of the stored bucket (`bpfx` = bucket32 & 255) as the
   * hash-partition key, which is a prefix of every mask wider than 8
   * bits — so directory pruning stays exact at production widths and
   * merely widens (2^(8−p) dirs per probe) for tiny corpora.
@@ -52,7 +52,7 @@ object VecDupStream {
     */
   private val bucketsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
-    StructField("bucket16", LongType),
+    StructField("bucket32", LongType),
     StructField("tbl", IntegerType),
     StructField("bpfx", LongType),
     StructField("ingest", LongType)))
@@ -69,8 +69,8 @@ object VecDupStream {
     LsmIndex.Sub("vecs", vecsSchema, Seq("vbucket")))
 
   private[graft] val layoutVersion =
-    "graft-vecdup-v1 buckets=(tbl,bpfx=low8(bucket16),ingest):4x256 " +
-      "prefix-maskable16 vecs=(vbucket=pmod256,ingest)"
+    "graft-vecdup-v1 buckets=(tbl,bpfx=low8(bucket32),ingest):4x256 " +
+      "prefix-maskable32 vecs=(vbucket=pmod256,ingest)"
 
   /** Cosine floor for emitting a verified pair. */
   private val simFloor = 0.9
@@ -111,7 +111,7 @@ object VecDupStream {
     LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
   }
 
-  /** Full-width (16-bit) bucket rows of a (vec_id, embedding) relation:
+  /** Full-width (32-bit) bucket rows of a (vec_id, embedding) relation:
     * one row per (vector, table) under the SAME fixed plane sets as the
     * batch face, so the stored signatures never depend on the read
     * width.
@@ -127,12 +127,12 @@ object VecDupStream {
             s"graft_dot(v, ${graft.operators.Similarity.planeSparkLit(pl)})") > 0,
             lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
-      struct(lit(l).as("tbl"), bucket.as("bucket16"))
+      struct(lit(l).as("tbl"), bucket.as("bucket32"))
     }
     base.select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"),
-        col("tb.bucket16").as("bucket16"))
-      .withColumn("bpfx", col("bucket16").bitwiseAND(lit(255L)))
+        col("tb.bucket32").as("bucket32"))
+      .withColumn("bpfx", col("bucket32").bitwiseAND(lit(255L)))
   }
 
   /** Verify side-table rows of a (vec_id, embedding) relation. */
@@ -205,14 +205,14 @@ object VecDupStream {
       // state written at any earlier width reads correctly because the
       // mask is applied at read time (the prefix-maskable property)
       val known = oldBuckets.select(col("tbl"),
-          col("bucket16").bitwiseAND(lit(maskP)).as("mb"), col("vec_id"))
+          col("bucket32").bitwiseAND(lit(maskP)).as("mb"), col("vec_id"))
         .unionByName(b.select(col("tbl"),
-          col("bucket16").bitwiseAND(lit(maskP)).as("mb"), col("vec_id")))
+          col("bucket32").bitwiseAND(lit(maskP)).as("mb"), col("vec_id")))
       // query-side probes: own masked bucket + every Hamming-1 flip
       val variants = col("mb") +: (0 until p).map(i =>
         col("mb").bitwiseXOR(lit(1L << i)))
       val probes = b.select(col("vec_id").as("new_id"), col("tbl"),
-          col("bucket16").bitwiseAND(lit(maskP)).as("mb"))
+          col("bucket32").bitwiseAND(lit(maskP)).as("mb"))
         .select(col("new_id"), col("tbl"),
           explode(array(variants: _*)).as("mb"))
       val cand = probes.join(known,

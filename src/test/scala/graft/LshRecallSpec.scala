@@ -456,9 +456,11 @@ class LshRecallSpec extends SparkSpecBase {
     assert(Similarity.lshAutoPlanes(1000) == 7)
     assert(Similarity.lshAutoPlanes(10000) == 11)
     assert(Similarity.lshAutoPlanes(100000) == 14)
-    assert(Similarity.lshAutoPlanes(Long.MaxValue / 16) == 16, "cap holds")
+    // the width a 100 TB corpus actually asks for fits the 32-plane sets
+    assert(Similarity.lshAutoPlanes(1000000000L) == 27)
+    assert(Similarity.lshAutoPlanes(Long.MaxValue / 16) == 32, "cap holds")
 
-    // prefix-maskability: the first p planes of the fixed 16-plane set
+    // prefix-maskability: the first p planes of the fixed 32-plane set
     // ARE the p-plane geometry, so growing p refines buckets by
     // splitting — verify the plane sets are stable and table-distinct
     assert(Similarity.planesForAuto(0).take(4).map(_.toSeq) ==
