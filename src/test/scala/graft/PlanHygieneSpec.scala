@@ -240,4 +240,20 @@ class PlanHygieneSpec extends SparkSpecBase {
       p.contains("ShingleOverlap"),
       "candidate-only verify kernel missing from the plan")
   }
+
+  test("ann_lsh_auto: equi (tbl, bucket) candidate join with the native dot kernel — no cross product, cached relations reused") {
+    val p = plan("ann_lsh_auto")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (tbl, bucket) equi-join, " +
+        "never an all-pairs product")
+    assert(p.contains("graft_dot") || p.contains("DotProduct"),
+      "native dot kernel missing — scoring fell back to HOF lambdas")
+    // the vector and bucket relations each feed both sides of a
+    // self-join; without InMemoryRelation reuse every plane dot and
+    // norm would compute twice
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "persisted self-join inputs missing from the plan")
+    spark.catalog.clearCache()
+  }
 }
