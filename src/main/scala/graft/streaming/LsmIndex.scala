@@ -27,11 +27,15 @@ import org.apache.spark.sql.types.StructType
 private[streaming] object LsmIndex {
 
   /** One sub-table of an LSM state root: its dir name, full stored
-    * schema (data + hash partition columns + `ingest`), and the hash
-    * partition columns (everything but `ingest` that partitions dirs).
+    * schema (data + hash partition columns + `ingest`), the hash
+    * partition columns (everything but `ingest` that partitions dirs),
+    * and optional within-file sort columns — declared here so
+    * compaction PRESERVES the sort the stream's folds establish (tight
+    * parquet row-group stats are what keep point-lookup pushdown
+    * candidate-bounded on the merged files).
     */
   final case class Sub(name: String, schema: StructType,
-      hashCols: Seq[String])
+      hashCols: Seq[String], sortCols: Seq[String] = Nil)
 
   private val layoutMarker = "_LAYOUT"
 
@@ -150,9 +154,15 @@ private[streaming] object LsmIndex {
             s"$stateDir/${sub.name}_pre_compact")
           fs.delete(staging, true); fs.delete(retired, true)
           // repartition on the hash columns so each partition dir gets
-          // ~one file per output task that holds it, not task-count many
-          src.repartition(nOut, sub.hashCols.map(col): _*)
-            .withColumn("ingest", lit(-1L))
+          // ~one file per output task that holds it, not task-count
+          // many; re-establish the declared within-file sort so merged
+          // row groups keep tight stats
+          val parted = src.repartition(nOut, sub.hashCols.map(col): _*)
+          val sorted =
+            if (sub.sortCols.isEmpty) parted
+            else parted.sortWithinPartitions(
+              (sub.hashCols ++ sub.sortCols).map(col): _*)
+          sorted.withColumn("ingest", lit(-1L))
             .write.partitionBy((sub.hashCols :+ "ingest"): _*)
             .parquet(staging.toString)
           val got =

@@ -144,7 +144,10 @@ object NearDupStream {
 
   private val subTables = Seq(
     LsmIndex.Sub("buckets", bucketsSchema, Seq("band_idx", "bpfx")),
-    LsmIndex.Sub("docs", docsSchema, Seq("dbucket")))
+    // docs sorted by doc_id within files: the verify read's doc_id IN
+    // pushdown prunes at row-group grain on compacted files
+    LsmIndex.Sub("docs", docsSchema, Seq("dbucket"),
+      sortCols = Seq("doc_id")))
 
   private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit =
     LsmIndex.ensureLayout(spark, stateDir, layoutVersion, subTables.map(_.name))

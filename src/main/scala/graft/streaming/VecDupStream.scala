@@ -66,7 +66,8 @@ object VecDupStream {
 
   private val subTables = Seq(
     LsmIndex.Sub("buckets", bucketsSchema, Seq("tbl", "bpfx")),
-    LsmIndex.Sub("vecs", vecsSchema, Seq("vbucket")))
+    LsmIndex.Sub("vecs", vecsSchema, Seq("vbucket"),
+      sortCols = Seq("vec_id")))
 
   private[graft] val layoutVersion =
     "graft-vecdup-v1 buckets=(tbl,bpfx=low8(bucket32),ingest):4x256 " +
@@ -147,6 +148,40 @@ object VecDupStream {
   private def readOrEmpty(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = LsmIndex.readOrEmpty(spark, dir, schema)
 
+  /** Per-generation vector-count markers under `stateDir/ncount/`: one
+    * tiny file per ingested batch holding that batch's vector count.
+    * The read width p needs the CURRENT indexed count every batch, and
+    * counting the bucket sub-table would scan data proportional to the
+    * index (Spark does not serve count(*) from parquet footers by
+    * default) — breaking the O(batch) probe-cost contract. The markers
+    * make the sizing read O(generations) driver-side file reads: tiny,
+    * and bounded by the compaction cadence. A re-delivered batch
+    * OVERWRITES its own marker (idempotent); a crash between the fold
+    * and the marker write undercounts until the retry heals it, which
+    * can only make p conservative (sizing is log₂). Compaction leaves
+    * `ncount/` untouched — merged data keeps its logical count.
+    */
+  private def writeCountMarker(spark: SparkSession, stateDir: String,
+      batchId: Long, n: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/ncount")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val f = new org.apache.hadoop.fs.Path(dir, s"ingest=$batchId")
+    val out = fs.create(f, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def storedCount(spark: SparkSession, stateDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/ncount")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }.sum
+  }
+
   /** The `bpfx` dirs a query bucket's Hamming-1 probe set can land in,
     * at read width p. Flips at bit positions < min(p, 8) change the low
     * byte; flips at ≥ 8 do not. For p < 8 the mask is coarser than the
@@ -182,14 +217,12 @@ object VecDupStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // READ WIDTH for this batch: p from the corpus size AFTER this
-      // batch lands. The stored-row count is parquet-metadata work
-      // (count-star over footers), never a data scan; ÷ nTables because
-      // each vector stores one row per table. Generations hold
-      // duplicates only from re-delivered-then-compacted anomalies, a
-      // bounded overcount that can only make p (log₂) conservative.
+      // batch lands. The stored count comes from the per-generation
+      // ncount markers — O(generations) tiny driver reads, never a
+      // data scan (the O(batch) probe-cost contract VecDupScaleSpec
+      // pins would break if sizing scanned the index).
       val batchN = dNew.count()
-      val storedN =
-        readOrEmpty(spark, bucketsDir, bucketsSchema).count() / nTables
+      val storedN = storedCount(spark, stateDir)
       val p = graft.operators.Similarity.lshAutoPlanes(storedN + batchN)
       val maskP = (1L << p) - 1
       // touched (tbl, bpfx) dir shortlist: batch dirs expanded by the
@@ -266,10 +299,16 @@ object VecDupStream {
         .write.partitionBy("tbl", "bpfx", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(bucketsDir)
+      // sorted by vec_id within each partition file so parquet
+      // row-group stats stay tight: at production file sizes the
+      // verify read's vec_id IN pushdown prunes row groups, keeping
+      // verify IO tracking the candidate set rather than the corpus
       dNew.withColumn("ingest", lit(batchId))
+        .sortWithinPartitions(col("vbucket"), col("vec_id"))
         .write.partitionBy("vbucket", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(vecsDir)
+      writeCountMarker(spark, stateDir, batchId, batchN)
     } finally { b.unpersist(); dNew.unpersist() }
     ()
   }
