@@ -109,7 +109,27 @@ object VecDupStream {
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
     ensureLayout(spark, stateDir)
-    LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
+    val r = LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
+    // consolidate the per-generation count markers too — otherwise the
+    // sizing read's file count grows one-per-batch forever. The merged
+    // marker takes the compacted generation's id (-1); a batch
+    // re-delivered AFTER its marker was merged re-writes its own file,
+    // double-counting that batch until the next consolidation — a
+    // bounded overcount in a log₂ sizing input, same tolerance as the
+    // data-side re-delivery-after-compaction case.
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/ncount")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      val files = fs.listStatus(dir).filter(_.isFile)
+      if (files.length > 1) {
+        val total = storedCount(spark, stateDir)
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, "ingest=-1"), true)
+        try out.write(total.toString.getBytes("UTF-8")) finally out.close()
+        files.filter(_.getPath.getName != "ingest=-1")
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    }
+    r
   }
 
   /** Full-width (32-bit) bucket rows of a (vec_id, embedding) relation:

@@ -110,6 +110,15 @@ class VecDupScaleSpec extends SparkSpecBase {
     val (_, before, after) =
       VecDupStream.compactState(spark, state, targetFileBytes = 64L * 1024 * 1024)
     assert(after < before, s"compaction did not consolidate ($before -> $after)")
+    // the sizing markers consolidate too (else their file count grows
+    // one-per-batch forever) and the merged total is preserved
+    val ncountFiles = new java.io.File(s"$state/ncount")
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+    assert(ncountFiles.length == 1,
+      s"count markers not consolidated: ${ncountFiles.length} files")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      ncountFiles.head.toPath), "UTF-8").trim.toLong == 5000L + 3 * 8,
+      "consolidated count marker lost the indexed total")
     val pc = probe(9300000L, 203L)
     assert(pc._2 <= p10._2 + (1L << 20),
       s"post-compaction probe reads grew: ${pc._2} vs pre ${p10._2}")
