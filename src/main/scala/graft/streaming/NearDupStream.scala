@@ -363,6 +363,50 @@ object NearDupStream {
     LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
   }
 
+  /** LAYOUT MIGRATION (r8 verdict top item; see
+    * VecDupStream.migrateState for the full rationale): rebuild the
+    * derived `buckets` sub-table — band signatures and partition keys
+    * — from the raw lowered text that survives every layout
+    * (`docs.lt`), re-derive the docs sub-table's own bucketing
+    * (round 6 changed dbucket from pmod16 to pmod256 — exactly the
+    * revision this migrates across), and stamp the current
+    * [[layoutVersion]]. One batch job over the index; never a
+    * re-ingestion of the corpus. The swap's transactional shell is
+    * [[LsmIndex.migrate]].
+    */
+  def migrateState(spark: SparkSession, stateDir: String): Boolean =
+    LsmIndex.migrate(spark, stateDir, layoutVersion) { (oldRoot, staging) =>
+      val fs = new org.apache.hadoop.fs.Path(oldRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val docsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/docs")
+      if (fs.exists(docsPath)) {
+        // tolerant read: no forced schema — only (doc_id, lt) are the
+        // migration contract; n_sh/dbucket are re-derived
+        val raw = spark.read.parquet(docsPath.toString)
+          .select(col("doc_id"), col("lt")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = raw.select(col("doc_id")).distinct().count()
+          // lt is already lowercased, so feeding it back through the
+          // (lower-casing) signature pipeline is idempotent
+          val asBatch = raw.select(col("doc_id"), col("lt").as("text"))
+          bandRel(asBatch).withColumn("ingest", lit(-1L))
+            .write.partitionBy("band_idx", "bpfx", "ingest")
+            .parquet(s"$staging/buckets")
+          sigRel(asBatch).withColumn("ingest", lit(-1L))
+            .sortWithinPartitions(col("dbucket"), col("doc_id"))
+            .write.partitionBy("dbucket", "ingest")
+            .parquet(s"$staging/docs")
+          val got = spark.read.schema(docsSchema)
+            .parquet(s"$staging/docs")
+            .select(col("doc_id")).distinct().count()
+          require(got == n,
+            s"migration staging lost docs ($got != $n) for $oldRoot; " +
+              "original untouched")
+        } finally raw.unpersist()
+      }
+    }
+
   /** The KEEP/DROP policy view a training-data writer consumes: one
     * row per INDEXED document with its verdict — `drop` iff the doc was
     * flagged as a near-dup of an earlier (lower-id or earlier-arriving)
