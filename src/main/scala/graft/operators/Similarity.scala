@@ -361,7 +361,7 @@ object Similarity {
     * 10-plane faces above are both fixed geometries, and both saturate
     * — per-bucket occupancy grows ∝ N once N exceeds bucket-count ×
     * occupancy, and the within-bucket candidate term goes ∝ N²).
-    * Smallest p ∈ [1, 16] with 2^p · targetOcc ≥ n, i.e.
+    * Smallest p ∈ [1, lshMaxAutoPlanes] with 2^p · targetOcc ≥ n, i.e.
     * p ≈ ⌈log₂(n / targetOcc)⌉: 10× data ⇒ ~3.3 more planes ⇒ ~10×
     * more buckets ⇒ occupancy (and the quadratic term) stays ~constant
     * and candidate volume scales ∝ N.
@@ -890,6 +890,101 @@ object Similarity {
        |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
          "sim_micro"))}""".stripMargin
 
+  /** [[annIvfSubcell]] with HAMMING-1 SUBCELL MULTI-PROBE (ROADMAP
+    * carry, closed r9): each query probes its own residual-sign
+    * subcell plus every 1-bit flip of it — the recall lever the
+    * subcell refinement prices in. A candidate probe set of
+    * ([[ivfSubBits]]+1) subcells recovers every neighbor that lost
+    * exactly one boundary sign flip, so a miss now needs ≥ 2 residual
+    * components straddling their centroid boundaries. Candidates are a
+    * strict SUPERSET of the non-probe face's (the own-subcell probe is
+    * in the set), so recall can only improve; the price is ≤
+    * (bits+1)× the candidate volume of the refined face — still
+    * 2^bits/(bits+1) ≈ 2× below the unrefined cell blocking at 3 bits,
+    * and the gap widens with bits. Same shape as [[annIvfAuto]]'s
+    * probe stage, here at the FIXED didactic geometry.
+    */
+  def annIvfSubcellProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
+    val cent = Caching.persistOnce(centroidsOf(q))
+    val ranked = Caching.persistOnce(assignRankedFrom(q, cent)
+      .select(col("vec_id"), col("cand"), col("rn")))
+    val sub = Caching.persistOnce(subcellsOf(q, cent))
+    val base = ranked.filter(col("rn") === 1)
+      .join(sub, Seq("vec_id", "cand"))
+      .select(col("vec_id").as("b_id"), col("cand").as("cell"), col("sub"))
+    val variants = col("sub") +: (0 until ivfSubBits).map(p =>
+      col("sub").bitwiseXOR(lit(1L << p)))
+    val probes = ranked.filter(col("rn") <= ivfProbes)
+      .join(sub, Seq("vec_id", "cand"))
+      .select(col("vec_id").as("a_id"), col("cand").as("cell"),
+        explode(array(variants: _*)).as("sub"))
+    val cand = probes.join(base, Seq("cell", "sub"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val e = Caching.persistOnce(vecs(spark, sfDir))
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("sim", cosine)
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"),
+        col("rank"),
+        floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
+    canon(out)
+  }
+
+  val annIvfSubcellProbeSql: String =
+    s"""$assignCteSql,
+       |sub AS (
+       |  SELECT q.vec_id, c.cand,
+       |    CAST(sum(CASE WHEN CAST(q.xq AS DOUBLE) / 1000000.0 - c.c >= 0
+       |      THEN (CAST(1 AS BIGINT) << q.pos) ELSE 0 END) AS BIGINT)
+       |      AS sub
+       |  FROM q JOIN cent c ON q.pos = c.pos
+       |  WHERE q.pos < $ivfSubBits GROUP BY 1, 2),
+       |psub AS (
+       |  SELECT vec_id, cand, sub FROM sub
+       |  UNION ALL
+       |  SELECT s.vec_id, s.cand,
+       |    xor(s.sub, CAST(1 AS BIGINT) << g.p) AS sub
+       |  FROM sub s CROSS JOIN (
+       |    SELECT unnest(generate_series(0, ${ivfSubBits - 1})) AS p) g),
+       |probes AS (SELECT r.vec_id AS a_id, r.cand AS cell, s.sub
+       |           FROM r JOIN psub s
+       |             ON r.vec_id = s.vec_id AND r.cand = s.cand
+       |           WHERE r.rn <= $ivfProbes),
+       |base AS (SELECT r.vec_id AS b_id, r.cand AS cell, s.sub
+       |         FROM r JOIN sub s
+       |           ON r.vec_id = s.vec_id AND r.cand = s.cand
+       |         WHERE r.rn = 1),
+       |cand AS (SELECT DISTINCT a_id, b_id
+       |         FROM probes JOIN base USING (cell, sub)
+       |         WHERE a_id <> b_id),
+       |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) *
+       |       sqrt(list_dot_product(b.v, b.v))) AS sim
+       |  FROM cand c
+       |  JOIN ev a ON c.a_id = a.vec_id
+       |  JOIN ev b ON c.b_id = b.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY sim DESC, b_id ASC) AS rank FROM scored)
+       |SELECT a_id AS query_id, b_id AS neighbor_id,
+       |  CAST(rank AS INT) AS rank,
+       |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_micro
+       |FROM ranked WHERE rank <= 3
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank",
+         "sim_micro"))}""".stripMargin
+
   // ---- auto-sized IVF: the DEFAULT production face -------------------
 
   /** Target per-(cell, subcell) occupancy for [[annIvfAuto]]. */
@@ -1118,6 +1213,7 @@ object Similarity {
     "kmeans_assign" -> kmeansAssign,
     "ann_ivf_probe" -> annIvfProbe,
     "ann_ivf_subcell" -> annIvfSubcell,
+    "ann_ivf_subcell_probe" -> annIvfSubcellProbe,
     "ann_ivf_auto" -> annIvfAuto,
     "ann_lsh_multi" -> annLshMulti,
     "ann_lsh_multi_wide" -> annLshMultiWide,
@@ -1133,6 +1229,7 @@ object Similarity {
     "kmeans_assign" -> kmeansAssignSql,
     "ann_ivf_probe" -> annIvfProbeSql,
     "ann_ivf_subcell" -> annIvfSubcellSql,
+    "ann_ivf_subcell_probe" -> annIvfSubcellProbeSql,
     "ann_ivf_auto" -> annIvfAutoSql,
     "ann_lsh_multi" -> annLshMultiSql,
     "ann_lsh_multi_wide" -> annLshMultiWideSql,

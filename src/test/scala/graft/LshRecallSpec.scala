@@ -320,6 +320,24 @@ class LshRecallSpec extends SparkSpecBase {
       assert(recall >= 0.75,
         f"subcell recall $recall%.3f below floor 0.75 — refinement is " +
           "splitting near-identical pairs far beyond the boundary-flip rate")
+
+      // the Hamming-1 multi-probe variant (r9, ROADMAP carry): its
+      // candidate set is a strict superset (the own-subcell probe is in
+      // the probe set), so recall can only improve — and a dup pair is
+      // now missed only when >= 2 residual components straddle their
+      // centroid boundaries, so the floor rises to the auto face's
+      spark.catalog.clearCache()
+      val foundProbe = Similarity.annIvfSubcellProbe(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .map(p => pairKey(p._1, p._2)).toSet
+      val recallProbe = truth.count(foundProbe).toDouble / truth.size
+      info(f"ann_ivf_subcell_probe recall: $recallProbe%.3f")
+      assert(recallProbe >= recall,
+        f"multi-probe recall $recallProbe%.3f fell below the non-probe " +
+          f"face's $recall%.3f — its candidates are a superset, impossible")
+      assert(recallProbe >= 0.85,
+        f"multi-probe recall $recallProbe%.3f below floor 0.85 — " +
+          "Hamming-1 probing is not recovering single boundary flips")
       spark.catalog.clearCache()
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
