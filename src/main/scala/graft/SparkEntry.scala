@@ -22,7 +22,7 @@ object SparkEntry {
       operators.CorpusFilter.queries ++ operators.ScaleOps.queries ++
       operators.Formats.queries ++ operators.CorpusOps.queries ++
       operators.EventOps.queries ++ operators.TrainOps.queries ++
-      operators.QualityOps.queries
+      operators.QualityOps.queries ++ operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -37,5 +37,5 @@ object SparkEntry {
       operators.CorpusFilter.oracles ++ operators.ScaleOps.oracles ++
       operators.Formats.oracles ++ operators.CorpusOps.oracles ++
       operators.EventOps.oracles ++ operators.TrainOps.oracles ++
-      operators.QualityOps.oracles
+      operators.QualityOps.oracles ++ operators.Curation.oracles
 }

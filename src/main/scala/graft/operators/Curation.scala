@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.{canon, canonOrderSql, load}
+import graft.streaming.{LsmIndex, NearDupStream, VecDupStream}
+
+/** The COMPOSED curation verdict (r8 verdict item 5): the end-to-end
+  * artifact a training-data pipeline actually consumes from the two
+  * ingestion gates — one KEEP/DROP row per document-with-embedding,
+  * where a document drops if it is a near-duplicate under EITHER
+  * modality:
+  *
+  *  - the TEXT gate ([[NearDupStream]]): minhash-banded shingle
+  *    collisions verified with true Jaccard ≥ 0.5 — catches
+  *    near-identical wording;
+  *  - the VECTOR gate ([[VecDupStream]]): corpus-sized prefix-maskable
+  *    LSH collisions verified with true cosine ≥ 0.9 — catches
+  *    semantic duplicates (paraphrases, re-encodes) whose shingles
+  *    share nothing.
+  *
+  * The corpus is `documents ⋈ embeddings` on doc_id = vec_id; each
+  * gate ingests one micro-batch of the whole corpus (batch 0) into
+  * fresh state, exactly the production code path — the query IS the
+  * gates, not a re-implementation. `kept_id` is chain-resolved across
+  * the UNION of both emission logs (a doc may drop toward a text-dup
+  * whose own verdict is a vector-drop — per-gate resolution would
+  * point writers at discarded docs), by the same strictly-decreasing
+  * min-partner pointer jumping as each gate's own keepDecisions.
+  * `text_dup`/`vec_dup` record which gate(s) flagged the doc.
+  *
+  * Both gates' policies are deterministic min/fixpoint constructions,
+  * so the whole face is ORACLE-CHECKABLE: the SQL below re-derives
+  * both emission logs (the minhash emulation the dedup oracles pin,
+  * and the masked-bucket Hamming-1 geometry the ann_lsh_auto oracle
+  * pins — including recomputing the width p from count(*)) and
+  * resolves the chain with a recursive CTE.
+  *
+  * Scale: everything is the gates' own bounded machinery (banded
+  * buckets, masked-bucket equi-joins, candidate-bounded verify) plus
+  * a pairs-sized min-label loop — rounds ∝ log(chain depth), each a
+  * self-join of the FLAGGED relation only, never the corpus.
+  */
+object Curation {
+
+  private val txtOutSchema = StructType(Seq(
+    StructField("new_id", LongType),
+    StructField("dup_id", LongType),
+    StructField("jaccard", DoubleType),
+    StructField("batch_id", LongType)))
+
+  private val vecOutSchema = StructType(Seq(
+    StructField("new_id", LongType),
+    StructField("dup_id", LongType),
+    StructField("sim_micro", LongType),
+    StructField("batch_id", LongType)))
+
+  def curationVerdicts(spark: SparkSession, sfDir: String): DataFrame =
+    curationVerdictsOn(
+      load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+        .join(load(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id")))
+
+  /** Core on an arbitrary (doc_id, text, embedding) corpus — the spec
+    * seeds a paraphrase pair (vector-gate-only catch) and a reworded-
+    * shingle pair with orthogonal embeddings (text-gate-only catch).
+    */
+  def curationVerdictsOn(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-curation").toString
+    // the production ingestion path itself, one whole-corpus batch each
+    NearDupStream.applyBatch(spark, s"$root/txt_state", s"$root/txt_out",
+      corpus.select(col("doc_id"), col("text")), batchId = 0L)
+    VecDupStream.applyBatch(spark, s"$root/vec_state", s"$root/vec_out",
+      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+      batchId = 0L)
+    val pairs = LsmIndex.readOrEmpty(spark, s"$root/txt_out", txtOutSchema)
+      .select(col("new_id"), col("dup_id"),
+        lit(1).as("is_text"), lit(0).as("is_vec"))
+      .unionByName(
+        LsmIndex.readOrEmpty(spark, s"$root/vec_out", vecOutSchema)
+          .select(col("new_id"), col("dup_id"),
+            lit(0).as("is_text"), lit(1).as("is_vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    // min-partner over the COMBINED log, then pointer jumping to a
+    // flag-free representative (dup_id < new_id in both gates ⇒ the
+    // map is strictly decreasing ⇒ the fixpoint is a keep)
+    var cur = pairs.groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("dup_id")).as("kept_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var done = false
+    while (!done) {
+      val jumped = cur.as("a")
+        .join(cur.select(col("doc_id").as("kept_id"),
+          col("kept_id").as("jump")).as("b"), Seq("kept_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("jump"), col("kept_id")).as("kept_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      jumped.count()
+      done = jumped.as("a")
+        .join(jumped.select(col("doc_id")).as("b"),
+          col("a.kept_id") === col("b.doc_id"), "left_semi")
+        .isEmpty
+      cur.unpersist()
+      cur = jumped
+    }
+    val flags = pairs.groupBy(col("new_id").as("doc_id"))
+      .agg(max(col("is_text")).as("text_dup"),
+        max(col("is_vec")).as("vec_dup"))
+    val out = corpus.select(col("doc_id"))
+      .join(cur, Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("kept_id").isNull, lit("keep")).otherwise(lit("drop"))
+          .as("verdict"),
+        col("kept_id"),
+        coalesce(col("text_dup"), lit(0)).as("text_dup"),
+        coalesce(col("vec_dup"), lit(0)).as("vec_dup"))
+    canon(out)
+  }
+
+  /** Oracle: both emission logs re-derived in SQL over the same corpus
+    * — the minhash/Jaccard emulation every dedup oracle uses, and the
+    * 32-plane masked-bucket Hamming-1 geometry of the ann_lsh_auto
+    * oracle with p recomputed from count(*) — then the same
+    * min/fixpoint resolution via a recursive CTE (kept_id = the
+    * minimum of the strictly-decreasing chain = its terminal).
+    */
+  val curationVerdictsSql: String = {
+    val sigSelect = (0 until 8).map { k =>
+      val src = if (k < 4) "md5(shingle)" else "md5('x:' || shingle)"
+      s"min(substr($src, ${(k % 4) * 8 + 1}, 8)) AS s$k"
+    }.mkString(", ")
+    val vecTables = (0 until Similarity.lshAutoTables).map { l =>
+      val bucketSql = Similarity.planesForAuto(l).zipWithIndex
+        .map { case (pl, j) =>
+          s"CASE WHEN list_dot_product(v, ${Similarity.planeSqlLit(pl)}) > 0 " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+      s"SELECT vec_id, $l AS tbl, $bucketSql AS bucket32 FROM ev"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |corpus AS (
+       |  SELECT d.doc_id, d.text, e.embedding::DOUBLE[] AS v
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |tbase AS (
+       |  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS t
+       |  FROM corpus WHERE text IS NOT NULL),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1),
+       |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE [lt] END) AS shingle
+       |  FROM tbase),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+       |sigs AS (SELECT doc_id, $sigSelect, count(*) AS n_sh FROM sh GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS bucket FROM sigs
+       |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs),
+       |tcand AS (
+       |  SELECT x.doc_id AS dup_id, y.doc_id AS new_id
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+       |      AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |tshr AS (
+       |  SELECT c.dup_id, c.new_id, count(*) AS shared
+       |  FROM tcand c
+       |  JOIN sh a ON c.dup_id = a.doc_id
+       |  JOIN sh b ON c.new_id = b.doc_id AND a.shingle = b.shingle
+       |  GROUP BY 1, 2),
+       |tpairs AS (
+       |  SELECT c.new_id, c.dup_id
+       |  FROM tcand c
+       |  LEFT JOIN tshr s ON c.dup_id = s.dup_id AND c.new_id = s.new_id
+       |  JOIN sigs ca ON c.dup_id = ca.doc_id
+       |  JOIN sigs cb ON c.new_id = cb.doc_id
+       |  WHERE CAST(coalesce(s.shared, 0) AS DOUBLE)
+       |    / CAST(ca.n_sh + cb.n_sh - coalesce(s.shared, 0) AS DOUBLE)
+       |    >= 0.5),
+       |ev AS (SELECT doc_id AS vec_id, v FROM corpus WHERE v IS NOT NULL),
+       |psel AS (SELECT coalesce(min(pb), ${Similarity.lshMaxAutoPlanes}) AS p
+       |         FROM (SELECT unnest(generate_series(1,
+       |                 ${Similarity.lshMaxAutoPlanes})) AS pb),
+       |              (SELECT count(*) AS n FROM ev)
+       |         WHERE (CAST(1 AS BIGINT) << pb)
+       |           * ${Similarity.lshTargetOcc} >= n),
+       |b32 AS (
+       |  $vecTables),
+       |vb AS (SELECT vec_id, tbl,
+       |         bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
+       |       FROM b32, psel),
+       |vprobes AS (
+       |  SELECT vec_id AS new_id, tbl, bucket FROM vb
+       |  UNION ALL
+       |  SELECT b.vec_id, b.tbl,
+       |    xor(b.bucket, CAST(1 AS BIGINT) << g.i) AS bucket
+       |  FROM vb b CROSS JOIN (
+       |    SELECT unnest(generate_series(0, (SELECT p - 1 FROM psel)))
+       |      AS i) g),
+       |vcand AS (
+       |  SELECT DISTINCT pr.new_id, q.vec_id AS dup_id
+       |  FROM vprobes pr JOIN vb q ON pr.tbl = q.tbl AND pr.bucket = q.bucket
+       |  WHERE q.vec_id < pr.new_id),
+       |vpairs AS (
+       |  SELECT c.new_id, c.dup_id
+       |  FROM vcand c
+       |  JOIN ev a ON c.new_id = a.vec_id
+       |  JOIN ev x ON c.dup_id = x.vec_id
+       |  WHERE list_dot_product(a.v, x.v)
+       |    / (sqrt(list_dot_product(a.v, a.v))
+       |       * sqrt(list_dot_product(x.v, x.v))) >= 0.9),
+       |allp AS (
+       |  SELECT new_id, dup_id, 1 AS is_text, 0 AS is_vec FROM tpairs
+       |  UNION ALL
+       |  SELECT new_id, dup_id, 0, 1 FROM vpairs),
+       |m AS (SELECT new_id AS doc_id, min(dup_id) AS kept FROM allp
+       |      GROUP BY 1),
+       |chain AS (
+       |  SELECT doc_id, kept FROM m
+       |  UNION
+       |  SELECT c.doc_id, m2.kept FROM chain c JOIN m m2
+       |    ON c.kept = m2.doc_id),
+       |resolved AS (SELECT doc_id, min(kept) AS kept_id FROM chain
+       |             GROUP BY 1),
+       |flags AS (SELECT new_id AS doc_id, max(is_text) AS text_dup,
+       |            max(is_vec) AS vec_dup
+       |          FROM allp GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT c.doc_id,
+       |    CASE WHEN r.kept_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+       |    r.kept_id,
+       |    coalesce(f.text_dup, 0) AS text_dup,
+       |    coalesce(f.vec_dup, 0) AS vec_dup
+       |  FROM corpus c
+       |  LEFT JOIN resolved r ON c.doc_id = r.doc_id
+       |  LEFT JOIN flags f ON c.doc_id = f.doc_id)
+       |${canonOrderSql(Seq("doc_id", "verdict", "kept_id", "text_dup",
+         "vec_dup"))}""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_verdicts" -> curationVerdicts)
+
+  val oracles: Map[String, String] = Map(
+    "curation_verdicts" -> curationVerdictsSql)
+}

@@ -163,7 +163,7 @@ object Similarity {
   private[operators] val planes: Seq[Array[Double]] =
     mkPlanes(8, j => s"p:$j")
 
-  private def planeSqlLit(p: Array[Double]): String =
+  private[graft] def planeSqlLit(p: Array[Double]): String =
     p.map(x => if (x == x.floor) f"$x%.1f" else x.toString).mkString("[", ", ", "]")
 
   private[graft] def planeSparkLit(p: Array[Double]): String =
@@ -340,7 +340,7 @@ object Similarity {
   /** Target per-bucket occupancy for [[annLshAuto]] — the same knob
     * role as [[ivfTargetOcc]] plays for the auto-sized IVF face.
     */
-  private val lshTargetOcc = 8L
+  private[graft] val lshTargetOcc = 8L
 
   /** Upper bound on auto-sized planes per table — the fixed width of
     * the pre-generated plane sets below. 32 (round 8, was 16): the
@@ -352,9 +352,9 @@ object Similarity {
     * write path; reads mask to the corpus-derived p and never touch
     * the unused high bits.
     */
-  private val lshMaxAutoPlanes = 32
+  private[graft] val lshMaxAutoPlanes = 32
 
-  private val lshAutoTables = 4
+  private[graft] val lshAutoTables = 4
 
   /** The sizing rule, applied to hyperplane LSH: planes per table must
     * be a FUNCTION OF N, never a constant (the narrow 6-plane and wide
