@@ -55,13 +55,41 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   private[graft] def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    // Retire lot_pipeline's +0.2 s NTZ→TZ cast constant (r9, VERDICT r8
+    // item 7): with NTZ inference off, a MICROS footer with
+    // isAdjustedToUTC=false maps straight to TimestampType — the same
+    // instants the cast produced under the pinned-UTC session, with NO
+    // cast expression in the plan. There is no per-read knob (the
+    // parquet datasource option `inferTimestampNTZ` is ignored for
+    // plain reads — probed on 4.1.2), so the session conf is flipped
+    // ONLY around the eager schema-inference call and restored in a
+    // finally: the DataFrame's schema is fixed at creation, execution
+    // never re-consults the flag. The restore is what keeps OTHER
+    // nanos/NTZ parquet reads in the session on their own behavior;
+    // the one caveat is a concurrent reader thread racing this window
+    // — the driver contract (Verify/Bench) is single-threaded per
+    // query, and a racer would only get the pre-3.4 mapping, never
+    // wrong instants under a UTC session.
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val ntzPrev = spark.conf.getOption(ntzKey)
     val decoded =
       try {
-        val df = spark.read.parquet(path)
+        val df =
+          try {
+            spark.conf.set(ntzKey, "false")
+            spark.read.parquet(path)
+          } finally {
+            ntzPrev match {
+              case Some(v) => spark.conf.set(ntzKey, v)
+              case None => spark.conf.unset(ntzKey)
+            }
+          }
         df.schema("ts").dataType match {
           case TimestampType => df
           // naive wall-clock micros; session tz is pinned to UTC by every
-          // entry point, so this cast is instant-preserving
+          // entry point, so this cast is instant-preserving. Unreachable
+          // while the option above is honored — kept as the fallback
+          // decode if a future reader ignores it.
           case TimestampNTZType =>
             df.withColumn("ts", col("ts").cast(TimestampType))
           case LongType => // epoch-nanoseconds stored as plain INT64

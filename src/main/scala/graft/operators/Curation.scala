@@ -86,29 +86,11 @@ object Curation {
             lit(0).as("is_text"), lit(1).as("is_vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
-    // min-partner over the COMBINED log, then pointer jumping to a
-    // flag-free representative (dup_id < new_id in both gates ⇒ the
-    // map is strictly decreasing ⇒ the fixpoint is a keep)
-    var cur = pairs.groupBy(col("new_id").as("doc_id"))
-      .agg(min(col("dup_id")).as("kept_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count()
-    var done = false
-    while (!done) {
-      val jumped = cur.as("a")
-        .join(cur.select(col("doc_id").as("kept_id"),
-          col("kept_id").as("jump")).as("b"), Seq("kept_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("jump"), col("kept_id")).as("kept_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      jumped.count()
-      done = jumped.as("a")
-        .join(jumped.select(col("doc_id")).as("b"),
-          col("a.kept_id") === col("b.doc_id"), "left_semi")
-        .isEmpty
-      cur.unpersist()
-      cur = jumped
-    }
+    // min-partner over the COMBINED log, chain-resolved by the shared
+    // fixpoint resolver (dup_id < new_id in both gates ⇒ the map is
+    // strictly decreasing ⇒ the fixpoint is a keep)
+    val cur = graft.streaming.KeepResolve.resolve(pairs)
+      .select(col("id").as("doc_id"), col("kept_id"))
     val flags = pairs.groupBy(col("new_id").as("doc_id"))
       .agg(max(col("is_text")).as("text_dup"),
         max(col("is_vec")).as("vec_dup"))

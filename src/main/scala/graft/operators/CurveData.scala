@@ -23,7 +23,10 @@ object CurveData {
     val root = TmpData.path(s"curve${mult}x", t)
     TmpData.once(s"curve${mult}x:$t") {
       Files.createDirectories(Paths.get(root))
-      val parts = 16 * mult
+      // input-split count tracks the corpus but caps: at 400× a
+      // 16·mult layout would mean 6400 splits of a 200k-row table —
+      // pure task-scheduling overhead at this box's scale
+      val parts = math.min(16 * mult, 512)
 
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       unionCopies(docs, mult) { (d, k) =>
@@ -42,13 +45,36 @@ object CurveData {
       // large c one copy collapses into a single LSH bucket and the
       // verify step goes quadratic — a synthesis artifact, not a
       // property of the engine (observed: ann_lsh_multi 10x hung).
+      //
+      // Rotations alone wrap at 64 copies (64-dim vectors): copy 64
+      // would stack EXACT duplicates of copy 0, turning a >64× corpus
+      // into an all-duplicates fixture. Copies beyond 64 therefore also
+      // apply a per-group deterministic SIGN PATTERN (r9, unblocking
+      // the 100×/400× crossover measurement): a diagonal ±1 transform
+      // is orthogonal, so within-copy dot products and norms are still
+      // EXACTLY preserved, while projections decorrelate across groups
+      // — 64·2⁶⁴ distinct transforms, far past any mult this harness
+      // meets. x·(±1) then cast back to float is lossless.
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
       unionCopies(emb, mult) { (d, k) =>
         val r = k % 64
+        val g = k / 64
+        val rot =
+          s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+            s"slice(embedding, 1, $r))"
+        val rotFlip =
+          if (g == 0) rot
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val signs = (0 until 64).map { i =>
+              val h = md.digest(s"curvesign:$g:$i".getBytes)
+              if ((h(0) & 1) == 0) 1 else -1
+            }
+            s"zip_with($rot, ${signs.mkString("array(", ", ", ")")}, " +
+              "(x, s) -> CAST(x * s AS FLOAT))"
+          }
         d.select((col("vec_id") + lit(k * keyStride)).as("vec_id"),
-          expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-            s"slice(embedding, 1, $r))").as("embedding"),
-          col("label"))
+          expr(rotFlip).as("embedding"), col("label"))
       }.repartition(parts).write.mode("overwrite")
         .parquet(s"$root/embeddings.parquet")
 

@@ -438,30 +438,11 @@ object NearDupStream {
       StructField("jaccard", DoubleType),
       StructField("batch_id", LongType)))
     // one candidate verdict per dropped doc: the smallest flagged
-    // partner (deterministic under ties), then chain-resolved below
-    var cur = readOrEmpty(spark, outDir, outSchema)
-      .groupBy(col("new_id").as("doc_id"))
-      .agg(min(col("dup_id")).as("kept_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count()
-    var done = false
-    while (!done) {
-      val jumped = cur.as("a")
-        .join(cur.select(col("doc_id").as("kept_id"),
-          col("kept_id").as("jump")).as("b"), Seq("kept_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("jump"), col("kept_id")).as("kept_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      jumped.count()
-      // converged when no kept_id is itself a dropped doc
-      done = jumped.as("a")
-        .join(jumped.select(col("doc_id")).as("b"),
-          col("a.kept_id") === col("b.doc_id"), "left_semi")
-        .isEmpty
-      cur.unpersist()
-      cur = jumped
-    }
-    docs.join(cur, Seq("doc_id"), "left")
+    // partner (deterministic under ties), chain-resolved by the shared
+    // fixpoint resolver
+    val resolved = KeepResolve.resolve(readOrEmpty(spark, outDir, outSchema))
+      .select(col("id").as("doc_id"), col("kept_id"))
+    docs.join(resolved, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("kept_id").isNull, lit("keep")).otherwise(lit("drop"))
           .as("verdict"),

@@ -462,28 +462,9 @@ object VecDupStream {
       StructField("dup_id", LongType),
       StructField("sim_micro", LongType),
       StructField("batch_id", LongType)))
-    var cur = readOrEmpty(spark, outDir, outSchema)
-      .groupBy(col("new_id").as("vec_id"))
-      .agg(min(col("dup_id")).as("kept_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count()
-    var done = false
-    while (!done) {
-      val jumped = cur.as("a")
-        .join(cur.select(col("vec_id").as("kept_id"),
-          col("kept_id").as("jump")).as("b"), Seq("kept_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("jump"), col("kept_id")).as("kept_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      jumped.count()
-      done = jumped.as("a")
-        .join(jumped.select(col("vec_id")).as("b"),
-          col("a.kept_id") === col("b.vec_id"), "left_semi")
-        .isEmpty
-      cur.unpersist()
-      cur = jumped
-    }
-    vecs.join(cur, Seq("vec_id"), "left")
+    val resolved = KeepResolve.resolve(readOrEmpty(spark, outDir, outSchema))
+      .select(col("id").as("vec_id"), col("kept_id"))
+    vecs.join(resolved, Seq("vec_id"), "left")
       .select(col("vec_id"),
         when(col("kept_id").isNull, lit("keep")).otherwise(lit("drop"))
           .as("verdict"),
