@@ -2,9 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import graft.Tables.{canon, canonOrderSql, load}
-import graft.streaming.{LsmIndex, NearDupStream, VecDupStream}
+import graft.streaming.CurationStream
 
 /** The COMPOSED curation verdict (r8 verdict item 5): the end-to-end
   * artifact a training-data pipeline actually consumes from the two
@@ -44,18 +43,6 @@ import graft.streaming.{LsmIndex, NearDupStream, VecDupStream}
   */
 object Curation {
 
-  private val txtOutSchema = StructType(Seq(
-    StructField("new_id", LongType),
-    StructField("dup_id", LongType),
-    StructField("jaccard", DoubleType),
-    StructField("batch_id", LongType)))
-
-  private val vecOutSchema = StructType(Seq(
-    StructField("new_id", LongType),
-    StructField("dup_id", LongType),
-    StructField("sim_micro", LongType),
-    StructField("batch_id", LongType)))
-
   def curationVerdicts(spark: SparkSession, sfDir: String): DataFrame =
     curationVerdictsOn(
       load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
@@ -71,39 +58,12 @@ object Curation {
     val spark = corpus.sparkSession
     val root =
       java.nio.file.Files.createTempDirectory("graft-curation").toString
-    // the production ingestion path itself, one whole-corpus batch each
-    NearDupStream.applyBatch(spark, s"$root/txt_state", s"$root/txt_out",
-      corpus.select(col("doc_id"), col("text")), batchId = 0L)
-    VecDupStream.applyBatch(spark, s"$root/vec_state", s"$root/vec_out",
-      corpus.select(col("doc_id").as("vec_id"), col("embedding")),
-      batchId = 0L)
-    val pairs = LsmIndex.readOrEmpty(spark, s"$root/txt_out", txtOutSchema)
-      .select(col("new_id"), col("dup_id"),
-        lit(1).as("is_text"), lit(0).as("is_vec"))
-      .unionByName(
-        LsmIndex.readOrEmpty(spark, s"$root/vec_out", vecOutSchema)
-          .select(col("new_id"), col("dup_id"),
-            lit(0).as("is_text"), lit(1).as("is_vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    // min-partner over the COMBINED log, chain-resolved by the shared
-    // fixpoint resolver (dup_id < new_id in both gates ⇒ the map is
-    // strictly decreasing ⇒ the fixpoint is a keep)
-    val cur = graft.streaming.KeepResolve.resolve(pairs)
-      .select(col("id").as("doc_id"), col("kept_id"))
-    val flags = pairs.groupBy(col("new_id").as("doc_id"))
-      .agg(max(col("is_text")).as("text_dup"),
-        max(col("is_vec")).as("vec_dup"))
-    val out = corpus.select(col("doc_id"))
-      .join(cur, Seq("doc_id"), "left")
-      .join(flags, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("kept_id").isNull, lit("keep")).otherwise(lit("drop"))
-          .as("verdict"),
-        col("kept_id"),
-        coalesce(col("text_dup"), lit(0)).as("text_dup"),
-        coalesce(col("vec_dup"), lit(0)).as("vec_dup"))
-    canon(out)
+    // the production ingestion path itself, one whole-corpus batch
+    // through both gates, then the composed policy view — all shared
+    // with the incremental face (streaming.CurationStream)
+    CurationStream.applyBatch(spark, root, corpus, batchId = 0L)
+    canon(CurationStream.verdicts(spark, root,
+      ids = Some(corpus.select(col("doc_id")))))
   }
 
   /** Oracle: both emission logs re-derived in SQL over the same corpus
