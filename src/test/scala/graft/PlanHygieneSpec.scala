@@ -256,4 +256,15 @@ class PlanHygieneSpec extends SparkSpecBase {
       "persisted self-join inputs missing from the plan")
     spark.catalog.clearCache()
   }
+
+  test("ann_ivf_subcell_probe: probe fan-out stays an equi (cell, sub) join — no cross product, native dot kernel") {
+    val p = plan("ann_ivf_subcell_probe")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "Hamming-1 probing must explode the query side and equi-join, " +
+        "never widen to an all-pairs product")
+    assert(p.contains("graft_dot") || p.contains("DotProduct"),
+      "native dot kernel missing — scoring fell back to HOF lambdas")
+    spark.catalog.clearCache()
+  }
 }
