@@ -200,6 +200,23 @@ class MigrateSpec extends SparkSpecBase {
     assert(emissions(out, 1L).map(p => (p._1, p._2)) == Set((10L, 1L)))
   }
 
+  test("empty state (marker only, no data yet) migrates to a usable root") {
+    val root = Files.createTempDirectory("graft-mig-empty").toString
+    val state = s"$root/state"; val out = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(state))
+    Files.write(java.nio.file.Paths.get(state, "_LAYOUT"),
+      "graft-vecdup-v0 something-old".getBytes("UTF-8"))
+    assert(VecDupStream.migrateState(spark, state))
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(state, "_LAYOUT")), "UTF-8").trim ==
+      VecDupStream.layoutVersion)
+    // and the migrated empty root ingests normally
+    val v1 = vec()
+    VecDupStream.applyBatch(spark, state, out,
+      vecBatch(Seq(1L -> v1, 2L -> perturb(v1))), 0L)
+    assert(emissions(out, 0L).map(p => (p._1, p._2)) == Set((2L, 1L)))
+  }
+
   test("interrupted compaction: a missing sub-table root is restored from the retired copy, never served as empty") {
     val root = Files.createTempDirectory("graft-compact-crash").toString
     val state = s"$root/state"; val out = s"$root/out"
