@@ -67,8 +67,8 @@ object ScaleCurve {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.VectorExprs.register(spark)
-    println(s"| mult | query | median_sec |")
-    println(s"|---|---|---|")
+    println(s"| mult | query | median_sec | min_sec | max_sec |")
+    println(s"|---|---|---|---|---|")
     def time(q: String, dir: String, label: String, m: Int): Unit = {
       val fn = SparkEntry.queries(q)
       def once(): Double = {
@@ -77,12 +77,16 @@ object ScaleCurve {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm
-      val med = Seq(once(), once(), once()).sorted.apply(1)
+      val runs = Seq(once(), once(), once()).sorted
       spark.catalog.clearCache()
       // locale-pinned: a comma-decimal default locale must not change
-      // the artifact's number format
-      println(s"| ${m}x | $label | " +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(med)) + " |")
+      // the artifact's number format; min/max beside the median so the
+      // artifact carries its own run-to-run spread (r8 verdict asked
+      // for spread with the 100×+ wall numbers)
+      def f(x: Double): String =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+      println(s"| ${m}x | $label | ${f(runs(1))} | ${f(runs(0))} | " +
+        s"${f(runs(2))} |")
     }
     for (m <- mults) {
       val dir = operators.CurveData.synth(spark, base, m)
