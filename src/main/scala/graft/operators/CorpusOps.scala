@@ -782,7 +782,153 @@ object CorpusOps {
        |GROUP BY term
        |${canonOrderSql(Seq("term", "doc_freq", "term_freq", "postings_digest"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // bm25_topk — pruned BM25 ranked retrieval over the inverted index
+  // ---------------------------------------------------------------------
+
+  /** Query terms kept per query document (the df-rarest ones). */
+  private val bm25QueryTerms = 3
+
+  /** Results kept per query. */
+  private val bm25K = 3
+
+  /** BM25 ranked retrieval: each benchmark document (the `src0` slice,
+    * the eval-set convention shared with contamination_check) queries
+    * the train corpus (everything else) and gets its top-[[bm25K]]
+    * scoring train documents. The retrieval half of the corpus-search
+    * tooling whose indexing half is [[invertedIndex]] — and the
+    * query-based decontamination shape: "which training docs does this
+    * eval item retrieve" is the audit behind every contamination
+    * report.
+    *
+    * Scoring is BM25 (k1=1.2, b=0.75) made engine-exact in the house
+    * style: the idf is Robertson's raw odds (N - df + ½)/(df + ½) —
+    * kept as the rational (2N−2df+1)/(2df+1) instead of its log (libm
+    * log() can differ across engines by an ulp; an integer ratio
+    * cannot; the raw odds are also strictly positive, so no negative-idf
+    * clamp is needed), and the tf saturation term
+    * tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is multiplied through by
+    * 10·totdl (avgdl = totdl/N) into the integer ratio
+    * 22·tf·totdl / (10·tf·totdl + 3·totdl + 9·dl·N). Each term's score
+    * is floored to µ-units in 128-bit exact arithmetic (DECIMAL(38,0)
+    * here, HUGEINT in the oracle) and the per-doc score is the integer
+    * SUM of term µ-scores — deterministic at any parallelism.
+    *
+    * Pruning: only the [[bm25QueryTerms]] df-RAREST terms of each query
+    * score (tie-break df asc, term asc — a total order on a query's
+    * distinct terms). That is the WAND idea reduced to its static core:
+    * candidate volume is Σ df over the selected terms — the shortest
+    * posting lists by construction — instead of queries × corpus. Terms
+    * absent from the train vocabulary carry no postings and contribute
+    * 0, so the inner df-join dropping them is exact (a query with NO
+    * surviving term emits no rows, in both engines).
+    *
+    * Scale: tf/dl/df aggregate at (doc,term)/doc/vocab grain with
+    * map-side partials; N and totdl ride a 1-row broadcast stamp;
+    * retrieval is ONE shuffle equi-join on the term key (posting-list
+    * fetch) whose input is bounded by the selected posting lengths; the
+    * final top-k window partitions by query_id (query-count
+    * cardinality, high and even).
+    */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    bm25TopkOn(load(spark, sfDir, "documents"))
+
+  /** [[bm25Topk]] over an explicit documents relation (doc_id, source,
+    * text) — the spec seam.
+    */
+  def bm25TopkOn(d: DataFrame): DataFrame = {
+    val toks = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+    // persisted: tf feeds dl, df, AND the posting fetch
+    val tf = Caching.persistOnce(
+      toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stamp = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("totdl"))
+    val qTerms = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = qTerms.join(dfT, Seq("term"))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"))
+    val scoredTerms = selected.join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stamp))
+      .withColumn("term_micro", expr(
+        """cast((cast(22 as decimal(38,0)) * tf * totdl
+          |        * (2 * n_docs - 2 * df + 1) * 1000000)
+          |  div ((2 * df + 1)
+          |        * (cast(10 as decimal(38,0)) * tf * totdl
+          |           + 3 * totdl + 9 * dl * n_docs))
+          |  as bigint)""".stripMargin))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val out = scoredTerms.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+    canon(out)
+  }
+
+  val bm25TopkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents WHERE source <> 'src0'
+       |), tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+       |), dft AS (
+       |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |), stamp AS (
+       |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS totdl
+       |  FROM dl
+       |), qterms AS (
+       |  SELECT doc_id AS query_id,
+       |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
+       |  FROM documents WHERE source = 'src0'
+       |), sel AS (
+       |  SELECT term, query_id, df FROM (
+       |    SELECT q.term, q.query_id, d.df,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY d.df ASC, q.term ASC) AS trank
+       |    FROM qterms q JOIN dft d USING (term))
+       |  WHERE trank <= $bm25QueryTerms
+       |), scored_terms AS (
+       |  SELECT s.query_id, tf.doc_id,
+       |    CAST((CAST(22 AS HUGEINT) * tf.tf * st.totdl
+       |            * (2 * st.n_docs - 2 * s.df + 1) * 1000000)
+       |      // ((2 * s.df + 1)
+       |            * (CAST(10 AS HUGEINT) * tf.tf * st.totdl
+       |               + 3 * st.totdl + 9 * dl.dl * st.n_docs))
+       |      AS BIGINT) AS term_micro
+       |  FROM sel s JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+       |    stamp st
+       |), scored AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*)::BIGINT AS n_terms
+       |  FROM scored_terms GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM ranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> bm25Topk,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -797,6 +943,7 @@ object CorpusOps {
     "pmi_cooccur" -> pmiCooccur)
 
   val oracles: Map[String, String] = Map(
+    "bm25_topk" -> bm25TopkSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -1204,7 +1204,175 @@ object Similarity {
        |FROM ev LEFT JOIN pruned USING (vec_id)
        |${canonOrderSql(Seq("vec_id", "cell", "is_pruned", "keep_id", "n_dups"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ann_pq — product-quantization codebook + ADC ranking (the IVF-PQ
+  // compressed-index shape; Jégou, Douze, Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search")
+  // ---------------------------------------------------------------------
+
+  /** PQ subspaces; dims split round-robin (sub = pos % pqM), which
+    * balances subspaces for any dimensionality.
+    */
+  private val pqM = 4
+
+  /** Codes per subspace codebook. */
+  private val pqK = 8
+
+  /** Neighbors kept per query. */
+  private val pqTopK = 3
+
+  /** Product-quantization ANN: train an M×K codebook (one K-entry
+    * codebook per round-robin subspace), ENCODE every vector as M small
+    * codes, then rank each vector's own-cell (label-blocked) candidates
+    * by Asymmetric Distance Computation — the query's exact subvector
+    * against the candidate's CODE centroids, candidates never touch
+    * their raw vectors. This is the compressed-index half of IVF-PQ:
+    * at 100 TB a 64-dim float vector costs 256 B while its PQ codes
+    * cost M bytes — the difference between an index that fits executor
+    * memory and one that doesn't.
+    *
+    * Codebook training is RNG-free in the house style: the K seed
+    * vectors are the salted-md5 top-K over vec_id (a distributed
+    * TakeOrderedAndProject — the only global ordering, K rows; code id
+    * = hash rank), followed by ONE Lloyd refinement per subspace
+    * (assign to nearest seed subvector, recompute µ-quantized means) —
+    * a production build would loop the same two bounded jobs, each
+    * round costing vectors × K narrow work against a broadcast
+    * codebook. Distances are the exact-integer floor-quantized d2 of
+    * the k-means family, so every argmin (assignment, encode, final
+    * ranking) is bit-deterministic with (d2, code) / (adc, neighbor)
+    * tie-breaks. Codes that lose all their vectors in refinement
+    * simply go unused (real PQ has dead codes too) — the encode argmin
+    * ranges over the codes that survive.
+    *
+    * Scale: seeds/codebooks are tiny broadcasts (K·D rows); encode and
+    * distance-table builds are vectors × K with map-side partial sums;
+    * the candidate join is label-blocked (the IVF coarse cell — never
+    * all-pairs); ADC re-scoring joins the candidate's M codes to the
+    * query's M×K distance table on (query, sub, code) — volume is
+    * pairs × M, and the per-pair payload is integer d2 sums, not
+    * vectors. Top-k per query is one window at query cardinality.
+    */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val qp = Caching.persistOnce(quantizedRel(spark, sfDir)
+      .withColumn("sub", pmod(col("pos"), lit(pqM))))
+    val seedPick = qp.select(col("vec_id")).distinct()
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(pqK)
+    val seeds = seedPick
+      .withColumn("code", row_number().over(
+        Window.orderBy(col("h").asc, col("vec_id").asc)) - 1)
+      .select(col("vec_id").as("seed_id"), col("code"))
+    val c0 = qp.join(broadcast(seeds), col("vec_id") === col("seed_id"))
+      .select(col("code"), col("sub"), col("pos"),
+        (col("xq").cast("double") / lit(1000000.0)).as("c"))
+    def d2To(cent: DataFrame): DataFrame =
+      qp.join(broadcast(cent), Seq("sub", "pos"))
+        .withColumn("dx",
+          col("xq").cast("double") / lit(1000000.0) - col("c"))
+        .withColumn("sqq",
+          floor(col("dx") * col("dx") * lit(1.0e12)).cast("bigint"))
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(sum(col("sqq")).as("d2"))
+    val wsub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2").asc, col("code").asc)
+    val a0 = d2To(c0).withColumn("rn", row_number().over(wsub))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+    val c1 = qp.join(a0, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg((sum(col("xq")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("c"))
+    // one relation serves twice: rn=1 is the encode, the full table is
+    // the query-side ADC distance table
+    val d1 = Caching.persistOnce(d2To(c1))
+    val codes = d1.withColumn("rn", row_number().over(wsub))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("sub").as("n_sub"),
+        col("code").as("n_code"))
+    val lbl = load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val cand = lbl.select(col("vec_id").as("query_id"), col("label"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val dtab = d1.select(col("vec_id").as("q_id"), col("sub"),
+      col("code"), col("d2"))
+    val adc = cand.join(codes, col("neighbor_id") === col("n_id"))
+      .join(dtab, col("q_id") === col("query_id") &&
+        col("sub") === col("n_sub") && col("code") === col("n_code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val out = adc.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= pqTopK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(sqrt(col("adc").cast("double") / lit(1.0e12))
+          * lit(1000000.0)).cast("long").as("adc_micro"))
+    canon(out)
+  }
+
+  val annPqSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |px AS (SELECT vec_id, label, v,
+       |         unnest(generate_series(1, len(v))) AS i FROM e),
+       |q AS (SELECT vec_id, label, i - 1 AS pos, (i - 1) % $pqM AS sub,
+       |        CAST(floor(v[i] * 1000000) AS BIGINT) AS xq FROM px),
+       |seedrank AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+       |      vec_id ASC) - 1 AS code
+       |  FROM e),
+       |seeds AS (SELECT vec_id AS seed_id, code FROM seedrank
+       |          WHERE code < $pqK),
+       |c0 AS (SELECT s.code, q.sub, q.pos,
+       |         CAST(q.xq AS DOUBLE) / 1000000.0 AS c
+       |       FROM seeds s JOIN q ON s.seed_id = q.vec_id),
+       |d0 AS (SELECT q.vec_id, q.sub, c.code,
+       |         sum(CAST(floor(
+       |           (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)
+       |             * (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c) * 1e12)
+       |           AS BIGINT)) AS d2
+       |       FROM q JOIN c0 c ON q.sub = c.sub AND q.pos = c.pos
+       |       GROUP BY 1, 2, 3),
+       |a0 AS (SELECT vec_id, sub, code FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY d2 ASC, code ASC) AS rn FROM d0) WHERE rn = 1),
+       |c1 AS (SELECT a.sub, a.code, q.pos,
+       |         CAST(sum(q.xq) AS DOUBLE) / (1000000.0 * count(*)) AS c
+       |       FROM a0 a JOIN q ON a.vec_id = q.vec_id AND a.sub = q.sub
+       |       GROUP BY 1, 2, 3),
+       |d1 AS (SELECT q.vec_id, q.sub, c.code,
+       |         sum(CAST(floor(
+       |           (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c)
+       |             * (CAST(q.xq AS DOUBLE) / 1000000.0 - c.c) * 1e12)
+       |           AS BIGINT)) AS d2
+       |       FROM q JOIN c1 c ON q.sub = c.sub AND q.pos = c.pos
+       |       GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |              ORDER BY d2 ASC, code ASC) AS rn FROM d1) WHERE rn = 1),
+       |cand AS (SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id
+       |         FROM e x JOIN e y ON x.label = y.label
+       |           AND x.vec_id <> y.vec_id),
+       |adc AS (SELECT c.query_id, c.neighbor_id, sum(d.d2) AS adc
+       |        FROM cand c
+       |        JOIN codes k ON c.neighbor_id = k.vec_id
+       |        JOIN d1 d ON d.vec_id = c.query_id AND d.sub = k.sub
+       |          AND d.code = k.code
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  CAST(floor(sqrt(CAST(adc AS DOUBLE) / 1e12) * 1000000.0) AS BIGINT)
+       |    AS adc_micro
+       |FROM ranked WHERE rank <= $pqTopK
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "adc_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> annPq,
     "cosine_pairs" -> cosinePairs,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
@@ -1221,6 +1389,7 @@ object Similarity {
     "semdedup" -> semDedup)
 
   val oracles: Map[String, String] = Map(
+    "ann_pq" -> annPqSql,
     "cosine_pairs" -> cosinePairsSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,

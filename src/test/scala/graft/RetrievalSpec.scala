@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Similarity}
+
+/** Semantics of the two round-9 retrieval faces: bm25_topk (pruned
+  * BM25 ranked retrieval) and ann_pq (product-quantization ADC
+  * ranking). The DuckDB oracle pins engine parity; these tests pin the
+  * RETRIEVAL behavior a user relies on — the right doc wins, the
+  * pruning rule selects the rare terms, PQ's compressed ranking keeps
+  * the true neighbors. Deterministic fixtures throughout.
+  */
+class RetrievalSpec extends SparkSpecBase {
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("bm25_topk: the doc with the rare query term wins; scores rank by tf") {
+    // train corpus: doc 1 has the rare term once, doc 2 twice (same
+    // length), docs 3/4 are filler sharing only common words with the
+    // query. BM25's tf saturation is monotone, so doc 2 > doc 1 > filler.
+    val pad = "filler words common to every train document here now"
+    val docs = docsDf(Seq(
+      (1L, "src1", s"zebra alpha $pad"),
+      (2L, "src1", s"zebra zebra $pad"),
+      (3L, "src2", s"other beta $pad"),
+      (4L, "src2", s"other gamma $pad"),
+      (100L, "src0", "zebra quest")))
+    val out = CorpusOps.bm25TopkOn(docs)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val forQ = out.filter(_._1 == 100L).sortBy(_._2)
+    assert(forQ.nonEmpty, "query retrieved nothing")
+    // "zebra" (df=2) and "quest" (df=0, dropped) leave one scoring term;
+    // only docs 1 and 2 carry it, so exactly two results
+    assert(forQ.map(_._3).toSeq == Seq(2L, 1L),
+      s"expected doc 2 (tf=2) above doc 1 (tf=1), got ${forQ.toSeq}")
+    assert(forQ.head._4 > forQ(1)._4, "tf=2 must outscore tf=1")
+    assert(forQ.forall(_._5 == 1L), "exactly one query term should score")
+  }
+
+  test("bm25_topk: pruning keeps the df-rarest terms; absent terms drop out") {
+    // query has 5 distinct terms: two rare (df=1 each), the rest common
+    // (df=4). Pruning keeps 3 by (df asc, term asc): both rares + the
+    // alphabetically-first common term.
+    val docs = docsDf(Seq(
+      (1L, "src1", "rarea shared shared common1 common2"),
+      (2L, "src1", "rareb shared common1 common2 pad"),
+      (3L, "src2", "shared common1 common2 pad pad"),
+      (4L, "src2", "shared common1 common2 pad pad"),
+      (100L, "src0", "rarea rareb common1 common2 missing")))
+    val out = CorpusOps.bm25TopkOn(docs)
+    // every retrieved doc scores at most 3 terms (the pruning cap)
+    val maxTerms = out.agg(max("n_terms")).head.getLong(0)
+    assert(maxTerms <= 3, s"pruning cap violated: $maxTerms terms scored")
+    // selected terms are rarea, rareb (df=1) + common1 (common1 beats
+    // common2 on the term tie-break at equal df); docs 1 and 2 each
+    // carry a rare term so both must beat the common1-only filler docs
+    val top = out.filter(col("query_id") === 100L)
+      .orderBy(col("rank")).select("doc_id").collect().map(_.getLong(0))
+    assert(top.contains(1L) && top.contains(2L),
+      s"both rare-term docs must be retrieved, got ${top.toSeq}")
+  }
+
+  test("bm25_topk: structural invariants on the real corpus") {
+    val out = CorpusOps.bm25Topk(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+      assert(out.filter(col("n_terms") < 1 || col("n_terms") > 3).count() == 0)
+      // retrieved docs are train docs; queries are the src0 eval slice
+      val d = Tables.load(spark, sf, "documents")
+      val evalIds = d.filter(col("source") === "src0")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val hits = out.select("doc_id").distinct()
+        .collect().map(_.getLong(0))
+      assert(hits.forall(!evalIds.contains(_)),
+        "an eval doc leaked into the retrieved set")
+      val qs = out.select("query_id").distinct()
+        .collect().map(_.getLong(0))
+      assert(qs.forall(evalIds.contains),
+        "a non-eval doc appeared as a query")
+      // per query: ranks are 1..k dense, scores non-increasing in rank
+      val bad = out.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max("rank").as("mr"),
+          min("rank").as("lo")).filter(
+          col("mr") =!= col("n") || col("lo") =!= 1).count()
+      assert(bad == 0, "ranks are not dense from 1 per query")
+    } finally { out.unpersist(); spark.catalog.clearCache() }
+  }
+
+  test("ann_pq: ADC ranking recovers seeded near-identical neighbors; codes compress") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    try {
+      // one label cell, 40 bases + 24 near-identical dups (16-dim):
+      // the dup is each base's true nearest neighbor by a wide margin,
+      // so it must survive PQ's quantization distortion
+      val rnd = new scala.util.Random(11)
+      def vec(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+      val bases = (0 until 40).map(i => (i.toLong, vec()))
+      val dups = bases.take(24).map { case (i, v) =>
+        (100L + i, v.map(x => x + 0.02 * rnd.nextGaussian()))
+      }
+      (bases ++ dups).map { case (id, v) => (id, 0L, v.toSeq) }
+        .toDF("vec_id", "label", "embedding")
+        .write.parquet(s"$dir/embeddings.parquet")
+
+      val out = Similarity.annPq(spark, dir).cache()
+      assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0,
+        "self-match leaked into the neighbor list")
+      assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+
+      // recall of the seeded dup PAIRS (either direction counts — the
+      // pair is mutual-nearest in the exact metric)
+      val found = out.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect()
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val truth = (0 until 24).map(i => (i.toLong, 100L + i)).toSet
+      val recall = truth.count(found).toDouble / truth.size
+      info(f"ann_pq recall of seeded dup pairs: $recall%.3f")
+      // M=4 subspaces x K=8 codes on 16-dim data: a dup pair separates
+      // only when quantization noise in >= 1 subspace exceeds the true
+      // inter-point margins — measured ~0.9+ on this seed; floor leaves
+      // slack for the 0.02-sigma perturbation
+      assert(recall >= 0.7,
+        f"PQ recall $recall%.3f below floor 0.7 — ADC ranking is losing " +
+          "near-identical neighbors to quantization noise")
+      out.unpersist()
+      spark.catalog.clearCache()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("ann_pq: structural invariants and determinism on the real corpus") {
+    val a = Similarity.annPq(spark, sf).collect()
+    spark.catalog.clearCache()
+    val b = Similarity.annPq(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "ann_pq is not run-deterministic")
+    assert(a.nonEmpty)
+    spark.catalog.clearCache()
+  }
+}
