@@ -267,4 +267,40 @@ class PlanHygieneSpec extends SparkSpecBase {
       "native dot kernel missing — scoring fell back to HOF lambdas")
     spark.catalog.clearCache()
   }
+
+  test("bm25_topk: source filters pushed to both scans, pruned ReadSchema, tf relation persisted, no cartesian") {
+    val p = plan("bm25_topk")
+    assert(p.contains("EqualTo(source,src0)"),
+      "eval-slice filter not pushed to the query scan")
+    assert(p.contains("Not(EqualTo(source,src0))"),
+      "train-slice filter not pushed to the corpus scan")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      !s.contains("lang") && !s.contains("n_chars")),
+      "unused documents columns read")
+    assert(!p.contains("CartesianProduct"),
+      "a true cartesian appeared — only the broadcast 1-row stamp " +
+        "cross is allowed")
+    // tf feeds dl, df AND the posting fetch — without persistence the
+    // corpus explode+agg would run three times
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "persisted tf relation missing from the plan")
+    spark.catalog.clearCache()
+  }
+
+  test("ann_pq: seed pick is a distributed top-K, codebooks broadcast, candidates label-equi — no cross product") {
+    val p = plan("ann_pq")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must stay label-blocked equi-joins, never all-pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "seed pick must plan as a distributed top-K, not a global sort")
+    assert(p.contains("BroadcastExchange"),
+      "codebook joins must broadcast the K·D-row centroid relations")
+    // the c1 distance relation serves encode AND the ADC distance table
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "persisted d1 relation missing — the vectors×K distance build " +
+        "would run twice")
+    spark.catalog.clearCache()
+  }
 }
