@@ -786,11 +786,35 @@ object CorpusOps {
   // bm25_topk — pruned BM25 ranked retrieval over the inverted index
   // ---------------------------------------------------------------------
 
-  /** Query terms kept per query document (the df-rarest ones). */
-  private val bm25QueryTerms = 3
+  /** Query terms kept per query document (the df-rarest ones). Shared
+    * with the incremental face (streaming.IndexStream.queryTopK) so
+    * both retrieval paths select identically.
+    */
+  private[graft] val bm25QueryTerms = 3
 
-  /** Results kept per query. */
-  private val bm25K = 3
+  /** Results kept per query (shared with the incremental face). */
+  private[graft] val bm25K = 3
+
+  /** The retrieval tokenizer — whitespace split of the lowercased
+    * text. Shared with the incremental face so index-time and
+    * query-time tokenization cannot drift.
+    */
+  private[graft] def bm25Tokens(text: Column): Column =
+    split(lower(text), " ")
+
+  /** The exact-integer BM25 per-term µ-score over columns
+    * (tf, df, dl, n_docs, totdl) — see [[bm25TopkOn]] for the
+    * derivation. ONE definition shared by the batch face and the
+    * incremental index face (streaming.IndexStream), so their scores
+    * are bit-identical by construction, not by parallel maintenance.
+    */
+  private[graft] val bm25TermMicroExpr: String =
+    """cast((cast(22 as decimal(38,0)) * tf * totdl
+      |        * (2 * n_docs - 2 * df + 1) * 1000000)
+      |  div ((2 * df + 1)
+      |        * (cast(10 as decimal(38,0)) * tf * totdl
+      |           + 3 * totdl + 9 * dl * n_docs))
+      |  as bigint)""".stripMargin
 
   /** BM25 ranked retrieval: each benchmark document (the `src0` slice,
     * the eval-set convention shared with contamination_check) queries
@@ -839,7 +863,7 @@ object CorpusOps {
   def bm25TopkOn(d: DataFrame): DataFrame = {
     val toks = d.filter(col("source") =!= "src0")
       .select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("term"))
+        explode(bm25Tokens(col("text"))).as("term"))
     // persisted: tf feeds dl, df, AND the posting fetch
     val tf = Caching.persistOnce(
       toks.groupBy(col("doc_id"), col("term"))
@@ -850,7 +874,7 @@ object CorpusOps {
       sum(col("dl")).as("totdl"))
     val qTerms = d.filter(col("source") === "src0")
       .select(col("doc_id").as("query_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+        explode(array_distinct(bm25Tokens(col("text")))).as("term"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("df").asc, col("term").asc)
     val selected = qTerms.join(dfT, Seq("term"))
@@ -860,13 +884,7 @@ object CorpusOps {
     val scoredTerms = selected.join(tf, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stamp))
-      .withColumn("term_micro", expr(
-        """cast((cast(22 as decimal(38,0)) * tf * totdl
-          |        * (2 * n_docs - 2 * df + 1) * 1000000)
-          |  div ((2 * df + 1)
-          |        * (cast(10 as decimal(38,0)) * tf * totdl
-          |           + 3 * totdl + 9 * dl * n_docs))
-          |  as bigint)""".stripMargin))
+      .withColumn("term_micro", expr(bm25TermMicroExpr))
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     val out = scoredTerms.groupBy(col("query_id"), col("doc_id"))
@@ -927,8 +945,41 @@ object CorpusOps {
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
          "n_terms"))}""".stripMargin
 
+  /** bm25_index_topk — the INCREMENTAL retrieval face, driver-checked
+    * against the same oracle as bm25_topk. The corpus is folded into
+    * the LSM inverted index (streaming.IndexStream) in three
+    * micro-batch generations plus one compaction, then ranked
+    * retrieval runs over the accumulated state. Because the tokenizer,
+    * term-selection rule, scoring expression, and k are shared
+    * definitions with [[bm25TopkOn]], the index face must reproduce
+    * the batch face's oracle SQL bit-for-bit — the gate's equivalence
+    * contract surfaced as a CORRECTNESS row, not just a spec.
+    */
+  def bm25IndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val t = TmpData.tag(sfDir)
+    val state = TmpData.path("ridx", t)
+    TmpData.once(s"ridx:$t") {
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"), col("source"))
+      // three generations, UNcompacted: 3 ≤ the gate's compaction
+      // cadence (defaultMaxGenerations = 8), so the query face is
+      // exercised at honest LSM read amplification — compaction is
+      // maintenance, not query work (IndexStreamSpec pins that it
+      // preserves answers)
+      (0 until 3).foreach { i =>
+        graft.streaming.IndexStream.applyBatch(spark, state,
+          train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
+      }
+    }
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    canon(graft.streaming.IndexStream.queryTopK(spark, state, q))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
+    "bm25_index_topk" -> bm25IndexTopk,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -944,6 +995,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
+    "bm25_index_topk" -> bm25TopkSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

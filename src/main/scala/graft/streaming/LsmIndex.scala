@@ -320,4 +320,106 @@ private[graft] object LsmIndex {
     fs.delete(retired, true)
     true
   }
+
+  /** Per-generation count markers under `<stateDir>/<name>/`: one tiny
+    * `ingest=<batchId>` file per ingested batch holding that batch's
+    * counts as comma-separated longs. [[stored]] element-wise-sums
+    * them, so a gate's sizing/corpus-stat reads are O(generations)
+    * driver-side file reads bounded by the compaction cadence — never
+    * a data scan of the index (Spark does not serve count(*) from
+    * parquet footers by default, so counting a sub-table would scan
+    * data proportional to the index and break the O(batch) per-batch
+    * cost contract). A re-delivered batch OVERWRITES its own marker
+    * (idempotent); a crash between a data fold and its marker write
+    * undercounts until the retry heals it — conservative for every
+    * current use (log₂ sizing, BM25 idf).
+    *
+    * [[consolidate]] swaps the marker set for one merged `ingest=-1`
+    * file via a whole-dir staging swap (crash-safe: no window sums old
+    * and merged markers together; between the renames the live dir is
+    * briefly absent and [[stored]] reads zeros — conservative — until
+    * [[recover]] restores it on the next state touch). Factored here
+    * from VecDupStream (round 9) so every marker-carrying gate shares
+    * one crash contract.
+    */
+  final case class Markers(stateDir: String, name: String = "ncount") {
+    private def paths = (
+      new org.apache.hadoop.fs.Path(s"$stateDir/$name"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/${name}_new"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/${name}_old"))
+
+    /** Repair an interrupted consolidation swap: restore a live dir
+      * lost between the renames, then clear stale staging leftovers.
+      * Call on every state touch (the gates call it from ensureLayout).
+      */
+    def recover(spark: SparkSession): Unit = {
+      val (live, neu, old) = paths
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live),
+          s"$name-swap recovery: rename $old -> $live failed")
+      fs.delete(neu, true)
+      fs.delete(old, true)
+    }
+
+    def write(spark: SparkSession, batchId: Long, values: Seq[Long]): Unit = {
+      val (live, _, _) = paths
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(live)
+      val f = new org.apache.hadoop.fs.Path(live, s"ingest=$batchId")
+      val out = fs.create(f, true)
+      try out.write(values.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** Element-wise sum of every `ingest=*` marker (ragged markers pad
+      * with 0 — tolerates a gate widening its marker arity). Empty when
+      * no markers exist.
+      */
+    def stored(spark: SparkSession): Seq[Long] = {
+      val (live, _, _) = paths
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live)) Seq.empty
+      // only `ingest=*` marker files count — never staging temps or
+      // filesystem droppings that may share the dir
+      else fs.listStatus(live).filter(st =>
+        st.isFile && st.getPath.getName.startsWith("ingest=")).map { st =>
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.split(",").map(_.trim.toLong).toSeq
+      }.foldLeft(Seq.empty[Long]) { (a, b) =>
+        a.zipAll(b, 0L, 0L).map { case (x, y) => x + y }
+      }
+    }
+
+    /** Merge all markers into one `ingest=-1` file (run at compaction —
+      * otherwise the sizing read's file count grows one-per-batch
+      * forever; a batch re-delivered AFTER its marker was merged
+      * re-writes its own file, double-counting that batch until the
+      * next consolidation — a bounded overcount, same tolerance as the
+      * data-side re-delivery-after-compaction case).
+      */
+    def consolidate(spark: SparkSession): Unit = {
+      val (live, neu, old) = paths
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(live)) {
+        val markers = fs.listStatus(live).filter(st =>
+          st.isFile && st.getPath.getName.startsWith("ingest="))
+        if (markers.length > 1) {
+          val total = stored(spark)
+          fs.delete(neu, true)
+          fs.mkdirs(neu)
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(neu, "ingest=-1"), true)
+          try out.write(total.mkString(",").getBytes("UTF-8"))
+          finally out.close()
+          require(fs.rename(live, old), s"rename $live -> $old failed")
+          require(fs.rename(neu, live), s"rename $neu -> $live failed")
+          fs.delete(old, true)
+        }
+      }
+    }
+  }
 }

@@ -277,12 +277,20 @@ object NearDupStream {
       // under the hash partitions they belong to. O(batch) write, zero
       // read of accumulated state; dynamic overwrite keyed on the
       // batch's own (… , ingest=batchId) dirs makes a retry replace —
-      // not duplicate — its generation.
+      // not duplicate — its generation. Repartitioned on the dir keys
+      // first so a generation lands as ONE file per touched dir — a
+      // w-task batch otherwise writes up to w× the files, turning the
+      // cadence bound "≤ G generations per dir" into ≤ G·w files per
+      // dir of listing/open overhead (round 9; measured as the
+      // dominant cost of the whole-corpus curation face).
       b.withColumn("ingest", lit(batchId))
+        .repartition(col("band_idx"), col("bpfx"))
         .write.partitionBy("band_idx", "bpfx", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(bucketsDir)
       dNew.withColumn("ingest", lit(batchId))
+        .repartition(col("dbucket"))
+        .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(docsDir)

@@ -99,7 +99,7 @@ object VecDupStream {
 
   private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit = {
     LsmIndex.ensureLayout(spark, stateDir, layoutVersion, subTables.map(_.name))
-    recoverNcount(spark, stateDir)
+    markers(stateDir).recover(spark)
   }
 
   def maxGenerations(spark: SparkSession, stateDir: String): Int =
@@ -129,60 +129,14 @@ object VecDupStream {
     // bounded overcount in a log₂ sizing input, same tolerance as the
     // data-side re-delivery-after-compaction case.
     //
-    // CRASH-SAFE via whole-dir swap (ADVICE r8: the old in-place write
-    // — merged marker first, per-batch deletes after — permanently
-    // near-doubled storedCount if the deletes never ran, and the
-    // doubled total survived every later consolidation): the merged
-    // marker is built in a sibling `ncount_new` dir, then swapped in
-    // with two renames. A crash before the first rename leaves the
-    // live markers untouched (stale ncount_new is deleted by
-    // recoverNcount); between the renames the live dir is briefly
-    // absent (storedCount reads 0 — a CONSERVATIVE width until
-    // recoverNcount restores it on the next state touch); after the
-    // second rename only the stale ncount_old remains to delete. No
-    // window sums old and merged markers together.
-    consolidateNcount(spark, stateDir)
+    // CRASH-SAFE via whole-dir swap (ADVICE r8; the shared contract
+    // now lives in LsmIndex.Markers.consolidate — factored there in
+    // round 9 so the retrieval-index gate shares it).
+    markers(stateDir).consolidate(spark)
     r
   }
 
-  private def ncountPaths(stateDir: String) = (
-    new org.apache.hadoop.fs.Path(s"$stateDir/ncount"),
-    new org.apache.hadoop.fs.Path(s"$stateDir/ncount_new"),
-    new org.apache.hadoop.fs.Path(s"$stateDir/ncount_old"))
-
-  /** Repair an interrupted count-marker consolidation: restore a live
-    * dir lost between the swap renames, then clear stale staging
-    * leftovers. Called from [[ensureLayout]], i.e. on every state touch.
-    */
-  private def recoverNcount(spark: SparkSession, stateDir: String): Unit = {
-    val (live, neu, old) = ncountPaths(stateDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live) && fs.exists(old))
-      require(fs.rename(old, live),
-        s"ncount-swap recovery: rename $old -> $live failed")
-    fs.delete(neu, true)
-    fs.delete(old, true)
-  }
-
-  private def consolidateNcount(spark: SparkSession, stateDir: String): Unit = {
-    val (live, neu, old) = ncountPaths(stateDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(live)) {
-      val markers = fs.listStatus(live).filter(st =>
-        st.isFile && st.getPath.getName.startsWith("ingest="))
-      if (markers.length > 1) {
-        val total = storedCount(spark, stateDir)
-        fs.delete(neu, true)
-        fs.mkdirs(neu)
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(neu, "ingest=-1"), true)
-        try out.write(total.toString.getBytes("UTF-8")) finally out.close()
-        require(fs.rename(live, old), s"rename $live -> $old failed")
-        require(fs.rename(neu, live), s"rename $neu -> $live failed")
-        fs.delete(old, true)
-      }
-    }
-  }
+  private def markers(stateDir: String) = LsmIndex.Markers(stateDir)
 
   /** LAYOUT MIGRATION (r8 verdict top item): rebuild this gate's
     * DERIVED state — the `buckets` sub-table and the `ncount` markers —
@@ -277,42 +231,20 @@ object VecDupStream {
   private def readOrEmpty(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = LsmIndex.readOrEmpty(spark, dir, schema)
 
-  /** Per-generation vector-count markers under `stateDir/ncount/`: one
-    * tiny file per ingested batch holding that batch's vector count.
-    * The read width p needs the CURRENT indexed count every batch, and
-    * counting the bucket sub-table would scan data proportional to the
-    * index (Spark does not serve count(*) from parquet footers by
-    * default) — breaking the O(batch) probe-cost contract. The markers
-    * make the sizing read O(generations) driver-side file reads: tiny,
-    * and bounded by the compaction cadence. A re-delivered batch
-    * OVERWRITES its own marker (idempotent); a crash between the fold
-    * and the marker write undercounts until the retry heals it, which
-    * can only make p conservative (sizing is log₂). Compaction leaves
-    * `ncount/` untouched — merged data keeps its logical count.
+  /** Per-generation vector-count markers (shared machinery:
+    * [[LsmIndex.Markers]]). The read width p needs the CURRENT indexed
+    * count every batch; the markers make that an O(generations)
+    * driver-side read instead of an index data scan, and an undercount
+    * from a crashed marker write can only make p conservative (sizing
+    * is log₂). Compaction leaves the logical count intact — merged
+    * data keeps its markers (consolidated to one file).
     */
   private def writeCountMarker(spark: SparkSession, stateDir: String,
-      batchId: Long, n: Long): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/ncount")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dir)
-    val f = new org.apache.hadoop.fs.Path(dir, s"ingest=$batchId")
-    val out = fs.create(f, true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-  }
+      batchId: Long, n: Long): Unit =
+    markers(stateDir).write(spark, batchId, Seq(n))
 
-  private def storedCount(spark: SparkSession, stateDir: String): Long = {
-    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/ncount")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) 0L
-    // only `ingest=*` marker files count — never staging temps or
-    // filesystem droppings that may share the dir
-    else fs.listStatus(dir).filter(st =>
-      st.isFile && st.getPath.getName.startsWith("ingest=")).map { st =>
-      val in = fs.open(st.getPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }.sum
-  }
+  private def storedCount(spark: SparkSession, stateDir: String): Long =
+    markers(stateDir).stored(spark).headOption.getOrElse(0L)
 
   /** The `bpfx` dirs a query bucket's Hamming-1 probe set can land in,
     * at read width p. Flips at bit positions < min(p, 8) change the low
@@ -427,7 +359,11 @@ object VecDupStream {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(outDir)
       } finally cand.unpersist()
+      // repartitioned on the dir keys so a generation is ONE file per
+      // touched dir, not one per (task, dir) — see NearDupStream's
+      // fold note (round 9)
       b.withColumn("ingest", lit(batchId))
+        .repartition(col("tbl"), col("bpfx"))
         .write.partitionBy("tbl", "bpfx", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(bucketsDir)
@@ -436,6 +372,7 @@ object VecDupStream {
       // verify read's vec_id IN pushdown prunes row groups, keeping
       // verify IO tracking the candidate set rather than the corpus
       dNew.withColumn("ingest", lit(batchId))
+        .repartition(col("vbucket"))
         .sortWithinPartitions(col("vbucket"), col("vec_id"))
         .write.partitionBy("vbucket", "ingest")
         .option("partitionOverwriteMode", "dynamic")
