@@ -977,9 +977,132 @@ object CorpusOps {
     canon(graft.streaming.IndexStream.queryTopK(spark, state, q))
   }
 
+  // ---------------------------------------------------------------------
+  // hybrid_topk — reciprocal-rank fusion of sparse + dense retrieval
+  // ---------------------------------------------------------------------
+
+  /** RRF rank constant (Cormack/Clarke/Büttcher 2009's k=60). */
+  private val rrfConst = 60
+
+  /** Hybrid retrieval: the sparse leg ([[bm25TopkOn]] — lexical BM25)
+    * and a dense leg (embedding cosine, candidates blocked to the
+    * query's IVF cell — the label-equi join of ann_topk, never a
+    * cartesian) each rank their top-[[bm25K]], then the legs fuse by
+    * reciprocal-rank fusion: rrf(d) = Σ_legs ⌊10⁶/(k + rank_leg)⌋,
+    * k = [[rrfConst]] — integer by construction, so the fused ranking
+    * is engine-exact without touching either leg's score scale (RRF's
+    * whole point: ranks fuse, incomparable scores don't).
+    *
+    * This is the retrieval-stack composition a RAG or dedup-audit
+    * pipeline actually runs — lexical match catches what embeddings
+    * blur (rare ids, numbers), embeddings catch what words miss
+    * (paraphrase) — and a doc surfaced by BOTH legs outranks a doc
+    * either leg ranks alone at the same position (2·⌊10⁶/63⌋ >
+    * ⌊10⁶/61⌋). At scale each leg swaps in its auto-sized face
+    * (bm25_index_topk / ann_lsh_auto) under the identical fusion —
+    * fusion cost is legs × queries × k rows, independent of corpus.
+    */
+  def hybridTopk(spark: SparkSession, sfDir: String): DataFrame =
+    hybridTopkOn(load(spark, sfDir, "documents"),
+      load(spark, sfDir, "embeddings"))
+
+  /** [[hybridTopk]] over explicit (doc_id, source, text) documents and
+    * (vec_id, label, embedding) embeddings — the spec seam.
+    */
+  def hybridTopkOn(d: DataFrame, e: DataFrame): DataFrame = {
+    graft.plans.VectorExprs.register(d.sparkSession)
+    val sparse = bm25TopkOn(d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
+    val ev = e.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+    val qv = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"))
+      .join(ev.select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("vq"), col("nrm").as("nq")), Seq("query_id"))
+    val cv = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"))
+      .join(ev.select(col("vec_id").as("doc_id"), col("label"),
+        col("v").as("vc"), col("nrm").as("nc")), Seq("doc_id"))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("doc_id").asc)
+    val dense = qv.join(cv, Seq("label"))
+      .withColumn("sim_micro",
+        floor(expr("graft_dot(vq, vc)") / (col("nq") * col("nc"))
+          * lit(1000000.0)).cast("long"))
+      .withColumn("rank_dense", row_number().over(wd))
+      .filter(col("rank_dense") <= bm25K)
+      .select(col("query_id"), col("doc_id"), col("rank_dense"))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"cast(1000000 div ($rrfConst + rank_sparse) as bigint)"),
+          lit(0L)) +
+        coalesce(expr(s"cast(1000000 div ($rrfConst + rank_dense) as bigint)"),
+          lit(0L)))
+      .withColumn("n_legs",
+        (when(col("rank_sparse").isNotNull, 1).otherwise(0) +
+          when(col("rank_dense").isNotNull, 1).otherwise(0)).cast("int"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    val out = fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_micro"), col("n_legs"))
+    canon(out)
+  }
+
+  val hybridTopkSql: String =
+    s"""WITH sparse AS (
+       |  SELECT query_id, doc_id, rank AS rank_sparse FROM (
+       |    $bm25TopkSql
+       |  )
+       |), e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), qv AS (
+       |  SELECT d.doc_id AS query_id, e.label, e.v
+       |  FROM documents d JOIN e ON d.doc_id = e.vec_id
+       |  WHERE d.source = 'src0'
+       |), cv AS (
+       |  SELECT d.doc_id, e.label, e.v
+       |  FROM documents d JOIN e ON d.doc_id = e.vec_id
+       |  WHERE d.source <> 'src0'
+       |), dsim AS (
+       |  SELECT a.query_id, b.doc_id,
+       |    CAST(floor(list_dot_product(a.v, b.v)
+       |        / (sqrt(list_dot_product(a.v, a.v))
+       |           * sqrt(list_dot_product(b.v, b.v)))
+       |      * 1000000.0) AS BIGINT) AS sim_micro
+       |  FROM qv a JOIN cv b ON a.label = b.label
+       |), dense AS (
+       |  SELECT query_id, doc_id, rank_dense FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim_micro DESC, doc_id ASC) AS rank_dense
+       |    FROM dsim)
+       |  WHERE rank_dense <= $bm25K
+       |), fused AS (
+       |  SELECT coalesce(s.query_id, de.query_id) AS query_id,
+       |    coalesce(s.doc_id, de.doc_id) AS doc_id,
+       |    CAST(coalesce(1000000 // ($rrfConst + s.rank_sparse), 0)
+       |       + coalesce(1000000 // ($rrfConst + de.rank_dense), 0)
+       |      AS BIGINT) AS rrf_micro,
+       |    CAST((s.rank_sparse IS NOT NULL)::INT
+       |       + (de.rank_dense IS NOT NULL)::INT AS INT) AS n_legs
+       |  FROM sparse s FULL OUTER JOIN dense de
+       |    ON s.query_id = de.query_id AND s.doc_id = de.doc_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+       |  FROM fused)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_micro, n_legs
+       |FROM ranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "rrf_micro",
+         "n_legs"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
     "bm25_index_topk" -> bm25IndexTopk,
+    "hybrid_topk" -> hybridTopk,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -996,6 +1119,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "bm25_index_topk" -> bm25TopkSql,
+    "hybrid_topk" -> hybridTopkSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -240,83 +240,81 @@ object IndexStream {
     val st = markers(stateDir).stored(spark)
     val nDocs = if (st.nonEmpty) st.head else 0L
     val totDl = if (st.size > 1) st(1) else 0L
+    // cache lifecycle is CALLER-OWNED (the Verify/Bench convention —
+    // clearCache() between queries): q feeds the sample collect AND
+    // the selection join; post feeds df AND the posting fetch; hits
+    // feeds the candidate-id collect AND the scoring join. The
+    // returned DataFrame is the LIVE retrieval plan (inspectable by
+    // PlanHygieneSpec), not a checkpointed copy.
     val q = queries.filter(col("text").isNotNull)
       .select(col("query_id"),
         explode(array_distinct(
           graft.operators.CorpusOps.bm25Tokens(col("text")))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val termSample = q.select(col("term")).distinct()
-        .limit(pushdownMax + 1).collect().map(_.getString(0))
-      val base = LsmIndex.readOrEmpty(spark, s"$stateDir/postings",
-        postingsSchema)
-      val pruned =
-        if (termSample.length <= pushdownMax) {
-          val pfx = termSample.map(tpfxOf).distinct.toSeq
-          base.filter(col("tpfx").isin(pfx: _*) &&
-            col("term").isin(termSample.toSeq: _*))
-        } else {
-          val pfx = q.select(substring(md5(col("term")), 1, 2).as("tpfx"))
-            .distinct().collect().map(_.getString(0)).toSeq // ≤ 256, fixed
-          base.filter(col("tpfx").isin(pfx: _*))
-            .join(q.select(col("term")).distinct(), Seq("term"),
-              "left_semi")
-        }
-      // distinct: a batch re-delivered after compaction merged its
-      // generation may have left duplicate posting rows
-      val post = pruned.select(col("term"), col("doc_id"), col("tf"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val wq = Window.partitionBy(col("query_id"))
-          .orderBy(col("df").asc, col("term").asc)
-        val selected = q.join(dfT, Seq("term"))
-          .withColumn("trank", row_number().over(wq))
-          .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
-          .select(col("term"), col("query_id"), col("df"))
-        val hits = selected.join(post, Seq("term"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val candIds = hits.select(col("doc_id")).distinct()
-          val idSample = candIds.limit(pushdownMax + 1)
-            .collect().map(_.getLong(0))
-          val docsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/docs",
-            docsSchema)
-          val dlSide =
-            if (idSample.length <= pushdownMax) {
-              val dbs = idSample
-                .map(i => Math.floorMod(i, nDocBuckets.toLong))
-                .distinct.toSeq
-              docsBase.filter(col("dbucket").isin(dbs: _*) &&
-                col("doc_id").isin(idSample.toSeq: _*))
-            } else {
-              val dbs = candIds
-                .select(pmod(col("doc_id"), lit(nDocBuckets)).as("dbucket"))
-                .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256
-              docsBase.filter(col("dbucket").isin(dbs: _*))
-                .join(candIds, Seq("doc_id"), "left_semi")
-            }
-          val dl = dlSide.select(col("doc_id"), col("dl")).distinct()
-          val scoredTerms = hits.join(dl, Seq("doc_id"))
-            .withColumn("n_docs", lit(nDocs))
-            .withColumn("totdl", lit(totDl))
-            .withColumn("term_micro",
-              expr(graft.operators.CorpusOps.bm25TermMicroExpr))
-          val wd = Window.partitionBy(col("query_id"))
-            .orderBy(col("score_micro").desc, col("doc_id").asc)
-          val out = scoredTerms.groupBy(col("query_id"), col("doc_id"))
-            .agg(sum(col("term_micro")).as("score_micro"),
-              count(lit(1)).as("n_terms"))
-            .withColumn("rank", row_number().over(wd))
-            .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
-            .select(col("query_id"), col("rank"), col("doc_id"),
-              col("score_micro"), col("n_terms"))
-          // materialize before the persisted inputs unpersist
-          out.localCheckpoint(eager = true)
-        } finally hits.unpersist()
-      } finally post.unpersist()
-    } finally q.unpersist()
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    val base = LsmIndex.readOrEmpty(spark, s"$stateDir/postings",
+      postingsSchema)
+    val pruned =
+      if (termSample.length <= pushdownMax) {
+        val pfx = termSample.map(tpfxOf).distinct.toSeq
+        base.filter(col("tpfx").isin(pfx: _*) &&
+          col("term").isin(termSample.toSeq: _*))
+      } else {
+        val pfx = q.select(substring(md5(col("term")), 1, 2).as("tpfx"))
+          .distinct().collect().map(_.getString(0)).toSeq // ≤ 256, fixed
+        base.filter(col("tpfx").isin(pfx: _*))
+          .join(q.select(col("term")).distinct(), Seq("term"),
+            "left_semi")
+      }
+    // distinct: a batch re-delivered after compaction merged its
+    // generation may have left duplicate posting rows
+    val post = pruned.select(col("term"), col("doc_id"), col("tf"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = q.join(dfT, Seq("term"))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"))
+    val hits = selected.join(post, Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = hits.select(col("doc_id")).distinct()
+    val idSample = candIds.limit(pushdownMax + 1)
+      .collect().map(_.getLong(0))
+    val docsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/docs",
+      docsSchema)
+    val dlSide =
+      if (idSample.length <= pushdownMax) {
+        val dbs = idSample
+          .map(i => Math.floorMod(i, nDocBuckets.toLong))
+          .distinct.toSeq
+        docsBase.filter(col("dbucket").isin(dbs: _*) &&
+          col("doc_id").isin(idSample.toSeq: _*))
+      } else {
+        val dbs = candIds
+          .select(pmod(col("doc_id"), lit(nDocBuckets)).as("dbucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256
+        docsBase.filter(col("dbucket").isin(dbs: _*))
+          .join(candIds, Seq("doc_id"), "left_semi")
+      }
+    val dl = dlSide.select(col("doc_id"), col("dl")).distinct()
+    val scoredTerms = hits.join(dl, Seq("doc_id"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("totdl", lit(totDl))
+      .withColumn("term_micro",
+        expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scoredTerms.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
   }
 
   /** LAYOUT MIGRATION: rebuild the DERIVED state — `postings`, the dl

@@ -303,4 +303,46 @@ class PlanHygieneSpec extends SparkSpecBase {
         "would run twice")
     spark.catalog.clearCache()
   }
+
+  test("hybrid_topk: dense leg stays label-equi, fusion is a keyed outer join — no cartesian anywhere") {
+    val p = plan("hybrid_topk")
+    assert(!p.contains("CartesianProduct"),
+      "a true cartesian appeared")
+    // the only nested-loop join allowed is the sparse leg's 1-row
+    // broadcast stamp (N/totdl); the dense leg must block on the IVF
+    // label and the fusion must join on (query_id, doc_id)
+    // node detail headers look like "(54) BroadcastNestedLoopJoin" —
+    // count NODES, not tree+detail line pairs
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r
+      .findAllIn(p).length
+    assert(bnlj <= 1,
+      s"$bnlj nested-loop joins — only the bm25 stamp cross is allowed")
+    assert(p.contains("FullOuter"),
+      "leg fusion must be the full outer join (a doc may appear in " +
+        "either leg alone)")
+    assert(p.contains("EqualTo(source,src0)") &&
+      p.contains("Not(EqualTo(source,src0))"),
+      "query/corpus slice filters not pushed to the documents scans")
+    spark.catalog.clearCache()
+  }
+
+  test("bm25_index_topk: posting fetch is partition-pruned and term-pushed; no index-wide scan") {
+    // build (or reuse) the in-process index state, then inspect the
+    // QUERY face's plan
+    val df = SparkEntry.queries("bm25_index_topk")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "retrieval over the index must stay keyed joins")
+    // the tpfx dir shortlist must reach the postings scan as a
+    // partition filter, and the term IN pushdown must reach the
+    // parquet reader
+    assert(p.contains("PartitionFilters: [tpfx"),
+      "tpfx dir shortlist did not become a partition filter — the " +
+        "posting fetch would list the whole index")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(term")),
+      "term IN predicate did not reach the parquet row-group stats")
+    spark.catalog.clearCache()
+  }
 }

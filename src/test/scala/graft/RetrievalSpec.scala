@@ -144,4 +144,74 @@ class RetrievalSpec extends SparkSpecBase {
     assert(a.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  // --- hybrid_topk ------------------------------------------------------
+
+  /** A tiny corpus where each leg retrieves something the other can't:
+    * doc 1 shares the query's rare WORD but has an orthogonal
+    * embedding (sparse-only); doc 2 shares the query's EMBEDDING but
+    * no vocabulary (dense-only); doc 3 shares both (both legs). All
+    * docs and the query sit in one IVF cell (label 0) so the dense
+    * leg's blocking keeps every candidate.
+    */
+  private def hybridFixture = {
+    import spark.implicits._
+    val pad = "pad1 pad2 pad3 pad4 pad5 pad6"
+    val docs = Seq(
+      (1L, "src1", s"zebra $pad"),
+      (2L, "src1", s"nothing shared lexically at all here one"),
+      (3L, "src1", s"zebra zebra $pad"),
+      (4L, "src2", s"other filler text entirely unrelated now two"),
+      (5L, "src2", s"more vocabulary disjoint from the query three"),
+      (100L, "src0", "zebra quest")).toDF("doc_id", "source", "text")
+    def v(x: Double, y: Double, z: Double) = Seq(x, y, z).map(_.toFloat)
+    val embs = Seq(
+      (1L, 0, v(0, 1, 0)),          // orthogonal to the query
+      (2L, 0, v(1, 0, 0.1)),        // near the query
+      (3L, 0, v(1, 0.1, 0)),        // near the query
+      (4L, 0, v(0, 0.9, 0.4)),      // orthogonal-ish
+      (5L, 0, v(0.7, 0.7, 0)),      // mid — fills the dense 3rd slot
+      (100L, 0, v(1, 0, 0))).toDF("vec_id", "label", "embedding")
+    (docs, embs)
+  }
+
+  test("hybrid_topk: a doc surfaced by both legs outranks single-leg docs; n_legs records the evidence") {
+    val (docs, embs) = hybridFixture
+    val out = CorpusOps.hybridTopkOn(docs, embs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).filter(_._1 == 100L).sortBy(_._2)
+    assert(out.nonEmpty, "hybrid retrieval returned nothing")
+    // doc 3 is in both legs (rare term AND near embedding) — it must
+    // rank first and carry n_legs = 2
+    assert(out.head._3 == 3L && out.head._5 == 2,
+      s"both-legs doc must win the fusion: ${out.toSeq}")
+    // the sparse-only doc (1) and dense-only doc (2) both surface, each
+    // with n_legs = 1 — the point of fusion: neither leg alone sees both
+    val rest = out.tail.map(r => (r._3, r._5)).toMap
+    assert(rest.get(1L).contains(1) && rest.get(2L).contains(1),
+      s"each single-leg doc must surface with n_legs=1: ${out.toSeq}")
+  }
+
+  test("hybrid_topk: RRF arithmetic — two third-places beat one first-place") {
+    // the fused score is pure integer: floor(1e6/(60+rank)) summed over
+    // legs. Pin the inequality the ranking relies on.
+    val oneFirst = 1000000L / 61
+    val twoThirds = 2 * (1000000L / 63)
+    assert(twoThirds > oneFirst,
+      s"RRF k=60 must favor cross-leg evidence: $twoThirds vs $oneFirst")
+  }
+
+  test("hybrid_topk: deterministic and well-formed on the real corpus") {
+    val a = CorpusOps.hybridTopk(spark, sf).collect()
+    spark.catalog.clearCache()
+    val b = CorpusOps.hybridTopk(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "hybrid_topk is not run-deterministic")
+    assert(a.nonEmpty)
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 3), "more than k rows per query")
+    assert(byQ.values.forall(g =>
+      g.map(_.getInt(1)).sorted.toSeq == (1 to g.length).toSeq),
+      "ranks must be dense from 1")
+    spark.catalog.clearCache()
+  }
 }
