@@ -103,11 +103,18 @@ object Bench {
         s""","queries":$qs,"failed":$failed,"sf":"$sfDir","sanity":$sanity}"""
     }
     def writeArtifact(json: String): Unit =
-      try {
-        val w = new java.io.PrintWriter("target/bench.json")
-        try w.println(json) finally w.close()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write target/bench.json: $e")
+      // two copies: target/bench.json (the historical dev location) and
+      // BENCH_latest_full.json at the repo root — target/ is
+      // .gitignored, so per-query history depended on a head-truncated
+      // stdout capture (r7/r8 ADVICE); the root copy is plain-committed
+      // with the round, closing that gap for every future run
+      for (path <- Seq("target/bench.json", "BENCH_latest_full.json")) {
+        try {
+          val w = new java.io.PrintWriter(path)
+          try w.println(json) finally w.close()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $path: $e")
+        }
       }
 
     val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
