@@ -202,13 +202,15 @@ object IndexStream {
         // files, and the LSM read amplification bound (≤ G generations
         // per dir) silently becomes ≤ G·w files per dir
         tf.withColumn("ingest", lit(batchId))
-          .repartition(col("tpfx"))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("tpfx"))
           .sortWithinPartitions(col("tpfx"), col("term"))
           .write.partitionBy("tpfx", "ingest")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/postings")
         docs.withColumn("ingest", lit(batchId))
-          .repartition(col("dbucket"))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("dbucket"))
           .sortWithinPartitions(col("dbucket"), col("doc_id"))
           .write.partitionBy("dbucket", "ingest")
           .option("partitionOverwriteMode", "dynamic")
@@ -301,7 +303,10 @@ object IndexStream {
           .join(candIds, Seq("doc_id"), "left_semi")
       }
     val dl = dlSide.select(col("doc_id"), col("dl")).distinct()
-    val scoredTerms = hits.join(dl, Seq("doc_id"))
+    // co-partition the posting hits with the dl fetch on doc_id (the
+    // batch face's scale-shape exchange; locally it also keeps the
+    // 128-bit scoring out of a coalesced single-partition tail)
+    val scoredTerms = hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("totdl", lit(totDl))
       .withColumn("term_micro",

@@ -284,12 +284,14 @@ object NearDupStream {
       // dir of listing/open overhead (round 9; measured as the
       // dominant cost of the whole-corpus curation face).
       b.withColumn("ingest", lit(batchId))
-        .repartition(col("band_idx"), col("bpfx"))
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("band_idx"), col("bpfx"))
         .write.partitionBy("band_idx", "bpfx", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(bucketsDir)
       dNew.withColumn("ingest", lit(batchId))
-        .repartition(col("dbucket"))
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket", "ingest")
         .option("partitionOverwriteMode", "dynamic")

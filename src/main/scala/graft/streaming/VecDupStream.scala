@@ -363,7 +363,8 @@ object VecDupStream {
       // touched dir, not one per (task, dir) — see NearDupStream's
       // fold note (round 9)
       b.withColumn("ingest", lit(batchId))
-        .repartition(col("tbl"), col("bpfx"))
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("tbl"), col("bpfx"))
         .write.partitionBy("tbl", "bpfx", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(bucketsDir)
@@ -372,7 +373,8 @@ object VecDupStream {
       // verify read's vec_id IN pushdown prunes row groups, keeping
       // verify IO tracking the candidate set rather than the corpus
       dNew.withColumn("ingest", lit(batchId))
-        .repartition(col("vbucket"))
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("vbucket"))
         .sortWithinPartitions(col("vbucket"), col("vec_id"))
         .write.partitionBy("vbucket", "ingest")
         .option("partitionOverwriteMode", "dynamic")
