@@ -1253,7 +1253,14 @@ object Similarity {
     * pairs × M, and the per-pair payload is integer d2 sums, not
     * vectors. Top-k per query is one window at query cardinality.
     */
-  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** PQ codebook machinery shared by [[annPq]] (label-blocked didactic
+    * face) and [[annIvfPq]] (derived-cell production face): trains the
+    * M×K codebook and returns the persisted query-side ADC distance
+    * table d1 = (vec_id, sub, code, d2) and the encode relation
+    * codes = (n_id, n_sub, n_code).
+    */
+  private def pqDistAndCodes(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val qp = Caching.persistOnce(quantizedRel(spark, sfDir)
       .withColumn("sub", pmod(col("pos"), lit(pqM))))
     val seedPick = qp.select(col("vec_id")).distinct()
@@ -1291,12 +1298,16 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id").as("n_id"), col("sub").as("n_sub"),
         col("code").as("n_code"))
-    val lbl = load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"))
-    val cand = lbl.select(col("vec_id").as("query_id"), col("label"))
-      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
-        Seq("label"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    (d1, codes)
+  }
+
+  /** ADC ranking tail shared by both PQ faces: candidates re-scored by
+    * joining the neighbor's M codes to the query's M×K distance table
+    * (pairs × M integer rows — no raw vectors on the candidate side),
+    * top-k per query with deterministic (adc, neighbor) tie-break.
+    */
+  private def pqAdcRank(cand: DataFrame, d1: DataFrame,
+      codes: DataFrame): DataFrame = {
     val dtab = d1.select(col("vec_id").as("q_id"), col("sub"),
       col("code"), col("d2"))
     val adc = cand.join(codes, col("neighbor_id") === col("n_id"))
@@ -1306,12 +1317,52 @@ object Similarity {
       .agg(sum(col("d2")).as("adc"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
-    val out = adc.withColumn("rank", row_number().over(wq))
+    adc.withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= pqTopK)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         floor(sqrt(col("adc").cast("double") / lit(1.0e12))
           * lit(1000000.0)).cast("long").as("adc_micro"))
-    canon(out)
+  }
+
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (d1, codes) = pqDistAndCodes(spark, sfDir)
+    val lbl = load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val cand = lbl.select(col("vec_id").as("query_id"), col("label"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    canon(pqAdcRank(cand, d1, codes))
+  }
+
+  /** FULL IVF-PQ — the production composition (Jégou, Douze, Schmid
+    * 2011, §IV): the coarse k-means quantizer supplies candidate
+    * blocking — each query probes its nprobe=[[ivfProbes]] nearest
+    * DERIVED cells (the same assignment relation as
+    * kmeans_assign/ann_ivf_auto, not the ground-truth label [[annPq]]
+    * blocks on didactically) — and PQ ADC supplies the compressed
+    * re-rank over exactly those candidates.
+    *
+    * Scale: candidates are cell-equi-join bounded (nprobe × cell
+    * occupancy per query, never all-pairs); the candidate side carries
+    * only M code bytes per vector; the coarse centroids and the
+    * product codebooks are both tiny broadcasts; everything else is
+    * the two faces' shared bounded machinery.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
+    val ranked = Caching.persistOnce(
+      assignRankedFrom(q, Caching.persistOnce(centroidsOf(q)))
+        .select(col("vec_id"), col("cand"), col("rn")))
+    val (d1, codes) = pqDistAndCodes(spark, sfDir)
+    val base = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cand"))
+    val probes = ranked.filter(col("rn") <= ivfProbes)
+      .select(col("vec_id").as("query_id"), col("cand"))
+    val cand = probes.join(base, Seq("cand"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    canon(pqAdcRank(cand, d1, codes))
   }
 
   val annPqSql: String =
@@ -1371,8 +1422,68 @@ object Similarity {
        |FROM ranked WHERE rank <= $pqTopK
        |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "adc_micro"))}""".stripMargin
 
+  /** Oracle: the coarse assignment CTEs (the kmeans_assign oracle) and
+    * the PQ codebook CTEs (the ann_pq oracle) composed — candidates
+    * come from the derived-cell probe join, scoring from ADC.
+    */
+  val annIvfPqSql: String =
+    s"""$assignCteSql,
+       |qs AS (SELECT vec_id, pos, pos % $pqM AS sub, xq FROM q),
+       |seedrank AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+       |      vec_id ASC) - 1 AS code
+       |  FROM e),
+       |seeds AS (SELECT vec_id AS seed_id, code FROM seedrank
+       |          WHERE code < $pqK),
+       |c0 AS (SELECT s.code, t.sub, t.pos,
+       |         CAST(t.xq AS DOUBLE) / 1000000.0 AS c
+       |       FROM seeds s JOIN qs t ON s.seed_id = t.vec_id),
+       |d0 AS (SELECT t.vec_id, t.sub, c.code,
+       |         sum(CAST(floor(
+       |           (CAST(t.xq AS DOUBLE) / 1000000.0 - c.c)
+       |             * (CAST(t.xq AS DOUBLE) / 1000000.0 - c.c) * 1e12)
+       |           AS BIGINT)) AS d2
+       |       FROM qs t JOIN c0 c ON t.sub = c.sub AND t.pos = c.pos
+       |       GROUP BY 1, 2, 3),
+       |a0 AS (SELECT vec_id, sub, code FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY d2 ASC, code ASC) AS rn FROM d0) WHERE rn = 1),
+       |c1 AS (SELECT a.sub, a.code, t.pos,
+       |         CAST(sum(t.xq) AS DOUBLE) / (1000000.0 * count(*)) AS c
+       |       FROM a0 a JOIN qs t ON a.vec_id = t.vec_id AND a.sub = t.sub
+       |       GROUP BY 1, 2, 3),
+       |d1 AS (SELECT t.vec_id, t.sub, c.code,
+       |         sum(CAST(floor(
+       |           (CAST(t.xq AS DOUBLE) / 1000000.0 - c.c)
+       |             * (CAST(t.xq AS DOUBLE) / 1000000.0 - c.c) * 1e12)
+       |           AS BIGINT)) AS d2
+       |       FROM qs t JOIN c1 c ON t.sub = c.sub AND t.pos = c.pos
+       |       GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |              ORDER BY d2 ASC, code ASC) AS rn FROM d1) WHERE rn = 1),
+       |cnd AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |        FROM r a JOIN r b ON a.cand = b.cand
+       |        WHERE b.rn = 1 AND a.rn <= $ivfProbes
+       |          AND a.vec_id <> b.vec_id),
+       |adc AS (SELECT c.query_id, c.neighbor_id, sum(d.d2) AS adc
+       |        FROM cnd c
+       |        JOIN codes k ON c.neighbor_id = k.vec_id
+       |        JOIN d1 d ON d.vec_id = c.query_id AND d.sub = k.sub
+       |          AND d.code = k.code
+       |        GROUP BY 1, 2),
+       |rankedq AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |              ORDER BY adc ASC, neighbor_id ASC) AS rank FROM adc)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       |  CAST(floor(sqrt(CAST(adc AS DOUBLE) / 1e12) * 1000000.0) AS BIGINT)
+       |    AS adc_micro
+       |FROM rankedq WHERE rank <= $pqTopK
+       |${canonOrderSql(Seq("query_id", "neighbor_id", "rank", "adc_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> annPq,
+    "ann_ivf_pq" -> annIvfPq,
     "cosine_pairs" -> cosinePairs,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
@@ -1390,6 +1501,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_pq" -> annPqSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "cosine_pairs" -> cosinePairsSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh" -> annLshSql,

@@ -304,6 +304,20 @@ class PlanHygieneSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("ann_ivf_pq: candidates blocked on the DERIVED cell, codebooks broadcast, no cross product") {
+    val p = plan("ann_ivf_pq")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must stay derived-cell equi-joins, never all-pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "seed pick must plan as a distributed top-K")
+    assert(p.contains("BroadcastExchange"),
+      "coarse centroids / codebooks must broadcast")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "the shared assignment/d1 relations must be persisted")
+    spark.catalog.clearCache()
+  }
+
   test("hybrid_topk: dense leg stays label-equi, fusion is a keyed outer join — no cartesian anywhere") {
     val p = plan("hybrid_topk")
     assert(!p.contains("CartesianProduct"),

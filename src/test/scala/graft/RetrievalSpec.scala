@@ -136,6 +136,49 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("ann_ivf_pq: derived-cell blocking + ADC recovers seeded dups across two real clusters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      // two geometrically separated clusters (+6 on opposite dims) so
+      // the DERIVED k-means cells are meaningful, plus near-identical
+      // dups: the composed face must block candidates by the assigned
+      // cell and still rank each dup's base first-ish under ADC
+      val rnd = new scala.util.Random(13)
+      def around(center: Array[Double]) =
+        center.map(x => x + rnd.nextGaussian())
+      val cA = Array.fill(16)(0.0).updated(0, 6.0)
+      val cB = Array.fill(16)(0.0).updated(1, -6.0)
+      val bases = (0 until 20).map(i => (i.toLong, 0L, around(cA))) ++
+        (20 until 40).map(i => (i.toLong, 1L, around(cB)))
+      val dups = bases.filter(b => b._1 < 12 || (b._1 >= 20 && b._1 < 32))
+        .map { case (i, l, v) =>
+          (100L + i, l, v.map(x => x + 0.02 * rnd.nextGaussian()))
+        }
+      (bases ++ dups).map { case (id, l, v) => (id, l, v.toSeq) }
+        .toDF("vec_id", "label", "embedding")
+        .write.parquet(s"$dir/embeddings.parquet")
+
+      val out = Similarity.annIvfPq(spark, dir).cache()
+      assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0,
+        "self-match leaked into the neighbor list")
+      assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+      val found = out.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect()
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      val truth = (bases.filter(b => b._1 < 12 ||
+        (b._1 >= 20 && b._1 < 32)).map(b => (b._1, 100L + b._1))).toSet
+      val recall = truth.count(found).toDouble / truth.size
+      info(f"ann_ivf_pq recall of seeded dup pairs: $recall%.3f")
+      assert(recall >= 0.7,
+        f"IVF-PQ recall $recall%.3f below floor 0.7")
+      out.unpersist()
+      spark.catalog.clearCache()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ann_pq: structural invariants and determinism on the real corpus") {
     val a = Similarity.annPq(spark, sf).collect()
     spark.catalog.clearCache()
