@@ -217,6 +217,12 @@ object IndexStream {
           .mode("overwrite").parquet(s"$stateDir/docs")
         markers(stateDir).write(spark, batchId,
           Seq(stats.getLong(0), stats.getLong(1)))
+        // a re-delivered batch REPLACES its generation's part files;
+        // drop any cached file listing of the sub-tables so a
+        // same-session read after the overwrite can't chase deleted
+        // files (the session-shared FileStatusCache has no TTL)
+        spark.catalog.refreshByPath(s"$stateDir/postings")
+        spark.catalog.refreshByPath(s"$stateDir/docs")
       } finally docs.unpersist()
     } finally tf.unpersist()
     ()

@@ -225,6 +225,12 @@ private[graft] object LsmIndex {
           require(fs.rename(root, retired), s"rename $root -> $retired failed")
           require(fs.rename(staging, root), s"rename $staging -> $root failed")
           fs.delete(retired, true)
+          // a caller-persisted plan over this sub-table (the gates'
+          // query faces use the caller-owned cache lifecycle) would
+          // otherwise recompute from the replaced part files on its
+          // next partial materialization — invalidate and let it
+          // re-list
+          spark.catalog.refreshByPath(root.toString)
           parts += fragmented; before += files.size
           after += dataFiles(root).size
         }
@@ -318,6 +324,7 @@ private[graft] object LsmIndex {
     require(fs.rename(root, retired), s"rename $root -> $retired failed")
     require(fs.rename(staging, root), s"rename $staging -> $root failed")
     fs.delete(retired, true)
+    spark.catalog.refreshByPath(stateDir)
     true
   }
 

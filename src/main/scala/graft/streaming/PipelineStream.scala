@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** THE COMPOSED INGESTION PIPELINE: crawl firehose → both near-dup
+  * gates → retrieval index of the KEPT corpus, as one stream. Each
+  * micro-batch of (doc_id, text, embedding, source) rows runs through
+  * the text gate (shingle/Jaccard) and the vector gate
+  * (prefix-maskable LSH/cosine) via [[CurationStream]], and the docs
+  * NOT flagged by either gate — the batch's keep set — fold into the
+  * incremental BM25 index ([[IndexStream]]). The result a
+  * training-data pipeline actually operates: at any point in the
+  * stream's life, `verdicts` says what was kept and why, and
+  * `queryTopK` searches exactly the deduplicated corpus (a dropped
+  * doc's vocabulary never pollutes df/N, and retrieval can never
+  * surface a document curation rejected).
+  *
+  * The composition is sound because KEEP-AT-INGEST IS FINAL: both
+  * gates emit only (dup_id < new_id) pairs and a doc appears as
+  * `new_id` only in its own batch (ids increase with arrival order —
+  * the gates' stated contract), so a doc kept when its batch landed
+  * can never be flagged by a later batch. The keep set is therefore
+  * exact at fold time — no retraction path is needed, and the index
+  * never holds a doc whose verdict could flip.
+  *
+  * Crash/idempotence: every stage is keyed-overwrite idempotent (the
+  * gates' generation + emission overwrites, the index's generation +
+  * marker overwrites), and the drop set is recomputed from the batch's
+  * own freshly-overwritten emission partitions — so a retry after a
+  * crash anywhere between the stages converges all three states.
+  */
+object PipelineStream {
+
+  val rowSchema: StructType = CurationStream.rowSchema
+
+  private def ridxState(root: String) = s"$root/ridx_state"
+
+  /** One micro-batch through the gates, then the keep set into the
+    * retrieval index.
+    */
+  def applyBatch(spark: SparkSession, rootDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    CurationStream.applyBatch(spark, rootDir, batch, batchId)
+    // this batch's drop set: read ONLY the batch's own emission
+    // partitions (batch_id dir pruning — an O(batch) read)
+    val dropped = LsmIndex.readOrEmpty(spark, s"$rootDir/txt_out",
+        CurationStream.txtOutSchema)
+      .filter(col("batch_id") === batchId).select(col("new_id"))
+      .unionByName(LsmIndex.readOrEmpty(spark, s"$rootDir/vec_out",
+          CurationStream.vecOutSchema)
+        .filter(col("batch_id") === batchId).select(col("new_id")))
+      .select(col("new_id").as("doc_id")).distinct()
+    val kept = batch.select(col("doc_id"), col("text"), col("source"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+    IndexStream.applyBatch(spark, ridxState(rootDir), kept, batchId)
+  }
+
+  /** Ranked BM25 retrieval over the kept corpus. */
+  def queryTopK(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame =
+    IndexStream.queryTopK(spark, ridxState(rootDir), queries)
+
+  /** The composed keep/drop verdicts (see CurationStream.verdicts). */
+  def verdicts(spark: SparkSession, rootDir: String,
+      ids: Option[DataFrame] = None): DataFrame =
+    CurationStream.verdicts(spark, rootDir, ids)
+
+  /** Maintenance fan-out: the gates' and the index's cadence rule in
+    * one call. Returns whether any compaction ran.
+    */
+  def compactIfDue(spark: SparkSession, rootDir: String,
+      targetFileBytes: Long,
+      maxGen: Int = NearDupStream.defaultMaxGenerations): Boolean = {
+    val g = CurationStream.compactIfDue(spark, rootDir, targetFileBytes,
+      maxGen)
+    val r = IndexStream.compactIfDue(spark, ridxState(rootDir),
+      targetFileBytes, maxGen)
+    g || r
+  }
+
+  /** File-source streaming runner over (doc_id, text, embedding,
+    * source) parquet.
+    */
+  def start(spark: SparkSession, sourceDir: String, rootDir: String,
+      checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(rowSchema)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(spark, rootDir, batch, id)
+      }
+      .start()
+  }
+}

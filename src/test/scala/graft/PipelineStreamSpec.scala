@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.streaming.{CurationStream, PipelineStream}
+
+/** The composed ingestion pipeline (round 9): firehose → both dedup
+  * gates → retrieval index of the KEPT corpus, one stream. Pins the
+  * property the composition exists for — retrieval can never surface
+  * a curation-rejected doc, and a rejected doc's vocabulary never
+  * enters the index — plus re-delivery idempotence across all three
+  * states and restart no-op.
+  */
+class PipelineStreamSpec extends SparkSpecBase {
+
+  private val t1 =
+    "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+  private val t3 =
+    "completely different content about database engines and query planners in distributed systems"
+  private val t5 =
+    "numbers and tables fill the xzledger while auditors check the totals twice"
+  private val t6 =
+    "fresh xzmaterial about telescopes and the xznebula survey results"
+
+  private def unit(axis: Int): Seq[Double] =
+    (0 until 64).map(i => if (i == axis) 1.0 else 0.0)
+
+  private def writeBatch(dir: String,
+      rows: Seq[(Long, String, Seq[Double])]): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t, v) => Row(id, t, v, "s") }),
+      PipelineStream.rowSchema)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def queriesOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "text")
+  }
+
+  test("dropped docs never reach the index: their vocabulary is unsearchable, kept docs retrieve") {
+    val root = Files.createTempDirectory("graft-pipeline").toString
+    val src = s"$root/src"; val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    // batch 1: two distinct keepers
+    writeBatch(src, Seq(
+      (1L, t1, unit(0)),
+      (3L, t3, unit(5))))
+    PipelineStream.start(spark, src, state, ckpt).awaitTermination()
+
+    // batch 2: a text near-dup of doc 1 (drop), a PARAPHRASE of doc 3
+    // (same embedding, disjoint words — the vector gate's catch; its
+    // unique word 'xzledger' must NOT become searchable), and a fresh
+    // keeper with unique words
+    writeBatch(src, Seq(
+      (10L, t1 + " again", unit(1)),
+      (11L, t5, unit(5)),
+      (12L, t6, unit(9))))
+    PipelineStream.start(spark, src, state, ckpt).awaitTermination()
+
+    val v = PipelineStream.verdicts(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(1L -> "keep", 3L -> "keep", 10L -> "drop",
+      11L -> "drop", 12L -> "keep"), s"verdicts: $v")
+
+    // the kept corpus is searchable...
+    val hits = PipelineStream.queryTopK(spark, state,
+      queriesOf(900L -> "xzmaterial xznebula unseenz"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(12L), s"fresh keeper must retrieve: $hits")
+    // ...and the vector-dropped doc's unique vocabulary is NOT — the
+    // paraphrase was rejected before indexing, so its words have no
+    // postings (doc 3, the kept representative, shares none of them)
+    val ghost = PipelineStream.queryTopK(spark, state,
+      queriesOf(901L -> "xzledger unseenq unseenr"))
+    assert(ghost.count() == 0,
+      "a curation-rejected doc's vocabulary leaked into the index")
+    // the indexed universe is exactly the keep set
+    val indexed = spark.read
+      .parquet(s"$state/ridx_state/docs")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 3L, 12L), s"indexed: $indexed")
+
+    // re-delivery of batch 2 (same id): all three states converge
+    val batch2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, t1 + " again", unit(1), "s"),
+        Row(11L, t5, unit(5), "s"),
+        Row(12L, t6, unit(9), "s"))),
+      PipelineStream.rowSchema)
+    val postingsBefore =
+      spark.read.parquet(s"$state/ridx_state/postings").count()
+    PipelineStream.applyBatch(spark, state, batch2, batchId = 1L)
+    assert(spark.read.parquet(s"$state/ridx_state/postings").count() ==
+      postingsBefore, "re-delivered batch changed the postings")
+    assert(PipelineStream.verdicts(spark, state).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == v,
+      "re-delivered batch changed the verdicts")
+
+    // restart with no new files: nothing re-folds
+    PipelineStream.start(spark, src, state, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$state/ridx_state/postings").count() ==
+      postingsBefore, "an empty restart re-folded a batch")
+
+    // maintenance fans out to all three states; answers hold
+    PipelineStream.compactIfDue(spark, state, targetFileBytes = 1L << 20,
+      maxGen = 1)
+    assert(PipelineStream.queryTopK(spark, state,
+      queriesOf(902L -> "xzmaterial xznebula unseenz"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(12L),
+      "compaction changed retrieval over the kept corpus")
+  }
+}
