@@ -1040,6 +1040,16 @@ object CorpusOps {
       .withColumn("rank_dense", row_number().over(wd))
       .filter(col("rank_dense") <= bm25K)
       .select(col("query_id"), col("doc_id"), col("rank_dense"))
+    canon(rrfFuse(sparse, dense))
+  }
+
+  /** The RRF fusion tail — shared by the batch face above and the
+    * streaming face (streaming.PipelineStream.hybridTopK), so both
+    * fuse with the identical integer arithmetic. Inputs: (query_id,
+    * doc_id, rank_sparse) and (query_id, doc_id, rank_dense).
+    */
+  private[graft] def rrfFuse(sparse: DataFrame,
+      dense: DataFrame): DataFrame = {
     val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_micro",
         coalesce(expr(s"cast(1000000 div ($rrfConst + rank_sparse) as bigint)"),
@@ -1051,11 +1061,10 @@ object CorpusOps {
           when(col("rank_dense").isNotNull, 1).otherwise(0)).cast("int"))
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_micro").desc, col("doc_id").asc)
-    val out = fused.withColumn("rank", row_number().over(wf))
+    fused.withColumn("rank", row_number().over(wf))
       .filter(col("rank") <= bm25K)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("rrf_micro"), col("n_legs"))
-    canon(out)
   }
 
   val hybridTopkSql: String =

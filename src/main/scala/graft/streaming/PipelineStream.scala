@@ -64,6 +64,35 @@ object PipelineStream {
       queries: DataFrame): DataFrame =
     IndexStream.queryTopK(spark, ridxState(rootDir), queries)
 
+  /** STREAMING HYBRID RETRIEVAL (round 9): reciprocal-rank fusion of
+    * the sparse leg (the kept-corpus BM25 index) and the dense leg
+    * (the vector gate's own LSM LSH index, with the curation drop set
+    * excluded BEFORE ranking) — the whole retrieval stack served from
+    * the pipeline's accumulated state, no batch-side corpus scan
+    * anywhere. Fusion arithmetic is the batch face's exact shared
+    * definition (CorpusOps.rrfFuse), so a streaming hybrid and the
+    * batch hybrid rank identically given identical legs.
+    *
+    * Queries carry (query_id, text, embedding). The dense exclude set
+    * is an O(flagged) read of the emission logs — the drop set is
+    * precisely the new_ids ever flagged (keep-at-ingest is final).
+    */
+  def hybridTopK(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame = {
+    val sparse = IndexStream.queryTopK(spark, ridxState(rootDir),
+        queries.select(col("query_id"), col("text")))
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_sparse"))
+    val dropped = CurationStream.pairLog(spark, rootDir)
+      .select(col("new_id").as("vec_id")).distinct()
+    val dense = VecDupStream.queryTopK(spark, s"$rootDir/vec_state",
+        queries.select(col("query_id"), col("embedding")),
+        k = graft.operators.CorpusOps.bm25K, exclude = Some(dropped))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    graft.operators.CorpusOps.rrfFuse(sparse, dense)
+  }
+
   /** The composed keep/drop verdicts (see CurationStream.verdicts). */
   def verdicts(spark: SparkSession, rootDir: String,
       ids: Option[DataFrame] = None): DataFrame =

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -391,6 +392,90 @@ object VecDupStream {
     * min-partner map strictly decreasing, so pointer jumping converges
     * on a flag-free vector).
     */
+  /** Ranked ANN retrieval over the accumulated index (round 9): for
+    * each probe (query_id, embedding), the top-`k` indexed vectors by
+    * EXACT cosine among the LSH candidates — own masked bucket plus
+    * every Hamming-1 flip across the [[nTables]] tables, at the
+    * corpus-derived read width. The query face of the same LSM state
+    * the ingestion gate maintains: the dedup index doubles as the
+    * vector-search index, no second copy of the corpus.
+    *
+    * `exclude` (optional, vec_id column) drops candidates before
+    * ranking — the composed pipeline passes its curation drop set so
+    * retrieval never surfaces a rejected vector (filtering AFTER
+    * top-k would instead return short lists).
+    *
+    * Read shape is the gate's own probe contract: bpfx-dir shortlist
+    * from [[probeDirs]], candidate-bounded verify read (id pushdown +
+    * semi-join fallback), exact-cosine scoring, top-k window at query
+    * cardinality. Cache lifecycle is caller-owned (clearCache between
+    * queries), and the returned plan is live.
+    */
+  def queryTopK(spark: SparkSession, stateDir: String, queries: DataFrame,
+      k: Int = 3, exclude: Option[DataFrame] = None): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val storedN = storedCount(spark, stateDir)
+    val p = graft.operators.Similarity.lshAutoPlanes(math.max(storedN, 1L))
+    val maskP = (1L << p) - 1
+    val b = bucketRel(queries
+        .select(col("query_id").as("vec_id"), col("embedding")))
+      .withColumnRenamed("vec_id", "query_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = b.select(col("tbl"), col("bpfx")).distinct()
+      .collect().flatMap(r =>
+        probeDirs(r.getLong(1), p).map(d => s"${r.getInt(0)}/$d"))
+      .distinct.toSeq
+    val known = readOrEmpty(spark, s"$stateDir/buckets", bucketsSchema)
+      .filter(concat_ws("/", col("tbl"), col("bpfx")).isin(touched: _*))
+      .select(col("tbl"), col("bucket32").bitwiseAND(lit(maskP)).as("mb"),
+        col("vec_id"))
+    val variants = col("mb") +: (0 until p).map(i =>
+      col("mb").bitwiseXOR(lit(1L << i)))
+    val probes = b.select(col("query_id"), col("tbl"),
+        col("bucket32").bitwiseAND(lit(maskP)).as("mb"))
+      .select(col("query_id"), col("tbl"),
+        explode(array(variants: _*)).as("mb"))
+    val cand0 = probes.join(known, Seq("tbl", "mb"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val cand = exclude.fold(cand0)(ex =>
+      cand0.join(ex.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("vec_id")).distinct()
+    val idSample = candIds.limit(verifyIdPushdownMax + 1)
+      .collect().map(_.getLong(0))
+    val vecsBase = readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
+    val side =
+      if (idSample.length <= verifyIdPushdownMax) {
+        val vbs = idSample.map(i => Math.floorMod(i, nVecBuckets.toLong))
+          .distinct.toSeq
+        vecsBase.filter(col("vbucket").isin(vbs: _*) &&
+          col("vec_id").isin(idSample.toSeq: _*))
+      } else {
+        val vbs = candIds
+          .select(pmod(col("vec_id"), lit(nVecBuckets)).as("vbucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
+        vecsBase.filter(col("vbucket").isin(vbs: _*))
+          .join(candIds, Seq("vec_id"), "left_semi")
+      }
+    val qv = queries.filter(col("embedding").isNotNull)
+      .select(col("query_id"),
+        col("embedding").cast("array<double>").as("vq"))
+      .withColumn("nq", sqrt(expr("graft_dot(vq, vq)")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_micro").desc, col("vec_id").asc)
+    cand.join(side.select(col("vec_id"), col("v"), col("nrm")).distinct(),
+        Seq("vec_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("sim_micro",
+        floor(expr("graft_dot(vq, v)") / (col("nq") * col("nrm"))
+          * lit(1000000.0)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim_micro"))
+  }
+
   def keepDecisions(spark: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
     ensureLayout(spark, stateDir)

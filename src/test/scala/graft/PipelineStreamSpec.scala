@@ -113,5 +113,22 @@ class PipelineStreamSpec extends SparkSpecBase {
       queriesOf(902L -> "xzmaterial xznebula unseenz"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(12L),
       "compaction changed retrieval over the kept corpus")
+
+    // STREAMING HYBRID over the same LSM state: a query whose words
+    // match doc 12 and whose embedding matches doc 3 must surface both
+    // (each leg contributes a doc the other can't see), and the
+    // curation-dropped doc 11 — whose embedding the query matches
+    // EXACTLY as well — must never appear (the dense leg excludes the
+    // drop set before ranking)
+    import spark.implicits._
+    val hq = Seq((903L, "xzmaterial xznebula unseenz", unit(5)))
+      .toDF("query_id", "text", "embedding")
+    val hybrid = PipelineStream.hybridTopK(spark, state, hq)
+      .collect().map(r => (r.getLong(2), r.getInt(4))).toSeq
+    val byDoc = hybrid.toMap
+    assert(byDoc.contains(12L) && byDoc.contains(3L),
+      s"hybrid must surface the sparse-only and dense-only docs: $hybrid")
+    assert(!byDoc.contains(11L),
+      s"hybrid surfaced a curation-dropped doc: $hybrid")
   }
 }

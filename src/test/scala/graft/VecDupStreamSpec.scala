@@ -147,4 +147,39 @@ class VecDupStreamSpec extends SparkSpecBase {
     VecDupStream.start(spark, src, state, out, ckp).awaitTermination()
     assert(spark.read.parquet(out).count() == n)
   }
+
+  test("queryTopK: the dedup index answers ranked ANN retrieval; exclude drops candidates before ranking") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vecq").toString
+    val state = s"$root/state"; val out = s"$root/out"
+    val v1 = vec(); val v2 = vec(); val v3 = vec()
+    VecDupStream.applyBatch(spark, state, out,
+      batchDf(Seq(1L -> v1, 2L -> v2)), batchId = 0L)
+    VecDupStream.applyBatch(spark, state, out,
+      batchDf(Seq(3L -> v3)), batchId = 1L)
+
+    // a probe near v2 must rank vector 2 first with near-1.0 cosine
+    val probe = Seq((900L, perturb(v2).toSeq)).toDF("query_id", "embedding")
+    val got = VecDupStream.queryTopK(spark, state, probe)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.nonEmpty && got.head._2 == 2L,
+      s"probe near v2 must retrieve vector 2 first: ${got.toSeq}")
+    assert(got.head._3 > 990000L,
+      s"top hit must verify with near-1.0 cosine: ${got.toSeq}")
+
+    // the same probe with vector 2 excluded never returns it
+    val excl = Seq(2L).toDF("vec_id")
+    val got2 = VecDupStream.queryTopK(spark, state, probe,
+      exclude = Some(excl)).collect().map(_.getLong(2)).toSet
+    assert(!got2.contains(2L),
+      s"excluded candidate leaked into the ranking: $got2")
+
+    // deterministic across runs
+    val a = VecDupStream.queryTopK(spark, state, probe).collect().toSeq
+    spark.catalog.clearCache()
+    val b = VecDupStream.queryTopK(spark, state, probe).collect().toSeq
+    assert(a == b, "queryTopK is not run-deterministic")
+    spark.catalog.clearCache()
+  }
 }
