@@ -130,5 +130,23 @@ class PipelineStreamSpec extends SparkSpecBase {
       s"hybrid must surface the sparse-only and dense-only docs: $hybrid")
     assert(!byDoc.contains(11L),
       s"hybrid surfaced a curation-dropped doc: $hybrid")
+
+    // one-legged queries degrade instead of erroring: a null text
+    // answers from the dense leg alone, a null embedding from the
+    // sparse leg alone (each leg filters its own nulls; the fusion is
+    // a full outer join)
+    val oneLegged = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(904L, null, unit(0), "q"),
+        Row(905L, t6, null, "q"))),
+      PipelineStream.rowSchema)
+      .select(col("doc_id").as("query_id"), col("text"), col("embedding"))
+    val legged = PipelineStream.hybridTopK(spark, state, oneLegged)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getInt(4)))
+      .toMap
+    assert(legged.get((904L, 1L)).contains(1),
+      s"null-text query must still answer from the dense leg: $legged")
+    assert(legged.get((905L, 12L)).contains(1),
+      s"null-embedding query must still answer from the sparse leg: $legged")
   }
 }
