@@ -102,20 +102,36 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":$qs,"failed":$failed,"sf":"$sfDir","sanity":$sanity}"""
     }
+    // anchor the committed artifact to the repo root (nearest ancestor
+    // of CWD holding build.sbt), not the bare CWD — a bench launched
+    // from outside the repo otherwise silently drops the committed copy
+    // somewhere else (ADVICE r9)
+    val repoRoot: java.nio.file.Path = {
+      var d = java.nio.file.Paths.get("").toAbsolutePath
+      var found: Option[java.nio.file.Path] = None
+      while (d != null && found.isEmpty) {
+        if (java.nio.file.Files.exists(d.resolve("build.sbt"))) found = Some(d)
+        d = d.getParent
+      }
+      found.getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    }
     def writeArtifact(json: String): Unit =
       // two copies: target/bench.json (the historical dev location) and
       // BENCH_latest_full.json at the repo root — target/ is
       // .gitignored, so per-query history depended on a head-truncated
       // stdout capture (r7/r8 ADVICE); the root copy is plain-committed
       // with the round, closing that gap for every future run
-      for (path <- Seq("target/bench.json", "BENCH_latest_full.json")) {
+      for (path <- Seq(repoRoot.resolve("target/bench.json"),
+          repoRoot.resolve("BENCH_latest_full.json"))) {
         try {
-          val w = new java.io.PrintWriter(path)
+          val w = new java.io.PrintWriter(path.toFile)
           try w.println(json) finally w.close()
         } catch { case e: Throwable =>
           System.err.println(s"[bench] could not write $path: $e")
         }
       }
+    System.err.println(
+      s"[bench] artifacts anchored at ${repoRoot.toAbsolutePath}")
 
     val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -795,6 +795,25 @@ object CorpusOps {
   /** Results kept per query (shared with the incremental face). */
   private[graft] val bm25K = 3
 
+  /** HEAD-TERM (stopword) CAP, shared by both retrieval faces and the
+    * oracle: a term occurring in MORE THAN HALF the corpus (2·df >
+    * n_docs) is excluded from query-term selection entirely — it never
+    * scores and, in the incremental face, its posting lists are never
+    * even fetched. Rationale: the df-rarest-[[bm25QueryTerms]] rule
+    * already prefers rare terms, but a query made ONLY of stopwords
+    * would still fetch the longest posting lists in the corpus (Σ df
+    * explodes at scale — the one candidate-volume term the static-WAND
+    * pruning doesn't bound). With the cap, an all-stopword query is
+    * answered with NO results and NO posting reads. df > N/2 is the
+    * classic stopword line: such a term's raw-odds idf
+    * (N − df + ½)/(df + ½) is below 1, i.e. it carries negative
+    * log-evidence and mostly reshuffles ties while costing the most to
+    * read. The rule is exact-integer (2·df ≤ n_docs) so both engines
+    * and the SQL oracle agree bit-for-bit.
+    */
+  private[graft] def bm25CapOk(df: Column, nDocs: Column): Column =
+    df * lit(2) <= nDocs
+
   /** The retrieval tokenizer — whitespace split of the lowercased
     * text. Shared with the incremental face so index-time and
     * query-time tokenization cannot drift.
@@ -845,7 +864,11 @@ object CorpusOps {
     * posting lists by construction — instead of queries × corpus. Terms
     * absent from the train vocabulary carry no postings and contribute
     * 0, so the inner df-join dropping them is exact (a query with NO
-    * surviving term emits no rows, in both engines).
+    * surviving term emits no rows, in both engines). Head terms
+    * (2·df > n_docs — see [[bm25CapOk]]) are excluded BEFORE ranking,
+    * so Σ df over selected terms is bounded by a corpus fraction even
+    * for an all-stopword query (which retrieves nothing rather than
+    * fetching the corpus's longest posting lists).
     *
     * Scale: tf/dl/df aggregate at (doc,term)/doc/vocab grain with
     * map-side partials; N and totdl ride a 1-row broadcast stamp;
@@ -877,10 +900,17 @@ object CorpusOps {
         explode(array_distinct(bm25Tokens(col("text")))).as("term"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("df").asc, col("term").asc)
+    // stamp rides the selection (one 1-row broadcast cross for the
+    // whole face): the head-term cap filters BEFORE ranking, so capped
+    // terms free their slots for the next-rarest uncapped terms, and
+    // n_docs/totdl are simply carried through to scoring
     val selected = qTerms.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stamp))
+      .filter(bm25CapOk(col("df"), col("n_docs")))
       .withColumn("trank", row_number().over(wq))
       .filter(col("trank") <= bm25QueryTerms)
-      .select(col("term"), col("query_id"), col("df"))
+      .select(col("term"), col("query_id"), col("df"),
+        col("n_docs"), col("totdl"))
     // repartition on doc_id between the posting fetch and the dl join:
     // at scale dl is corpus-sized, so the join needs this exchange
     // anyway (co-partitioning), and locally it stops AQE from fusing
@@ -890,7 +920,6 @@ object CorpusOps {
     val scoredTerms = selected.join(tf, Seq("term"))
       .repartition(col("doc_id"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stamp))
       .withColumn("term_micro", expr(bm25TermMicroExpr))
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
@@ -926,7 +955,8 @@ object CorpusOps {
        |    SELECT q.term, q.query_id, d.df,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY d.df ASC, q.term ASC) AS trank
-       |    FROM qterms q JOIN dft d USING (term))
+       |    FROM qterms q JOIN dft d USING (term), stamp st
+       |    WHERE 2 * d.df <= st.n_docs)
        |  WHERE trank <= $bm25QueryTerms
        |), scored_terms AS (
        |  SELECT s.query_id, tf.doc_id,

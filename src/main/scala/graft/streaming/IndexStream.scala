@@ -90,16 +90,47 @@ object IndexStream {
     StructField("dbucket", LongType),
     StructField("ingest", LongType)))
 
+  /** The per-generation document-frequency sub-table (round 10): one
+    * (term, df, gen) row per distinct term of each ingested batch,
+    * where `gen` is the batch id the count belongs to (a DATA column,
+    * so compaction's generic distinct-merge keeps per-generation counts
+    * additive and a re-delivered batch's rows dedup exactly). The query
+    * face reads THIS — a vocabulary-sized relation of 2 small columns —
+    * to select and cap query terms BEFORE any posting list is opened:
+    *  - exact cumulative df per query term = sum over its gen rows
+    *    (each doc is indexed once, so per-generation dfs add);
+    *  - the head-term cap (CorpusOps.bm25CapOk) then drops stopwords
+    *    with no posting I/O at all;
+    *  - the surviving ≤ bm25QueryTerms terms' gen rows say EXACTLY
+    *    which `ingest=` generation dirs can contain their postings —
+    *    an exact per-term generation shortlist that supersedes a bloom
+    *    sidecar (zero false positives, maintained for free by the
+    *    fold).
+    * 16 `dpfx` dirs (vs the postings' 256): the relation is small, so
+    * fewer dirs keep the per-generation file-creation constant low
+    * while term-sorted files still serve the term IN row-group
+    * pushdown.
+    */
+  private val dfsSchema: StructType = StructType(Seq(
+    StructField("term", StringType),
+    StructField("df", LongType),
+    StructField("gen", LongType),
+    StructField("dpfx", StringType),
+    StructField("ingest", LongType)))
+
   private val subTables = Seq(
     LsmIndex.Sub("postings", postingsSchema, Seq("tpfx"),
       sortCols = Seq("term")),
     LsmIndex.Sub("docs", docsSchema, Seq("dbucket"),
-      sortCols = Seq("doc_id")))
+      sortCols = Seq("doc_id")),
+    LsmIndex.Sub("dfs", dfsSchema, Seq("dpfx"),
+      sortCols = Seq("term")))
 
   private[graft] val layoutVersion =
-    "graft-ridx-v1 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
-      "docs=(dbucket=pmod256,ingest) sort=doc_id tok=lower-ws " +
-      "ncount=(n_docs,tot_dl)"
+    "graft-ridx-v2 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+      "docs=(dbucket=pmod256,ingest) sort=doc_id " +
+      "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
+      "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n"
 
   private val nDocBuckets = 256
 
@@ -156,6 +187,12 @@ object IndexStream {
     f"${d(0) & 0xff}%02x"
   }
 
+  /** The dfs sub-table's coarser dir key: first hex CHAR of md5(term)
+    * (16 dirs) — the leading nibble of [[tpfxOf]], so the two
+    * shortlists derive from one digest.
+    */
+  private[graft] def dpfxOf(term: String): String = tpfxOf(term).substring(0, 1)
+
   /** The per-batch posting rows (term, doc_id, tf, tpfx) of a
     * (doc_id, text) relation, via the SHARED tokenizer.
     */
@@ -167,6 +204,15 @@ object IndexStream {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tpfx", substring(md5(col("term")), 1, 2))
+
+  /** The per-batch df rows (term, df, gen, dpfx) — df counted from the
+    * same posting rows the batch writes, so dfs and postings can never
+    * disagree.
+    */
+  private def dfsRel(tf: DataFrame, batchId: Long): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("gen", lit(batchId))
+      .withColumn("dpfx", substring(md5(col("term")), 1, 1))
 
   /** The per-batch doc-stats rows (doc_id, lt, dl, dbucket); dl from
     * the posting rows so the two sub-tables can never disagree.
@@ -215,6 +261,13 @@ object IndexStream {
           .write.partitionBy("dbucket", "ingest")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/docs")
+        dfsRel(tf, batchId).withColumn("ingest", lit(batchId))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("dpfx"))
+          .sortWithinPartitions(col("dpfx"), col("term"))
+          .write.partitionBy("dpfx", "ingest")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$stateDir/dfs")
         markers(stateDir).write(spark, batchId,
           Seq(stats.getLong(0), stats.getLong(1)))
         // a re-delivered batch REPLACES its generation's part files;
@@ -223,6 +276,7 @@ object IndexStream {
         // files (the session-shared FileStatusCache has no TTL)
         spark.catalog.refreshByPath(s"$stateDir/postings")
         spark.catalog.refreshByPath(s"$stateDir/docs")
+        spark.catalog.refreshByPath(s"$stateDir/dfs")
       } finally docs.unpersist()
     } finally tf.unpersist()
     ()
@@ -234,13 +288,18 @@ object IndexStream {
     * n_terms), bit-identical to CorpusOps.bm25TopkOn over the same
     * corpus.
     *
-    * Read shape: posting fetch pruned to the query terms' tpfx dirs +
-    * term IN row-group pushdown (semi-join fallback above the cap);
-    * per-term df computed FROM that pruned read (exact — a term's
-    * postings are wholly inside its tpfx dirs); dl fetch
-    * candidate-bounded on the docs sub-table. No read touches state
-    * outside the query's reach, and the corpus constants come from the
-    * markers — O(generations) driver file reads.
+    * Read shape (round 10 — selection BEFORE fetch): per-term df comes
+    * from the vocabulary-sized `dfs` sub-table (dir-pruned + term IN
+    * pushdown), so term selection and the head-term cap
+    * (CorpusOps.bm25CapOk) run before ANY posting list is opened.
+    * Posting I/O then covers only the SELECTED ≤ bm25QueryTerms terms
+    * per query — never a capped stopword's head lists — and is pruned
+    * to exactly the (tpfx, ingest) generation dirs the selected terms'
+    * dfs rows name (plus each tpfx's compacted `ingest=-1` dir): an
+    * exact generation shortlist with zero false positives, where a
+    * bloom sidecar would be probabilistic. dl fetch stays
+    * candidate-bounded on the docs sub-table, and the corpus constants
+    * come from the markers — O(generations) driver file reads.
     */
   def queryTopK(spark: SparkSession, stateDir: String,
       queries: DataFrame): DataFrame = {
@@ -248,12 +307,27 @@ object IndexStream {
     val st = markers(stateDir).stored(spark)
     val nDocs = if (st.nonEmpty) st.head else 0L
     val totDl = if (st.size > 1) st(1) else 0L
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("score_micro", LongType),
+        StructField("n_terms", LongType, nullable = false))))
+    // ZERO-CORPUS GUARD (ADVICE r9): empty markers (empty state, or the
+    // bounded consolidation-crash window) must NOT score with
+    // n_docs=0/totdl=0 — the integer division nulls out term_micro and
+    // ranked rows would still emit with meaningless scores. Answer
+    // empty instead, the gates' conservative-degrade contract.
+    if (nDocs <= 0L || totDl <= 0L) return emptyOut
     // cache lifecycle is CALLER-OWNED (the Verify/Bench convention —
     // clearCache() between queries): q feeds the sample collect AND
-    // the selection join; post feeds df AND the posting fetch; hits
-    // feeds the candidate-id collect AND the scoring join. The
-    // returned DataFrame is the LIVE retrieval plan (inspectable by
-    // PlanHygieneSpec), not a checkpointed copy.
+    // the selection join; dfsR feeds the df totals AND the generation
+    // shortlist; selected feeds the shortlist collect AND the posting
+    // join; hits feeds the candidate-id collect AND the scoring join.
+    // The returned DataFrame is the LIVE retrieval plan (inspectable
+    // by PlanHygieneSpec), not a checkpointed copy.
     val q = queries.filter(col("text").isNotNull)
       .select(col("query_id"),
         explode(array_distinct(
@@ -261,32 +335,72 @@ object IndexStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termSample = q.select(col("term")).distinct()
       .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return emptyOut
+    // STEP 1 — df fetch from the dfs sub-table (vocabulary grain, two
+    // small columns): dpfx dir shortlist + term IN row-group pushdown,
+    // distributed semi-join above the cap. distinct (term, df, gen):
+    // a batch re-delivered after compaction merged its generation
+    // leaves byte-identical duplicate rows; collapsing them keeps the
+    // per-generation sums exact.
+    val dfsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/dfs", dfsSchema)
+    val dfsRows =
+      if (termSample.length <= pushdownMax) {
+        val pfx = termSample.map(dpfxOf).distinct.toSeq
+        dfsBase.filter(col("dpfx").isin(pfx: _*) &&
+          col("term").isin(termSample.toSeq: _*))
+      } else {
+        dfsBase.join(q.select(col("term")).distinct(), Seq("term"),
+          "left_semi")
+      }
+    val dfsR = dfsRows.select(col("term"), col("df"), col("gen"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
+    // STEP 2 — selection + head-term cap, BEFORE any posting I/O
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = q.join(dfT, Seq("term"))
+      .filter(graft.operators.CorpusOps.bm25CapOk(col("df"), lit(nDocs)))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // STEP 3 — the exact (term → generations) posting-dir shortlist
+    val selPairs = selected.select(col("term")).distinct()
+      .join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    // every query term absent from the vocabulary or capped as a head
+    // term: answer empty with ZERO posting reads (the all-stopword
+    // query is exactly this path)
+    if (selPairs.isEmpty) return emptyOut
     val base = LsmIndex.readOrEmpty(spark, s"$stateDir/postings",
       postingsSchema)
     val pruned =
-      if (termSample.length <= pushdownMax) {
-        val pfx = termSample.map(tpfxOf).distinct.toSeq
-        base.filter(col("tpfx").isin(pfx: _*) &&
-          col("term").isin(termSample.toSeq: _*))
+      if (selPairs.length <= pushdownMax) {
+        val selTerms = selPairs.map(_.getString(0)).distinct.toSeq
+        val tpfxs = selTerms.map(tpfxOf).distinct
+        // each selected term's own generation dirs, plus its tpfx's
+        // compacted dir (compaction rewrites the physical dir to
+        // ingest=-1 while dfs keeps the logical gen)
+        val dirs = (selPairs.map(r =>
+            s"${tpfxOf(r.getString(0))}/${r.getLong(1)}") ++
+          tpfxs.map(p => s"$p/-1")).distinct.toSeq
+        base.filter(col("tpfx").isin(tpfxs: _*) &&
+          concat_ws("/", col("tpfx"), col("ingest")).isin(dirs: _*) &&
+          col("term").isin(selTerms: _*))
       } else {
-        val pfx = q.select(substring(md5(col("term")), 1, 2).as("tpfx"))
+        val pfx = selected
+          .select(substring(md5(col("term")), 1, 2).as("tpfx"))
           .distinct().collect().map(_.getString(0)).toSeq // ≤ 256, fixed
         base.filter(col("tpfx").isin(pfx: _*))
-          .join(q.select(col("term")).distinct(), Seq("term"),
+          .join(selected.select(col("term")).distinct(), Seq("term"),
             "left_semi")
       }
     // distinct: a batch re-delivered after compaction merged its
     // generation may have left duplicate posting rows
     val post = pruned.select(col("term"), col("doc_id"), col("tf"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("df").asc, col("term").asc)
-    val selected = q.join(dfT, Seq("term"))
-      .withColumn("trank", row_number().over(wq))
-      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
-      .select(col("term"), col("query_id"), col("df"))
     val hits = selected.join(post, Seq("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
@@ -366,6 +480,12 @@ object IndexStream {
               .sortWithinPartitions(col("dbucket"), col("doc_id"))
               .write.partitionBy("dbucket", "ingest")
               .parquet(s"$staging/docs")
+            // dfs rebuilt whole-corpus as the single gen=-1 generation
+            // (sum over one generation = the exact corpus df)
+            dfsRel(tf, -1L).withColumn("ingest", lit(-1L))
+              .sortWithinPartitions(col("dpfx"), col("term"))
+              .write.partitionBy("dpfx", "ingest")
+              .parquet(s"$staging/dfs")
             val staged = spark.read.schema(docsSchema)
               .parquet(s"$staging/docs")
             val got = staged.select(col("doc_id")).distinct().count()

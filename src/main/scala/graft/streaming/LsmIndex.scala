@@ -369,14 +369,24 @@ private[graft] object LsmIndex {
       fs.delete(old, true)
     }
 
+    /** Marker writes go to a temp name and rename into place: an
+      * in-place truncate-create left a window where a crash mid-write
+      * published a torn or empty marker, which [[stored]] would then
+      * either throw on or silently mis-sum (ADVICE r9) — rename is the
+      * filesystem's atomic publish.
+      */
     def write(spark: SparkSession, batchId: Long, values: Seq[Long]): Unit = {
       val (live, _, _) = paths
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(live)
       val f = new org.apache.hadoop.fs.Path(live, s"ingest=$batchId")
-      val out = fs.create(f, true)
+      val tmp = new org.apache.hadoop.fs.Path(live, s"_tmp_ingest_$batchId")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, true)
       try out.write(values.mkString(",").getBytes("UTF-8"))
       finally out.close()
+      fs.delete(f, false)
+      require(fs.rename(tmp, f), s"marker publish rename $tmp -> $f failed")
     }
 
     /** Element-wise sum of every `ingest=*` marker (ragged markers pad
@@ -390,12 +400,17 @@ private[graft] object LsmIndex {
       // only `ingest=*` marker files count — never staging temps or
       // filesystem droppings that may share the dir
       else fs.listStatus(live).filter(st =>
-        st.isFile && st.getPath.getName.startsWith("ingest=")).map { st =>
+        st.isFile && st.getPath.getName.startsWith("ingest=")).flatMap { st =>
         val in = fs.open(st.getPath)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        txt.split(",").map(_.trim.toLong).toSeq
+        // a marker that does not parse as comma-separated longs (torn
+        // write from a pre-rename build, external damage) is SKIPPED —
+        // the conservative undercount the crash contract already
+        // documents — instead of throwing or mis-summing (ADVICE r9)
+        try Some(txt.split(",").map(_.trim.toLong).toSeq)
+        catch { case _: NumberFormatException => None }
       }.foldLeft(Seq.empty[Long]) { (a, b) =>
         a.zipAll(b, 0L, 0L).map { case (x, y) => x + y }
       }

@@ -90,7 +90,10 @@ object PipelineStream {
         k = graft.operators.CorpusOps.bm25K, exclude = Some(dropped))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("rank_dense"))
-    graft.operators.CorpusOps.rrfFuse(sparse, dense)
+    // canon like the batch hybrid face: consumers comparing collected
+    // output get a deterministic row order (ADVICE r9 — rrfFuse alone
+    // leaves the fused order nondeterministic)
+    graft.Tables.canon(graft.operators.CorpusOps.rrfFuse(sparse, dense))
   }
 
   /** The composed keep/drop verdicts (see CurationStream.verdicts). */

@@ -349,11 +349,23 @@ class PlanHygieneSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"),
       "retrieval over the index must stay keyed joins")
     // the tpfx dir shortlist must reach the postings scan as a
-    // partition filter, and the term IN pushdown must reach the
-    // parquet reader
-    assert(p.contains("PartitionFilters: [tpfx"),
+    // partition filter, and (round 10) the dfs-derived generation
+    // shortlist must prune (tpfx, ingest) PAIR dirs — the exact
+    // per-term generation pruning that supersedes a bloom sidecar
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("tpfx")),
       "tpfx dir shortlist did not become a partition filter — the " +
         "posting fetch would list the whole index")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("concat_ws") &&
+        l.contains("ingest")),
+      "the (tpfx, ingest) generation shortlist did not become a " +
+        "partition filter — posting reads would touch every generation")
+    // term selection reads the dfs sub-table first: its dpfx dirs are
+    // partition-pruned and the query terms push down to its row groups
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("dpfx")),
+      "dfs dir shortlist did not become a partition filter")
     assert(p.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("In(term")),
       "term IN predicate did not reach the parquet row-group stats")
