@@ -328,6 +328,115 @@ private[graft] object LsmIndex {
     true
   }
 
+  /** ID-MONOTONICITY high-water markers (round 10, verdict item 3):
+    * the dedup gates' keep-at-ingest finality — and therefore the
+    * soundness of the composed pipeline (PipelineStream) — rests on
+    * ids increasing with arrival order: both gates emit only
+    * (dup_id < new_id) pairs, so "kept when its batch landed" is final
+    * only if no LATER batch can carry a smaller id. That contract was
+    * stated and relied upon but never checked; a source violating it
+    * silently broke finality (a later batch could flag an
+    * already-indexed doc whose vocabulary then stayed searchable).
+    *
+    * One tiny `ingest=<batchId>` file per ingested batch holds the
+    * batch's max id. [[checkMonotone]] fails fast when a batch with a
+    * NEW batch id (greater than every recorded one) carries a min id
+    * at or below the recorded high water; a batch whose id is ≤ some
+    * recorded marker is a REPLAY (the streaming runner re-delivers
+    * uncommitted batches, and maintenance probes in the scale specs
+    * re-use old ids) and is exempt — replays are keyed overwrites of
+    * their own generation, which cannot break finality.
+    *
+    * Crash contract is simpler than [[Markers]]: the merged quantity
+    * is a MAX, so [[consolidate]] can write the merged marker (named
+    * with the largest merged batch id, preserving replay detection)
+    * before deleting the inputs — any crash leaves a superset of
+    * markers whose max is unchanged. Torn or unparsable files are
+    * skipped (the check degrades to conservative-skip, never a false
+    * failure).
+    */
+  final case class HiWater(stateDir: String) {
+    private def dir = new org.apache.hadoop.fs.Path(s"$stateDir/hiwater")
+
+    private def fsOf(spark: SparkSession) =
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** (batchId, maxId) per parsable marker. */
+    private def entries(spark: SparkSession): Seq[(Long, Long)] = {
+      val fs = fsOf(spark)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.startsWith("ingest=")).flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        try Some((st.getPath.getName.stripPrefix("ingest=").toLong,
+          txt.toLong))
+        catch { case _: NumberFormatException => None }
+      }
+    }
+
+    def record(spark: SparkSession, batchId: Long, maxId: Long): Unit = {
+      val fs = fsOf(spark)
+      fs.mkdirs(dir)
+      val f = new org.apache.hadoop.fs.Path(dir, s"ingest=$batchId")
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_ingest_$batchId")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, true)
+      try out.write(maxId.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(f, false)
+      require(fs.rename(tmp, f), s"hiwater publish rename $tmp -> $f failed")
+    }
+
+    /** The high water a genuinely-NEW batch must stay above, or None
+      * when the check does not apply: a replay (some recorded batch id
+      * ≥ this one — the streaming runner's re-delivery path) or a
+      * state with no markers yet (pre-round-10 state migrates its
+      * water in via migrateState).
+      *
+      * The gates' refined rule (see their applyBatch): ids ≤ the high
+      * water are allowed ONLY when already indexed — a re-arrival of
+      * the same row (at-least-once sources duplicate rows across batch
+      * boundaries) compares against exactly its original comparison
+      * set, because everything ingested after it carries higher ids,
+      * so its verdict cannot change. A sub-water id NOT in the index
+      * is the violation finality cannot survive.
+      */
+    def highWaterFor(spark: SparkSession, batchId: Long): Option[Long] = {
+      val es = entries(spark)
+      if (es.exists(_._1 >= batchId)) None
+      else es.map(_._2).maxOption
+    }
+
+    /** The fail-fast message (shared so both gates report identically). */
+    def violationMsg(batchId: Long, id: Long, high: Long): String =
+      s"id-monotonicity violation at $stateDir: batch $batchId " +
+        s"carries NEW id $id ≤ the recorded high water $high — the " +
+        "gates' keep-at-ingest finality (dup_id < new_id with ids " +
+        "increasing in arrival order) does not hold for this source, " +
+        "so verdicts already issued could be invalidated. Re-key the " +
+        "source with arrival-ordered ids."
+
+    /** Merge every marker into one file named with the LARGEST merged
+      * batch id (so replay detection survives consolidation) holding
+      * the max id.
+      */
+    def consolidate(spark: SparkSession): Unit = {
+      val fs = fsOf(spark)
+      val es = entries(spark)
+      if (es.size > 1) {
+        val bid = es.map(_._1).max
+        val high = es.map(_._2).max
+        record(spark, bid, high)
+        for (st <- fs.listStatus(dir)
+            if st.isFile && st.getPath.getName.startsWith("ingest=") &&
+              st.getPath.getName != s"ingest=$bid")
+          fs.delete(st.getPath, false)
+      }
+    }
+  }
+
   /** Per-generation count markers under `<stateDir>/<name>/`: one tiny
     * `ingest=<batchId>` file per ingested batch holding that batch's
     * counts as comma-separated longs. [[stored]] element-wise-sums

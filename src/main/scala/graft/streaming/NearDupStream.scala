@@ -177,6 +177,43 @@ object NearDupStream {
     ensureLayout(spark, stateDir)
     val bucketsDir = s"$stateDir/buckets"
     val docsDir = s"$stateDir/docs"
+    // ENFORCE the id-monotonicity ingest contract this gate's
+    // keep-at-ingest finality rests on (round 10): a genuinely-NEW id
+    // must lie above everything already ingested — checked BEFORE any
+    // emission or fold so a violating source cannot leave a
+    // silently-stale index. Fast path (no id at or below the water)
+    // reads no state; ids at/below it are allowed only as RE-ARRIVALS
+    // of already-indexed rows (membership probe, candidate-bounded
+    // like the verify read) — a re-arrival's verdict cannot change
+    // because everything ingested after it has higher ids.
+    val idSpan = batch.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect()(0)
+    val hiw = LsmIndex.HiWater(stateDir)
+    if (!idSpan.isNullAt(0)) {
+      hiw.highWaterFor(spark, batchId).foreach { high =>
+        if (idSpan.getLong(0) <= high) {
+          val stale = batch.filter(col("doc_id") <= high)
+            .select(col("doc_id")).distinct()
+          val sample = stale.limit(verifyIdPushdownMax + 1)
+            .collect().map(_.getLong(0))
+          val docsBase = readOrEmpty(spark, docsDir, docsSchema)
+          val indexed =
+            if (sample.length <= verifyIdPushdownMax) {
+              val dbs = sample
+                .map(i => Math.floorMod(i, nDocBuckets.toLong))
+                .distinct.toSeq
+              docsBase.filter(col("dbucket").isin(dbs: _*) &&
+                col("doc_id").isin(sample.toSeq: _*))
+            } else docsBase
+          val offender = stale
+            .join(indexed.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            .limit(1).collect()
+          require(offender.isEmpty,
+            hiw.violationMsg(batchId, offender(0).getLong(0), high))
+        }
+      }
+    }
     // distinct() everywhere batch rows enter state: a re-delivered
     // batch must merge to the identical index
     val b = bandRel(batch).distinct()
@@ -296,6 +333,11 @@ object NearDupStream {
         .write.partitionBy("dbucket", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(docsDir)
+      // high-water marker last: a crash before it leaves the batch
+      // unrecorded and the retry re-checks + re-records (idempotent)
+      if (!idSpan.isNullAt(1))
+        LsmIndex.HiWater(stateDir).record(spark, batchId,
+          idSpan.getLong(1))
     } finally { b.unpersist(); dNew.unpersist() }
     ()
   }
@@ -370,7 +412,10 @@ object NearDupStream {
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
     ensureLayout(spark, stateDir)
-    LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
+    val r = LsmIndex.compact(spark, stateDir, subTables, targetFileBytes,
+      minFiles)
+    LsmIndex.HiWater(stateDir).consolidate(spark)
+    r
   }
 
   /** LAYOUT MIGRATION (r8 verdict top item; see
@@ -413,6 +458,13 @@ object NearDupStream {
           require(got == n,
             s"migration staging lost docs ($got != $n) for $oldRoot; " +
               "original untouched")
+          // seed the id-monotonicity high water from the migrated ids
+          // so enforcement covers pre-round-10 state from the first
+          // post-migration batch
+          val maxIdRow = raw.agg(max(col("doc_id"))).collect()(0)
+          if (!maxIdRow.isNullAt(0))
+            LsmIndex.HiWater(staging).record(spark, -1L,
+              maxIdRow.getLong(0))
         } finally raw.unpersist()
       }
     }

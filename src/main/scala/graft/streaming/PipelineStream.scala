@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.StructType
   * the gates' stated contract), so a doc kept when its batch landed
   * can never be flagged by a later batch. The keep set is therefore
   * exact at fold time — no retraction path is needed, and the index
-  * never holds a doc whose verdict could flip.
+  * never holds a doc whose verdict could flip. Since round 10 that
+  * premise is ENFORCED, not assumed: both gates keep a max-id
+  * high-water marker ([[LsmIndex.HiWater]]) and fail fast when a
+  * genuinely-new batch carries an id at or below it — a source that
+  * violates arrival-ordered ids gets a clear error instead of a
+  * silently-stale index.
   *
   * Crash/idempotence: every stage is keyed-overwrite idempotent (the
   * gates' generation + emission overwrites, the index's generation +

@@ -134,6 +134,7 @@ object VecDupStream {
     // now lives in LsmIndex.Markers.consolidate — factored there in
     // round 9 so the retrieval-index gate shares it).
     markers(stateDir).consolidate(spark)
+    LsmIndex.HiWater(stateDir).consolidate(spark)
     r
   }
 
@@ -192,6 +193,13 @@ object VecDupStream {
           val out = fs.create(
             new org.apache.hadoop.fs.Path(ncDir, "ingest=-1"), true)
           try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+          // seed the id-monotonicity high water from the migrated ids
+          // so enforcement covers pre-round-10 state from the first
+          // post-migration batch
+          val maxIdRow = raw.agg(max(col("vec_id"))).collect()(0)
+          if (!maxIdRow.isNullAt(0))
+            LsmIndex.HiWater(staging).record(spark, -1L,
+              maxIdRow.getLong(0))
         } finally raw.unpersist()
       }
     }
@@ -276,6 +284,38 @@ object VecDupStream {
     ensureLayout(spark, stateDir)
     val bucketsDir = s"$stateDir/buckets"
     val vecsDir = s"$stateDir/vecs"
+    // ENFORCE the id-monotonicity ingest contract (round 10) — see
+    // NearDupStream.applyBatch; same finality argument and the same
+    // re-arrival tolerance (membership probe on the overlap path
+    // only), vec_id key
+    val idSpan = batch.agg(min(col("vec_id")), max(col("vec_id")))
+      .collect()(0)
+    val hiw = LsmIndex.HiWater(stateDir)
+    if (!idSpan.isNullAt(0)) {
+      hiw.highWaterFor(spark, batchId).foreach { high =>
+        if (idSpan.getLong(0) <= high) {
+          val stale = batch.filter(col("vec_id") <= high)
+            .select(col("vec_id")).distinct()
+          val sample = stale.limit(verifyIdPushdownMax + 1)
+            .collect().map(_.getLong(0))
+          val vecsBase = readOrEmpty(spark, vecsDir, vecsSchema)
+          val indexed =
+            if (sample.length <= verifyIdPushdownMax) {
+              val vbs = sample
+                .map(i => Math.floorMod(i, nVecBuckets.toLong))
+                .distinct.toSeq
+              vecsBase.filter(col("vbucket").isin(vbs: _*) &&
+                col("vec_id").isin(sample.toSeq: _*))
+            } else vecsBase
+          val offender = stale
+            .join(indexed.select(col("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+            .limit(1).collect()
+          require(offender.isEmpty,
+            hiw.violationMsg(batchId, offender(0).getLong(0), high))
+        }
+      }
+    }
     val b = bucketRel(batch).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dNew = sigRel(batch).distinct()
@@ -381,6 +421,9 @@ object VecDupStream {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(vecsDir)
       writeCountMarker(spark, stateDir, batchId, batchN)
+      if (!idSpan.isNullAt(1))
+        LsmIndex.HiWater(stateDir).record(spark, batchId,
+          idSpan.getLong(1))
     } finally { b.unpersist(); dNew.unpersist() }
     ()
   }
