@@ -1260,7 +1260,20 @@ object Similarity {
     * codes = (n_id, n_sub, n_code).
     */
   private def pqDistAndCodes(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
+      sfDir: String): (DataFrame, DataFrame) =
+    pqDistAndCodesRounds(spark, sfDir, rounds = 1)
+
+  /** [[pqDistAndCodes]] with the Lloyd refinement depth exposed
+    * (private[graft] — the production faces pin rounds = 1; the
+    * recall-vs-rounds measurement in RetrievalSpec drives this knob
+    * directly, and SCALING.md records the measured knee behind the
+    * pinned default). Each extra round costs the same two bounded jobs
+    * (assign: vectors × K against a broadcast codebook; means: one
+    * grouped pass), so depth is a linear-cost dial, not a redesign.
+    */
+  private[graft] def pqDistAndCodesRounds(spark: SparkSession,
+      sfDir: String, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"PQ needs at least one Lloyd round: $rounds")
     val qp = Caching.persistOnce(quantizedRel(spark, sfDir)
       .withColumn("sub", pmod(col("pos"), lit(pqM))))
     val seedPick = qp.select(col("vec_id")).distinct()
@@ -1284,16 +1297,23 @@ object Similarity {
         .agg(sum(col("sqq")).as("d2"))
     val wsub = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2").asc, col("code").asc)
-    val a0 = d2To(c0).withColumn("rn", row_number().over(wsub))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
-    val c1 = qp.join(a0, Seq("vec_id", "sub"))
-      .groupBy(col("sub"), col("code"), col("pos"))
-      .agg((sum(col("xq")).cast("double") /
-        (lit(1000000.0) * count(lit(1)))).as("c"))
+    def refine(cent: DataFrame): DataFrame = {
+      val assign = d2To(cent).withColumn("rn", row_number().over(wsub))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      qp.join(assign, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(col("xq")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("c"))
+    }
+    // K·D-row centroid relations: persist each round so round r+1's
+    // assign reads a materialized codebook instead of replaying every
+    // earlier round's lineage
+    var cent = c0
+    for (_ <- 0 until rounds) cent = Caching.persistOnce(refine(cent))
     // one relation serves twice: rn=1 is the encode, the full table is
     // the query-side ADC distance table
-    val d1 = Caching.persistOnce(d2To(c1))
+    val d1 = Caching.persistOnce(d2To(cent))
     val codes = d1.withColumn("rn", row_number().over(wsub))
       .filter(col("rn") === 1)
       .select(col("vec_id").as("n_id"), col("sub").as("n_sub"),
@@ -1324,8 +1344,15 @@ object Similarity {
           * lit(1000000.0)).cast("long").as("adc_micro"))
   }
 
-  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val (d1, codes) = pqDistAndCodes(spark, sfDir)
+  def annPq(spark: SparkSession, sfDir: String): DataFrame =
+    annPqRounds(spark, sfDir, rounds = 1)
+
+  /** [[annPq]] at an explicit Lloyd depth — the RetrievalSpec
+    * recall-vs-rounds measurement seam.
+    */
+  private[graft] def annPqRounds(spark: SparkSession, sfDir: String,
+      rounds: Int): DataFrame = {
+    val (d1, codes) = pqDistAndCodesRounds(spark, sfDir, rounds)
     val lbl = load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"))
     val cand = lbl.select(col("vec_id").as("query_id"), col("label"))
