@@ -1028,6 +1028,153 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------------
+  // phrase_match — positional exact-phrase retrieval
+  // ---------------------------------------------------------------------
+
+  /** Tokens of a phrase query: the first [[phraseLen]] tokens of the
+    * query text (the retrieval convention: the query's leading bigram
+    * is its phrase). Shared with the incremental face
+    * (streaming.IndexStream.queryPhrase) so phrase extraction cannot
+    * drift between engines.
+    */
+  private[graft] val phraseLen = 2
+
+  private[graft] def phraseTerms(text: Column): Column =
+    slice(bm25Tokens(text), 1, phraseLen)
+
+  /** The positional-match core shared by the batch face and the
+    * incremental index face: given anchor rows (query_id, doc_id,
+    * anchor) — one row per (phrase slot i, document position p) with
+    * term agreement, anchor = p − i — a document matches the phrase at
+    * an anchor iff ALL [[phraseLen]] slots produced that anchor (each
+    * slot contributes at most one row per anchor since p = anchor + i
+    * is determined, so count(*) counts matched slots exactly; an
+    * anchor < 0 or past the document end can never reach the full
+    * count, so no bounds filter is needed). Occurrences may overlap
+    * ("a a a" contains "a a" at anchors 0 and 1 → n_occ = 2). Ranking:
+    * occurrence count desc, doc_id asc, top [[bm25K]] per query —
+    * ONE definition, so the two faces agree bit-for-bit by
+    * construction.
+    */
+  private[graft] def phraseRank(anchors: DataFrame): DataFrame = {
+    val occ = anchors
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("nm"))
+      .filter(col("nm") === phraseLen)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+    occ.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_occ"))
+  }
+
+  /** Exact-phrase retrieval: each benchmark document (src0, the
+    * eval-set slice) queries the train corpus for documents containing
+    * its leading [[phraseLen]]-token phrase as a CONSECUTIVE token
+    * sequence, ranked by occurrence count. The positional complement
+    * of [[bm25Topk]] — bag-of-words scoring cannot express adjacency;
+    * a positional index can (verbatim-quotation contamination audits,
+    * boilerplate detection, exact-quote attribution all reduce to
+    * this).
+    *
+    * Plan shape: the term equi-join IS the posting fetch — candidate
+    * volume is Σ df over the phrase's terms (never queries × corpus),
+    * and the phrase side (queries × [[phraseLen]] rows) broadcasts.
+    * The anchor intersection is a groupBy at (query, doc, anchor)
+    * grain bounded by the fetched posting volume — the classic
+    * positions-list merge expressed as one aggregation instead of a
+    * per-document cursor walk, which is what distributes.
+    */
+  def phraseMatch(spark: SparkSession, sfDir: String): DataFrame =
+    phraseMatchOn(load(spark, sfDir, "documents"))
+
+  /** [[phraseMatch]] over an explicit documents relation — the spec
+    * seam.
+    */
+  def phraseMatchOn(d: DataFrame): DataFrame = {
+    val toks = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
+    val qp = d.filter(col("source") === "src0")
+      .filter(size(bm25Tokens(col("text"))) >= phraseLen)
+      .select(col("doc_id").as("query_id"),
+        posexplode(phraseTerms(col("text"))).as(Seq("i", "term")))
+    val anchors = qp.join(toks, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("i")).as("anchor"))
+    canon(phraseRank(anchors))
+  }
+
+  /** The phrase oracle CTE chain over pluggable (doc_id, text)
+    * relations — same contract as [[bm25Ctes]]: ONE definition feeds
+    * phrase_match and phrase_index_match so the semantics cannot
+    * drift between oracle rows. DuckDB zip-unnests the term list with
+    * generate_series for positions. Emits `ptoks..pranked`; the
+    * caller selects from `pranked`.
+    */
+  private[graft] def phraseCtes(train: String, queries: String): String =
+    s"""ptoks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS term,
+       |    unnest(generate_series(0,
+       |      len(string_split(lower(text), ' ')) - 1)) AS pos
+       |  FROM $train
+       |), qp AS (
+       |  SELECT doc_id AS query_id,
+       |    unnest(list_slice(string_split(lower(text), ' '), 1,
+       |      $phraseLen)) AS term,
+       |    unnest(generate_series(0, $phraseLen - 1)) AS i
+       |  FROM $queries
+       |  WHERE len(string_split(lower(text), ' ')) >= $phraseLen
+       |), panchor AS (
+       |  SELECT q.query_id, t.doc_id, t.pos - q.i AS anchor
+       |  FROM qp q JOIN ptoks t USING (term)
+       |), pocc AS (
+       |  SELECT query_id, doc_id, count(*)::BIGINT AS n_occ FROM (
+       |    SELECT query_id, doc_id, anchor FROM panchor
+       |    GROUP BY 1, 2, 3 HAVING count(*) = $phraseLen)
+       |  GROUP BY 1, 2
+       |), pranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_occ DESC, doc_id ASC) AS rank
+       |  FROM pocc
+       |)""".stripMargin
+
+  val phraseMatchSql: String =
+    s"""WITH ${phraseCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
+       |FROM pranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
+
+  /** phrase_index_match — the INCREMENTAL positional face,
+    * driver-checked against the same oracle as phrase_match. Reuses
+    * the SAME LSM index state as bm25_index_topk (one `ridx` build per
+    * process — the positional columns ride the v3 postings layout, and
+    * parquet column pruning keeps the BM25 face's posting reads
+    * position-free), so the oracle row costs no extra state build.
+    */
+  def phraseIndexMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val t = TmpData.tag(sfDir)
+    val state = TmpData.path("ridx", t)
+    TmpData.once(s"ridx:$t") {
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"), col("source"))
+      (0 until 3).foreach { i =>
+        graft.streaming.IndexStream.applyBatch(spark, state,
+          train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
+      }
+    }
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    canon(graft.streaming.IndexStream.queryPhrase(spark, state, q))
+  }
+
+  // ---------------------------------------------------------------------
   // hybrid_topk — reciprocal-rank fusion of sparse + dense retrieval
   // ---------------------------------------------------------------------
 
@@ -1359,6 +1506,8 @@ object CorpusOps {
     "bm25_index_topk" -> bm25IndexTopk,
     "hybrid_topk" -> hybridTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
+    "phrase_match" -> phraseMatch,
+    "phrase_index_match" -> phraseIndexMatch,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -1377,6 +1526,8 @@ object CorpusOps {
     "bm25_index_topk" -> bm25TopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,
+    "phrase_match" -> phraseMatchSql,
+    "phrase_index_match" -> phraseMatchSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -30,15 +30,18 @@ import org.apache.spark.sql.types._
   * supported cross-layout path, and maintenance compaction bounding
   * read amplification to ≤ G generations per touched partition dir.
   *
-  *  - `postings/` — (term, doc_id, tf), partitioned by (tpfx, ingest)
-  *    where tpfx = first hex byte of md5(term) (256 fixed hash
-  *    partitions), files sorted by term so parquet row-group stats
-  *    serve the query read's term IN pushdown. The posting-list fetch
-  *    for a query batch is directory-pruned to the terms' tpfx dirs
-  *    and row-group-pruned by the term predicate — read volume tracks
-  *    the SELECTED posting lists (Σ df over the df-rarest query
-  *    terms, the WAND-style static pruning of the batch face), not
-  *    the index.
+  *  - `postings/` — (term, doc_id, tf, positions), partitioned by
+  *    (tpfx, ingest) where tpfx = first hex byte of md5(term) (256
+  *    fixed hash partitions), files sorted by term so parquet
+  *    row-group stats serve the query read's term IN pushdown.
+  *    `positions` (layout v3) is the sorted token-offset list backing
+  *    [[queryPhrase]]; it lives in its own parquet column chunks, so
+  *    bag-of-words reads that project it away never fetch it. The
+  *    posting-list fetch for a query batch is directory-pruned to the
+  *    terms' tpfx dirs and row-group-pruned by the term predicate —
+  *    read volume tracks the SELECTED posting lists (Σ df over the
+  *    df-rarest query terms, the WAND-style static pruning of the
+  *    batch face), not the index.
   *  - `docs/` — (doc_id, lt, dl) the doc-stats + raw-text side table
   *    (dl = document length for the BM25 saturation term; lt = the
   *    lowered text, this gate's layout-stable RAW column: a tokenizer
@@ -80,6 +83,7 @@ object IndexStream {
     StructField("term", StringType),
     StructField("doc_id", LongType),
     StructField("tf", LongType),
+    StructField("positions", ArrayType(IntegerType)),
     StructField("tpfx", StringType),
     StructField("ingest", LongType)))
 
@@ -127,7 +131,8 @@ object IndexStream {
       sortCols = Seq("term")))
 
   private[graft] val layoutVersion =
-    "graft-ridx-v2 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+    "graft-ridx-v3 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+      "pos=sorted-int-array " +
       "docs=(dbucket=pmod256,ingest) sort=doc_id " +
       "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
       "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n"
@@ -193,16 +198,24 @@ object IndexStream {
     */
   private[graft] def dpfxOf(term: String): String = tpfxOf(term).substring(0, 1)
 
-  /** The per-batch posting rows (term, doc_id, tf, tpfx) of a
-    * (doc_id, text) relation, via the SHARED tokenizer.
+  /** The per-batch posting rows (term, doc_id, tf, positions, tpfx) of
+    * a (doc_id, text) relation, via the SHARED tokenizer. `positions`
+    * is the sorted 0-based token-offset list (layout v3) — the
+    * positional payload phrase retrieval merges; sort_array makes the
+    * stored array deterministic at any shuffle parallelism, and
+    * tf = size(positions) by construction (both aggregate the same
+    * exploded rows). BM25-only reads never pay for it: the column
+    * lives in its own parquet chunks and every bag-of-words read
+    * projects it away before the scan (column pruning, spec-pinned).
     */
   private def tfRel(d: DataFrame): DataFrame =
     d.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(graft.operators.CorpusOps.bm25Tokens(col("text")))
-          .as("term"))
+        posexplode(graft.operators.CorpusOps.bm25Tokens(col("text")))
+          .as(Seq("pos", "term")))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tpfx", substring(md5(col("term")), 1, 2))
 
   /** The per-batch df rows (term, df, gen, dpfx) — df counted from the
@@ -337,23 +350,10 @@ object IndexStream {
       .limit(pushdownMax + 1).collect().map(_.getString(0))
     if (termSample.isEmpty) return emptyOut
     // STEP 1 — df fetch from the dfs sub-table (vocabulary grain, two
-    // small columns): dpfx dir shortlist + term IN row-group pushdown,
-    // distributed semi-join above the cap. distinct (term, df, gen):
-    // a batch re-delivered after compaction merged its generation
-    // leaves byte-identical duplicate rows; collapsing them keeps the
-    // per-generation sums exact.
-    val dfsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/dfs", dfsSchema)
-    val dfsRows =
-      if (termSample.length <= pushdownMax) {
-        val pfx = termSample.map(dpfxOf).distinct.toSeq
-        dfsBase.filter(col("dpfx").isin(pfx: _*) &&
-          col("term").isin(termSample.toSeq: _*))
-      } else {
-        dfsBase.join(q.select(col("term")).distinct(), Seq("term"),
-          "left_semi")
-      }
-    val dfsR = dfsRows.select(col("term"), col("df"), col("gen"))
-      .distinct()
+    // small columns): selection and capping run BEFORE any posting
+    // list is opened.
+    val dfsR = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
     // STEP 2 — selection + head-term cap, BEFORE any posting I/O
@@ -374,32 +374,14 @@ object IndexStream {
     // term: answer empty with ZERO posting reads (the all-stopword
     // query is exactly this path)
     if (selPairs.isEmpty) return emptyOut
-    val base = LsmIndex.readOrEmpty(spark, s"$stateDir/postings",
-      postingsSchema)
-    val pruned =
-      if (selPairs.length <= pushdownMax) {
-        val selTerms = selPairs.map(_.getString(0)).distinct.toSeq
-        val tpfxs = selTerms.map(tpfxOf).distinct
-        // each selected term's own generation dirs, plus its tpfx's
-        // compacted dir (compaction rewrites the physical dir to
-        // ingest=-1 while dfs keeps the logical gen)
-        val dirs = (selPairs.map(r =>
-            s"${tpfxOf(r.getString(0))}/${r.getLong(1)}") ++
-          tpfxs.map(p => s"$p/-1")).distinct.toSeq
-        base.filter(col("tpfx").isin(tpfxs: _*) &&
-          concat_ws("/", col("tpfx"), col("ingest")).isin(dirs: _*) &&
-          col("term").isin(selTerms: _*))
-      } else {
-        val pfx = selected
-          .select(substring(md5(col("term")), 1, 2).as("tpfx"))
-          .distinct().collect().map(_.getString(0)).toSeq // ≤ 256, fixed
-        base.filter(col("tpfx").isin(pfx: _*))
-          .join(selected.select(col("term")).distinct(), Seq("term"),
-            "left_semi")
-      }
     // distinct: a batch re-delivered after compaction merged its
-    // generation may have left duplicate posting rows
-    val post = pruned.select(col("term"), col("doc_id"), col("tf"))
+    // generation may have left duplicate posting rows. The projection
+    // here column-prunes the v3 positions payload OUT of the parquet
+    // read — bag-of-words scoring never pays for the positional index
+    // (spec-pinned on the ReadSchema).
+    val post = postingsFor(spark, stateDir, selPairs,
+        selected.select(col("term")).distinct())
+      .select(col("term"), col("doc_id"), col("tf"))
       .distinct()
     val hits = selected.join(post, Seq("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -440,6 +422,120 @@ object IndexStream {
       .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_terms"))
+  }
+
+  /** The dfs sub-table rows for a query term set — dpfx dir shortlist
+    * + term IN row-group pushdown when the term sample collected under
+    * [[pushdownMax]], distributed left-semi join above it. Returns
+    * distinct (term, df, gen): a batch re-delivered after compaction
+    * merged its generation leaves byte-identical duplicate rows;
+    * collapsing them keeps the per-generation sums exact. Shared by
+    * the BM25 and phrase query faces.
+    */
+  private def dfsRowsFor(spark: SparkSession, stateDir: String,
+      terms: DataFrame, termSample: Array[String]): DataFrame = {
+    val dfsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/dfs", dfsSchema)
+    val rows =
+      if (termSample.length <= pushdownMax) {
+        val pfx = termSample.map(dpfxOf).distinct.toSeq
+        dfsBase.filter(col("dpfx").isin(pfx: _*) &&
+          col("term").isin(termSample.toSeq: _*))
+      } else {
+        dfsBase.join(terms, Seq("term"), "left_semi")
+      }
+    rows.select(col("term"), col("df"), col("gen")).distinct()
+  }
+
+  /** The pruned posting read for an exact (term, gen) shortlist
+    * `selPairs`: each term's own generation dirs plus its tpfx's
+    * compacted `ingest=-1` dir (compaction rewrites the physical dir
+    * while dfs keeps the logical gen), with the term IN row-group
+    * pushdown — falling back above [[pushdownMax]] to a tpfx-dir scan
+    * plus a distributed semi-join against `selectedTerms`. Returns the
+    * raw pruned relation; callers project exactly the columns they
+    * score with (so parquet column pruning drops what they don't —
+    * the BM25 face never reads the positional payload). Shared by the
+    * BM25 and phrase query faces.
+    */
+  private def postingsFor(spark: SparkSession, stateDir: String,
+      selPairs: Array[org.apache.spark.sql.Row],
+      selectedTerms: DataFrame): DataFrame = {
+    val base = LsmIndex.readOrEmpty(spark, s"$stateDir/postings",
+      postingsSchema)
+    if (selPairs.length <= pushdownMax) {
+      val selTerms = selPairs.map(_.getString(0)).distinct.toSeq
+      val tpfxs = selTerms.map(tpfxOf).distinct
+      val dirs = (selPairs.map(r =>
+          s"${tpfxOf(r.getString(0))}/${r.getLong(1)}") ++
+        tpfxs.map(p => s"$p/-1")).distinct.toSeq
+      base.filter(col("tpfx").isin(tpfxs: _*) &&
+        concat_ws("/", col("tpfx"), col("ingest")).isin(dirs: _*) &&
+        col("term").isin(selTerms: _*))
+    } else {
+      val pfx = selectedTerms
+        .select(substring(md5(col("term")), 1, 2).as("tpfx"))
+        .distinct().collect().map(_.getString(0)).toSeq // ≤ 256, fixed
+      base.filter(col("tpfx").isin(pfx: _*))
+        .join(selectedTerms.select(col("term")).distinct(), Seq("term"),
+          "left_semi")
+    }
+  }
+
+  /** Exact-phrase retrieval over the accumulated index: for each query
+    * (query_id, text), the top-k indexed documents containing the
+    * query's leading phrase (CorpusOps.phraseTerms) as a consecutive
+    * token sequence — (query_id, rank, doc_id, n_occ), bit-identical
+    * to CorpusOps.phraseMatchOn over the same corpus: phrase
+    * extraction, tokenizer, and the anchor-merge/rank core
+    * (CorpusOps.phraseRank) are shared definitions.
+    *
+    * Read shape: same dfs-driven fetch as [[queryTopK]] — the (term →
+    * generations) shortlist prunes posting dirs exactly, and the term
+    * IN predicate row-group-prunes within them — but a phrase needs
+    * ALL its terms (adjacency has no df-rarest relaxation), so there
+    * is no head-term cap on this face: a phrase of stopwords is
+    * answerable and pays its posting volume (inherent to positional
+    * semantics, bounded by the phrase's Σ df). The positions arrays
+    * ride the SAME posting rows (v3 layout) — the fetch costs one
+    * extra parquet column chunk only on this face, and the anchor
+    * merge is one aggregation at (query, doc, anchor) grain.
+    */
+  def queryPhrase(spark: SparkSession, stateDir: String,
+      queries: DataFrame): DataFrame = {
+    ensureLayout(spark, stateDir)
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("n_occ", LongType, nullable = false))))
+    val ops = graft.operators.CorpusOps
+    val q = queries.filter(col("text").isNotNull)
+      .filter(size(ops.bm25Tokens(col("text"))) >= ops.phraseLen)
+      .select(col("query_id"),
+        posexplode(ops.phraseTerms(col("text"))).as(Seq("i", "term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return emptyOut
+    val dfsR = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample)
+    val selPairs = dfsR.select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    // no phrase term in the vocabulary → nothing can match; zero
+    // posting reads
+    if (selPairs.isEmpty) return emptyOut
+    val post = postingsFor(spark, stateDir, selPairs,
+        q.select(col("term")).distinct())
+      .select(col("term"), col("doc_id"), col("positions"))
+      .distinct()
+    val anchors = q.join(post, Seq("term"))
+      .select(col("query_id"), col("i"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("i")).as("anchor"))
+    ops.phraseRank(anchors)
   }
 
   /** LAYOUT MIGRATION: rebuild the DERIVED state — `postings`, the dl

@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+import graft.streaming.IndexStream
+
+/** Positional phrase retrieval (round 10): the batch face
+  * (CorpusOps.phraseMatchOn) and the incremental face
+  * (IndexStream.queryPhrase over the v3 positional postings) share the
+  * phrase extraction, tokenizer, and anchor-merge/rank core — this
+  * spec pins the semantics on crafted corpora (overlapping
+  * occurrences, repeated-term phrases, vocabulary misses), the
+  * bit-identical batch/index equivalence at two corpus states and
+  * through compaction, the v2→v3 layout migration (positions rebuilt
+  * from docs.lt), and the column-pruning contract: the BM25 face's
+  * posting reads must NOT pay for the positional payload.
+  */
+class PhraseSpec extends SparkSpecBase {
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map {
+        case (id, text, src) => Row(id, text, src)
+      }),
+      IndexStream.docSchema)
+
+  private def out(df: DataFrame): Set[(Long, Int, Long, Long)] =
+    df.select(col("query_id"), col("rank").cast("int"), col("doc_id"),
+        col("n_occ")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("batch face: adjacency, overlap, and repeated-term phrases count exactly") {
+    val d = docs(Seq(
+      // query 100: phrase "big cat"
+      (100L, "big cat query", "src0"),
+      // one occurrence
+      (1L, "the big cat sat", "src1"),
+      // two non-overlapping occurrences
+      (2L, "big cat and big cat", "src1"),
+      // both words present but never adjacent: no match
+      (3L, "big dog cat", "src1"),
+      // reversed order: no match
+      (4L, "cat big", "src1"),
+      // query 101: repeated-term phrase "a a"; doc 5 "a a a" overlaps
+      // at anchors 0 and 1 -> n_occ = 2
+      (101L, "a a tail", "src0"),
+      (5L, "a a a", "src1"),
+      (6L, "a b a", "src1")))
+    val got = out(CorpusOps.phraseMatchOn(d))
+    assert(got == Set(
+      (100L, 1, 2L, 2L), (100L, 2, 1L, 1L),
+      (101L, 1, 5L, 2L)),
+      s"phrase semantics mismatch: $got")
+  }
+
+  test("batch face: phrase terms absent from the train vocabulary retrieve nothing") {
+    val d = docs(Seq(
+      (100L, "zz yy rest", "src0"),
+      (1L, "totally different words", "src1")))
+    assert(out(CorpusOps.phraseMatchOn(d)).isEmpty)
+  }
+
+  test("incremental index matches the batch face at every corpus state, through compaction") {
+    val root = Files.createTempDirectory("graft-phrase").toString
+    val state = s"$root/state"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val train = d.filter(col("source") =!= "src0")
+    val parts = (0 until 2).map(i =>
+      train.filter(pmod(col("doc_id"), lit(2)) === i))
+    val queries = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    def batchFace(n: Int): Set[(Long, Int, Long, Long)] = {
+      val corpus = parts.take(n).foldLeft(
+        d.filter(col("source") === "src0"))(_ unionByName _)
+      out(CorpusOps.phraseMatchOn(corpus))
+    }
+
+    IndexStream.applyBatch(spark, state, parts(0), 0L)
+    assert(out(IndexStream.queryPhrase(spark, state, queries)) ==
+      batchFace(1),
+      "partial-corpus phrase retrieval must equal the batch face")
+
+    IndexStream.applyBatch(spark, state, parts(1), 1L)
+    val want = batchFace(2)
+    assert(want.nonEmpty, "fixture must retrieve something")
+    assert(out(IndexStream.queryPhrase(spark, state, queries)) == want,
+      "full-corpus phrase retrieval must equal the batch face")
+
+    IndexStream.compactState(spark, state, 64L * 1024 * 1024)
+    assert(out(IndexStream.queryPhrase(spark, state, queries)) == want,
+      "compaction changed phrase results")
+  }
+
+  test("v2 -> v3 layout migration: positions rebuilt from docs.lt; phrase and BM25 answers match a fresh index") {
+    val root = Files.createTempDirectory("graft-phrase-mig").toString
+    val state = s"$root/state"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val train = d.filter(col("source") =!= "src0")
+    val queries = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+
+    // manufacture the state EXACTLY as the round-9 v2 layout stored it:
+    // postings WITHOUT a positions column, docs with (lt, dl), dfs with
+    // per-generation df rows, count markers, and the v2 _LAYOUT string
+    val tf = train.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("tpfx", substring(md5(col("term")), 1, 2))
+      .withColumn("ingest", lit(0L))
+      .write.partitionBy("tpfx", "ingest").parquet(s"$state/postings")
+    val docsRel = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .join(train.filter(col("text").isNotNull)
+        .select(col("doc_id"), lower(col("text")).as("lt")), Seq("doc_id"))
+    docsRel.withColumn("dbucket", pmod(col("doc_id"), lit(256)))
+      .withColumn("ingest", lit(0L))
+      .write.partitionBy("dbucket", "ingest").parquet(s"$state/docs")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("gen", lit(0L))
+      .withColumn("dpfx", substring(md5(col("term")), 1, 1))
+      .withColumn("ingest", lit(0L))
+      .write.partitionBy("dpfx", "ingest").parquet(s"$state/dfs")
+    val stats = docsRel.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    graft.streaming.LsmIndex.Markers(state)
+      .write(spark, 0L, Seq(stats.getLong(0), stats.getLong(1)))
+    Files.write(java.nio.file.Paths.get(state, "_LAYOUT"),
+      ("graft-ridx-v2 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+        "docs=(dbucket=pmod256,ingest) sort=doc_id " +
+        "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
+        "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n").getBytes("UTF-8"))
+
+    // a v3 reader fails fast on v2 state until migrated
+    val e = intercept[IllegalArgumentException] {
+      IndexStream.queryPhrase(spark, state, queries)
+    }
+    assert(e.getMessage.contains("layout"))
+    assert(IndexStream.migrateState(spark, state), "migration must run")
+    assert(!IndexStream.migrateState(spark, state),
+      "second call must be a version-match no-op")
+
+    val freshState = s"$root/fresh"
+    IndexStream.applyBatch(spark, freshState, train, 0L)
+    val wantPhrase = out(IndexStream.queryPhrase(spark, freshState, queries))
+    assert(wantPhrase.nonEmpty, "fixture must retrieve something")
+    assert(out(IndexStream.queryPhrase(spark, state, queries)) == wantPhrase,
+      "migrated positional index must answer exactly like a fresh one")
+    val wantBm = IndexStream.queryTopK(spark, freshState, queries)
+      .collect().map(_.toSeq).toSet
+    assert(IndexStream.queryTopK(spark, state, queries)
+      .collect().map(_.toSeq).toSet == wantBm,
+      "migration must preserve BM25 answers too")
+  }
+
+  test("column pruning: the BM25 index face never reads the positions payload; the phrase face does") {
+    val root = Files.createTempDirectory("graft-phrase-prune").toString
+    val state = s"$root/state"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val queries = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+
+    val bm = IndexStream.queryTopK(spark, state, queries)
+      .queryExecution.explainString(FormattedMode)
+    val bmPostings = bm.linesIterator
+      .filter(_.contains("ReadSchema")).filter(_.contains("tf")).toSeq
+    assert(bmPostings.nonEmpty, "no postings scan in the BM25 plan")
+    assert(!bmPostings.exists(_.contains("positions")),
+      "BM25 posting read pays for the positional payload")
+
+    val ph = IndexStream.queryPhrase(spark, state, queries)
+      .queryExecution.explainString(FormattedMode)
+    val phPostings = ph.linesIterator
+      .filter(_.contains("ReadSchema")).filter(_.contains("positions")).toSeq
+    assert(phPostings.nonEmpty,
+      "phrase face must read positions from the postings scan")
+    assert(ph.contains("PushedFilters"),
+      "phrase posting fetch lost its pushed filters")
+  }
+
+  test("batch face plan: no cartesian product; the phrase side broadcasts") {
+    val p = SparkEntry.queries("phrase_match")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      "phrase match must stay an equi-join on term")
+    assert(p.contains("BroadcastHashJoin"),
+      "the queries x phraseLen side should broadcast")
+  }
+}
