@@ -1348,21 +1348,34 @@ object CorpusOps {
     graft.streaming.PipelineStream.hybridTopK(spark, root, qs)
   }
 
-  val hybridIndexTopkSql: String = {
+  /** The LSH bucket UNION-ALL tables of the vec gate's geometry, as
+    * oracle SQL — shared by the kept-set derivation and the dense-leg
+    * emulation.
+    */
+  private def lshBucketTablesSql(rel: String, idAs: String): String =
+    (0 until Similarity.lshAutoTables).map { l =>
+      val bucketSql = Similarity.planesForAuto(l).zipWithIndex
+        .map { case (pl, j) =>
+          s"CASE WHEN list_dot_product(v, ${Similarity.planeSqlLit(pl)}) > 0 " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+        }.mkString(" + ")
+      s"SELECT $idAs, $l AS tbl, $bucketSql AS bucket32 FROM $rel"
+    }.mkString("\n  UNION ALL ")
+
+  /** The composed pipeline's keep-set derivation as a reusable oracle
+    * CTE chain `corpus .. kept` (round 10): both gates' emission logs
+    * re-derived in SQL — the text gate's minhash/banded-Jaccard and
+    * the vec gate's masked-bucket + Hamming-1 LSH with p recomputed
+    * from count(*) — and `kept` = train minus every flagged new_id.
+    * ONE definition feeds hybrid_index_topk and phrase_index_kept so
+    * the keep-set SQL cannot drift between the composed oracle rows.
+    */
+  private[graft] def pipelineKeptCtes: String = {
     val sigSelect = (0 until 8).map { k =>
       val src = if (k < 4) "md5(shingle)" else "md5('x:' || shingle)"
       s"min(substr($src, ${(k % 4) * 8 + 1}, 8)) AS s$k"
     }.mkString(", ")
-    def bucketTables(rel: String, idAs: String): String =
-      (0 until Similarity.lshAutoTables).map { l =>
-        val bucketSql = Similarity.planesForAuto(l).zipWithIndex
-          .map { case (pl, j) =>
-            s"CASE WHEN list_dot_product(v, ${Similarity.planeSqlLit(pl)}) > 0 " +
-              s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
-          }.mkString(" + ")
-        s"SELECT $idAs, $l AS tbl, $bucketSql AS bucket32 FROM $rel"
-      }.mkString("\n  UNION ALL ")
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  SELECT d.doc_id, d.text, d.source, e.embedding::DOUBLE[] AS v
        |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id),
        |train AS (SELECT * FROM corpus WHERE source <> 'src0'),
@@ -1412,7 +1425,7 @@ object CorpusOps {
        |         WHERE (CAST(1 AS BIGINT) << pb)
        |           * ${Similarity.lshTargetOcc} >= n),
        |b32 AS (
-       |  ${bucketTables("ev", "vec_id")}),
+       |  ${lshBucketTablesSql("ev", "vec_id")}),
        |vb AS (SELECT vec_id, tbl,
        |         bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
        |       FROM b32, psel),
@@ -1440,7 +1453,11 @@ object CorpusOps {
        |  SELECT new_id FROM tpairs UNION SELECT new_id FROM vpairs),
        |kept AS (
        |  SELECT doc_id, text FROM train
-       |  WHERE doc_id NOT IN (SELECT new_id FROM dropped)),
+       |  WHERE doc_id NOT IN (SELECT new_id FROM dropped))""".stripMargin
+  }
+
+  val hybridIndexTopkSql: String = {
+    s"""WITH $pipelineKeptCtes,
        |${bm25Ctes("kept",
           "(SELECT doc_id, text FROM corpus WHERE source = 'src0')")},
        |sparse AS (
@@ -1450,7 +1467,7 @@ object CorpusOps {
        |  SELECT doc_id AS query_id, v FROM corpus
        |  WHERE source = 'src0' AND v IS NOT NULL),
        |qb32 AS (
-       |  ${bucketTables("qv", "query_id AS vec_id")}),
+       |  ${lshBucketTablesSql("qv", "query_id AS vec_id")}),
        |qvb AS (SELECT vec_id AS query_id, tbl,
        |          bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
        |        FROM qb32, psel),
@@ -1501,6 +1518,48 @@ object CorpusOps {
          "n_legs"))}""".stripMargin
   }
 
+  /** phrase_index_kept — exact-phrase retrieval over the composed
+    * pipeline's KEPT corpus: the train corpus runs through
+    * PipelineStream (both dedup gates, keep set into the positional
+    * BM25 index), then each src0 query's leading phrase searches the
+    * accumulated index. No drop-set exclusion exists at query time —
+    * a rejected document's phrases are unsearchable because its
+    * postings never entered the index (keep-at-ingest finality,
+    * HiWater-enforced). The oracle composes the shared keep-set CTE
+    * chain ([[pipelineKeptCtes]] — the same SQL hybrid_index_topk
+    * checks against) with the shared phrase chain ([[phraseCtes]]):
+    * curation and positional retrieval verified END-TO-END in one
+    * driver-checked row.
+    */
+  def phraseIndexKept(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val e = load(spark, sfDir, "embeddings")
+    val corpus = d.select(col("doc_id"), col("text"), col("source"))
+      .join(e.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        Seq("doc_id"), "left")
+    val t = TmpData.tag(sfDir)
+    val root = TmpData.path("pipe", t)
+    TmpData.once(s"pipe:$t") {
+      graft.streaming.PipelineStream.applyBatch(spark, root,
+        corpus.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("text"), col("embedding"),
+            col("source")),
+        batchId = 0L)
+    }
+    val qs = corpus.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    canon(graft.streaming.PipelineStream.queryPhrase(spark, root, qs))
+  }
+
+  val phraseIndexKeptSql: String =
+    s"""WITH $pipelineKeptCtes,
+       |${phraseCtes("kept",
+          "(SELECT doc_id, text FROM corpus WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
+       |FROM pranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
     "bm25_index_topk" -> bm25IndexTopk,
@@ -1508,6 +1567,7 @@ object CorpusOps {
     "hybrid_index_topk" -> hybridIndexTopk,
     "phrase_match" -> phraseMatch,
     "phrase_index_match" -> phraseIndexMatch,
+    "phrase_index_kept" -> phraseIndexKept,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -1528,6 +1588,7 @@ object CorpusOps {
     "hybrid_index_topk" -> hybridIndexTopkSql,
     "phrase_match" -> phraseMatchSql,
     "phrase_index_match" -> phraseMatchSql,
+    "phrase_index_kept" -> phraseIndexKeptSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -69,6 +69,18 @@ object PipelineStream {
       queries: DataFrame): DataFrame =
     IndexStream.queryTopK(spark, ridxState(rootDir), queries)
 
+  /** Exact-phrase retrieval over the kept corpus (round 10): the
+    * pipeline's BM25 index holds EXACTLY the keep set (dropped docs
+    * never fold in, and keep-at-ingest finality — enforced by the
+    * HiWater markers — means nothing indexed is ever retracted), so
+    * the positional face needs no drop-set exclusion at query time: a
+    * curation-rejected document's phrases are unsearchable by
+    * construction.
+    */
+  def queryPhrase(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame =
+    IndexStream.queryPhrase(spark, ridxState(rootDir), queries)
+
   /** STREAMING HYBRID RETRIEVAL (round 9): reciprocal-rank fusion of
     * the sparse leg (the kept-corpus BM25 index) and the dense leg
     * (the vector gate's own LSM LSH index, with the curation drop set

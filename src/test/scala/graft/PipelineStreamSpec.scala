@@ -39,6 +39,38 @@ class PipelineStreamSpec extends SparkSpecBase {
     rows.toDF("query_id", "text")
   }
 
+  test("phrase retrieval over the kept corpus: a dropped doc never phrase-matches, even when it contains the phrase") {
+    val root = Files.createTempDirectory("graft-pipe-phrase").toString
+    val src = s"$root/src"; val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+
+    writeBatch(src, Seq((1L, t1, unit(0)), (3L, t3, unit(5))))
+    PipelineStream.start(spark, src, state, ckpt).awaitTermination()
+    // doc 10: a text near-dup of doc 1 (dropped) that ALSO contains
+    // both the kept phrase AND a unique trailing bigram
+    writeBatch(src, Seq(
+      (10L, t1 + " zqalpha zqbeta", unit(1)),
+      (12L, t6, unit(9))))
+    PipelineStream.start(spark, src, state, ckpt).awaitTermination()
+
+    // the phrase "quick brown" occurs in kept doc 1 AND dropped doc
+    // 10 — only the kept doc may surface
+    val hits = PipelineStream.queryPhrase(spark, state,
+      queriesOf(900L -> "quick brown query"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L),
+      s"phrase must match exactly the kept occurrence: $hits")
+    // the dropped doc's unique bigram is unsearchable
+    assert(PipelineStream.queryPhrase(spark, state,
+      queriesOf(901L -> "zqalpha zqbeta query")).count() == 0,
+      "a curation-rejected doc's phrase leaked into the index")
+    // a kept doc's own phrase retrieves it
+    assert(PipelineStream.queryPhrase(spark, state,
+      queriesOf(902L -> "fresh xzmaterial query"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet == Set(12L))
+  }
+
   test("dropped docs never reach the index: their vocabulary is unsearchable, kept docs retrieve") {
     val root = Files.createTempDirectory("graft-pipeline").toString
     val src = s"$root/src"; val state = s"$root/state"
