@@ -1006,24 +1006,12 @@ object CorpusOps {
     * contract surfaced as a CORRECTNESS row, not just a spec.
     */
   def bm25IndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = load(spark, sfDir, "documents")
-    val t = TmpData.tag(sfDir)
-    val state = TmpData.path("ridx", t)
-    TmpData.once(s"ridx:$t") {
-      val train = d.filter(col("source") =!= "src0")
-        .select(col("doc_id"), col("text"), col("source"))
-      // three generations, UNcompacted: 3 ≤ the gate's compaction
-      // cadence (defaultMaxGenerations = 8), so the query face is
-      // exercised at honest LSM read amplification — compaction is
-      // maintenance, not query work (IndexStreamSpec pins that it
-      // preserves answers)
-      (0 until 3).foreach { i =>
-        graft.streaming.IndexStream.applyBatch(spark, state,
-          train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
-      }
-    }
-    val q = d.filter(col("source") === "src0")
-      .select(col("doc_id").as("query_id"), col("text"))
+    // three generations, UNcompacted: 3 ≤ the gate's compaction
+    // cadence (defaultMaxGenerations = 8), so the query face is
+    // exercised at honest LSM read amplification — compaction is
+    // maintenance, not query work (IndexStreamSpec pins that it
+    // preserves answers)
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
     canon(graft.streaming.IndexStream.queryTopK(spark, state, q))
   }
 
@@ -1090,10 +1078,12 @@ object CorpusOps {
   def phraseMatch(spark: SparkSession, sfDir: String): DataFrame =
     phraseMatchOn(load(spark, sfDir, "documents"))
 
-  /** [[phraseMatch]] over an explicit documents relation — the spec
-    * seam.
+  /** The slot-position rows (query_id, doc_id, i, pos) both positional
+    * faces consume: one row per (phrase slot i, document position pos)
+    * with term agreement — the posting fetch expressed as the term
+    * equi-join. Shared by [[phraseMatchOn]] and [[nearMatchOn]].
     */
-  def phraseMatchOn(d: DataFrame): DataFrame = {
+  private def phrasePosRowsOn(d: DataFrame): DataFrame = {
     val toks = d.filter(col("source") =!= "src0")
       .select(col("doc_id"),
         posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
@@ -1101,11 +1091,69 @@ object CorpusOps {
       .filter(size(bm25Tokens(col("text"))) >= phraseLen)
       .select(col("doc_id").as("query_id"),
         posexplode(phraseTerms(col("text"))).as(Seq("i", "term")))
-    val anchors = qp.join(toks, Seq("term"))
+    qp.join(toks, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("i"), col("pos"))
+  }
+
+  /** [[phraseMatch]] over an explicit documents relation — the spec
+    * seam.
+    */
+  def phraseMatchOn(d: DataFrame): DataFrame = {
+    val anchors = phrasePosRowsOn(d)
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("i")).as("anchor"))
     canon(phraseRank(anchors))
   }
+
+  /** The ordered-proximity core shared by the batch and index faces:
+    * given the slot-position rows of [[phrasePosRowsOn]], the MINIMAL
+    * ordered window span per (query, doc) — min over position pairs
+    * p₀ < p₁ (slot 0 strictly before slot 1) of p₁ − p₀; span 1 ⟺
+    * exact adjacency, so NEAR-with-slop-w is the consumer filter
+    * span ≤ 1 + w. Computed as a LINEAR merge, never a positions ×
+    * positions join: each document's slot rows sort by (pos, i desc)
+    * and a running frame that stops one row short of the current one
+    * carries the last slot-0 position — a slot-1 row at position p
+    * therefore sees exactly the slot-0 positions strictly before p
+    * (the i-desc tiebreak keeps a same-position slot-0 row OUT of the
+    * frame, so a repeated-term phrase still needs two distinct
+    * positions). Ranking: span asc (tighter is better), doc_id asc,
+    * top [[bm25K]] per query.
+    */
+  private[graft] def nearRank(posRows: DataFrame): DataFrame = {
+    val wseq = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos").asc, col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = posRows
+      .withColumn("last0",
+        last(when(col("i") === 0, col("pos")), ignoreNulls = true)
+          .over(wseq))
+      .filter(col("i") === 1 && col("last0").isNotNull)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("pos") - col("last0")).cast("bigint").as("min_span"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("min_span").asc, col("doc_id").asc)
+    spans.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("min_span"))
+  }
+
+  /** Ordered proximity retrieval (NEAR): each benchmark document
+    * queries the train corpus for documents containing its leading
+    * phrase's terms IN ORDER, ranked by how tightly they co-occur
+    * (the minimal ordered window span — 1 = exact adjacency). The
+    * relevance-graded relaxation of [[phraseMatch]]: a phrase miss
+    * with the words three apart still surfaces, ranked behind every
+    * tighter occurrence — the positional-index query shape behind
+    * every NEAR/proximity operator.
+    */
+  def nearMatch(spark: SparkSession, sfDir: String): DataFrame =
+    nearMatchOn(load(spark, sfDir, "documents"))
+
+  /** [[nearMatch]] over an explicit documents relation. */
+  def nearMatchOn(d: DataFrame): DataFrame =
+    canon(nearRank(phrasePosRowsOn(d)))
 
   /** The phrase oracle CTE chain over pluggable (doc_id, text)
     * relations — same contract as [[bm25Ctes]]: ONE definition feeds
@@ -1114,7 +1162,10 @@ object CorpusOps {
     * generate_series for positions. Emits `ptoks..pranked`; the
     * caller selects from `pranked`.
     */
-  private[graft] def phraseCtes(train: String, queries: String): String =
+  /** The positional-token + query-slot CTEs (`ptoks`, `qp`) shared by
+    * the phrase and NEAR oracle chains.
+    */
+  private def posCtes(train: String, queries: String): String =
     s"""ptoks AS (
        |  SELECT doc_id,
        |    unnest(string_split(lower(text), ' ')) AS term,
@@ -1128,7 +1179,10 @@ object CorpusOps {
        |    unnest(generate_series(0, $phraseLen - 1)) AS i
        |  FROM $queries
        |  WHERE len(string_split(lower(text), ' ')) >= $phraseLen
-       |), panchor AS (
+       |)""".stripMargin
+
+  private[graft] def phraseCtes(train: String, queries: String): String =
+    s"""${posCtes(train, queries)}, panchor AS (
        |  SELECT q.query_id, t.doc_id, t.pos - q.i AS anchor
        |  FROM qp q JOIN ptoks t USING (term)
        |), pocc AS (
@@ -1141,6 +1195,40 @@ object CorpusOps {
        |    ORDER BY n_occ DESC, doc_id ASC) AS rank
        |  FROM pocc
        |)""".stripMargin
+
+  /** The NEAR oracle chain — same window-merge as [[nearRank]]:
+    * DuckDB's IGNORE NULLS last_value over the (pos asc, i desc)
+    * order with a 1-preceding frame. Emits `..nranked`.
+    */
+  private[graft] def nearCtes(train: String, queries: String): String =
+    s"""${posCtes(train, queries)}, nposr AS (
+       |  SELECT q.query_id, t.doc_id, q.i, t.pos
+       |  FROM qp q JOIN ptoks t USING (term)
+       |), nspan AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(min(pos - last0) AS BIGINT) AS min_span FROM (
+       |    SELECT query_id, doc_id, i, pos,
+       |      last_value(CASE WHEN i = 0 THEN pos END IGNORE NULLS)
+       |        OVER (PARTITION BY query_id, doc_id
+       |          ORDER BY pos ASC, i DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |        AS last0
+       |    FROM nposr)
+       |  WHERE i = 1 AND last0 IS NOT NULL
+       |  GROUP BY 1, 2
+       |), nranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY min_span ASC, doc_id ASC) AS rank
+       |  FROM nspan
+       |)""".stripMargin
+
+  val nearMatchSql: String =
+    s"""WITH ${nearCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, min_span
+       |FROM nranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "min_span"))}""".stripMargin
 
   val phraseMatchSql: String =
     s"""WITH ${phraseCtes(
@@ -1157,7 +1245,12 @@ object CorpusOps {
     * parquet column pruning keeps the BM25 face's posting reads
     * position-free), so the oracle row costs no extra state build.
     */
-  def phraseIndexMatch(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The process-shared 3-generation LSM index state over the train
+    * corpus (built once — bm25_index_topk, phrase_index_match, and
+    * near_index_match all query the same state) and the src0 queries.
+    */
+  private def ridxStateAndQueries(spark: SparkSession,
+      sfDir: String): (String, DataFrame) = {
     val d = load(spark, sfDir, "documents")
     val t = TmpData.tag(sfDir)
     val state = TmpData.path("ridx", t)
@@ -1169,9 +1262,22 @@ object CorpusOps {
           train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
       }
     }
-    val q = d.filter(col("source") === "src0")
-      .select(col("doc_id").as("query_id"), col("text"))
+    (state, d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")))
+  }
+
+  def phraseIndexMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
     canon(graft.streaming.IndexStream.queryPhrase(spark, state, q))
+  }
+
+  /** near_index_match — the incremental NEAR face over the same LSM
+    * state as bm25_index_topk / phrase_index_match, driver-checked
+    * against the same oracle as near_match.
+    */
+  def nearIndexMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryNear(spark, state, q))
   }
 
   // ---------------------------------------------------------------------
@@ -1568,6 +1674,8 @@ object CorpusOps {
     "phrase_match" -> phraseMatch,
     "phrase_index_match" -> phraseIndexMatch,
     "phrase_index_kept" -> phraseIndexKept,
+    "near_match" -> nearMatch,
+    "near_index_match" -> nearIndexMatch,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -1589,6 +1697,8 @@ object CorpusOps {
     "phrase_match" -> phraseMatchSql,
     "phrase_index_match" -> phraseMatchSql,
     "phrase_index_kept" -> phraseIndexKeptSql,
+    "near_match" -> nearMatchSql,
+    "near_index_match" -> nearMatchSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -500,16 +500,16 @@ object IndexStream {
     * extra parquet column chunk only on this face, and the anchor
     * merge is one aggregation at (query, doc, anchor) grain.
     */
-  def queryPhrase(spark: SparkSession, stateDir: String,
-      queries: DataFrame): DataFrame = {
+  /** The slot-position rows (query_id, doc_id, i, pos) of the phrase
+    * faces, fetched from the positional postings: the dfs-driven
+    * (term → generations) shortlist prunes the read, the positions
+    * arrays explode to one row per occurrence. None when no phrase
+    * term exists in the vocabulary (zero posting reads — nothing can
+    * match). Shared by [[queryPhrase]] and [[queryNear]].
+    */
+  private def phrasePosRows(spark: SparkSession, stateDir: String,
+      queries: DataFrame): Option[DataFrame] = {
     ensureLayout(spark, stateDir)
-    def emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("query_id", LongType),
-        StructField("rank", IntegerType, nullable = false),
-        StructField("doc_id", LongType),
-        StructField("n_occ", LongType, nullable = false))))
     val ops = graft.operators.CorpusOps
     val q = queries.filter(col("text").isNotNull)
       .filter(size(ops.bm25Tokens(col("text"))) >= ops.phraseLen)
@@ -518,25 +518,53 @@ object IndexStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termSample = q.select(col("term")).distinct()
       .limit(pushdownMax + 1).collect().map(_.getString(0))
-    if (termSample.isEmpty) return emptyOut
+    if (termSample.isEmpty) return None
     val dfsR = dfsRowsFor(spark, stateDir,
       q.select(col("term")).distinct(), termSample)
     val selPairs = dfsR.select(col("term"), col("gen")).distinct()
       .limit(pushdownMax + 1).collect()
-    // no phrase term in the vocabulary → nothing can match; zero
-    // posting reads
-    if (selPairs.isEmpty) return emptyOut
+    if (selPairs.isEmpty) return None
     val post = postingsFor(spark, stateDir, selPairs,
         q.select(col("term")).distinct())
       .select(col("term"), col("doc_id"), col("positions"))
       .distinct()
-    val anchors = q.join(post, Seq("term"))
-      .select(col("query_id"), col("i"), col("doc_id"),
-        explode(col("positions")).as("pos"))
-      .select(col("query_id"), col("doc_id"),
-        (col("pos") - col("i")).as("anchor"))
-    ops.phraseRank(anchors)
+    Some(q.join(post, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("i"),
+        explode(col("positions")).as("pos")))
   }
+
+  private def emptyRanked(spark: SparkSession,
+      valueCol: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField(valueCol, LongType, nullable = false))))
+
+  def queryPhrase(spark: SparkSession, stateDir: String,
+      queries: DataFrame): DataFrame =
+    phrasePosRows(spark, stateDir, queries) match {
+      case None => emptyRanked(spark, "n_occ")
+      case Some(pr) =>
+        graft.operators.CorpusOps.phraseRank(
+          pr.select(col("query_id"), col("doc_id"),
+            (col("pos") - col("i")).as("anchor")))
+    }
+
+  /** Ordered proximity retrieval (NEAR) over the accumulated index:
+    * minimal ordered window span of the query's phrase terms per
+    * document (1 = exact adjacency), the relevance-graded relaxation
+    * of [[queryPhrase]] — same posting fetch, same shared
+    * linear-merge core (CorpusOps.nearRank) as the batch face.
+    */
+  def queryNear(spark: SparkSession, stateDir: String,
+      queries: DataFrame): DataFrame =
+    phrasePosRows(spark, stateDir, queries) match {
+      case None => emptyRanked(spark, "min_span")
+      case Some(pr) => graft.operators.CorpusOps.nearRank(pr)
+    }
 
   /** LAYOUT MIGRATION: rebuild the DERIVED state — `postings`, the dl
     * column, and the count markers — from the layout-stable raw column

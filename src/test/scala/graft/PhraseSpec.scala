@@ -27,11 +27,18 @@ class PhraseSpec extends SparkSpecBase {
       }),
       IndexStream.docSchema)
 
-  private def out(df: DataFrame): Set[(Long, Int, Long, Long)] =
+  private def outCol(df: DataFrame,
+      valueCol: String): Set[(Long, Int, Long, Long)] =
     df.select(col("query_id"), col("rank").cast("int"), col("doc_id"),
-        col("n_occ")).collect()
+        col(valueCol)).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .toSet
+
+  private def out(df: DataFrame): Set[(Long, Int, Long, Long)] =
+    outCol(df, "n_occ")
+
+  private def outSpan(df: DataFrame): Set[(Long, Int, Long, Long)] =
+    outCol(df, "min_span")
 
   test("batch face: adjacency, overlap, and repeated-term phrases count exactly") {
     val d = docs(Seq(
@@ -184,6 +191,40 @@ class PhraseSpec extends SparkSpecBase {
       "phrase face must read positions from the postings scan")
     assert(ph.contains("PushedFilters"),
       "phrase posting fetch lost its pushed filters")
+  }
+
+  test("NEAR: ordered window spans are minimal, order is required, repeated terms need distinct positions") {
+    val d = docs(Seq(
+      // query 100: terms ("big", "cat") in order
+      (100L, "big cat query", "src0"),
+      (1L, "big cat here", "src1"),          // adjacent: span 1
+      (2L, "big dog dog cat", "src1"),       // span 3
+      (3L, "cat big", "src1"),               // wrong order: no match
+      (4L, "big then a cat and big cat", "src1"), // minimal span is 1
+      // query 101: repeated-term phrase ("a", "a")
+      (101L, "a a query", "src0"),
+      (5L, "a b a", "src1"),                 // two distinct positions: span 2
+      (6L, "b a b", "src1")))                // ONE position: no ordered pair
+    val got = outSpan(CorpusOps.nearMatchOn(d))
+    assert(got == Set(
+      (100L, 1, 1L, 1L), (100L, 2, 4L, 1L), (100L, 3, 2L, 3L),
+      (101L, 1, 5L, 2L)),
+      s"NEAR semantics mismatch: $got")
+  }
+
+  test("NEAR: incremental index face matches the batch face") {
+    val root = Files.createTempDirectory("graft-near").toString
+    val state = s"$root/state"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val queries = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val want = outSpan(CorpusOps.nearMatchOn(d))
+    assert(want.nonEmpty, "fixture must retrieve something")
+    assert(outSpan(IndexStream.queryNear(spark, state, queries)) == want,
+      "index NEAR must equal the batch face bit-for-bit")
   }
 
   test("batch face plan: no cartesian product; the phrase side broadcasts") {
