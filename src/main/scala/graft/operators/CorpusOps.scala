@@ -1280,6 +1280,77 @@ object CorpusOps {
     canon(graft.streaming.IndexStream.queryNear(spark, state, q))
   }
 
+  /** The train-doc predicate of the delete faces' oracle: every 7th
+    * doc (pmod 2) is deleted AFTER being indexed. Exact-integer so
+    * both engines and the SQL agree.
+    */
+  private val deleteSlice = "doc_id % 7 = 2"
+
+  /** The process-shared DELETED index state: the full train corpus
+    * folds in (two generations), then the [[deleteSlice]] docs are
+    * DELETED via IndexStream.deleteDocs — tombstones + negative df
+    * rows + a negative count marker, no index rewrite. The query rows
+    * over this state are checked against oracles over the SURVIVING
+    * corpus only, so the driver gate proves the delete path's exact
+    * semantics end-to-end: idf/avgdl from the negative marker,
+    * selection from the df sums with the negative rows, candidate
+    * exclusion via the tombstone anti-join.
+    */
+  private def ridxDelStateAndQueries(spark: SparkSession,
+      sfDir: String): (String, DataFrame) = {
+    val d = load(spark, sfDir, "documents")
+    val t = TmpData.tag(sfDir)
+    val state = TmpData.path("ridxdel", t)
+    TmpData.once(s"ridxdel:$t") {
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"), col("source"))
+      (0 until 2).foreach { i =>
+        graft.streaming.IndexStream.applyBatch(spark, state,
+          train.filter(pmod(col("doc_id"), lit(2)) === i), i.toLong)
+      }
+      graft.streaming.IndexStream.deleteDocs(spark, state,
+        train.filter(expr(deleteSlice)).select(col("doc_id")),
+        deleteId = 0L)
+    }
+    (state, d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")))
+  }
+
+  /** bm25_after_delete — ranked retrieval after a tombstone delete,
+    * oracle-checked against BM25 over the surviving corpus alone.
+    */
+  def bm25AfterDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxDelStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryTopK(spark, state, q))
+  }
+
+  val bm25AfterDeleteSql: String =
+    s"""WITH ${bm25Ctes(
+        "(SELECT doc_id, text FROM documents " +
+          s"WHERE source <> 'src0' AND NOT ($deleteSlice))",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM ranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  /** phrase_after_delete — the positional face over the same deleted
+    * state: a deleted doc's phrases never match.
+    */
+  def phraseAfterDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxDelStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryPhrase(spark, state, q))
+  }
+
+  val phraseAfterDeleteSql: String =
+    s"""WITH ${phraseCtes(
+        "(SELECT doc_id, text FROM documents " +
+          s"WHERE source <> 'src0' AND NOT ($deleteSlice))",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
+       |FROM pranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
+
   // ---------------------------------------------------------------------
   // hybrid_topk — reciprocal-rank fusion of sparse + dense retrieval
   // ---------------------------------------------------------------------
@@ -1433,23 +1504,42 @@ object CorpusOps {
     * composed pipeline's retrieval path oracle-checked end-to-end,
     * not just spec-pinned.
     */
-  def hybridIndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (doc_id, text, embedding, source) corpus the composed
+    * pipeline faces share.
+    */
+  private def pipelineCorpus(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val d = load(spark, sfDir, "documents")
     val e = load(spark, sfDir, "embeddings")
-    val corpus = d.select(col("doc_id"), col("text"), col("source"))
+    d.select(col("doc_id"), col("text"), col("source"))
       .join(e.select(col("vec_id").as("doc_id"),
           col("embedding").cast("array<double>").as("embedding")),
         Seq("doc_id"), "left")
+  }
+
+  /** The process-shared composed-pipeline state root: the train corpus
+    * through PipelineStream once per (process, dataset) — the build's
+    * per-file creation constant is the dominant cold cost of every
+    * composed face, so it is paid exactly once and shared.
+    */
+  private def pipeRootFor(spark: SparkSession, sfDir: String): String = {
     val t = TmpData.tag(sfDir)
     val root = TmpData.path("pipe", t)
     TmpData.once(s"pipe:$t") {
       graft.streaming.PipelineStream.applyBatch(spark, root,
-        corpus.filter(col("source") =!= "src0")
+        pipelineCorpus(spark, sfDir)
+          .filter(col("source") =!= "src0")
           .select(col("doc_id"), col("text"), col("embedding"),
             col("source")),
         batchId = 0L)
     }
-    val qs = corpus.filter(col("source") === "src0")
+    root
+  }
+
+  def hybridIndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = pipeRootFor(spark, sfDir)
+    val qs = pipelineCorpus(spark, sfDir)
+      .filter(col("source") === "src0")
       .select(col("doc_id").as("query_id"), col("text"), col("embedding"))
     graft.streaming.PipelineStream.hybridTopK(spark, root, qs)
   }
@@ -1562,9 +1652,34 @@ object CorpusOps {
        |  WHERE doc_id NOT IN (SELECT new_id FROM dropped))""".stripMargin
   }
 
-  val hybridIndexTopkSql: String = {
+  /** The composed hybrid-retrieval oracle SQL, parametrized by an
+    * optional DELETE slice (a predicate template over an id column,
+    * `%s` substituted): when present, the sparse leg runs over the
+    * kept corpus MINUS the slice, the dense-leg candidates exclude the
+    * slice on top of the curation drop set, and — the subtle part —
+    * the QUERY-TIME read width re-derives from the SURVIVOR count
+    * (`pselq`), exactly as the streaming face's negative count markers
+    * make VecDupStream.queryTopK size p to the survivors. The keep-set
+    * CTEs keep the INGEST-time width (deletes happen after folding).
+    * With no slice, `pselq` degenerates to `psel` and this is the
+    * round-9 hybrid_index_topk oracle unchanged in meaning.
+    */
+  private def hybridIndexSqlFor(slice: Option[String]): String = {
+    val keptRel = slice.fold("kept")(s =>
+      s"(SELECT doc_id, text FROM kept WHERE NOT (${s.format("doc_id")}))")
+    val pselq = slice.fold("pselq AS (SELECT p FROM psel)")(s =>
+      s"""pselq AS (
+         |  SELECT coalesce(min(pb), ${Similarity.lshMaxAutoPlanes}) AS p
+         |  FROM (SELECT unnest(generate_series(1,
+         |          ${Similarity.lshMaxAutoPlanes})) AS pb),
+         |       (SELECT count(*) AS n FROM ev
+         |        WHERE NOT (${s.format("vec_id")}))
+         |  WHERE (CAST(1 AS BIGINT) << pb)
+         |    * ${Similarity.lshTargetOcc} >= n)""".stripMargin)
+    val denseExtra = slice.fold("")(s =>
+      s" AND NOT (${s.format("s.vec_id")})")
     s"""WITH $pipelineKeptCtes,
-       |${bm25Ctes("kept",
+       |${bm25Ctes(keptRel,
           "(SELECT doc_id, text FROM corpus WHERE source = 'src0')")},
        |sparse AS (
        |  SELECT query_id, doc_id, rank AS rank_sparse FROM ranked
@@ -1572,23 +1687,27 @@ object CorpusOps {
        |qv AS (
        |  SELECT doc_id AS query_id, v FROM corpus
        |  WHERE source = 'src0' AND v IS NOT NULL),
+       |$pselq,
+       |vbq AS (SELECT vec_id, tbl,
+       |          bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
+       |        FROM b32, pselq),
        |qb32 AS (
        |  ${lshBucketTablesSql("qv", "query_id AS vec_id")}),
        |qvb AS (SELECT vec_id AS query_id, tbl,
        |          bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
-       |        FROM qb32, psel),
+       |        FROM qb32, pselq),
        |qprobes AS (
        |  SELECT query_id, tbl, bucket FROM qvb
        |  UNION ALL
        |  SELECT b.query_id, b.tbl,
        |    xor(b.bucket, CAST(1 AS BIGINT) << g.i) AS bucket
        |  FROM qvb b CROSS JOIN (
-       |    SELECT unnest(generate_series(0, (SELECT p - 1 FROM psel)))
+       |    SELECT unnest(generate_series(0, (SELECT p - 1 FROM pselq)))
        |      AS i) g),
        |dcand AS (
        |  SELECT DISTINCT pr.query_id, s.vec_id
-       |  FROM qprobes pr JOIN vb s ON pr.tbl = s.tbl AND pr.bucket = s.bucket
-       |  WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)),
+       |  FROM qprobes pr JOIN vbq s ON pr.tbl = s.tbl AND pr.bucket = s.bucket
+       |  WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)$denseExtra),
        |dsim AS (
        |  SELECT c.query_id, c.vec_id AS doc_id,
        |    CAST(floor(list_dot_product(q.v, s.v)
@@ -1624,6 +1743,61 @@ object CorpusOps {
          "n_legs"))}""".stripMargin
   }
 
+  val hybridIndexTopkSql: String = hybridIndexSqlFor(None)
+
+  /** The deleted slice of the composed-pipeline delete face: every
+    * 11th train doc (pmod 3), deleted AFTER the pipeline indexed the
+    * batch. `%s` is the id column (doc_id / vec_id / s.vec_id in the
+    * three oracle contexts).
+    */
+  private val hybridDeleteSlice = "%s %% 11 = 3"
+
+  /** hybrid_after_delete — RIGHT-TO-BE-FORGOTTEN over the WHOLE
+    * composed pipeline, driver-checked: the train corpus runs through
+    * PipelineStream (both gates → kept corpus → BM25 index), then the
+    * slice is DELETED via [[graft.streaming.PipelineStream.delete]] —
+    * one call tombstoning all three LSM states — and the query face is
+    * the same streaming hybrid retrieval as hybrid_index_topk. The
+    * oracle re-derives the keep set at ingest-time geometry, the
+    * sparse leg over kept-minus-deleted (survivor idf/avgdl/df from
+    * the negative markers and df rows), the dense leg at the
+    * SURVIVOR-sized read width with deleted candidates excluded, and
+    * the shared RRF fusion — so the delete path of every state is
+    * checked end-to-end against first-principles SQL, not just specs.
+    */
+  def hybridAfterDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = pipelineCorpus(spark, sfDir)
+    val t = TmpData.tag(sfDir)
+    // own root: deleting from the shared "pipe" root would poison
+    // hybrid_index_topk's process-shared state. The state is CLONED
+    // from the shared root with one local-fs recursive copy instead of
+    // re-running the whole pipeline build — the build's per-file
+    // creation constant is the dominant cold cost (~45 s flat at any
+    // SF), the copy is not; LSM state roots are self-contained dirs,
+    // so a byte copy IS the state
+    val root = TmpData.path("pipedel", t)
+    TmpData.once(s"pipedel:$t") {
+      val src = pipeRootFor(spark, sfDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(src), fs,
+        new org.apache.hadoop.fs.Path(root), false, true, conf)
+      graft.streaming.PipelineStream.delete(spark, root,
+        corpus.filter(col("source") =!= "src0")
+          .filter(expr(hybridDeleteSlice.format("doc_id")))
+          .select(col("doc_id")),
+        deleteId = 0L)
+    }
+    val qs = corpus.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"),
+        col("embedding"))
+    graft.streaming.PipelineStream.hybridTopK(spark, root, qs)
+  }
+
+  val hybridAfterDeleteSql: String =
+    hybridIndexSqlFor(Some(hybridDeleteSlice))
+
   /** phrase_index_kept — exact-phrase retrieval over the composed
     * pipeline's KEPT corpus: the train corpus runs through
     * PipelineStream (both dedup gates, keep set into the positional
@@ -1638,22 +1812,9 @@ object CorpusOps {
     * driver-checked row.
     */
   def phraseIndexKept(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = load(spark, sfDir, "documents")
-    val e = load(spark, sfDir, "embeddings")
-    val corpus = d.select(col("doc_id"), col("text"), col("source"))
-      .join(e.select(col("vec_id").as("doc_id"),
-          col("embedding").cast("array<double>").as("embedding")),
-        Seq("doc_id"), "left")
-    val t = TmpData.tag(sfDir)
-    val root = TmpData.path("pipe", t)
-    TmpData.once(s"pipe:$t") {
-      graft.streaming.PipelineStream.applyBatch(spark, root,
-        corpus.filter(col("source") =!= "src0")
-          .select(col("doc_id"), col("text"), col("embedding"),
-            col("source")),
-        batchId = 0L)
-    }
-    val qs = corpus.filter(col("source") === "src0")
+    val root = pipeRootFor(spark, sfDir)
+    val qs = pipelineCorpus(spark, sfDir)
+      .filter(col("source") === "src0")
       .select(col("doc_id").as("query_id"), col("text"))
     canon(graft.streaming.PipelineStream.queryPhrase(spark, root, qs))
   }
@@ -1676,6 +1837,9 @@ object CorpusOps {
     "phrase_index_kept" -> phraseIndexKept,
     "near_match" -> nearMatch,
     "near_index_match" -> nearIndexMatch,
+    "bm25_after_delete" -> bm25AfterDelete,
+    "phrase_after_delete" -> phraseAfterDelete,
+    "hybrid_after_delete" -> hybridAfterDelete,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -1699,6 +1863,9 @@ object CorpusOps {
     "phrase_index_kept" -> phraseIndexKeptSql,
     "near_match" -> nearMatchSql,
     "near_index_match" -> nearMatchSql,
+    "bm25_after_delete" -> bm25AfterDeleteSql,
+    "phrase_after_delete" -> phraseAfterDeleteSql,
+    "hybrid_after_delete" -> hybridAfterDeleteSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

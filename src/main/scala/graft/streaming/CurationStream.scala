@@ -99,7 +99,25 @@ object CurationStream {
             StructField("nrm", DoubleType), StructField("vbucket", LongType),
             StructField("ingest", LongType))))
         .select(col("vec_id").as("doc_id"))
+      // deleted (tombstoned) ids leave the default verdict universe —
+      // a forgotten doc gets no row; explicit `ids` callers may still
+      // ask about anything (the emission log is the historical record)
+      val tombsSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("dbucket", LongType),
+        StructField("ingest", LongType)))
+      val deleted = LsmIndex.readOrEmpty(spark,
+          s"${txtState(rootDir)}/tombs", tombsSchema)
+        .select(col("doc_id"))
+        .unionByName(LsmIndex.readOrEmpty(spark,
+            s"${vecState(rootDir)}/tombs", StructType(Seq(
+              StructField("vec_id", LongType),
+              StructField("vbucket", LongType),
+              StructField("ingest", LongType))))
+          .select(col("vec_id").as("doc_id")))
+        .distinct()
       txtDocs.unionByName(vecIds).distinct()
+        .join(deleted, Seq("doc_id"), "left_anti")
     }
     val pairs = pairLog(spark, rootDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -122,19 +122,37 @@ object IndexStream {
     StructField("dpfx", StringType),
     StructField("ingest", LongType)))
 
+  /** The tombstone sub-table (layout v4): one (doc_id, dbucket) row
+    * per DELETED document, under its own `ingest=-(2+deleteId)`
+    * generations (the negative namespace keeps delete generations
+    * disjoint from fold generations ≥ 0 and the compacted -1). A
+    * delete is logical-first: postings and docs rows of a deleted doc
+    * stay on disk until a rebuild reclaims them, but every query face
+    * anti-joins its candidates against this relation, and the
+    * CORPUS-STAT side of the delete is exact IMMEDIATELY — see
+    * [[deleteDocs]].
+    */
+  private val tombsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dbucket", LongType),
+    StructField("ingest", LongType)))
+
   private val subTables = Seq(
     LsmIndex.Sub("postings", postingsSchema, Seq("tpfx"),
       sortCols = Seq("term")),
     LsmIndex.Sub("docs", docsSchema, Seq("dbucket"),
       sortCols = Seq("doc_id")),
     LsmIndex.Sub("dfs", dfsSchema, Seq("dpfx"),
-      sortCols = Seq("term")))
+      sortCols = Seq("term")),
+    LsmIndex.Sub("tombs", tombsSchema, Seq("dbucket"),
+      sortCols = Seq("doc_id")))
 
   private[graft] val layoutVersion =
-    "graft-ridx-v3 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+    "graft-ridx-v4 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
       "pos=sorted-int-array " +
       "docs=(dbucket=pmod256,ingest) sort=doc_id " +
       "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
+      "tombs=(dbucket=pmod256,ingest) del=neg-df+neg-markers " +
       "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n"
 
   private val nDocBuckets = 256
@@ -173,11 +191,63 @@ object IndexStream {
     due
   }
 
+  /** Compaction with PHYSICAL tombstone reclamation: when tombstones
+    * exist, the merged sub-tables are rewritten without the deleted
+    * docs — postings and docs rows anti-joined away, dfs re-aggregated
+    * to survivor counts (the negative delete rows cancel exactly, and
+    * zero-sum ghost terms vanish), and the tombs sub-table dropped
+    * LAST, only after every data rewrite landed. Crash-ordering makes
+    * this monotone-safe: at any interruption the surviving tombstones
+    * still cover whatever posting bytes remain, so queries stay exact
+    * (an already-reclaimed id in a tombstone is a no-op anti-join).
+    * Physical reclaim also RETIRES the delete-re-delivery tolerance:
+    * a delete re-delivered after its generation was compacted finds no
+    * docs rows to subtract and returns 0 instead of double-counting.
+    */
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
     ensureLayout(spark, stateDir)
-    val r = LsmIndex.compact(spark, stateDir, subTables, targetFileBytes,
-      minFiles)
+    val tombsRoot = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
+    val fs = tombsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reclaim = fs.exists(tombsRoot) &&
+      !spark.read.schema(tombsSchema).parquet(tombsRoot.toString)
+        .isEmpty
+    val r =
+      if (!reclaim)
+        LsmIndex.compact(spark, stateDir, subTables, targetFileBytes,
+          minFiles)
+      else {
+        val tombIds = spark.read.schema(tombsSchema)
+          .parquet(tombsRoot.toString)
+          .select(col("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dropDoomed: DataFrame => DataFrame =
+            _.join(tombIds, Seq("doc_id"), "left_anti")
+          // tombs is not rewritten — it is deleted whole below, and an
+          // interruption before that must leave it exactly as-is
+          val res = LsmIndex.compact(spark, stateDir,
+            subTables.filterNot(_.name == "tombs"),
+            targetFileBytes, minFiles,
+            transforms = Map(
+              "postings" -> dropDoomed,
+              "docs" -> dropDoomed,
+              // survivor df: per-generation positive rows and the
+              // deletes' negative rows cancel to the surviving count;
+              // fully-deleted terms sum to 0 and leave the index
+              "dfs" -> (d => d.groupBy(col("term"))
+                .agg(sum(col("df")).as("df"))
+                .filter(col("df") > 0)
+                .withColumn("gen", lit(-1L))
+                .withColumn("dpfx", substring(md5(col("term")), 1, 1)))),
+            // tombstones may only be cleared once EVERY data sub-table
+            // was rewritten — force them all regardless of fragmentation
+            force = Set("postings", "docs", "dfs"))
+          fs.delete(tombsRoot, true)
+          spark.catalog.refreshByPath(tombsRoot.toString)
+          res
+        } finally tombIds.unpersist()
+      }
     markers(stateDir).consolidate(spark)
     r
   }
@@ -295,6 +365,132 @@ object IndexStream {
     ()
   }
 
+  /** DELETE documents from the index with EXACT retrieval semantics —
+    * the right-to-be-forgotten path of a training-data platform.
+    * O(deleted), never a scan or rewrite of the index:
+    *
+    *  1. the ids still alive (candidate-bounded read of existing
+    *     tombstones, excluding this delete's own generation so a
+    *     retry re-derives from scratch) fetch their (lt, dl) rows
+    *     from `docs` — the same bounded verify-read as the dl fetch;
+    *  2. their term contributions re-derive from the layout-stable
+    *     `lt` via the SHARED tokenizer, and land as NEGATIVE df rows
+    *     in the `dfs` sub-table — per-generation df counts are summed
+    *     by every query face, so cumulative df, the head-term cap,
+    *     and the df-rarest selection are exact the moment the delete
+    *     commits (a term whose corpus vanished sums to 0 and is
+    *     dropped from selection — without this a ghost term would
+    *     outrank real rare terms, see queryTopK's df > 0 filter);
+    *  3. a NEGATIVE (−n, −Σdl) count marker keeps N/totdl — and
+    *     therefore idf and the dl saturation — exact immediately;
+    *  4. tombstone rows record the ids; every query face anti-joins
+    *     its candidates against them, so deleted docs never rank even
+    *     though their posting bytes persist until a rebuild
+    *     ([[migrateState]] applies tombstones physically).
+    *
+    * Scores over the surviving corpus are therefore bit-identical to
+    * an index freshly built WITHOUT the deleted docs (spec-pinned) —
+    * not approximately, and not only after compaction.
+    *
+    * `deleteId ≥ 0` namespaces the operation's generations as
+    * `ingest=-(2+deleteId)`: disjoint from fold generations (≥ 0) and
+    * the compacted dir (−1), so a delete can never dynamic-overwrite
+    * a fold's partitions or marker. Re-delivery of the same deleteId
+    * overwrites exactly its own generations — idempotent. Re-delivery
+    * AFTER a compaction merged its generation is ALSO safe: compaction
+    * physically reclaims ([[compactState]]), so the re-delivered
+    * delete finds no docs rows for its ids and subtracts nothing.
+    *
+    * Returns the number of documents newly deleted.
+    */
+  def deleteDocs(spark: SparkSession, stateDir: String, ids: DataFrame,
+      deleteId: Long): Long = {
+    require(deleteId >= 0, s"deleteId must be >= 0, got $deleteId")
+    ensureLayout(spark, stateDir)
+    val gen = -(2L + deleteId)
+    val want = ids.select(col("doc_id")).distinct()
+    // already-tombstoned ids (by OTHER operations) contribute nothing:
+    // a second delete of the same doc must not subtract its stats
+    // twice. This delete's own generation is excluded so a retry
+    // recomputes its full contribution (its partitions are about to be
+    // overwritten anyway).
+    val priorTombs = LsmIndex.readOrEmpty(spark, s"$stateDir/tombs",
+        tombsSchema)
+      .filter(col("ingest") =!= gen).select(col("doc_id")).distinct()
+    val alive = want.join(priorTombs, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idSample = alive.limit(pushdownMax + 1).collect()
+        .map(_.getLong(0))
+      if (idSample.isEmpty) return 0L
+      val docsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/docs",
+        docsSchema)
+      val doomedRows =
+        if (idSample.length <= pushdownMax) {
+          val dbs = idSample.map(i => Math.floorMod(i, nDocBuckets.toLong))
+            .distinct.toSeq
+          docsBase.filter(col("dbucket").isin(dbs: _*) &&
+            col("doc_id").isin(idSample.toSeq: _*))
+        } else {
+          docsBase.join(alive, Seq("doc_id"), "left_semi")
+        }
+      val doomed = doomedRows.select(col("doc_id"), col("lt"), col("dl"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val stats = doomed.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("t")).collect()(0)
+        val n = stats.getLong(0)
+        if (n == 0L) return 0L
+        // negative df rows from the deleted docs' own term sets (lt is
+        // layout-stable and the tokenizer shared, so these are exactly
+        // the contributions their fold once added)
+        val negDfs = tfRel(doomed.select(col("doc_id"),
+            col("lt").as("text")))
+          .groupBy(col("term")).agg((-count(lit(1))).as("df"))
+          .withColumn("gen", lit(gen))
+          .withColumn("dpfx", substring(md5(col("term")), 1, 1))
+        negDfs.withColumn("ingest", lit(gen))
+          .repartition(spark.sparkContext.defaultParallelism, col("dpfx"))
+          .sortWithinPartitions(col("dpfx"), col("term"))
+          .write.partitionBy("dpfx", "ingest")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$stateDir/dfs")
+        doomed.select(col("doc_id"))
+          .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
+          .withColumn("ingest", lit(gen))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
+          .write.partitionBy("dbucket", "ingest")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$stateDir/tombs")
+        markers(stateDir).write(spark, gen, Seq(-n, -stats.getLong(1)))
+        spark.catalog.refreshByPath(s"$stateDir/dfs")
+        spark.catalog.refreshByPath(s"$stateDir/tombs")
+        n
+      } finally doomed.unpersist()
+    } finally alive.unpersist()
+  }
+
+  /** Drop tombstoned doc_ids from a relation — the query faces'
+    * candidate exclusion. One distributed anti-join keyed doc_id
+    * against the O(deleted) tombstone relation (broadcast when small,
+    * shuffled when not — never a driver loop); skipped entirely while
+    * no tombstone exists (the common case costs one driver-side dir
+    * listing).
+    */
+  private def minusTombs(spark: SparkSession, stateDir: String,
+      rel: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) rel
+    else rel.join(
+      spark.read.schema(tombsSchema).parquet(p.toString)
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Ranked BM25 retrieval over the accumulated index: for each query
     * (query_id, text), the top-k indexed documents under the batch
     * face's exact scoring — (query_id, rank, doc_id, score_micro,
@@ -355,7 +551,12 @@ object IndexStream {
     val dfsR = dfsRowsFor(spark, stateDir,
       q.select(col("term")).distinct(), termSample)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df > 0: per-generation counts include deletes' NEGATIVE rows; a
+    // term whose corpus was entirely deleted sums to 0 and must leave
+    // selection entirely — df-asc ranking would otherwise hand the
+    // ghost term a slot a surviving rare term deserves
     val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
     // STEP 2 — selection + head-term cap, BEFORE any posting I/O
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("df").asc, col("term").asc)
@@ -379,10 +580,11 @@ object IndexStream {
     // here column-prunes the v3 positions payload OUT of the parquet
     // read — bag-of-words scoring never pays for the positional index
     // (spec-pinned on the ReadSchema).
-    val post = postingsFor(spark, stateDir, selPairs,
-        selected.select(col("term")).distinct())
-      .select(col("term"), col("doc_id"), col("tf"))
-      .distinct()
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs,
+          selected.select(col("term")).distinct())
+        .select(col("term"), col("doc_id"), col("tf"))
+        .distinct())
     val hits = selected.join(post, Seq("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
@@ -524,10 +726,11 @@ object IndexStream {
     val selPairs = dfsR.select(col("term"), col("gen")).distinct()
       .limit(pushdownMax + 1).collect()
     if (selPairs.isEmpty) return None
-    val post = postingsFor(spark, stateDir, selPairs,
-        q.select(col("term")).distinct())
-      .select(col("term"), col("doc_id"), col("positions"))
-      .distinct()
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs,
+          q.select(col("term")).distinct())
+        .select(col("term"), col("doc_id"), col("positions"))
+        .distinct())
     Some(q.join(post, Seq("term"))
       .select(col("query_id"), col("doc_id"), col("i"),
         explode(col("positions")).as("pos")))
@@ -582,9 +785,19 @@ object IndexStream {
       if (fs.exists(docsPath)) {
         // tolerant read: NO forced schema — old layouts may partition
         // differently or carry extra columns; only the raw data
-        // columns are contracted
-        val raw = spark.read.parquet(docsPath.toString)
+        // columns are contracted. Tombstoned docs are EXCLUDED: the
+        // rebuild is where logical deletes become physical (their
+        // postings, docs rows, and df contributions simply never land
+        // in the staging), so the migrated state carries no tombs and
+        // its markers/dfs re-derive from the surviving corpus alone —
+        // a rebuild can never resurrect a deleted document.
+        val tombsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/tombs")
+        val rawAll = spark.read.parquet(docsPath.toString)
           .select(col("doc_id"), col("lt")).distinct()
+        val raw = (if (fs.exists(tombsPath))
+            rawAll.join(spark.read.parquet(tombsPath.toString)
+              .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          else rawAll)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val n = raw.count()

@@ -167,9 +167,23 @@ private[graft] object LsmIndex {
     * re-delivery re-append rows the merged generation already holds
     * (read-side distinct()s keep that correct; the duplicate bytes
     * persist until the next compaction).
+    *
+    * `transforms` (per sub-table name) rewrite the merged relation
+    * before it is written back — the gates' hook for folding LOGICAL
+    * state into the physical layout at compaction time (IndexStream
+    * applies tombstone deletes here: postings/docs anti-joined, dfs
+    * re-aggregated to survivor counts). A transformed sub-table must
+    * keep its declared schema minus `ingest`. `force` names sub-tables
+    * that must rewrite even when not fragmented — a caller whose
+    * transforms carry a cross-sub invariant (tombstones may only be
+    * cleared once EVERY data sub-table was rewritten) uses it to keep
+    * the rewrites atomic per compaction run rather than
+    * per-fragmentation-accident.
     */
   def compact(spark: SparkSession, stateDir: String, subs: Seq[Sub],
-      targetFileBytes: Long, minFiles: Int): (Int, Int, Int) = {
+      targetFileBytes: Long, minFiles: Int,
+      transforms: Map[String, DataFrame => DataFrame] = Map.empty,
+      force: Set[String] = Set.empty): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
     val conf = spark.sparkContext.hadoopConfiguration
     var parts = 0; var before = 0; var after = 0
@@ -190,11 +204,13 @@ private[graft] object LsmIndex {
         }
         val fragmented = partDirs(root)
           .map(pd => dataFiles(pd).size).count(_ >= minFiles)
-        if (fragmented > 0) {
+        if (fragmented > 0 || force.contains(sub.name)) {
           val files = dataFiles(root)
           val dataCols = sub.schema.fieldNames.toSeq
             .filterNot(sub.hashCols.contains).filterNot(_ == "ingest")
-          val src = spark.read.schema(sub.schema).parquet(root.toString)
+          val merged = spark.read.schema(sub.schema).parquet(root.toString)
+            .select((dataCols ++ sub.hashCols).map(col): _*)
+          val src = transforms.get(sub.name).map(_(merged)).getOrElse(merged)
             .select((dataCols ++ sub.hashCols).map(col): _*).distinct()
           val expected = src.count()
           val totalBytes = files.map(_.getLen).sum

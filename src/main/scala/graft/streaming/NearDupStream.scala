@@ -140,14 +140,26 @@ object NearDupStream {
     * state with no marker at all — must FAIL FAST instead.
     */
   private[graft] val layoutVersion =
-    "graft-neardup-v2 buckets=(band_idx,bpfx,ingest):4x256 docs=(dbucket=pmod256,ingest)"
+    "graft-neardup-v3 buckets=(band_idx,bpfx,ingest):4x256 " +
+      "docs=(dbucket=pmod256,ingest) tombs=(dbucket,ingest)"
+
+  /** Tombstone sub-table (layout v3): one row per DELETED document
+    * under `ingest=-(2+deleteId)` generations — right-to-be-forgotten,
+    * same contract as IndexStream/VecDupStream: logical-first delete,
+    * physical reclaim at compaction.
+    */
+  private val tombsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dbucket", LongType),
+    StructField("ingest", LongType)))
 
   private val subTables = Seq(
     LsmIndex.Sub("buckets", bucketsSchema, Seq("band_idx", "bpfx")),
     // docs sorted by doc_id within files: the verify read's doc_id IN
     // pushdown prunes at row-group grain on compacted files
     LsmIndex.Sub("docs", docsSchema, Seq("dbucket"),
-      sortCols = Seq("doc_id")))
+      sortCols = Seq("doc_id")),
+    LsmIndex.Sub("tombs", tombsSchema, Seq("dbucket")))
 
   private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit =
     LsmIndex.ensureLayout(spark, stateDir, layoutVersion, subTables.map(_.name))
@@ -235,9 +247,12 @@ object NearDupStream {
         .filter(concat_ws("/", col("band_idx"), col("bpfx"))
           .isin(pairKeys: _*))
       // candidates: a new doc against anything already indexed in its
-      // buckets, plus within-batch collisions; lower id = kept rep
-      val known = oldBuckets.select(col("band_idx"), col("bucket"),
-        col("doc_id")).unionByName(
+      // buckets, plus within-batch collisions; lower id = kept rep.
+      // Tombstoned (deleted) docs leave the stored leg: forgotten
+      // content must not flag a new arrival as its duplicate
+      val known = minusTombs(spark, stateDir,
+        oldBuckets.select(col("band_idx"), col("bucket"),
+          col("doc_id"))).unionByName(
         b.select(col("band_idx"), col("bucket"), col("doc_id")))
       val cand = b.as("x").join(known.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
@@ -412,10 +427,101 @@ object NearDupStream {
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
     ensureLayout(spark, stateDir)
-    val r = LsmIndex.compact(spark, stateDir, subTables, targetFileBytes,
-      minFiles)
+    // PHYSICAL tombstone reclamation (round 10) — crash-ordered like
+    // IndexStream.compactState: data rewrites first, tombs dropped last
+    val tombsRoot = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
+    val tfs = tombsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reclaim = tfs.exists(tombsRoot) &&
+      !spark.read.schema(tombsSchema).parquet(tombsRoot.toString).isEmpty
+    val r =
+      if (!reclaim)
+        LsmIndex.compact(spark, stateDir, subTables, targetFileBytes,
+          minFiles)
+      else {
+        val tombIds = spark.read.schema(tombsSchema)
+          .parquet(tombsRoot.toString)
+          .select(col("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dropDoomed: DataFrame => DataFrame =
+            _.join(tombIds, Seq("doc_id"), "left_anti")
+          val res = LsmIndex.compact(spark, stateDir,
+            subTables.filterNot(_.name == "tombs"),
+            targetFileBytes, minFiles,
+            transforms = Map("buckets" -> dropDoomed, "docs" -> dropDoomed),
+            force = Set("buckets", "docs"))
+          tfs.delete(tombsRoot, true)
+          spark.catalog.refreshByPath(tombsRoot.toString)
+          res
+        } finally tombIds.unpersist()
+      }
     LsmIndex.HiWater(stateDir).consolidate(spark)
     r
+  }
+
+  /** DELETE documents from the gate's index — right-to-be-forgotten,
+    * the same contract as [[VecDupStream.deleteDocs]] (which see for
+    * the full rationale): O(deleted) tombstone write, candidate
+    * generation and [[keepDecisions]] anti-join immediately, physical
+    * reclaim at [[compactState]], no retraction of past emissions.
+    * This gate keeps no corpus-count marker, so the tombstones are the
+    * whole of the delete. Returns the number newly deleted.
+    */
+  def deleteDocs(spark: SparkSession, stateDir: String, ids: DataFrame,
+      deleteId: Long): Long = {
+    require(deleteId >= 0, s"deleteId must be >= 0, got $deleteId")
+    ensureLayout(spark, stateDir)
+    val gen = -(2L + deleteId)
+    val want = ids.select(col("doc_id")).distinct()
+    val priorTombs = readOrEmpty(spark, s"$stateDir/tombs", tombsSchema)
+      .filter(col("ingest") =!= gen).select(col("doc_id")).distinct()
+    val alive = want.join(priorTombs, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idSample = alive.limit(verifyIdPushdownMax + 1).collect()
+        .map(_.getLong(0))
+      if (idSample.isEmpty) return 0L
+      val docsBase = readOrEmpty(spark, s"$stateDir/docs", docsSchema)
+      val doomedRows =
+        if (idSample.length <= verifyIdPushdownMax) {
+          val dbs = idSample.map(i => Math.floorMod(i, nDocBuckets.toLong))
+            .distinct.toSeq
+          docsBase.filter(col("dbucket").isin(dbs: _*) &&
+            col("doc_id").isin(idSample.toSeq: _*))
+        } else {
+          docsBase.join(alive, Seq("doc_id"), "left_semi")
+        }
+      val doomed = doomedRows.select(col("doc_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = doomed.count()
+        if (n == 0L) return 0L
+        doomed
+          .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
+          .withColumn("ingest", lit(gen))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("dbucket"))
+          .write.partitionBy("dbucket", "ingest")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$stateDir/tombs")
+        spark.catalog.refreshByPath(s"$stateDir/tombs")
+        n
+      } finally doomed.unpersist()
+    } finally alive.unpersist()
+  }
+
+  /** Drop tombstoned doc_ids from a relation; skipped entirely while
+    * no tombstone exists (one driver-side dir check).
+    */
+  private def minusTombs(spark: SparkSession, stateDir: String,
+      rel: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) rel
+    else rel.join(
+      spark.read.schema(tombsSchema).parquet(p.toString)
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** LAYOUT MIGRATION (r8 verdict top item; see
@@ -436,9 +542,18 @@ object NearDupStream {
       val docsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/docs")
       if (fs.exists(docsPath)) {
         // tolerant read: no forced schema — only (doc_id, lt) are the
-        // migration contract; n_sh/dbucket are re-derived
-        val raw = spark.read.parquet(docsPath.toString)
+        // migration contract; n_sh/dbucket are re-derived. Tombstoned
+        // docs are EXCLUDED: the rebuild makes logical deletes
+        // physical, so the migrated state carries no tombs and cannot
+        // resurrect forgotten content
+        val tombsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/tombs")
+        val rawAll = spark.read.parquet(docsPath.toString)
           .select(col("doc_id"), col("lt")).distinct()
+        val raw = (if (fs.exists(tombsPath))
+            rawAll.join(spark.read.parquet(tombsPath.toString)
+                .select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          else rawAll)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val n = raw.select(col("doc_id")).distinct().count()
@@ -492,8 +607,11 @@ object NearDupStream {
   def keepDecisions(spark: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
     ensureLayout(spark, stateDir)
-    val docs = readOrEmpty(spark, s"$stateDir/docs", docsSchema)
-      .select(col("doc_id")).distinct()
+    // deleted (tombstoned) docs leave the verdict universe; the
+    // emission log keeps the historical actions
+    val docs = minusTombs(spark, stateDir,
+      readOrEmpty(spark, s"$stateDir/docs", docsSchema)
+        .select(col("doc_id")).distinct())
     val outSchema = StructType(Seq(
       StructField("new_id", LongType),
       StructField("dup_id", LongType),

@@ -113,6 +113,40 @@ object PipelineStream {
     graft.Tables.canon(graft.operators.CorpusOps.rrfFuse(sparse, dense))
   }
 
+  /** DELETE documents from the WHOLE pipeline — right-to-be-forgotten
+    * across all three LSM states in one call: the retrieval index
+    * (BM25/phrase/NEAR stop answering with the doc, idf/avgdl/df
+    * re-derive over the survivors immediately), the vector gate (the
+    * doc stops ranking in the dense leg and stops flagging future
+    * arrivals as its duplicates), and the text gate (likewise). Each
+    * gate's delete is its own idempotent tombstone operation under the
+    * shared `deleteId` namespace; physical reclaim happens at each
+    * state's next compaction ([[compactIfDue]]). Ids never indexed by
+    * a given state (e.g. a doc the gates DROPPED is absent from the
+    * retrieval index) are no-ops there — deleting by id is safe
+    * whether the doc was kept or dropped. Past emission logs are the
+    * record of actions taken while the doc was live and are not
+    * retracted; [[verdicts]] for a deleted doc keep their history.
+    *
+    * Returns the number of docs newly deleted from the retrieval
+    * index (the kept-corpus count — the number a caller usually wants;
+    * gate-side deletions may be larger since gates index drops too).
+    */
+  def delete(spark: SparkSession, rootDir: String, ids: DataFrame,
+      deleteId: Long): Long = {
+    val byDoc = ids.select(col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = IndexStream.deleteDocs(spark, ridxState(rootDir), byDoc,
+        deleteId)
+      NearDupStream.deleteDocs(spark, s"$rootDir/txt_state", byDoc,
+        deleteId)
+      VecDupStream.deleteDocs(spark, s"$rootDir/vec_state",
+        byDoc.select(col("doc_id").as("vec_id")), deleteId)
+      n
+    } finally byDoc.unpersist()
+  }
+
   /** The composed keep/drop verdicts (see CurationStream.verdicts). */
   def verdicts(spark: SparkSession, rootDir: String,
       ids: Option[DataFrame] = None): DataFrame =

@@ -74,14 +74,27 @@ object VecDupStream {
     StructField("vbucket", LongType),
     StructField("ingest", LongType)))
 
+  /** Tombstone sub-table (layout v2): one row per DELETED vector under
+    * `ingest=-(2+deleteId)` generations — the right-to-be-forgotten
+    * path, same contract as IndexStream's tombs (logical-first delete,
+    * physical reclaim at compaction, negative count markers keep the
+    * read-width sizing exact over the survivors).
+    */
+  private val tombsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("vbucket", LongType),
+    StructField("ingest", LongType)))
+
   private val subTables = Seq(
     LsmIndex.Sub("buckets", bucketsSchema, Seq("tbl", "bpfx")),
     LsmIndex.Sub("vecs", vecsSchema, Seq("vbucket"),
-      sortCols = Seq("vec_id")))
+      sortCols = Seq("vec_id")),
+    LsmIndex.Sub("tombs", tombsSchema, Seq("vbucket")))
 
   private[graft] val layoutVersion =
-    "graft-vecdup-v1 buckets=(tbl,bpfx=low8(bucket32),ingest):4x256 " +
-      "prefix-maskable32 vecs=(vbucket=pmod256,ingest)"
+    "graft-vecdup-v2 buckets=(tbl,bpfx=low8(bucket32),ingest):4x256 " +
+      "prefix-maskable32 vecs=(vbucket=pmod256,ingest) " +
+      "tombs=(vbucket,ingest) del=neg-markers"
 
   /** Cosine floor for emitting a verified pair. */
   private val simFloor = 0.9
@@ -121,7 +134,36 @@ object VecDupStream {
   def compactState(spark: SparkSession, stateDir: String,
       targetFileBytes: Long, minFiles: Int = 2): (Int, Int, Int) = {
     ensureLayout(spark, stateDir)
-    val r = LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
+    // PHYSICAL tombstone reclamation (round 10) — same crash-ordered
+    // contract as IndexStream.compactState: every data sub-table is
+    // rewritten without the deleted vectors FIRST, the tombs dir is
+    // dropped LAST, so an interruption always leaves remaining
+    // posting bytes covered by surviving tombstones
+    val tombsRoot = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
+    val tfs = tombsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reclaim = tfs.exists(tombsRoot) &&
+      !spark.read.schema(tombsSchema).parquet(tombsRoot.toString).isEmpty
+    val r =
+      if (!reclaim)
+        LsmIndex.compact(spark, stateDir, subTables, targetFileBytes, minFiles)
+      else {
+        val tombIds = spark.read.schema(tombsSchema)
+          .parquet(tombsRoot.toString)
+          .select(col("vec_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dropDoomed: DataFrame => DataFrame =
+            _.join(tombIds, Seq("vec_id"), "left_anti")
+          val res = LsmIndex.compact(spark, stateDir,
+            subTables.filterNot(_.name == "tombs"),
+            targetFileBytes, minFiles,
+            transforms = Map("buckets" -> dropDoomed, "vecs" -> dropDoomed),
+            force = Set("buckets", "vecs"))
+          tfs.delete(tombsRoot, true)
+          spark.catalog.refreshByPath(tombsRoot.toString)
+          res
+        } finally tombIds.unpersist()
+      }
     // consolidate the per-generation count markers too — otherwise the
     // sizing read's file count grows one-per-batch forever. The merged
     // marker takes the compacted generation's id (-1); a batch
@@ -168,9 +210,18 @@ object VecDupStream {
       if (fs.exists(vecsPath)) {
         // tolerant read: NO forced schema — old layouts may partition
         // differently or carry extra columns; only the raw data
-        // columns are contracted
-        val raw = spark.read.parquet(vecsPath.toString)
+        // columns are contracted. Tombstoned vectors are EXCLUDED: the
+        // rebuild is where logical deletes become physical, so the
+        // migrated state carries no tombs and cannot resurrect a
+        // forgotten vector
+        val tombsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/tombs")
+        val rawAll = spark.read.parquet(vecsPath.toString)
           .select(col("vec_id"), col("v")).distinct()
+        val raw = (if (fs.exists(tombsPath))
+            rawAll.join(spark.read.parquet(tombsPath.toString)
+                .select(col("vec_id")).distinct(),
+              Seq("vec_id"), "left_anti")
+          else rawAll)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val n = raw.select(col("vec_id")).distinct().count()
@@ -203,6 +254,95 @@ object VecDupStream {
         } finally raw.unpersist()
       }
     }
+
+  /** DELETE vectors from the gate's index with exact semantics — the
+    * right-to-be-forgotten path, mirroring
+    * [[IndexStream.deleteDocs]]'s contract. O(deleted), never an index
+    * scan or rewrite:
+    *
+    *  1. ids still alive (prior tombstones excluded, this operation's
+    *     own generation re-derived on retry) are membership-checked
+    *     against `vecs` — only actually-indexed ids count;
+    *  2. tombstone rows record them; the stored leg of every candidate
+    *     generation ([[applyBatch]]'s `known`), [[queryTopK]]'s
+    *     candidates, and [[keepDecisions]]' universe anti-join against
+    *     the tombs, so a deleted vector never flags a new arrival,
+    *     never ranks in ANN results, and never appears in verdicts —
+    *     immediately, while its bucket/vector bytes persist until
+    *     [[compactState]] reclaims them physically;
+    *  3. a NEGATIVE count marker keeps the stored count — and with it
+    *     the corpus-derived read width p — sized to the SURVIVORS, so
+    *     post-delete probe geometry equals a fresh survivors-only
+    *     index's (spec-pinned).
+    *
+    * A deleted id re-arriving in a later batch is an ingest-contract
+    * violation: after reclaim its docs row is gone, so the
+    * id-monotonicity membership probe fails fast instead of silently
+    * resurrecting forgotten content. Semantics note: past EMISSIONS
+    * (the flagged-pair log) are the record of actions taken while the
+    * vector was live and are not retracted; [[keepDecisions]] stops
+    * listing the deleted id but a historical kept_id may still name it.
+    *
+    * Returns the number of vectors newly deleted.
+    */
+  def deleteDocs(spark: SparkSession, stateDir: String, ids: DataFrame,
+      deleteId: Long): Long = {
+    require(deleteId >= 0, s"deleteId must be >= 0, got $deleteId")
+    ensureLayout(spark, stateDir)
+    val gen = -(2L + deleteId)
+    val want = ids.select(col("vec_id")).distinct()
+    val priorTombs = readOrEmpty(spark, s"$stateDir/tombs", tombsSchema)
+      .filter(col("ingest") =!= gen).select(col("vec_id")).distinct()
+    val alive = want.join(priorTombs, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idSample = alive.limit(verifyIdPushdownMax + 1).collect()
+        .map(_.getLong(0))
+      if (idSample.isEmpty) return 0L
+      val vecsBase = readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
+      val doomedRows =
+        if (idSample.length <= verifyIdPushdownMax) {
+          val vbs = idSample.map(i => Math.floorMod(i, nVecBuckets.toLong))
+            .distinct.toSeq
+          vecsBase.filter(col("vbucket").isin(vbs: _*) &&
+            col("vec_id").isin(idSample.toSeq: _*))
+        } else {
+          vecsBase.join(alive, Seq("vec_id"), "left_semi")
+        }
+      val doomed = doomedRows.select(col("vec_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = doomed.count()
+        if (n == 0L) return 0L
+        doomed
+          .withColumn("vbucket", pmod(col("vec_id"), lit(nVecBuckets)))
+          .withColumn("ingest", lit(gen))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("vbucket"))
+          .write.partitionBy("vbucket", "ingest")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$stateDir/tombs")
+        writeCountMarker(spark, stateDir, gen, -n)
+        spark.catalog.refreshByPath(s"$stateDir/tombs")
+        n
+      } finally doomed.unpersist()
+    } finally alive.unpersist()
+  }
+
+  /** Drop tombstoned vec_ids from a relation — candidate/universe
+    * exclusion for every read face; skipped entirely while no
+    * tombstone exists (one driver-side dir check).
+    */
+  private def minusTombs(spark: SparkSession, stateDir: String,
+      rel: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) rel
+    else rel.join(
+      spark.read.schema(tombsSchema).parquet(p.toString)
+        .select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+  }
 
   /** Full-width (32-bit) bucket rows of a (vec_id, embedding) relation:
     * one row per (vector, table) under the SAME fixed plane sets as the
@@ -341,8 +481,11 @@ object VecDupStream {
         .filter(concat_ws("/", col("tbl"), col("bpfx")).isin(touched: _*))
       // known = stored ∪ within-batch, masked to the CURRENT width —
       // state written at any earlier width reads correctly because the
-      // mask is applied at read time (the prefix-maskable property)
-      val known = oldBuckets.select(col("tbl"),
+      // mask is applied at read time (the prefix-maskable property).
+      // Tombstoned (deleted) vectors leave the stored leg: a forgotten
+      // vector must not flag a new arrival as its duplicate
+      val known = minusTombs(spark, stateDir, oldBuckets)
+        .select(col("tbl"),
           col("bucket32").bitwiseAND(lit(maskP)).as("mb"), col("vec_id"))
         .unionByName(b.select(col("tbl"),
           col("bucket32").bitwiseAND(lit(maskP)).as("mb"), col("vec_id")))
@@ -478,8 +621,9 @@ object VecDupStream {
         col("bucket32").bitwiseAND(lit(maskP)).as("mb"))
       .select(col("query_id"), col("tbl"),
         explode(array(variants: _*)).as("mb"))
-    val cand0 = probes.join(known, Seq("tbl", "mb"))
-      .select(col("query_id"), col("vec_id")).distinct()
+    val cand0 = minusTombs(spark, stateDir,
+      probes.join(known, Seq("tbl", "mb"))
+        .select(col("query_id"), col("vec_id")).distinct())
     val cand = exclude.fold(cand0)(ex =>
       cand0.join(ex.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti"))
@@ -522,8 +666,12 @@ object VecDupStream {
   def keepDecisions(spark: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
     ensureLayout(spark, stateDir)
-    val vecs = readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
-      .select(col("vec_id")).distinct()
+    // deleted (tombstoned) vectors leave the verdict universe — the
+    // emission log keeps the historical actions, so a kept_id may
+    // still name a forgotten representative
+    val vecs = minusTombs(spark, stateDir,
+      readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
+        .select(col("vec_id")).distinct())
     val outSchema = StructType(Seq(
       StructField("new_id", LongType),
       StructField("dup_id", LongType),
