@@ -1027,8 +1027,9 @@ object CorpusOps {
     */
   private[graft] val phraseLen = 2
 
-  private[graft] def phraseTerms(text: Column): Column =
-    slice(bm25Tokens(text), 1, phraseLen)
+  private[graft] def phraseTerms(text: Column,
+      len: Int = phraseLen): Column =
+    slice(bm25Tokens(text), 1, len)
 
   /** The positional-match core shared by the batch face and the
     * incremental index face: given anchor rows (query_id, doc_id,
@@ -1044,11 +1045,12 @@ object CorpusOps {
     * ONE definition, so the two faces agree bit-for-bit by
     * construction.
     */
-  private[graft] def phraseRank(anchors: DataFrame): DataFrame = {
+  private[graft] def phraseRank(anchors: DataFrame,
+      len: Int = phraseLen): DataFrame = {
     val occ = anchors
       .groupBy(col("query_id"), col("doc_id"), col("anchor"))
       .agg(count(lit(1)).as("nm"))
-      .filter(col("nm") === phraseLen)
+      .filter(col("nm") === len)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
     val w = Window.partitionBy(col("query_id"))
@@ -1083,26 +1085,30 @@ object CorpusOps {
     * with term agreement — the posting fetch expressed as the term
     * equi-join. Shared by [[phraseMatchOn]] and [[nearMatchOn]].
     */
-  private def phrasePosRowsOn(d: DataFrame): DataFrame = {
+  private def phrasePosRowsOn(d: DataFrame,
+      len: Int = phraseLen): DataFrame = {
     val toks = d.filter(col("source") =!= "src0")
       .select(col("doc_id"),
         posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
     val qp = d.filter(col("source") === "src0")
-      .filter(size(bm25Tokens(col("text"))) >= phraseLen)
+      .filter(size(bm25Tokens(col("text"))) >= len)
       .select(col("doc_id").as("query_id"),
-        posexplode(phraseTerms(col("text"))).as(Seq("i", "term")))
+        posexplode(phraseTerms(col("text"), len)).as(Seq("i", "term")))
     qp.join(toks, Seq("term"))
       .select(col("query_id"), col("doc_id"), col("i"), col("pos"))
   }
 
   /** [[phraseMatch]] over an explicit documents relation — the spec
-    * seam.
+    * seam. The anchor core is length-generic (a document matches at an
+    * anchor iff all `len` slots produced it), so phrase length is an
+    * API parameter; the bigram default is the retrieval convention the
+    * fixed oracle rows pin.
     */
-  def phraseMatchOn(d: DataFrame): DataFrame = {
-    val anchors = phrasePosRowsOn(d)
+  def phraseMatchOn(d: DataFrame, len: Int = phraseLen): DataFrame = {
+    val anchors = phrasePosRowsOn(d, len)
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("i")).as("anchor"))
-    canon(phraseRank(anchors))
+    canon(phraseRank(anchors, len))
   }
 
   /** The ordered-proximity core shared by the batch and index faces:
@@ -1165,7 +1171,8 @@ object CorpusOps {
   /** The positional-token + query-slot CTEs (`ptoks`, `qp`) shared by
     * the phrase and NEAR oracle chains.
     */
-  private def posCtes(train: String, queries: String): String =
+  private def posCtes(train: String, queries: String,
+      len: Int = phraseLen): String =
     s"""ptoks AS (
        |  SELECT doc_id,
        |    unnest(string_split(lower(text), ' ')) AS term,
@@ -1175,20 +1182,21 @@ object CorpusOps {
        |), qp AS (
        |  SELECT doc_id AS query_id,
        |    unnest(list_slice(string_split(lower(text), ' '), 1,
-       |      $phraseLen)) AS term,
-       |    unnest(generate_series(0, $phraseLen - 1)) AS i
+       |      $len)) AS term,
+       |    unnest(generate_series(0, $len - 1)) AS i
        |  FROM $queries
-       |  WHERE len(string_split(lower(text), ' ')) >= $phraseLen
+       |  WHERE len(string_split(lower(text), ' ')) >= $len
        |)""".stripMargin
 
-  private[graft] def phraseCtes(train: String, queries: String): String =
-    s"""${posCtes(train, queries)}, panchor AS (
+  private[graft] def phraseCtes(train: String, queries: String,
+      len: Int = phraseLen): String =
+    s"""${posCtes(train, queries, len)}, panchor AS (
        |  SELECT q.query_id, t.doc_id, t.pos - q.i AS anchor
        |  FROM qp q JOIN ptoks t USING (term)
        |), pocc AS (
        |  SELECT query_id, doc_id, count(*)::BIGINT AS n_occ FROM (
        |    SELECT query_id, doc_id, anchor FROM panchor
-       |    GROUP BY 1, 2, 3 HAVING count(*) = $phraseLen)
+       |    GROUP BY 1, 2, 3 HAVING count(*) = $len)
        |  GROUP BY 1, 2
        |), pranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1270,6 +1278,33 @@ object CorpusOps {
     val (state, q) = ridxStateAndQueries(spark, sfDir)
     canon(graft.streaming.IndexStream.queryPhrase(spark, state, q))
   }
+
+  /** phrase3_match / phrase3_index_match — ARBITRARY-LENGTH phrases
+    * (round 10): the anchor core is length-generic (a document matches
+    * at an anchor iff all `len` slots produced it), so phrase length
+    * is an API parameter on both faces; these rows pin len=3 — each
+    * query's leading TRIGRAM as a consecutive sequence — against the
+    * same parametrized oracle CTEs. The index face reuses the shared
+    * ridx state (the positions arrays already carry everything any
+    * length needs; no extra state build).
+    */
+  def phrase3Match(spark: SparkSession, sfDir: String): DataFrame =
+    phraseMatchOn(load(spark, sfDir, "documents"), len = 3)
+
+  def phrase3IndexMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryPhrase(spark, state, q,
+      len = 3))
+  }
+
+  val phrase3MatchSql: String =
+    s"""WITH ${phraseCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        len = 3)}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
+       |FROM pranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
 
   /** near_index_match — the incremental NEAR face over the same LSM
     * state as bm25_index_topk / phrase_index_match, driver-checked
@@ -1837,6 +1872,8 @@ object CorpusOps {
     "phrase_index_kept" -> phraseIndexKept,
     "near_match" -> nearMatch,
     "near_index_match" -> nearIndexMatch,
+    "phrase3_match" -> phrase3Match,
+    "phrase3_index_match" -> phrase3IndexMatch,
     "bm25_after_delete" -> bm25AfterDelete,
     "phrase_after_delete" -> phraseAfterDelete,
     "hybrid_after_delete" -> hybridAfterDelete,
@@ -1863,6 +1900,8 @@ object CorpusOps {
     "phrase_index_kept" -> phraseIndexKeptSql,
     "near_match" -> nearMatchSql,
     "near_index_match" -> nearMatchSql,
+    "phrase3_match" -> phrase3MatchSql,
+    "phrase3_index_match" -> phrase3MatchSql,
     "bm25_after_delete" -> bm25AfterDeleteSql,
     "phrase_after_delete" -> phraseAfterDeleteSql,
     "hybrid_after_delete" -> hybridAfterDeleteSql,

@@ -473,6 +473,25 @@ object IndexStream {
     } finally alive.unpersist()
   }
 
+  /** RETENTION EXPIRY: delete every indexed doc with id ≤ `maxId` —
+    * ids are monotone with arrival order (the HiWater-enforced ingest
+    * contract), so an id watermark IS a retention watermark. The
+    * enumerate read is this state's own `docs` sub-table with the
+    * `doc_id <= maxId` predicate pushed to parquet — files are
+    * doc_id-sorted within each dbucket partition, so row-group min/max
+    * stats exclude everything above the cutoff. Delegates to
+    * [[deleteDocs]] (same tombstone/negative-stat/idempotence
+    * contract). Returns the number newly expired.
+    */
+  def deleteThrough(spark: SparkSession, stateDir: String, maxId: Long,
+      deleteId: Long): Long = {
+    ensureLayout(spark, stateDir)
+    deleteDocs(spark, stateDir,
+      LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema)
+        .filter(col("doc_id") <= maxId).select(col("doc_id")),
+      deleteId)
+  }
+
   /** Drop tombstoned doc_ids from a relation — the query faces'
     * candidate exclusion. One distributed anti-join keyed doc_id
     * against the O(deleted) tombstone relation (broadcast when small,
@@ -710,13 +729,14 @@ object IndexStream {
     * match). Shared by [[queryPhrase]] and [[queryNear]].
     */
   private def phrasePosRows(spark: SparkSession, stateDir: String,
-      queries: DataFrame): Option[DataFrame] = {
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen): Option[DataFrame] = {
     ensureLayout(spark, stateDir)
     val ops = graft.operators.CorpusOps
     val q = queries.filter(col("text").isNotNull)
-      .filter(size(ops.bm25Tokens(col("text"))) >= ops.phraseLen)
+      .filter(size(ops.bm25Tokens(col("text"))) >= len)
       .select(col("query_id"),
-        posexplode(ops.phraseTerms(col("text"))).as(Seq("i", "term")))
+        posexplode(ops.phraseTerms(col("text"), len)).as(Seq("i", "term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termSample = q.select(col("term")).distinct()
       .limit(pushdownMax + 1).collect().map(_.getString(0))
@@ -747,13 +767,14 @@ object IndexStream {
         StructField(valueCol, LongType, nullable = false))))
 
   def queryPhrase(spark: SparkSession, stateDir: String,
-      queries: DataFrame): DataFrame =
-    phrasePosRows(spark, stateDir, queries) match {
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen): DataFrame =
+    phrasePosRows(spark, stateDir, queries, len) match {
       case None => emptyRanked(spark, "n_occ")
       case Some(pr) =>
         graft.operators.CorpusOps.phraseRank(
           pr.select(col("query_id"), col("doc_id"),
-            (col("pos") - col("i")).as("anchor")))
+            (col("pos") - col("i")).as("anchor")), len)
     }
 
   /** Ordered proximity retrieval (NEAR) over the accumulated index:

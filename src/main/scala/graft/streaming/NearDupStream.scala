@@ -510,6 +510,20 @@ object NearDupStream {
     } finally alive.unpersist()
   }
 
+  /** RETENTION EXPIRY: delete every indexed doc with id ≤ `maxId`
+    * (see IndexStream.deleteThrough — ids are monotone with arrival,
+    * so the id watermark is the retention watermark; `docs` files are
+    * doc_id-sorted so the cutoff prunes at row-group grain).
+    */
+  def deleteThrough(spark: SparkSession, stateDir: String, maxId: Long,
+      deleteId: Long): Long = {
+    ensureLayout(spark, stateDir)
+    deleteDocs(spark, stateDir,
+      readOrEmpty(spark, s"$stateDir/docs", docsSchema)
+        .filter(col("doc_id") <= maxId).select(col("doc_id")),
+      deleteId)
+  }
+
   /** Drop tombstoned doc_ids from a relation; skipped entirely while
     * no tombstone exists (one driver-side dir check).
     */

@@ -147,6 +147,55 @@ object PipelineStream {
     } finally byDoc.unpersist()
   }
 
+  /** RETENTION EXPIRY across the whole pipeline: delete everything
+    * with id ≤ `maxId` from all three states. Ids are monotone with
+    * arrival order (HiWater-enforced), so an id watermark IS a
+    * retention watermark — a pipeline whose ids embed ingest time
+    * (snowflake-style) gets time-based TTL from this directly. Each
+    * gate enumerates its own survivors below the cutoff (row-group
+    * pruned — files are id-sorted) and delegates to its `deleteDocs`,
+    * so idempotence, exact survivor stats, and reclaim-at-compaction
+    * all hold. Returns the number expired from the retrieval index.
+    */
+  def expireThrough(spark: SparkSession, rootDir: String, maxId: Long,
+      deleteId: Long): Long = {
+    val n = IndexStream.deleteThrough(spark, ridxState(rootDir), maxId,
+      deleteId)
+    NearDupStream.deleteThrough(spark, s"$rootDir/txt_state", maxId,
+      deleteId)
+    VecDupStream.deleteThrough(spark, s"$rootDir/vec_state", maxId,
+      deleteId)
+    n
+  }
+
+  /** File-source streaming runner for DELETION REQUESTS: watch
+    * `sourceDir` for parquet of (doc_id) rows — takedowns,
+    * right-to-be-forgotten tickets — and run each micro-batch through
+    * [[delete]]. The micro-batch id is the deleteId, so Structured
+    * Streaming's replay semantics land on deleteDocs' idempotent keyed
+    * overwrites: a re-delivered deletion batch re-derives and
+    * overwrites exactly its own generations. Runs AGAINST THE SAME
+    * rootDir as the ingestion stream but must not run concurrently
+    * with it (the gates' states are single-writer, same operational
+    * contract as compaction).
+    */
+  def startDeletes(spark: SparkSession, sourceDir: String,
+      rootDir: String, checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        delete(spark, rootDir, batch, id); ()
+      }
+      .start()
+  }
+
   /** The composed keep/drop verdicts (see CurationStream.verdicts). */
   def verdicts(spark: SparkSession, rootDir: String,
       ids: Option[DataFrame] = None): DataFrame =

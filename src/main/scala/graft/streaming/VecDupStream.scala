@@ -329,6 +329,20 @@ object VecDupStream {
     } finally alive.unpersist()
   }
 
+  /** RETENTION EXPIRY: delete every indexed vector with id ≤ `maxId`
+    * (see IndexStream.deleteThrough — ids are monotone with arrival,
+    * so the id watermark is the retention watermark; `vecs` files are
+    * vec_id-sorted so the cutoff prunes at row-group grain).
+    */
+  def deleteThrough(spark: SparkSession, stateDir: String, maxId: Long,
+      deleteId: Long): Long = {
+    ensureLayout(spark, stateDir)
+    deleteDocs(spark, stateDir,
+      readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
+        .filter(col("vec_id") <= maxId).select(col("vec_id")),
+      deleteId)
+  }
+
   /** Drop tombstoned vec_ids from a relation — candidate/universe
     * exclusion for every read face; skipped entirely while no
     * tombstone exists (one driver-side dir check).

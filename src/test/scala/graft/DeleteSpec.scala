@@ -56,7 +56,8 @@ class DeleteSpec extends SparkSpecBase {
         (org.apache.spark.sql.SparkSession, String,
          DataFrame) => DataFrame)](
         ("bm25", IndexStream.queryTopK),
-        ("phrase", IndexStream.queryPhrase),
+        ("phrase", (s: org.apache.spark.sql.SparkSession, st: String,
+          q: DataFrame) => IndexStream.queryPhrase(s, st, q)),
         ("near", IndexStream.queryNear))) {
       val want = rows(q(spark, freshState, queries))
       assert(want.nonEmpty, s"$name fixture must retrieve something")

@@ -182,6 +182,102 @@ class GateDeleteSpec extends SparkSpecBase {
       s"surviving content must still gate arrivals after reclaim: $em2")
   }
 
+  test("expireThrough: the id watermark retires everything at or below it; later ingest unaffected") {
+    val root = Files.createTempDirectory("graft-ttl").toString
+    def prow(id: Long, t: String) = Row(id, t, vec().toSeq, "s")
+    def pb(rows0: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows0), PipelineStream.rowSchema)
+    val texts: Map[Long, String] = (1L to 14L).map(i =>
+      i -> s"unique body number$i with words ${"w" * (i % 3 + 1).toInt}")
+      .toMap
+    PipelineStream.applyBatch(spark, root,
+      pb((1L to 6L).map(i => prow(i, texts(i)))), 0L)
+    PipelineStream.applyBatch(spark, root,
+      pb((10L to 14L).map(i => prow(i, texts(i)))), 1L)
+
+    assert(PipelineStream.expireThrough(spark, root, maxId = 6L,
+      deleteId = 0L) == 6L)
+    // idempotent under a different operation id: nothing left below
+    assert(PipelineStream.expireThrough(spark, root, maxId = 6L,
+      deleteId = 1L) == 0L)
+
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize((1L to 14L)
+        .filter(texts.contains).map(i =>
+          Row(900L + i, texts(i), null)).toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val ids = PipelineStream.queryTopK(spark, root,
+        qs.select(col("query_id"), col("text")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ >= 10L),
+      s"expired ids must never surface: $ids")
+    assert((10L to 14L).toSet.subsetOf(ids),
+      s"survivors must stay searchable: $ids")
+
+    // later ingest above the high water folds and searches normally
+    PipelineStream.applyBatch(spark, root,
+      pb(Seq(prow(20L, "fresh follow-up document body"))), 2L)
+    import spark.implicits._
+    val q20 = Seq((990L, "fresh follow-up document body"))
+      .toDF("query_id", "text")
+    assert(PipelineStream.queryTopK(spark, root, q20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).contains(20L))
+  }
+
+  test("startDeletes: deletion requests arrive as a stream; replay is idempotent") {
+    val root = Files.createTempDirectory("graft-delstream").toString
+    val state = s"$root/state"; val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    def prow(id: Long, t: String) = Row(id, t, vec().toSeq, "s")
+    // 4 docs so the head-term cap (2·df ≤ n_docs) still admits df=1
+    // terms after one delete leaves 3 survivors
+    PipelineStream.applyBatch(spark, state,
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        prow(1L, "first target document alpha beta"),
+        prow(2L, "second surviving document gamma delta"),
+        prow(3L, "third filler text epsilon zeta"),
+        prow(4L, "fourth filler text eta theta"))),
+        PipelineStream.rowSchema), 0L)
+
+    import spark.implicits._
+    Seq(1L).toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(src)
+    PipelineStream.startDeletes(spark, src, state, ckpt)
+      .awaitTermination()
+    val q = Seq((900L, "target alpha beta"),
+      (901L, "surviving gamma delta"))
+      .toDF("query_id", "text")
+    def hits() = PipelineStream.queryTopK(spark, state, q)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!hits().contains(1L), "streamed delete must take effect")
+    assert(hits().contains(2L))
+
+    // restart with the same checkpoint: no new files, no-op
+    PipelineStream.startDeletes(spark, src, state, ckpt)
+      .awaitTermination()
+    assert(!hits().contains(1L) && hits().contains(2L))
+
+    // a second request naming the same id is a later deleteId: no-op,
+    // stats unchanged
+    val st = graft.streaming.LsmIndex.Markers(s"$state/ridx_state")
+      .stored(spark)
+    Seq(1L).toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(src)
+    PipelineStream.startDeletes(spark, src, state, ckpt)
+      .awaitTermination()
+    assert(graft.streaming.LsmIndex.Markers(s"$state/ridx_state")
+      .stored(spark) == st,
+      "re-requested delete changed the corpus stats")
+    assert(!hits().contains(1L) && hits().contains(2L))
+  }
+
   test("PipelineStream.delete forgets a doc across all three states; history stays") {
     val root = Files.createTempDirectory("graft-pdel").toString
     val v1 = vec(); val v2 = vec(); val v3 = vec()

@@ -64,6 +64,41 @@ class PhraseSpec extends SparkSpecBase {
       s"phrase semantics mismatch: $got")
   }
 
+  test("arbitrary phrase length: len=3 is strictly stricter than the bigram default; batch and index faces agree") {
+    val d = docs(Seq(
+      // query 100: leading trigram "big cat sat"
+      (100L, "big cat sat query", "src0"),
+      // full trigram, one occurrence
+      (1L, "the big cat sat down", "src1"),
+      // bigram "big cat" present but trigram broken: len=3 no match
+      (2L, "big cat ran away", "src1"),
+      // trigram twice
+      (3L, "big cat sat big cat sat", "src1")))
+    val got3 = out(CorpusOps.phraseMatchOn(d, len = 3))
+    assert(got3 == Set((100L, 1, 3L, 2L), (100L, 2, 1L, 1L)),
+      s"len=3 semantics mismatch: $got3")
+    // the bigram default also matches doc 2 — len=3 must not
+    val got2 = out(CorpusOps.phraseMatchOn(d))
+    assert(got2.exists(_._3 == 2L),
+      "fixture broken: bigram face should match doc 2")
+
+    // incremental face: same answers over the same corpus
+    val root = Files.createTempDirectory("graft-phrase3").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    assert(out(IndexStream.queryPhrase(spark, state, q, len = 3)) ==
+      got3, "index face len=3 must equal the batch face")
+    // a query shorter than len retrieves nothing (no truncated phrase)
+    import spark.implicits._
+    assert(IndexStream.queryPhrase(spark, state,
+      Seq((900L, "big cat")).toDF("query_id", "text"), len = 3)
+      .collect().isEmpty,
+      "a 2-token query must not phrase-match at len=3")
+  }
+
   test("batch face: phrase terms absent from the train vocabulary retrieve nothing") {
     val d = docs(Seq(
       (100L, "zz yy rest", "src0"),
