@@ -1351,6 +1351,36 @@ object CorpusOps {
       .select(col("doc_id").as("query_id"), col("text")))
   }
 
+  /** bm25_asof — SNAPSHOT / as-of retrieval (round 10): the shared
+    * deleted-index state is pinned at ledger seq 1 (after the FIRST
+    * fold only — before the second fold and the delete), and ranked
+    * retrieval over the snapshot is checked against BM25 over exactly
+    * that half of the corpus. Proves the reproducibility pin
+    * end-to-end: the snapshot is a self-contained state root whose
+    * answers are the index as it stood at that operation — later folds
+    * and deletes invisible.
+    */
+  def bm25Asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxDelStateAndQueries(spark, sfDir)
+    val t = TmpData.tag(sfDir)
+    val snap = TmpData.path("ridxsnap", t)
+    TmpData.once(s"ridxsnap:$t") {
+      graft.streaming.IndexStream.snapshotTo(spark, state, snap,
+        asOfSeq = 1L)
+    }
+    canon(graft.streaming.IndexStream.queryTopK(spark, snap, q))
+  }
+
+  val bm25AsofSql: String =
+    s"""WITH ${bm25Ctes(
+        "(SELECT doc_id, text FROM documents " +
+          "WHERE source <> 'src0' AND doc_id % 2 = 0)",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM ranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
   /** bm25_after_delete — ranked retrieval after a tombstone delete,
     * oracle-checked against BM25 over the surviving corpus alone.
     */
@@ -1877,6 +1907,7 @@ object CorpusOps {
     "bm25_after_delete" -> bm25AfterDelete,
     "phrase_after_delete" -> phraseAfterDelete,
     "hybrid_after_delete" -> hybridAfterDelete,
+    "bm25_asof" -> bm25Asof,
     "bigram_lm" -> bigramLm,
     "bigram_lm_heldout" -> bigramLmHeldout,
     "stratified_sample" -> stratifiedSample,
@@ -1905,6 +1936,7 @@ object CorpusOps {
     "bm25_after_delete" -> bm25AfterDeleteSql,
     "phrase_after_delete" -> phraseAfterDeleteSql,
     "hybrid_after_delete" -> hybridAfterDeleteSql,
+    "bm25_asof" -> bm25AsofSql,
     "bigram_lm" -> bigramLmSql,
     "bigram_lm_heldout" -> bigramLmHeldoutSql,
     "stratified_sample" -> stratifiedSampleSql,

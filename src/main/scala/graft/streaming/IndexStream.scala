@@ -249,6 +249,12 @@ object IndexStream {
         } finally tombIds.unpersist()
       }
     markers(stateDir).consolidate(spark)
+    // epoch barrier: history strictly before this point merged into
+    // ingest=-1 and stopped being snapshot-addressable; the barrier id
+    // is the count of prior barriers (single-writer contract)
+    val log = LsmIndex.OpLog(stateDir)
+    log.record(spark, "compact",
+      log.entries(spark).count(_._2 == "compact").toLong)
     r
   }
 
@@ -353,6 +359,7 @@ object IndexStream {
           .mode("overwrite").parquet(s"$stateDir/dfs")
         markers(stateDir).write(spark, batchId,
           Seq(stats.getLong(0), stats.getLong(1)))
+        LsmIndex.OpLog(stateDir).record(spark, "fold", batchId)
         // a re-delivered batch REPLACES its generation's part files;
         // drop any cached file listing of the sub-tables so a
         // same-session read after the overwrite can't chase deleted
@@ -466,6 +473,7 @@ object IndexStream {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/tombs")
         markers(stateDir).write(spark, gen, Seq(-n, -stats.getLong(1)))
+        LsmIndex.OpLog(stateDir).record(spark, "del", deleteId)
         spark.catalog.refreshByPath(s"$stateDir/dfs")
         spark.catalog.refreshByPath(s"$stateDir/tombs")
         n
@@ -490,6 +498,110 @@ object IndexStream {
       LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema)
         .filter(col("doc_id") <= maxId).select(col("doc_id")),
       deleteId)
+  }
+
+  /** SNAPSHOT the index AS OF a ledger sequence number: materialize a
+    * new, fully self-contained state root holding exactly the
+    * generations of operations with `seq ≤ asOfSeq` — the
+    * reproducibility pin a training platform needs ("the corpus the
+    * run trained on"), addressable by one number. Every query face
+    * works unchanged over the snapshot because it IS a valid state
+    * root; answers are bit-identical to the live index at that moment
+    * (spec-pinned: a snapshot taken before a delete still answers with
+    * the later-deleted doc; one taken after does not).
+    *
+    * Mechanics: generation dirs are IMMUTABLE once their operation
+    * commits, so a snapshot is a pure byte copy of the selected
+    * `ingest=` dirs (plus the matching count/hiwater marker files,
+    * `_LAYOUT`, and the ledger prefix) — no Spark job, no rewrite; on
+    * a real DFS this is a server-side copy or reflink of O(selected
+    * bytes). Compactions are epoch barriers: they merge earlier
+    * generations into `ingest=-1` (and consolidate the markers), so a
+    * snapshot BEFORE the latest barrier is unaddressable and fails
+    * fast — take snapshots before compacting, or compact less often
+    * than you pin.
+    */
+  def snapshotTo(spark: SparkSession, stateDir: String, destDir: String,
+      asOfSeq: Long): Unit = {
+    ensureLayout(spark, stateDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = srcRoot.getFileSystem(conf)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    require(!fs.exists(dest), s"snapshot destination exists: $destDir")
+    val es = LsmIndex.OpLog(stateDir).entries(spark)
+    val pre = es.filter(_._1 <= asOfSeq)
+    require(pre.nonEmpty,
+      s"nothing recorded at or before seq $asOfSeq in $stateDir/oplog")
+    val laterBarrier = es.filter(_._2 == "compact").map(_._1)
+      .filter(_ > asOfSeq)
+    require(laterBarrier.isEmpty,
+      s"history as of seq $asOfSeq was merged away by compaction " +
+        s"(barrier seq ${laterBarrier.min}) — snapshots are only " +
+        "addressable at or after the latest barrier")
+    val hasBarrier = pre.exists(_._2 == "compact")
+    // the valid generation set: every selected operation's own
+    // generation PLUS the compacted dir when a barrier is included.
+    // Compaction merges per sub-table and only where fragmented, so
+    // after a barrier a sub-table holds EITHER ingest=-1 OR the
+    // original operation generations — copying whichever of this set
+    // exists is correct in both cases (merged-away dirs simply aren't
+    // there). Same set for the marker files (consolidation is equally
+    // lazy).
+    val dataGens: Set[Long] =
+      (if (hasBarrier) Set(-1L) else Set.empty[Long]) ++
+        pre.collect {
+          case (_, "fold", b) => b
+          case (_, "del", d) => -(2L + d)
+        }
+    val markerGens: Set[Long] = dataGens
+    val rootUri = fs.makeQualified(srcRoot).toUri
+    def relOf(p: org.apache.hadoop.fs.Path): String =
+      rootUri.relativize(fs.makeQualified(p).toUri).getPath
+    def copy(rel: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(srcRoot, rel)
+      val d = new org.apache.hadoop.fs.Path(dest, rel)
+      fs.mkdirs(d.getParent)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d,
+        false, true, conf), s"snapshot copy failed: $rel")
+    }
+    // sub-table generation dirs: walk to the parents of ingest=* and
+    // copy the selected generations, preserving relative paths
+    for (sub <- subTables) {
+      val subRoot = new org.apache.hadoop.fs.Path(srcRoot, sub.name)
+      if (fs.exists(subRoot)) {
+        def walk(p: org.apache.hadoop.fs.Path): Unit = {
+          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+          val (gens, deeper) =
+            dirs.partition(_.getPath.getName.startsWith("ingest="))
+          for (g <- gens) {
+            val v = g.getPath.getName.stripPrefix("ingest=").toLong
+            if (dataGens.contains(v)) copy(relOf(g.getPath))
+          }
+          deeper.foreach(d => walk(d.getPath))
+        }
+        walk(subRoot)
+      }
+    }
+    for (mdir <- Seq("ncount", "hiwater")) {
+      val p = new org.apache.hadoop.fs.Path(srcRoot, mdir)
+      if (fs.exists(p))
+        for (st <- fs.listStatus(p)
+            if st.isFile && st.getPath.getName.startsWith("ingest=")
+              && markerGens.contains(
+                st.getPath.getName.stripPrefix("ingest=").toLong))
+          copy(s"$mdir/${st.getPath.getName}")
+    }
+    val oplogDir = new org.apache.hadoop.fs.Path(srcRoot, "oplog")
+    for (st <- fs.listStatus(oplogDir)
+        if st.isFile && st.getPath.getName.startsWith("op_")) {
+      val name = st.getPath.getName.stripPrefix("op_").split("_", 2)
+      val kept = pre.exists(e =>
+        e._2 == name(0) && name.length == 2 && e._3.toString == name(1))
+      if (kept) copy(s"oplog/${st.getPath.getName}")
+    }
+    copy(LsmIndex.layoutMarker)
+    ()
   }
 
   /** Drop tombstoned doc_ids from a relation — the query faces'

@@ -37,7 +37,7 @@ private[graft] object LsmIndex {
   final case class Sub(name: String, schema: StructType,
       hashCols: Seq[String], sortCols: Seq[String] = Nil)
 
-  private val layoutMarker = "_LAYOUT"
+  private[streaming] val layoutMarker = "_LAYOUT"
 
   /** Repair the on-disk effects of a compaction crash BEFORE any read
     * or write touches the sub-tables (ADVICE r8: compact()'s old
@@ -474,6 +474,77 @@ private[graft] object LsmIndex {
     * from VecDupStream (round 9) so every marker-carrying gate shares
     * one crash contract.
     */
+  /** Operation LEDGER of a state root: one tiny file per
+    * state-mutating operation under `oplog/`, named by the operation's
+    * IDENTITY (`op_<kind>_<id>`) and holding its SEQUENCE number —
+    * assigned at first record and STABLE under re-delivery (the same
+    * keyed idempotence every state write relies on). The ledger gives
+    * the generation dirs a total order: fold and delete generations
+    * live in disjoint numeric namespaces (batchId ≥ 0 vs −(2+deleteId)),
+    * so "the state as of operation T" is not well-defined from dir
+    * names alone. Compactions record as epoch BARRIERS: they merge all
+    * earlier generations into `ingest=-1`, so history strictly before
+    * the latest barrier stops being addressable — a snapshot reader
+    * fails fast instead of guessing.
+    *
+    * Crash contract: the ledger entry is written AFTER the operation's
+    * state writes commit; a crash between them means the operation is
+    * absent from the ledger until its retry re-records it (keyed
+    * overwrite — same seq if the file landed, next seq otherwise;
+    * either way the retry that completes the state also completes the
+    * ledger). Writes are tmp+rename; unparsable files are skipped.
+    */
+  final case class OpLog(stateDir: String) {
+    private def dir = new org.apache.hadoop.fs.Path(s"$stateDir/oplog")
+
+    private def fsOf(spark: SparkSession) =
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** (seq, kind, id), ascending by seq. */
+    def entries(spark: SparkSession): Seq[(Long, String, Long)] = {
+      val fs = fsOf(spark)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.startsWith("op_")).flatMap { st =>
+        val parts = st.getPath.getName.stripPrefix("op_").split("_", 2)
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        try
+          if (parts.length == 2) Some((txt.toLong, parts(0), parts(1).toLong))
+          else None
+        catch { case _: NumberFormatException => None }
+      }.sortBy(_._1)
+    }
+
+    /** Record an operation; idempotent on (kind, id) — re-delivery
+      * returns the originally assigned seq. Returns the seq.
+      */
+    def record(spark: SparkSession, kind: String, id: Long): Long = {
+      require(!kind.contains("_"), s"op kind must not contain '_': $kind")
+      val fs = fsOf(spark)
+      fs.mkdirs(dir)
+      val f = new org.apache.hadoop.fs.Path(dir, s"op_${kind}_$id")
+      if (fs.exists(f)) {
+        val in = fs.open(f)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        try return txt.toLong
+        catch { case _: NumberFormatException => () } // torn: re-assign
+      }
+      val seq = entries(spark).map(_._1).maxOption.getOrElse(0L) + 1L
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_op_${kind}_$id")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, true)
+      try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(f, false)
+      require(fs.rename(tmp, f), s"oplog publish rename $tmp -> $f failed")
+      seq
+    }
+  }
+
   final case class Markers(stateDir: String, name: String = "ncount") {
     private def paths = (
       new org.apache.hadoop.fs.Path(s"$stateDir/$name"),
