@@ -524,84 +524,8 @@ object IndexStream {
   def snapshotTo(spark: SparkSession, stateDir: String, destDir: String,
       asOfSeq: Long): Unit = {
     ensureLayout(spark, stateDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val srcRoot = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = srcRoot.getFileSystem(conf)
-    val dest = new org.apache.hadoop.fs.Path(destDir)
-    require(!fs.exists(dest), s"snapshot destination exists: $destDir")
-    val es = LsmIndex.OpLog(stateDir).entries(spark)
-    val pre = es.filter(_._1 <= asOfSeq)
-    require(pre.nonEmpty,
-      s"nothing recorded at or before seq $asOfSeq in $stateDir/oplog")
-    val laterBarrier = es.filter(_._2 == "compact").map(_._1)
-      .filter(_ > asOfSeq)
-    require(laterBarrier.isEmpty,
-      s"history as of seq $asOfSeq was merged away by compaction " +
-        s"(barrier seq ${laterBarrier.min}) — snapshots are only " +
-        "addressable at or after the latest barrier")
-    val hasBarrier = pre.exists(_._2 == "compact")
-    // the valid generation set: every selected operation's own
-    // generation PLUS the compacted dir when a barrier is included.
-    // Compaction merges per sub-table and only where fragmented, so
-    // after a barrier a sub-table holds EITHER ingest=-1 OR the
-    // original operation generations — copying whichever of this set
-    // exists is correct in both cases (merged-away dirs simply aren't
-    // there). Same set for the marker files (consolidation is equally
-    // lazy).
-    val dataGens: Set[Long] =
-      (if (hasBarrier) Set(-1L) else Set.empty[Long]) ++
-        pre.collect {
-          case (_, "fold", b) => b
-          case (_, "del", d) => -(2L + d)
-        }
-    val markerGens: Set[Long] = dataGens
-    val rootUri = fs.makeQualified(srcRoot).toUri
-    def relOf(p: org.apache.hadoop.fs.Path): String =
-      rootUri.relativize(fs.makeQualified(p).toUri).getPath
-    def copy(rel: String): Unit = {
-      val s = new org.apache.hadoop.fs.Path(srcRoot, rel)
-      val d = new org.apache.hadoop.fs.Path(dest, rel)
-      fs.mkdirs(d.getParent)
-      require(org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d,
-        false, true, conf), s"snapshot copy failed: $rel")
-    }
-    // sub-table generation dirs: walk to the parents of ingest=* and
-    // copy the selected generations, preserving relative paths
-    for (sub <- subTables) {
-      val subRoot = new org.apache.hadoop.fs.Path(srcRoot, sub.name)
-      if (fs.exists(subRoot)) {
-        def walk(p: org.apache.hadoop.fs.Path): Unit = {
-          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
-          val (gens, deeper) =
-            dirs.partition(_.getPath.getName.startsWith("ingest="))
-          for (g <- gens) {
-            val v = g.getPath.getName.stripPrefix("ingest=").toLong
-            if (dataGens.contains(v)) copy(relOf(g.getPath))
-          }
-          deeper.foreach(d => walk(d.getPath))
-        }
-        walk(subRoot)
-      }
-    }
-    for (mdir <- Seq("ncount", "hiwater")) {
-      val p = new org.apache.hadoop.fs.Path(srcRoot, mdir)
-      if (fs.exists(p))
-        for (st <- fs.listStatus(p)
-            if st.isFile && st.getPath.getName.startsWith("ingest=")
-              && markerGens.contains(
-                st.getPath.getName.stripPrefix("ingest=").toLong))
-          copy(s"$mdir/${st.getPath.getName}")
-    }
-    val oplogDir = new org.apache.hadoop.fs.Path(srcRoot, "oplog")
-    for (st <- fs.listStatus(oplogDir)
-        if st.isFile && st.getPath.getName.startsWith("op_")) {
-      val name = st.getPath.getName.stripPrefix("op_").split("_", 2)
-      val kept = pre.exists(e =>
-        e._2 == name(0) && name.length == 2 && e._3.toString == name(1))
-      if (kept) copy(s"oplog/${st.getPath.getName}")
-    }
-    copy(LsmIndex.layoutMarker)
-    ()
+    LsmIndex.snapshot(spark, stateDir, destDir, asOfSeq, subTables,
+      Seq("ncount", "hiwater"))
   }
 
   /** Drop tombstoned doc_ids from a relation — the query faces'

@@ -545,6 +545,90 @@ private[graft] object LsmIndex {
     }
   }
 
+  /** SNAPSHOT a state root as of an [[OpLog]] sequence number:
+    * materialize a new, self-contained root holding exactly the
+    * generations of operations with `seq ≤ asOfSeq`, as a pure byte
+    * copy of the (immutable) generation dirs plus the matching marker
+    * files, the ledger prefix, and `_LAYOUT`. No Spark job, no
+    * rewrite. Compactions are epoch barriers: they merge earlier
+    * generations into `ingest=-1` (and consolidate markers), so a
+    * snapshot before the latest barrier fails fast. Because compaction
+    * merges per sub-table and only where fragmented, the selected set
+    * includes BOTH the compacted dir and every selected operation's
+    * own generation — each sub-table holds exactly one of the two, and
+    * copying whichever exists is correct in both cases.
+    */
+  def snapshot(spark: SparkSession, stateDir: String, destDir: String,
+      asOfSeq: Long, subs: Seq[Sub], markerDirs: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = srcRoot.getFileSystem(conf)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    require(!fs.exists(dest), s"snapshot destination exists: $destDir")
+    val es = OpLog(stateDir).entries(spark)
+    val pre = es.filter(_._1 <= asOfSeq)
+    require(pre.nonEmpty,
+      s"nothing recorded at or before seq $asOfSeq in $stateDir/oplog")
+    val laterBarrier = es.filter(_._2 == "compact").map(_._1)
+      .filter(_ > asOfSeq)
+    require(laterBarrier.isEmpty,
+      s"history as of seq $asOfSeq was merged away by compaction " +
+        s"(barrier seq ${laterBarrier.min}) — snapshots are only " +
+        "addressable at or after the latest barrier")
+    val hasBarrier = pre.exists(_._2 == "compact")
+    val gens: Set[Long] =
+      (if (hasBarrier) Set(-1L) else Set.empty[Long]) ++
+        pre.collect {
+          case (_, "fold", b) => b
+          case (_, "del", d) => -(2L + d)
+        }
+    val rootUri = fs.makeQualified(srcRoot).toUri
+    def relOf(p: org.apache.hadoop.fs.Path): String =
+      rootUri.relativize(fs.makeQualified(p).toUri).getPath
+    def copy(rel: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(srcRoot, rel)
+      val d = new org.apache.hadoop.fs.Path(dest, rel)
+      fs.mkdirs(d.getParent)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d,
+        false, true, conf), s"snapshot copy failed: $rel")
+    }
+    for (sub <- subs) {
+      val subRoot = new org.apache.hadoop.fs.Path(srcRoot, sub.name)
+      if (fs.exists(subRoot)) {
+        def walk(p: org.apache.hadoop.fs.Path): Unit = {
+          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+          val (genDirs, deeper) =
+            dirs.partition(_.getPath.getName.startsWith("ingest="))
+          for (g <- genDirs) {
+            val v = g.getPath.getName.stripPrefix("ingest=").toLong
+            if (gens.contains(v)) copy(relOf(g.getPath))
+          }
+          deeper.foreach(d => walk(d.getPath))
+        }
+        walk(subRoot)
+      }
+    }
+    for (mdir <- markerDirs) {
+      val p = new org.apache.hadoop.fs.Path(srcRoot, mdir)
+      if (fs.exists(p))
+        for (st <- fs.listStatus(p)
+            if st.isFile && st.getPath.getName.startsWith("ingest=")
+              && gens.contains(
+                st.getPath.getName.stripPrefix("ingest=").toLong))
+          copy(s"$mdir/${st.getPath.getName}")
+    }
+    val oplogDir = new org.apache.hadoop.fs.Path(srcRoot, "oplog")
+    for (st <- fs.listStatus(oplogDir)
+        if st.isFile && st.getPath.getName.startsWith("op_")) {
+      val name = st.getPath.getName.stripPrefix("op_").split("_", 2)
+      val kept = pre.exists(e =>
+        e._2 == name(0) && name.length == 2 && e._3.toString == name(1))
+      if (kept) copy(s"oplog/${st.getPath.getName}")
+    }
+    copy(layoutMarker)
+    ()
+  }
+
   final case class Markers(stateDir: String, name: String = "ncount") {
     private def paths = (
       new org.apache.hadoop.fs.Path(s"$stateDir/$name"),

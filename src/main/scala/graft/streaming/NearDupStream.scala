@@ -353,6 +353,7 @@ object NearDupStream {
       if (!idSpan.isNullAt(1))
         LsmIndex.HiWater(stateDir).record(spark, batchId,
           idSpan.getLong(1))
+      LsmIndex.OpLog(stateDir).record(spark, "fold", batchId)
     } finally { b.unpersist(); dNew.unpersist() }
     ()
   }
@@ -456,7 +457,22 @@ object NearDupStream {
         } finally tombIds.unpersist()
       }
     LsmIndex.HiWater(stateDir).consolidate(spark)
+    // epoch barrier for snapshots (see LsmIndex.snapshot)
+    val log = LsmIndex.OpLog(stateDir)
+    log.record(spark, "compact",
+      log.entries(spark).count(_._2 == "compact").toLong)
     r
+  }
+
+  /** Snapshot this gate's state as of a ledger seq — see
+    * [[LsmIndex.snapshot]]; the composed pin is
+    * [[PipelineStream.snapshotTo]].
+    */
+  def snapshotTo(spark: SparkSession, stateDir: String, destDir: String,
+      asOfSeq: Long): Unit = {
+    ensureLayout(spark, stateDir)
+    LsmIndex.snapshot(spark, stateDir, destDir, asOfSeq, subTables,
+      Seq("hiwater"))
   }
 
   /** DELETE documents from the gate's index — right-to-be-forgotten,
@@ -504,6 +520,7 @@ object NearDupStream {
           .write.partitionBy("dbucket", "ingest")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/tombs")
+        LsmIndex.OpLog(stateDir).record(spark, "del", deleteId)
         spark.catalog.refreshByPath(s"$stateDir/tombs")
         n
       } finally doomed.unpersist()

@@ -147,6 +147,69 @@ object PipelineStream {
     } finally byDoc.unpersist()
   }
 
+  /** SNAPSHOT the WHOLE pipeline as it stood after `batchId` landed:
+    * each of the three LSM states is pinned at ITS ledger seq for that
+    * batch's fold (the driver applies operations in one total order,
+    * so per-state seq filters select consistent prefixes — deletes
+    * issued after the batch have higher seqs everywhere and drop out),
+    * and both emission logs are copied for exactly the folded batches.
+    * The result is a self-contained pipeline root: `queryTopK` /
+    * `queryPhrase` / `hybridTopK` / `verdicts` all work over it
+    * unchanged and answer as the live pipeline did at that moment —
+    * the train-set pin, addressable by the batch that closed it.
+    *
+    * Fails fast when a state has no fold for `batchId` (a batch whose
+    * keep set was empty never folds into the retrieval index): pin at
+    * a batch every state recorded, or snapshot the states individually.
+    */
+  def snapshotTo(spark: SparkSession, rootDir: String, destRoot: String,
+      batchId: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val destP = new org.apache.hadoop.fs.Path(destRoot)
+    val fs = destP.getFileSystem(conf)
+    require(!fs.exists(destP), s"snapshot destination exists: $destRoot")
+    val states = Seq(
+      ("txt_state", (st: String, d: String, q: Long) =>
+        NearDupStream.snapshotTo(spark, st, d, q)),
+      ("vec_state", (st: String, d: String, q: Long) =>
+        VecDupStream.snapshotTo(spark, st, d, q)),
+      ("ridx_state", (st: String, d: String, q: Long) =>
+        IndexStream.snapshotTo(spark, st, d, q)))
+    val pinSeqs = states.map { case (name, _) =>
+      val st = s"$rootDir/$name"
+      val es = LsmIndex.OpLog(st).entries(spark)
+      val hit = es.find(e => e._2 == "fold" && e._3 == batchId)
+      require(hit.isDefined,
+        s"state $st has no fold for batch $batchId (empty keep set?) " +
+          "— pin at a batch every state recorded, or snapshot states " +
+          "individually")
+      name -> hit.get._1
+    }.toMap
+    for ((name, snap) <- states)
+      snap(s"$rootDir/$name", s"$destRoot/$name", pinSeqs(name))
+    // emission logs: exactly the batches folded at or before the pin
+    // (the txt gate sees every batch, so its ledger is the batch list)
+    val folded = LsmIndex.OpLog(s"$rootDir/txt_state").entries(spark)
+      .filter(e => e._2 == "fold" && e._1 <= pinSeqs("txt_state"))
+      .map(_._3).toSet
+    for (out <- Seq("txt_out", "vec_out")) {
+      val src = new org.apache.hadoop.fs.Path(s"$rootDir/$out")
+      if (fs.exists(src))
+        for (st <- fs.listStatus(src) if st.isDirectory) {
+          val nm = st.getPath.getName
+          if (nm.startsWith("batch_id=") &&
+              folded.contains(nm.stripPrefix("batch_id=").toLong)) {
+            val d = new org.apache.hadoop.fs.Path(s"$destRoot/$out/$nm")
+            fs.mkdirs(d.getParent)
+            require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath,
+              fs, d, false, true, conf),
+              s"snapshot copy failed: $out/$nm")
+          }
+        }
+    }
+    ()
+  }
+
   /** RETENTION EXPIRY across the whole pipeline: delete everything
     * with id ≤ `maxId` from all three states. Ids are monotone with
     * arrival order (HiWater-enforced), so an id watermark IS a

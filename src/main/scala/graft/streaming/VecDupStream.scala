@@ -177,7 +177,22 @@ object VecDupStream {
     // round 9 so the retrieval-index gate shares it).
     markers(stateDir).consolidate(spark)
     LsmIndex.HiWater(stateDir).consolidate(spark)
+    // epoch barrier for snapshots (see LsmIndex.snapshot)
+    val log = LsmIndex.OpLog(stateDir)
+    log.record(spark, "compact",
+      log.entries(spark).count(_._2 == "compact").toLong)
     r
+  }
+
+  /** Snapshot this gate's state as of a ledger seq — see
+    * [[LsmIndex.snapshot]]; the composed pin is
+    * [[PipelineStream.snapshotTo]].
+    */
+  def snapshotTo(spark: SparkSession, stateDir: String, destDir: String,
+      asOfSeq: Long): Unit = {
+    ensureLayout(spark, stateDir)
+    LsmIndex.snapshot(spark, stateDir, destDir, asOfSeq, subTables,
+      Seq("ncount", "hiwater"))
   }
 
   private def markers(stateDir: String) = LsmIndex.Markers(stateDir)
@@ -323,6 +338,7 @@ object VecDupStream {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/tombs")
         writeCountMarker(spark, stateDir, gen, -n)
+        LsmIndex.OpLog(stateDir).record(spark, "del", deleteId)
         spark.catalog.refreshByPath(s"$stateDir/tombs")
         n
       } finally doomed.unpersist()
@@ -581,6 +597,7 @@ object VecDupStream {
       if (!idSpan.isNullAt(1))
         LsmIndex.HiWater(stateDir).record(spark, batchId,
           idSpan.getLong(1))
+      LsmIndex.OpLog(stateDir).record(spark, "fold", batchId)
     } finally { b.unpersist(); dNew.unpersist() }
     ()
   }

@@ -79,6 +79,66 @@ class SnapshotSpec extends SparkSpecBase {
       "seq-3 snapshot must equal the live post-delete state")
   }
 
+  test("PipelineStream.snapshotTo pins all three states and the emission logs at a batch; answers equal a fresh pipeline of that prefix") {
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Double] = Array.fill(32)(rnd.nextGaussian())
+    val root = Files.createTempDirectory("graft-snap-pipe").toString
+    def prow(id: Long, t: String, v: Array[Double]) =
+      Row(id, t, v.toSeq, "s")
+    val b0 = Seq(
+      prow(1L, "alpha beta gamma delta epsilon", vec()),
+      prow(2L, "one two three four five six", vec()),
+      prow(3L, "alpha beta gamma delta epsilon", vec())) // text dup of 1
+    val b1 = Seq(
+      prow(10L, "fresh words arrive later tonight", vec()),
+      prow(11L, "entirely different second batch text", vec()))
+    def pb(rows0: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows0),
+      graft.streaming.PipelineStream.rowSchema)
+    val P = graft.streaming.PipelineStream
+    P.applyBatch(spark, root, pb(b0), 0L)
+    P.applyBatch(spark, root, pb(b1), 1L)
+    import spark.implicits._
+    P.delete(spark, root, Seq(2L).toDF("doc_id"), deleteId = 0L)
+
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize((b0 ++ b1).map(r =>
+        Row(900L + r.getLong(0), r.getString(1), r.getSeq[Double](2)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    def faces(r: String): Seq[Set[Seq[Any]]] = Seq(
+      rows(P.queryTopK(spark, r, qs.select(col("query_id"), col("text")))),
+      rows(P.hybridTopK(spark, r, qs)),
+      rows(P.verdicts(spark, r)))
+
+    // pin at batch 0: equals a fresh pipeline fed batch 0 only
+    val s0 = s"$root/snap0"
+    P.snapshotTo(spark, root, s0, batchId = 0L)
+    val f0 = s"$root/fresh0"
+    P.applyBatch(spark, f0, pb(b0), 0L)
+    assert(faces(s0) == faces(f0),
+      "batch-0 pipeline snapshot must equal a fresh batch-0 pipeline")
+
+    // pin at batch 1: both batches, the later delete invisible
+    val s1 = s"$root/snap1"
+    P.snapshotTo(spark, root, s1, batchId = 1L)
+    val f1 = s"$root/fresh1"
+    P.applyBatch(spark, f1, pb(b0), 0L)
+    P.applyBatch(spark, f1, pb(b1), 1L)
+    assert(faces(s1) == faces(f1),
+      "batch-1 pipeline snapshot must equal the pre-delete pipeline")
+    assert(rows(P.queryTopK(spark, s1,
+        qs.select(col("query_id"), col("text"))))
+      .exists(_(2) == 2L),
+      "the later-deleted doc must still answer in the pre-delete pin")
+  }
+
   test("snapshot isolation: later folds and deletes on the source leave an existing snapshot's answers unchanged") {
     val root = Files.createTempDirectory("graft-snap-iso").toString
     val state = s"$root/state"
