@@ -305,6 +305,18 @@ private[graft] object LsmIndex {
     val fs = root.getFileSystem(conf)
     val staging = new org.apache.hadoop.fs.Path(stateDir + "_migrate_staging")
     val retired = new org.apache.hadoop.fs.Path(stateDir + "_pre_migrate")
+    // a session that read the pre-migration files caches their leaf
+    // listings keyed by SUB-TABLE path (readOrEmpty roots there), so
+    // the post-swap invalidation must hit each sub-table dir — the
+    // root-path refresh alone leaves stale listings chasing deleted
+    // files (surfaced by LifecycleSoakSpec's compact-then-migrate
+    // sequence; same contract as compact()'s per-sub refresh)
+    def refreshSubs(): Unit = {
+      spark.catalog.refreshByPath(stateDir)
+      if (fs.exists(root))
+        for (st <- fs.listStatus(root) if st.isDirectory)
+          spark.catalog.refreshByPath(st.getPath.toString)
+    }
     if (!fs.exists(root) && fs.exists(retired)) {
       if (fs.exists(staging) &&
         readLayout(spark, staging.toString).contains(toVersion)) {
@@ -313,6 +325,7 @@ private[graft] object LsmIndex {
         require(fs.rename(staging, root),
           s"migration recovery: rename $staging -> $root failed")
         fs.delete(retired, true)
+        refreshSubs()
         return true
       }
       // staging absent or not stamped ⇒ the swap never started (the
@@ -340,7 +353,7 @@ private[graft] object LsmIndex {
     require(fs.rename(root, retired), s"rename $root -> $retired failed")
     require(fs.rename(staging, root), s"rename $staging -> $root failed")
     fs.delete(retired, true)
-    spark.catalog.refreshByPath(stateDir)
+    refreshSubs()
     true
   }
 
