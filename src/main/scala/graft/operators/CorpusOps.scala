@@ -1113,36 +1113,65 @@ object CorpusOps {
 
   /** The ordered-proximity core shared by the batch and index faces:
     * given the slot-position rows of [[phrasePosRowsOn]], the MINIMAL
-    * ordered window span per (query, doc) — min over position pairs
-    * p₀ < p₁ (slot 0 strictly before slot 1) of p₁ − p₀; span 1 ⟺
-    * exact adjacency, so NEAR-with-slop-w is the consumer filter
-    * span ≤ 1 + w. Computed as a LINEAR merge, never a positions ×
-    * positions join: each document's slot rows sort by (pos, i desc)
-    * and a running frame that stops one row short of the current one
-    * carries the last slot-0 position — a slot-1 row at position p
-    * therefore sees exactly the slot-0 positions strictly before p
-    * (the i-desc tiebreak keeps a same-position slot-0 row OUT of the
-    * frame, so a repeated-term phrase still needs two distinct
-    * positions). Ranking: span asc (tighter is better), doc_id asc,
-    * top [[bm25K]] per query.
+    * ordered window span per (query, doc) — min over strictly
+    * increasing position chains p₀ < p₁ < … < p_{len−1} (one position
+    * per slot, in slot order) of p_{len−1} − p₀; span len−1 ⟺ exact
+    * adjacency, so NEAR-with-slop-w is the consumer filter
+    * span ≤ len−1+w. Computed as a LINEAR merge, never a positions ×
+    * positions join (round 11 — length-generic): each document's slot
+    * rows sort ONCE by (pos, i desc), and len−1 chained
+    * last-ignore-nulls passes over a running frame that stops one row
+    * short of the current one carry the chain — g₁ at a slot-1 row is
+    * the last slot-0 position strictly before it, g_j the start of
+    * the LATEST-STARTING ordered chain ending at slot j there (g_{j−1}
+    * is non-decreasing along the order, so "last" = "max start", and
+    * the minimal span per end position follows). The i-desc tiebreak
+    * keeps same-position rows of earlier slots OUT of the frame, so a
+    * repeated-term phrase still needs len distinct positions.
+    *
+    * Scoring faces (one shared core, two grades):
+    *  - `sloppy = false`: min_span asc (tighter is better), doc_id
+    *    asc — the NEAR ranking;
+    *  - `sloppy = true` (round 11): Lucene-style sloppy frequency —
+    *    each end position contributes ⌊10⁶/(1 + slop)⌋ with
+    *    slop = span − (len−1) ≥ 0 (exact adjacency = 10⁶ per
+    *    occurrence), summed per document in exact integer µ-units —
+    *    the fusion-ready grade (same scale as rrf_micro/score_micro),
+    *    ranked desc, doc_id asc.
     */
-  private[graft] def nearRank(posRows: DataFrame): DataFrame = {
+  private[graft] def nearRank(posRows: DataFrame,
+      len: Int = phraseLen, sloppy: Boolean = false): DataFrame = {
+    require(len >= 2, s"NEAR needs at least 2 slots, got $len")
     val wseq = Window.partitionBy(col("query_id"), col("doc_id"))
       .orderBy(col("pos").asc, col("i").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val spans = posRows
-      .withColumn("last0",
-        last(when(col("i") === 0, col("pos")), ignoreNulls = true)
-          .over(wseq))
-      .filter(col("i") === 1 && col("last0").isNotNull)
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(min(col("pos") - col("last0")).cast("bigint").as("min_span"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("min_span").asc, col("doc_id").asc)
+    val chained = (1 until len).foldLeft(posRows) { (df, j) =>
+      val carried =
+        if (j == 1) when(col("i") === 0, col("pos"))
+        else when(col("i") === j - 1, col(s"g${j - 1}"))
+      df.withColumn(s"g$j", last(carried, ignoreNulls = true).over(wseq))
+    }
+    val g = col(s"g${len - 1}")
+    val ends = chained.filter(col("i") === len - 1 && g.isNotNull)
+      .withColumn("span", (col("pos") - g).cast("bigint"))
+    val spans =
+      if (!sloppy)
+        ends.groupBy(col("query_id"), col("doc_id"))
+          .agg(min(col("span")).as("min_span"))
+      else
+        ends.withColumn("contrib",
+            expr(s"cast(1000000 div (1 + span - ${len - 1}) as bigint)"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("contrib")).as("sloppy_micro"))
+    val w =
+      if (!sloppy) Window.partitionBy(col("query_id"))
+        .orderBy(col("min_span").asc, col("doc_id").asc)
+      else Window.partitionBy(col("query_id"))
+        .orderBy(col("sloppy_micro").desc, col("doc_id").asc)
     spans.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= bm25K)
       .select(col("query_id"), col("rank"), col("doc_id"),
-        col("min_span"))
+        col(if (sloppy) "sloppy_micro" else "min_span"))
   }
 
   /** Ordered proximity retrieval (NEAR): each benchmark document
@@ -1157,9 +1186,29 @@ object CorpusOps {
   def nearMatch(spark: SparkSession, sfDir: String): DataFrame =
     nearMatchOn(load(spark, sfDir, "documents"))
 
-  /** [[nearMatch]] over an explicit documents relation. */
-  def nearMatchOn(d: DataFrame): DataFrame =
-    canon(nearRank(phrasePosRowsOn(d)))
+  /** [[nearMatch]] over an explicit documents relation — `len` and
+    * `sloppy` as in [[nearRank]] (round 11: length-generic + the
+    * sloppy-frequency grade).
+    */
+  def nearMatchOn(d: DataFrame, len: Int = phraseLen,
+      sloppy: Boolean = false): DataFrame =
+    canon(nearRank(phrasePosRowsOn(d, len), len, sloppy))
+
+  /** near3_match — ordered proximity at phrase length 3: the minimal
+    * strictly-increasing window containing the query's leading TRIGRAM
+    * terms in order (round 11 — the length-generic linear merge; the
+    * bigram rows stay as the fixed oracle convention).
+    */
+  def near3Match(spark: SparkSession, sfDir: String): DataFrame =
+    nearMatchOn(load(spark, sfDir, "documents"), len = 3)
+
+  /** near_sloppy — Lucene-style sloppy-frequency scoring over the
+    * bigram proximity rows: Σ ⌊10⁶/(1+slop)⌋ per document in exact
+    * µ-units (adjacency = 10⁶ per occurrence), the fusion-ready
+    * relevance grade of NEAR (same integer scale as rrf_micro).
+    */
+  def nearSloppy(spark: SparkSession, sfDir: String): DataFrame =
+    nearMatchOn(load(spark, sfDir, "documents"), sloppy = true)
 
   /** The phrase oracle CTE chain over pluggable (doc_id, text)
     * relations — same contract as [[bm25Ctes]]: ONE definition feeds
@@ -1204,31 +1253,47 @@ object CorpusOps {
        |  FROM pocc
        |)""".stripMargin
 
-  /** The NEAR oracle chain — same window-merge as [[nearRank]]:
-    * DuckDB's IGNORE NULLS last_value over the (pos asc, i desc)
-    * order with a 1-preceding frame. Emits `..nranked`.
+  /** The NEAR oracle chain — the same length-generic window-merge as
+    * [[nearRank]]: len−1 chained DuckDB IGNORE NULLS last_value passes
+    * over the (pos asc, i desc) order with a 1-preceding frame, then
+    * either the min-span or the sloppy-frequency aggregation. Emits
+    * `..nranked` with a `min_span` or `sloppy_micro` value column.
     */
-  private[graft] def nearCtes(train: String, queries: String): String =
-    s"""${posCtes(train, queries)}, nposr AS (
+  private[graft] def nearCtes(train: String, queries: String,
+      len: Int = phraseLen, sloppy: Boolean = false): String = {
+    val chain = (1 until len).map { j =>
+      val carried = if (j == 1) "CASE WHEN i = 0 THEN pos END"
+        else s"CASE WHEN i = ${j - 1} THEN g${j - 1} END"
+      val from = if (j == 1) "nposr" else s"s${j - 1}"
+      s"""s$j AS (
+         |  SELECT *, last_value($carried IGNORE NULLS)
+         |    OVER (PARTITION BY query_id, doc_id
+         |      ORDER BY pos ASC, i DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS g$j
+         |  FROM $from
+         |)""".stripMargin
+    }.mkString(", ")
+    val g = s"g${len - 1}"
+    val agg =
+      if (!sloppy) s"CAST(min(pos - $g) AS BIGINT) AS min_span"
+      else s"CAST(sum(1000000 // (1 + pos - $g - ${len - 1})) " +
+        "AS BIGINT) AS sloppy_micro"
+    val order = if (!sloppy) "min_span ASC" else "sloppy_micro DESC"
+    s"""${posCtes(train, queries, len)}, nposr AS (
        |  SELECT q.query_id, t.doc_id, q.i, t.pos
        |  FROM qp q JOIN ptoks t USING (term)
-       |), nspan AS (
-       |  SELECT query_id, doc_id,
-       |    CAST(min(pos - last0) AS BIGINT) AS min_span FROM (
-       |    SELECT query_id, doc_id, i, pos,
-       |      last_value(CASE WHEN i = 0 THEN pos END IGNORE NULLS)
-       |        OVER (PARTITION BY query_id, doc_id
-       |          ORDER BY pos ASC, i DESC
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-       |        AS last0
-       |    FROM nposr)
-       |  WHERE i = 1 AND last0 IS NOT NULL
+       |), $chain, nspan AS (
+       |  SELECT query_id, doc_id, $agg
+       |  FROM s${len - 1}
+       |  WHERE i = ${len - 1} AND $g IS NOT NULL
        |  GROUP BY 1, 2
        |), nranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY min_span ASC, doc_id ASC) AS rank
+       |    ORDER BY $order, doc_id ASC) AS rank
        |  FROM nspan
        |)""".stripMargin
+  }
 
   val nearMatchSql: String =
     s"""WITH ${nearCtes(
@@ -1237,6 +1302,25 @@ object CorpusOps {
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, min_span
        |FROM nranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "min_span"))}""".stripMargin
+
+  val near3MatchSql: String =
+    s"""WITH ${nearCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        len = 3)}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, min_span
+       |FROM nranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "min_span"))}""".stripMargin
+
+  val nearSloppySql: String =
+    s"""WITH ${nearCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        sloppy = true)}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, sloppy_micro
+       |FROM nranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id",
+         "sloppy_micro"))}""".stripMargin
 
   val phraseMatchSql: String =
     s"""WITH ${phraseCtes(
@@ -1257,16 +1341,26 @@ object CorpusOps {
     * corpus (built once — bm25_index_topk, phrase_index_match, and
     * near_index_match all query the same state) and the src0 queries.
     */
+  /** Demo-state roots are CONTENT-KEYED and shared across processes
+    * (round 11 — the r10 driver bench rebuilt all five roots in every
+    * JVM, ~730 s of its 1359 s wall): the states are pure functions of
+    * (source bytes, layout version, build recipe), all folded into the
+    * [[TmpData.sharedState]] key, built once under a pid staging dir
+    * and published by atomic rename. Each recipe string pins ITS
+    * builder's shape — editing a build must edit its recipe.
+    */
+  private val ridxRecipe = "ridx: 3 folds pmod(doc_id,3)=i over train"
+
   private def ridxStateAndQueries(spark: SparkSession,
       sfDir: String): (String, DataFrame) = {
     val d = load(spark, sfDir, "documents")
-    val t = TmpData.tag(sfDir)
-    val state = TmpData.path("ridx", t)
-    TmpData.once(s"ridx:$t") {
+    val lay = graft.streaming.IndexStream.layoutVersion
+    val state = TmpData.sharedState("ridx", sfDir,
+        TmpData.stampOf(lay, ridxRecipe), Seq(lay)) { staging =>
       val train = d.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"), col("source"))
       (0 until 3).foreach { i =>
-        graft.streaming.IndexStream.applyBatch(spark, state,
+        graft.streaming.IndexStream.applyBatch(spark, staging,
           train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
       }
     }
@@ -1315,6 +1409,22 @@ object CorpusOps {
     canon(graft.streaming.IndexStream.queryNear(spark, state, q))
   }
 
+  /** near3_index_match / near_sloppy_index — the incremental faces of
+    * the length-generic and sloppy-scored NEAR grades (round 11), over
+    * the same shared LSM state, checked against the same parametrized
+    * oracle CTEs as their batch twins.
+    */
+  def near3IndexMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryNear(spark, state, q, len = 3))
+  }
+
+  def nearSloppyIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryNear(spark, state, q,
+      sloppy = true))
+  }
+
   /** The train-doc predicate of the delete faces' oracle: every 7th
     * doc (pmod 2) is deleted AFTER being indexed. Exact-integer so
     * both engines and the SQL agree.
@@ -1331,19 +1441,22 @@ object CorpusOps {
     * selection from the df sums with the negative rows, candidate
     * exclusion via the tombstone anti-join.
     */
+  private val ridxDelRecipe =
+    s"ridxdel: 2 folds pmod(doc_id,2)=i; delete [$deleteSlice] id 0"
+
   private def ridxDelStateAndQueries(spark: SparkSession,
       sfDir: String): (String, DataFrame) = {
     val d = load(spark, sfDir, "documents")
-    val t = TmpData.tag(sfDir)
-    val state = TmpData.path("ridxdel", t)
-    TmpData.once(s"ridxdel:$t") {
+    val lay = graft.streaming.IndexStream.layoutVersion
+    val state = TmpData.sharedState("ridxdel", sfDir,
+        TmpData.stampOf(lay, ridxDelRecipe), Seq(lay)) { staging =>
       val train = d.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"), col("source"))
       (0 until 2).foreach { i =>
-        graft.streaming.IndexStream.applyBatch(spark, state,
+        graft.streaming.IndexStream.applyBatch(spark, staging,
           train.filter(pmod(col("doc_id"), lit(2)) === i), i.toLong)
       }
-      graft.streaming.IndexStream.deleteDocs(spark, state,
+      graft.streaming.IndexStream.deleteDocs(spark, staging,
         train.filter(expr(deleteSlice)).select(col("doc_id")),
         deleteId = 0L)
     }
@@ -1362,10 +1475,13 @@ object CorpusOps {
     */
   def bm25Asof(spark: SparkSession, sfDir: String): DataFrame = {
     val (state, q) = ridxDelStateAndQueries(spark, sfDir)
-    val t = TmpData.tag(sfDir)
-    val snap = TmpData.path("ridxsnap", t)
-    TmpData.once(s"ridxsnap:$t") {
-      graft.streaming.IndexStream.snapshotTo(spark, state, snap,
+    val lay = graft.streaming.IndexStream.layoutVersion
+    val snap = TmpData.sharedState("ridxsnap", sfDir,
+        TmpData.stampOf(lay, ridxDelRecipe, "snap: asOfSeq=1"),
+        Seq(lay)) { staging =>
+      // snapshotTo requires a non-existent destination; sharedState's
+      // staging dir is created by the build itself
+      graft.streaming.IndexStream.snapshotTo(spark, state, staging,
         asOfSeq = 1L)
     }
     canon(graft.streaming.IndexStream.queryTopK(spark, snap, q))
@@ -1587,19 +1703,24 @@ object CorpusOps {
     * per-file creation constant is the dominant cold cost of every
     * composed face, so it is paid exactly once and shared.
     */
-  private def pipeRootFor(spark: SparkSession, sfDir: String): String = {
-    val t = TmpData.tag(sfDir)
-    val root = TmpData.path("pipe", t)
-    TmpData.once(s"pipe:$t") {
-      graft.streaming.PipelineStream.applyBatch(spark, root,
-        pipelineCorpus(spark, sfDir)
-          .filter(col("source") =!= "src0")
-          .select(col("doc_id"), col("text"), col("embedding"),
-            col("source")),
-        batchId = 0L)
+  private val pipeRecipe = "pipe: one PipelineStream batch 0 over train"
+
+  private def pipeLayouts = Seq(
+    graft.streaming.IndexStream.layoutVersion,
+    graft.streaming.NearDupStream.layoutVersion,
+    graft.streaming.VecDupStream.layoutVersion)
+
+  private def pipeRootFor(spark: SparkSession, sfDir: String): String =
+    TmpData.sharedState("pipe", sfDir,
+        TmpData.stampOf(pipeLayouts :+ pipeRecipe: _*), pipeLayouts) {
+      staging =>
+        graft.streaming.PipelineStream.applyBatch(spark, staging,
+          pipelineCorpus(spark, sfDir)
+            .filter(col("source") =!= "src0")
+            .select(col("doc_id"), col("text"), col("embedding"),
+              col("source")),
+          batchId = 0L)
     }
-    root
-  }
 
   def hybridIndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val root = pipeRootFor(spark, sfDir)
@@ -1832,23 +1953,26 @@ object CorpusOps {
     */
   def hybridAfterDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = pipelineCorpus(spark, sfDir)
-    val t = TmpData.tag(sfDir)
     // own root: deleting from the shared "pipe" root would poison
-    // hybrid_index_topk's process-shared state. The state is CLONED
-    // from the shared root with one local-fs recursive copy instead of
+    // hybrid_index_topk's shared state. The state is CLONED from the
+    // published pipe root with one local-fs recursive copy instead of
     // re-running the whole pipeline build — the build's per-file
     // creation constant is the dominant cold cost (~45 s flat at any
     // SF), the copy is not; LSM state roots are self-contained dirs,
-    // so a byte copy IS the state
-    val root = TmpData.path("pipedel", t)
-    TmpData.once(s"pipedel:$t") {
+    // so a byte copy IS the state. The delete happens INSIDE the
+    // build, so the published root is immutable like the others.
+    val root = TmpData.sharedState("pipedel", sfDir,
+        TmpData.stampOf(pipeLayouts ++ Seq(pipeRecipe,
+          s"pipedel: delete [${hybridDeleteSlice.format("doc_id")}] id 0"): _*),
+        pipeLayouts) { staging =>
       val src = pipeRootFor(spark, sfDir)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
-      org.apache.hadoop.fs.FileUtil.copy(fs,
+      require(org.apache.hadoop.fs.FileUtil.copy(fs,
         new org.apache.hadoop.fs.Path(src), fs,
-        new org.apache.hadoop.fs.Path(root), false, true, conf)
-      graft.streaming.PipelineStream.delete(spark, root,
+        new org.apache.hadoop.fs.Path(staging), false, true, conf),
+        s"pipeline state clone failed: $src -> $staging")
+      graft.streaming.PipelineStream.delete(spark, staging,
         corpus.filter(col("source") =!= "src0")
           .filter(expr(hybridDeleteSlice.format("doc_id")))
           .select(col("doc_id")),
@@ -1902,6 +2026,10 @@ object CorpusOps {
     "phrase_index_kept" -> phraseIndexKept,
     "near_match" -> nearMatch,
     "near_index_match" -> nearIndexMatch,
+    "near3_match" -> near3Match,
+    "near3_index_match" -> near3IndexMatch,
+    "near_sloppy" -> nearSloppy,
+    "near_sloppy_index" -> nearSloppyIndex,
     "phrase3_match" -> phrase3Match,
     "phrase3_index_match" -> phrase3IndexMatch,
     "bm25_after_delete" -> bm25AfterDelete,
@@ -1931,6 +2059,10 @@ object CorpusOps {
     "phrase_index_kept" -> phraseIndexKeptSql,
     "near_match" -> nearMatchSql,
     "near_index_match" -> nearMatchSql,
+    "near3_match" -> near3MatchSql,
+    "near3_index_match" -> near3MatchSql,
+    "near_sloppy" -> nearSloppySql,
+    "near_sloppy_index" -> nearSloppySql,
     "phrase3_match" -> phrase3MatchSql,
     "phrase3_index_match" -> phrase3MatchSql,
     "bm25_after_delete" -> bm25AfterDeleteSql,

@@ -99,6 +99,113 @@ private[operators] object TmpData {
       ready.add(key)
     }
   }
+
+  /** Marker that publishes a shared state root as complete — written
+    * into staging LAST, so its presence in the content-keyed path
+    * proves the atomic rename moved a fully-built copy (the same
+    * protocol as BenchData's bench-layout cache).
+    */
+  private val okMarker = "_GRAFT_STATE_OK"
+
+  /** Short fingerprint of build-recipe/layout strings, for use as the
+    * `stamp` term of [[sharedState]] keys: any edit to a layout version
+    * or to the builder's recipe text produces a new key, so a stale
+    * cross-process cache can never serve a differently-built state.
+    */
+  def stampOf(parts: String*): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** A published shared root is reusable iff its ok-marker exists AND
+    * (when the caller declared expected layouts) every `_LAYOUT` file
+    * inside it matches one of them — the verify-on-reuse guard against
+    * a cache that predates a layout revision or was damaged in place.
+    * A marker-complete root failing the layout check is deleted so the
+    * caller rebuilds instead of failing forever.
+    */
+  private def published(root: Path, expectLayouts: Seq[String]): Boolean = {
+    if (!Files.exists(root.resolve(okMarker))) return false
+    if (expectLayouts.isEmpty) return true
+    val walk = Files.walk(root)
+    val ok =
+      try walk.filter(p => p.getFileName.toString == "_LAYOUT")
+        .allMatch { p =>
+          val txt = new String(Files.readAllBytes(p), "UTF-8").trim
+          expectLayouts.contains(txt)
+        }
+      finally walk.close()
+    if (!ok) {
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Exception => () } // best-effort; caller rebuilds
+    }
+    ok
+  }
+
+  /** Cross-process content-keyed cache of an IMMUTABLE derived state
+    * root — BenchData.realisticCopy's staged-rename publish protocol,
+    * generalized (round-11 top item: the five LSM demo-state roots were
+    * pid-keyed, so every JVM — each Verify invocation per SF, and the
+    * bench — rebuilt ~730 s of one-time state; the states are pure
+    * functions of (source bytes, layout, recipe), so one build can be
+    * shared by every later process).
+    *
+    * Key = (kind, source path, source content fingerprint, stamp); the
+    * caller folds its layout versions AND a build-recipe string into
+    * `stamp` via [[stampOf]] so any code change that alters the built
+    * state changes the key. Build goes to a pid-unique staging dir
+    * (created by `build` itself — some builders, e.g. snapshot, require
+    * a non-existent destination) and publishes by atomic rename:
+    * readers only ever see absent or complete. The published copy is
+    * NOT registered for shutdown-hook cleanup — sharing it across
+    * processes is the point; stale copies of other fingerprints/stamps
+    * for the same (kind, path) are pruned here. Callers must treat the
+    * returned root as READ-ONLY (clone before mutating).
+    */
+  def sharedState(kind: String, sfDir: String, stamp: String,
+      expectLayouts: Seq[String] = Nil)(build: String => Unit): String = {
+    val tmpdir = System.getProperty("java.io.tmpdir")
+    val slug = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val shared = Paths.get(
+      s"$tmpdir/graft_state_${kind}_${contentTag(sfDir)}_$stamp")
+    if (published(shared, expectLayouts)) return shared.toString
+    // prune completed caches of OTHER fingerprints/stamps for this
+    // (kind, source path) — a rewritten sf dir or revised recipe would
+    // otherwise leak its old state forever; in-flight staging dirs are
+    // pid-keyed (different name shape) and self-clean on exit
+    val sibs = shared.getParent.toFile.listFiles()
+    if (sibs != null) sibs.filter { d =>
+      d.getName.startsWith(s"graft_state_${kind}_${slug}_") &&
+        d.toPath != shared
+    }.foreach { d =>
+      try Files.walk(d.toPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Exception => () } // best-effort; a losing racer retries
+    }
+    val t = s"${tag(sfDir)}_$stamp"
+    val staging = path(s"state_${kind}_stage", t)
+    once(s"state_${kind}_stage:$t") {
+      build(staging)
+      // marker written LAST (deleting any copy a clone-style build
+      // brought along): the rename below can only ever publish a dir
+      // that was fully built
+      Files.createDirectories(Paths.get(staging))
+      Files.deleteIfExists(Paths.get(staging, okMarker))
+      Files.createFile(Paths.get(staging, okMarker))
+    }
+    try {
+      Files.move(Paths.get(staging), shared,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      shared.toString
+    } catch {
+      case _: java.nio.file.FileSystemException =>
+        // another process published first (target exists) -> use theirs
+        // if complete; else fall back to our own complete staging copy
+        if (published(shared, expectLayouts)) shared.toString else staging
+    }
+  }
 }
 
 /** Cache-lifecycle helper shared by the pipelines that persist a reused

@@ -212,6 +212,25 @@ object IndexStream {
     val reclaim = fs.exists(tombsRoot) &&
       !spark.read.schema(tombsSchema).parquet(tombsRoot.toString)
         .isEmpty
+    // no-op maintenance (nothing fragmented, no tombstones) must not
+    // seal snapshot history — return without recording a barrier or
+    // consolidating markers (ADVICE r10)
+    if (!reclaim && LsmIndex.fragmentedSubs(spark, stateDir, subTables,
+        minFiles).isEmpty)
+      return (0, 0, 0)
+    // pin-aware maintenance (round 11): while a registered pin
+    // addresses recorded history, compaction would seal it (the new
+    // barrier outranks every current seq) — skip until released
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir)) return (0, 0, 0)
+    // the epoch barrier is recorded BEFORE the destructive merge
+    // (ADVICE r10 medium): a crash mid-merge leaves the barrier in the
+    // ledger, so a later snapshot at a pre-compaction seq fails fast
+    // instead of silently materializing over half-merged generations;
+    // until the merge starts, the named generations still exist, so a
+    // snapshot AT the barrier seq stays answerable throughout
+    val log = LsmIndex.OpLog(stateDir)
+    log.record(spark, "compact",
+      log.entries(spark).count(_._2 == "compact").toLong)
     val r =
       if (!reclaim)
         LsmIndex.compact(spark, stateDir, subTables, targetFileBytes,
@@ -249,12 +268,6 @@ object IndexStream {
         } finally tombIds.unpersist()
       }
     markers(stateDir).consolidate(spark)
-    // epoch barrier: history strictly before this point merged into
-    // ingest=-1 and stopped being snapshot-addressable; the barrier id
-    // is the count of prior barriers (single-writer contract)
-    val log = LsmIndex.OpLog(stateDir)
-    log.record(spark, "compact",
-      log.entries(spark).count(_._2 == "compact").toLong)
     r
   }
 
@@ -449,6 +462,24 @@ object IndexStream {
           coalesce(sum(col("dl")), lit(0L)).as("t")).collect()(0)
         val n = stats.getLong(0)
         if (n == 0L) return 0L
+        // TOMBSTONES FIRST (ADVICE r10): the safety-relevant half of
+        // the delete — the doc stops ranking — must hold at every
+        // crash point. Writing the stat-side (negative dfs rows,
+        // negative marker) before the tombstones left a window where
+        // the forgotten content kept ranking with skewed scores until
+        // the delete was re-delivered; this order degrades the other
+        // way (doc invisible, stats briefly over-counting the corpus —
+        // conservative), and the retry path tolerates either order
+        // (own-generation exclusion above).
+        doomed.select(col("doc_id"))
+          .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
+          .withColumn("ingest", lit(gen))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
+          .write.partitionBy("dbucket", "ingest")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$stateDir/tombs")
         // negative df rows from the deleted docs' own term sets (lt is
         // layout-stable and the tokenizer shared, so these are exactly
         // the contributions their fold once added)
@@ -463,15 +494,6 @@ object IndexStream {
           .write.partitionBy("dpfx", "ingest")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/dfs")
-        doomed.select(col("doc_id"))
-          .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
-          .withColumn("ingest", lit(gen))
-          .repartition(spark.sparkContext.defaultParallelism,
-            col("dbucket"))
-          .sortWithinPartitions(col("dbucket"), col("doc_id"))
-          .write.partitionBy("dbucket", "ingest")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$stateDir/tombs")
         markers(stateDir).write(spark, gen, Seq(-n, -stats.getLong(1)))
         LsmIndex.OpLog(stateDir).record(spark, "del", deleteId)
         spark.catalog.refreshByPath(s"$stateDir/dfs")
@@ -536,14 +558,19 @@ object IndexStream {
     * listing).
     */
   private def minusTombs(spark: SparkSession, stateDir: String,
-      rel: DataFrame): DataFrame = {
+      rel: DataFrame, gens: Option[Set[Long]] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) rel
-    else rel.join(
-      spark.read.schema(tombsSchema).parquet(p.toString)
-        .select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+    else {
+      // as-of reads exclude tombstones of deletes AFTER the pinned seq
+      // — a doc deleted later must still answer at the pin
+      val tombs = gens.foldLeft(
+        spark.read.schema(tombsSchema).parquet(p.toString))(
+        (t, g) => t.filter(col("ingest").isin(g.toSeq: _*)))
+      rel.join(tombs.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Ranked BM25 retrieval over the accumulated index: for each query
@@ -565,10 +592,23 @@ object IndexStream {
     * candidate-bounded on the docs sub-table, and the corpus constants
     * come from the markers — O(generations) driver file reads.
     */
+  /** `asOf` (round 11 — the NATIVE as-of read): a ledger seq to answer
+    * at, WITHOUT materializing a snapshot copy. Generations of later
+    * operations are filtered out of every read in place — the dfs/
+    * posting/docs fetches by their `ingest` partition value, the
+    * corpus-constant markers by generation, and tombstones of LATER
+    * deletes are ignored so a doc deleted after the pin still answers
+    * — under exactly [[LsmIndex.gensAsOf]]'s addressability contract
+    * (fail-fast past a compaction/migration barrier). Answers are
+    * bit-identical to `snapshotTo(seq)` + query (spec-pinned), at zero
+    * copy cost: the right tool for ad-hoc historical queries, with
+    * snapshots reserved for long-lived reproducibility roots.
+    */
   def queryTopK(spark: SparkSession, stateDir: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, asOf: Option[Long] = None): DataFrame = {
     ensureLayout(spark, stateDir)
-    val st = markers(stateDir).stored(spark)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val st = markers(stateDir).stored(spark, gens)
     val nDocs = if (st.nonEmpty) st.head else 0L
     val totDl = if (st.size > 1) st(1) else 0L
     def emptyOut = spark.createDataFrame(
@@ -604,7 +644,7 @@ object IndexStream {
     // small columns): selection and capping run BEFORE any posting
     // list is opened.
     val dfsR = dfsRowsFor(spark, stateDir,
-      q.select(col("term")).distinct(), termSample)
+      q.select(col("term")).distinct(), termSample, gens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df > 0: per-generation counts include deletes' NEGATIVE rows; a
     // term whose corpus was entirely deleted sums to 0 and must leave
@@ -637,16 +677,17 @@ object IndexStream {
     // (spec-pinned on the ReadSchema).
     val post = minusTombs(spark, stateDir,
       postingsFor(spark, stateDir, selPairs,
-          selected.select(col("term")).distinct())
+          selected.select(col("term")).distinct(), gens)
         .select(col("term"), col("doc_id"), col("tf"))
-        .distinct())
+        .distinct(), gens)
     val hits = selected.join(post, Seq("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
     val idSample = candIds.limit(pushdownMax + 1)
       .collect().map(_.getLong(0))
-    val docsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/docs",
-      docsSchema)
+    val docsBase = gens.foldLeft(
+      LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema))(
+      (d, g) => d.filter(col("ingest").isin(g.toSeq: _*)))
     val dlSide =
       if (idSample.length <= pushdownMax) {
         val dbs = idSample
@@ -690,8 +731,11 @@ object IndexStream {
     * the BM25 and phrase query faces.
     */
   private def dfsRowsFor(spark: SparkSession, stateDir: String,
-      terms: DataFrame, termSample: Array[String]): DataFrame = {
-    val dfsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/dfs", dfsSchema)
+      terms: DataFrame, termSample: Array[String],
+      gens: Option[Set[Long]] = None): DataFrame = {
+    val dfsBase = gens.foldLeft(
+      LsmIndex.readOrEmpty(spark, s"$stateDir/dfs", dfsSchema))(
+      (d, g) => d.filter(col("ingest").isin(g.toSeq: _*)))
     val rows =
       if (termSample.length <= pushdownMax) {
         val pfx = termSample.map(dpfxOf).distinct.toSeq
@@ -716,9 +760,14 @@ object IndexStream {
     */
   private def postingsFor(spark: SparkSession, stateDir: String,
       selPairs: Array[org.apache.spark.sql.Row],
-      selectedTerms: DataFrame): DataFrame = {
-    val base = LsmIndex.readOrEmpty(spark, s"$stateDir/postings",
-      postingsSchema)
+      selectedTerms: DataFrame,
+      gens: Option[Set[Long]] = None): DataFrame = {
+    // the main path's exact (term, gen) dir shortlist already carries
+    // the as-of restriction (selPairs derive from gen-filtered dfs
+    // rows); the fallback's tpfx-dir scan needs the explicit filter
+    val base = gens.foldLeft(
+      LsmIndex.readOrEmpty(spark, s"$stateDir/postings", postingsSchema))(
+      (p, g) => p.filter(col("ingest").isin(g.toSeq: _*)))
     if (selPairs.length <= pushdownMax) {
       val selTerms = selPairs.map(_.getString(0)).distinct.toSeq
       val tpfxs = selTerms.map(tpfxOf).distinct
@@ -766,8 +815,10 @@ object IndexStream {
     */
   private def phrasePosRows(spark: SparkSession, stateDir: String,
       queries: DataFrame,
-      len: Int = graft.operators.CorpusOps.phraseLen): Option[DataFrame] = {
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      asOf: Option[Long] = None): Option[DataFrame] = {
     ensureLayout(spark, stateDir)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
     val ops = graft.operators.CorpusOps
     val q = queries.filter(col("text").isNotNull)
       .filter(size(ops.bm25Tokens(col("text"))) >= len)
@@ -778,15 +829,15 @@ object IndexStream {
       .limit(pushdownMax + 1).collect().map(_.getString(0))
     if (termSample.isEmpty) return None
     val dfsR = dfsRowsFor(spark, stateDir,
-      q.select(col("term")).distinct(), termSample)
+      q.select(col("term")).distinct(), termSample, gens)
     val selPairs = dfsR.select(col("term"), col("gen")).distinct()
       .limit(pushdownMax + 1).collect()
     if (selPairs.isEmpty) return None
     val post = minusTombs(spark, stateDir,
       postingsFor(spark, stateDir, selPairs,
-          q.select(col("term")).distinct())
+          q.select(col("term")).distinct(), gens)
         .select(col("term"), col("doc_id"), col("positions"))
-        .distinct())
+        .distinct(), gens)
     Some(q.join(post, Seq("term"))
       .select(col("query_id"), col("doc_id"), col("i"),
         explode(col("positions")).as("pos")))
@@ -804,8 +855,9 @@ object IndexStream {
 
   def queryPhrase(spark: SparkSession, stateDir: String,
       queries: DataFrame,
-      len: Int = graft.operators.CorpusOps.phraseLen): DataFrame =
-    phrasePosRows(spark, stateDir, queries, len) match {
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      asOf: Option[Long] = None): DataFrame =
+    phrasePosRows(spark, stateDir, queries, len, asOf) match {
       case None => emptyRanked(spark, "n_occ")
       case Some(pr) =>
         graft.operators.CorpusOps.phraseRank(
@@ -820,10 +872,14 @@ object IndexStream {
     * linear-merge core (CorpusOps.nearRank) as the batch face.
     */
   def queryNear(spark: SparkSession, stateDir: String,
-      queries: DataFrame): DataFrame =
-    phrasePosRows(spark, stateDir, queries) match {
-      case None => emptyRanked(spark, "min_span")
-      case Some(pr) => graft.operators.CorpusOps.nearRank(pr)
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      sloppy: Boolean = false, asOf: Option[Long] = None): DataFrame =
+    phrasePosRows(spark, stateDir, queries, len, asOf) match {
+      case None =>
+        emptyRanked(spark, if (sloppy) "sloppy_micro" else "min_span")
+      case Some(pr) =>
+        graft.operators.CorpusOps.nearRank(pr, len, sloppy)
     }
 
   /** LAYOUT MIGRATION: rebuild the DERIVED state — `postings`, the dl

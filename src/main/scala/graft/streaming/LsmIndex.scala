@@ -153,6 +153,40 @@ private[graft] object LsmIndex {
     worst
   }
 
+  /** Hash-partition dirs of a sub-table root = parents of `ingest=*`
+    * generation dirs. Driver-side listing of the fixed dir domain.
+    */
+  private def partDirsOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
+    if (dirs.exists(_.getPath.getName.startsWith("ingest="))) Seq(p)
+    else dirs.flatMap(d => partDirsOf(fs, d.getPath))
+  }
+
+  private def dataFilesOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val st = fs.listStatus(p).toSeq
+    st.filter(s => s.isFile && s.getPath.getName.startsWith("part-")) ++
+      st.filter(_.isDirectory).flatMap(d => dataFilesOf(fs, d.getPath))
+  }
+
+  /** The sub-tables a [[compact]] call at `minFiles` would rewrite —
+    * same fragmentation rule, driver-side listing only. Gates use it to
+    * decide whether maintenance will do any work BEFORE recording the
+    * epoch barrier (ADVICE r10: a no-op maintenance call must not seal
+    * snapshot history, and the barrier must precede a real merge).
+    */
+  def fragmentedSubs(spark: SparkSession, stateDir: String,
+      subs: Seq[Sub], minFiles: Int): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    subs.filter { sub =>
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/${sub.name}")
+      val fs = root.getFileSystem(conf)
+      fs.exists(root) && partDirsOf(fs, root)
+        .exists(pd => dataFilesOf(fs, pd).size >= minFiles)
+    }.map(_.name)
+  }
+
   /** The LSM compaction: consolidate each sub-table's `ingest=`
     * generations into a single deduped `ingest=-1` generation sized to
     * `targetFileBytes`, as ONE read→write job per sub-table. Runs only
@@ -191,18 +225,8 @@ private[graft] object LsmIndex {
       val root = new org.apache.hadoop.fs.Path(s"$stateDir/${sub.name}")
       val fs = root.getFileSystem(conf)
       if (fs.exists(root)) {
-        // hash-partition dirs = parents of ingest=* generation dirs
-        def partDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-          val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
-          if (dirs.exists(_.getPath.getName.startsWith("ingest="))) Seq(p)
-          else dirs.flatMap(d => partDirs(d.getPath))
-        }
-        def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-          val st = fs.listStatus(p).toSeq
-          st.filter(s => s.isFile && s.getPath.getName.startsWith("part-")) ++
-            st.filter(_.isDirectory).flatMap(d => dataFiles(d.getPath))
-        }
-        val fragmented = partDirs(root)
+        def dataFiles(p: org.apache.hadoop.fs.Path) = dataFilesOf(fs, p)
+        val fragmented = partDirsOf(fs, root)
           .map(pd => dataFiles(pd).size).count(_ >= minFiles)
         if (fragmented > 0 || force.contains(sub.name)) {
           val files = dataFiles(root)
@@ -347,6 +371,23 @@ private[graft] object LsmIndex {
     fs.delete(staging, true); fs.delete(retired, true)
     rebuild(stateDir, staging.toString)
     fs.mkdirs(staging) // a rebuild of EMPTY state writes no sub-tables
+    // carry the operation ledger into the new root so seq numbers stay
+    // unique across the state's whole lifetime (ADVICE r10: replacing
+    // the root used to restart seqs at 1, so an externally recorded
+    // pin silently referred to different history after a migration),
+    // and record the migration itself as an epoch barrier — the
+    // rebuild consolidated everything into ingest=-1, so pre-migration
+    // seqs are no longer addressable and snapshot() must fail fast on
+    // them instead of materializing empty state
+    val oplogSrc = new org.apache.hadoop.fs.Path(s"$stateDir/oplog")
+    if (fs.exists(oplogSrc))
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, oplogSrc, fs,
+        new org.apache.hadoop.fs.Path(staging, "oplog"), false, true,
+        spark.sparkContext.hadoopConfiguration),
+        s"migration ledger carry failed: $oplogSrc")
+    val slog = OpLog(staging.toString)
+    slog.record(spark, "migrate",
+      slog.entries(spark).count(_._2 == "migrate").toLong)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(staging, layoutMarker), true)
     try out.write(toVersion.getBytes("UTF-8")) finally out.close()
@@ -558,6 +599,74 @@ private[graft] object LsmIndex {
     }
   }
 
+  /** REPRODUCIBILITY PINS (round 11): a tiny named-file registry under
+    * `pins/` — `pin_<name>` holding a ledger seq — that maintenance
+    * respects: [[gensAsOf]]-addressable history a registered pin still
+    * wants must not be sealed, so the gates' compactState is a no-op
+    * while any pin addresses recorded history (every compaction
+    * barrier gets a seq above ALL current seqs, so it would seal every
+    * registered pin). The operator's flow: register the pin when a
+    * training run starts, snapshot or as-of-query it at will, release
+    * it when the run's provenance window closes — then compaction
+    * proceeds and the normal barrier fail-fast applies to the stale
+    * seq. Same tmp+rename publish and unparsable-skip tolerance as the
+    * other marker files.
+    */
+  final case class Pins(stateDir: String) {
+    private def dir = new org.apache.hadoop.fs.Path(s"$stateDir/pins")
+
+    private def fsOf(spark: SparkSession) =
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def register(spark: SparkSession, name: String, seq: Long): Unit = {
+      require(name.nonEmpty && !name.contains("/"),
+        s"pin name must be a plain token: '$name'")
+      val fs = fsOf(spark)
+      fs.mkdirs(dir)
+      val f = new org.apache.hadoop.fs.Path(dir, s"pin_$name")
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_pin_$name")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, true)
+      try out.write(seq.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(f, false)
+      require(fs.rename(tmp, f), s"pin publish rename $tmp -> $f failed")
+    }
+
+    def release(spark: SparkSession, name: String): Unit = {
+      val fs = fsOf(spark)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"pin_$name"), false)
+      ()
+    }
+
+    /** The lowest registered pin seq, if any (unparsable files are
+      * skipped — a torn pin write must not wedge maintenance forever,
+      * and the re-register heals it).
+      */
+    def minSeq(spark: SparkSession): Option[Long] = {
+      val fs = fsOf(spark)
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.startsWith("pin_")).flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        try Some(txt.toLong)
+        catch { case _: NumberFormatException => None }
+      }.minOption
+    }
+  }
+
+  /** True when a registered pin addresses already-recorded history —
+    * the condition under which maintenance compaction must not run
+    * (its barrier would seal the pinned seq). A pin above every
+    * recorded seq addresses nothing yet and does not block.
+    */
+  def pinBlocksCompaction(spark: SparkSession, stateDir: String): Boolean =
+    Pins(stateDir).minSeq(spark).exists { p =>
+      OpLog(stateDir).entries(spark).map(_._1).maxOption.exists(p <= _)
+    }
+
   /** SNAPSHOT a state root as of an [[OpLog]] sequence number:
     * materialize a new, self-contained root holding exactly the
     * generations of operations with `seq ≤ asOfSeq`, as a pure byte
@@ -571,6 +680,44 @@ private[graft] object LsmIndex {
     * own generation — each sub-table holds exactly one of the two, and
     * copying whichever exists is correct in both cases.
     */
+  /** Ledger kinds that seal earlier history: compaction merges prior
+    * generations into `ingest=-1`, and migration rebuilds the whole
+    * state as `ingest=-1` (round 11 — migrate now carries the ledger
+    * and records itself, so pre-migration seqs fail fast here instead
+    * of silently materializing empty snapshots).
+    */
+  private val barrierKinds = Set("compact", "migrate")
+
+  /** The `ingest=` generation values that make up the state as of
+    * ledger seq `asOfSeq`: the selected folds' batch ids, the selected
+    * deletes' tombstone generations, and `-1` when a barrier
+    * (compaction/migration) is part of the prefix. Fails fast when
+    * nothing is recorded at or before the seq, or when a LATER barrier
+    * merged the addressed history away. Shared by [[snapshot]] (which
+    * byte-copies these generations) and the gates' native as-of query
+    * faces (which filter reads to them in place — same addressability
+    * contract, no materialized copy).
+    */
+  def gensAsOf(spark: SparkSession, stateDir: String,
+      asOfSeq: Long): Set[Long] = {
+    val es = OpLog(stateDir).entries(spark)
+    val pre = es.filter(_._1 <= asOfSeq)
+    require(pre.nonEmpty,
+      s"nothing recorded at or before seq $asOfSeq in $stateDir/oplog")
+    val laterBarrier = es.filter(e => barrierKinds(e._2)).map(_._1)
+      .filter(_ > asOfSeq)
+    require(laterBarrier.isEmpty,
+      s"history as of seq $asOfSeq was merged away by compaction or " +
+        s"migration (barrier seq ${laterBarrier.min}) — as-of reads " +
+        "are only addressable at or after the latest barrier")
+    val hasBarrier = pre.exists(e => barrierKinds(e._2))
+    (if (hasBarrier) Set(-1L) else Set.empty[Long]) ++
+      pre.collect {
+        case (_, "fold", b) => b
+        case (_, "del", d) => -(2L + d)
+      }
+  }
+
   def snapshot(spark: SparkSession, stateDir: String, destDir: String,
       asOfSeq: Long, subs: Seq[Sub], markerDirs: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -580,21 +727,7 @@ private[graft] object LsmIndex {
     require(!fs.exists(dest), s"snapshot destination exists: $destDir")
     val es = OpLog(stateDir).entries(spark)
     val pre = es.filter(_._1 <= asOfSeq)
-    require(pre.nonEmpty,
-      s"nothing recorded at or before seq $asOfSeq in $stateDir/oplog")
-    val laterBarrier = es.filter(_._2 == "compact").map(_._1)
-      .filter(_ > asOfSeq)
-    require(laterBarrier.isEmpty,
-      s"history as of seq $asOfSeq was merged away by compaction " +
-        s"(barrier seq ${laterBarrier.min}) — snapshots are only " +
-        "addressable at or after the latest barrier")
-    val hasBarrier = pre.exists(_._2 == "compact")
-    val gens: Set[Long] =
-      (if (hasBarrier) Set(-1L) else Set.empty[Long]) ++
-        pre.collect {
-          case (_, "fold", b) => b
-          case (_, "del", d) => -(2L + d)
-        }
+    val gens: Set[Long] = gensAsOf(spark, stateDir, asOfSeq)
     val rootUri = fs.makeQualified(srcRoot).toUri
     def relOf(p: org.apache.hadoop.fs.Path): String =
       rootUri.relativize(fs.makeQualified(p).toUri).getPath
@@ -605,6 +738,11 @@ private[graft] object LsmIndex {
       require(org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d,
         false, true, conf), s"snapshot copy failed: $rel")
     }
+    // generations actually found and copied, for the materialization
+    // check below (ADVICE r10 medium: snapshot never verified that a
+    // selected generation existed, so a damaged state silently
+    // produced an empty snapshot that queries answer empty on)
+    var seen = Set.empty[Long]
     for (sub <- subs) {
       val subRoot = new org.apache.hadoop.fs.Path(srcRoot, sub.name)
       if (fs.exists(subRoot)) {
@@ -614,7 +752,7 @@ private[graft] object LsmIndex {
             dirs.partition(_.getPath.getName.startsWith("ingest="))
           for (g <- genDirs) {
             val v = g.getPath.getName.stripPrefix("ingest=").toLong
-            if (gens.contains(v)) copy(relOf(g.getPath))
+            if (gens.contains(v)) { copy(relOf(g.getPath)); seen += v }
           }
           deeper.foreach(d => walk(d.getPath))
         }
@@ -627,9 +765,29 @@ private[graft] object LsmIndex {
         for (st <- fs.listStatus(p)
             if st.isFile && st.getPath.getName.startsWith("ingest=")
               && gens.contains(
-                st.getPath.getName.stripPrefix("ingest=").toLong))
+                st.getPath.getName.stripPrefix("ingest=").toLong)) {
           copy(s"$mdir/${st.getPath.getName}")
+          seen += st.getPath.getName.stripPrefix("ingest=").toLong
+        }
     }
+    // every selected operation AFTER the latest barrier must have
+    // materialized in at least one sub-table or marker dir (operations
+    // at or before it were legitimately merged into ingest=-1; a
+    // crashed compaction that recorded its intent barrier but never
+    // merged leaves the named generations in place, which this check
+    // accepts — the snapshot then equals the recovered live state)
+    val latestBarrier = pre.filter(e => barrierKinds(e._2))
+      .map(_._1).maxOption.getOrElse(Long.MinValue)
+    val mustFind: Set[Long] = pre.filter(_._1 > latestBarrier).collect {
+      case (_, "fold", b) => b
+      case (_, "del", d) => -(2L + d)
+    }.toSet
+    require(mustFind.subsetOf(seen),
+      s"snapshot of $stateDir at seq $asOfSeq found no on-disk " +
+        s"generation for ledger operation(s) gen=${
+          (mustFind -- seen).toSeq.sorted.mkString(",")} — the state " +
+        "is damaged or mid-maintenance; refusing to materialize a " +
+        "silently incomplete snapshot")
     val oplogDir = new org.apache.hadoop.fs.Path(srcRoot, "oplog")
     for (st <- fs.listStatus(oplogDir)
         if st.isFile && st.getPath.getName.startsWith("op_")) {
@@ -684,16 +842,26 @@ private[graft] object LsmIndex {
 
     /** Element-wise sum of every `ingest=*` marker (ragged markers pad
       * with 0 — tolerates a gate widening its marker arity). Empty when
-      * no markers exist.
+      * no markers exist. `gens`, when given, restricts the sum to the
+      * named generations — the as-of query faces' corpus constants
+      * ([[gensAsOf]]); a marker whose generation fails to parse is
+      * skipped under a filter (it cannot be attributed to a selected
+      * operation).
       */
-    def stored(spark: SparkSession): Seq[Long] = {
+    def stored(spark: SparkSession,
+        gens: Option[Set[Long]] = None): Seq[Long] = {
       val (live, _, _) = paths
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(live)) Seq.empty
       // only `ingest=*` marker files count — never staging temps or
       // filesystem droppings that may share the dir
-      else fs.listStatus(live).filter(st =>
-        st.isFile && st.getPath.getName.startsWith("ingest=")).flatMap { st =>
+      else fs.listStatus(live).filter { st =>
+        st.isFile && st.getPath.getName.startsWith("ingest=") &&
+          gens.forall { g =>
+            try g.contains(st.getPath.getName.stripPrefix("ingest=").toLong)
+            catch { case _: NumberFormatException => false }
+          }
+      }.flatMap { st =>
         val in = fs.open(st.getPath)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim

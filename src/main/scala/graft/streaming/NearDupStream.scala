@@ -434,6 +434,19 @@ object NearDupStream {
     val tfs = tombsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reclaim = tfs.exists(tombsRoot) &&
       !spark.read.schema(tombsSchema).parquet(tombsRoot.toString).isEmpty
+    // no-op maintenance must not seal snapshot history; a real merge
+    // records its epoch barrier BEFORE the destructive rewrite so a
+    // crash mid-merge fails later pre-barrier snapshots fast
+    // (ADVICE r10 — same contract as IndexStream.compactState)
+    if (!reclaim && LsmIndex.fragmentedSubs(spark, stateDir, subTables,
+        minFiles).isEmpty)
+      return (0, 0, 0)
+    // pin-aware maintenance (round 11): a registered pin addressing
+    // recorded history blocks the barrier until released
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir)) return (0, 0, 0)
+    val log = LsmIndex.OpLog(stateDir)
+    log.record(spark, "compact",
+      log.entries(spark).count(_._2 == "compact").toLong)
     val r =
       if (!reclaim)
         LsmIndex.compact(spark, stateDir, subTables, targetFileBytes,
@@ -457,10 +470,6 @@ object NearDupStream {
         } finally tombIds.unpersist()
       }
     LsmIndex.HiWater(stateDir).consolidate(spark)
-    // epoch barrier for snapshots (see LsmIndex.snapshot)
-    val log = LsmIndex.OpLog(stateDir)
-    log.record(spark, "compact",
-      log.entries(spark).count(_._2 == "compact").toLong)
     r
   }
 

@@ -55,10 +55,12 @@ class DeleteSpec extends SparkSpecBase {
     for ((name, q) <- Seq[(String,
         (org.apache.spark.sql.SparkSession, String,
          DataFrame) => DataFrame)](
-        ("bm25", IndexStream.queryTopK),
+        ("bm25", (s: org.apache.spark.sql.SparkSession, st: String,
+          q: DataFrame) => IndexStream.queryTopK(s, st, q)),
         ("phrase", (s: org.apache.spark.sql.SparkSession, st: String,
           q: DataFrame) => IndexStream.queryPhrase(s, st, q)),
-        ("near", IndexStream.queryNear))) {
+        ("near", (s: org.apache.spark.sql.SparkSession, st: String,
+          q: DataFrame) => IndexStream.queryNear(s, st, q)))) {
       val want = rows(q(spark, freshState, queries))
       assert(want.nonEmpty, s"$name fixture must retrieve something")
       assert(rows(q(spark, state, queries)) == want,

@@ -262,6 +262,61 @@ class PhraseSpec extends SparkSpecBase {
       "index NEAR must equal the batch face bit-for-bit")
   }
 
+  test("NEAR len=3 (round 11): chains are strictly increasing in slot order; minimal span found across interleavings") {
+    val d = docs(Seq(
+      (100L, "one two three query words", "src0"),
+      (1L, "one two three", "src1"),         // adjacent: span 2
+      (2L, "one x two y three", "src1"),     // span 4
+      (3L, "three two one", "src1"),         // wrong order: no match
+      // chains 0<1<4 (span 4), 0<3<4 (span 4), 2<3<4 (span 2): the
+      // linear merge must find the LATEST-starting chain per end
+      (4L, "one two one two three", "src1"),
+      (5L, "two three one", "src1")))        // no ordered chain
+    val got = outSpan(CorpusOps.nearMatchOn(d, len = 3))
+    assert(got == Set(
+      (100L, 1, 1L, 2L), (100L, 2, 4L, 2L), (100L, 3, 2L, 4L)),
+      s"NEAR len-3 semantics mismatch: $got")
+  }
+
+  test("NEAR sloppy (round 11): adjacency scores 10^6 per occurrence, slop divides, documents rank by the exact-integer total") {
+    val d = docs(Seq(
+      (100L, "big cat query", "src0"),
+      (1L, "big cat here", "src1"),          // one adjacency: 1000000
+      (2L, "big x cat", "src1"),             // slop 1: 500000
+      // ends at cat@1 (slop 0) and cat@4 (latest big@3, slop 0):
+      // 2000000 — two tight occurrences outrank one
+      (3L, "big cat and big cat", "src1"),
+      (4L, "cat big", "src1")))              // wrong order: no match
+    val got = outCol(CorpusOps.nearMatchOn(d, sloppy = true),
+      "sloppy_micro")
+    assert(got == Set(
+      (100L, 1, 3L, 2000000L), (100L, 2, 1L, 1000000L),
+      (100L, 3, 2L, 500000L)),
+      s"sloppy-frequency semantics mismatch: $got")
+  }
+
+  test("NEAR len-generic + sloppy: incremental index faces match the batch faces bit-for-bit") {
+    val root = Files.createTempDirectory("graft-near-gen").toString
+    val state = s"$root/state"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val queries = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val want3 = outSpan(CorpusOps.nearMatchOn(d, len = 3))
+    assert(want3.nonEmpty, "len-3 fixture must retrieve something")
+    assert(outSpan(IndexStream.queryNear(spark, state, queries,
+      len = 3)) == want3,
+      "index NEAR len-3 must equal the batch face")
+    val wantS = outCol(CorpusOps.nearMatchOn(d, sloppy = true),
+      "sloppy_micro")
+    assert(wantS.nonEmpty, "sloppy fixture must retrieve something")
+    assert(outCol(IndexStream.queryNear(spark, state, queries,
+      sloppy = true), "sloppy_micro") == wantS,
+      "index sloppy NEAR must equal the batch face")
+  }
+
   test("batch face plan: no cartesian product; the phrase side broadcasts") {
     val p = SparkEntry.queries("phrase_match")(spark, sf)
       .queryExecution.explainString(FormattedMode)
