@@ -93,11 +93,7 @@ object CurationStream {
             StructField("ingest", LongType))))
         .select(col("doc_id"))
       val vecIds = LsmIndex.readOrEmpty(spark,
-          s"${vecState(rootDir)}/vecs", StructType(Seq(
-            StructField("vec_id", LongType),
-            StructField("v", ArrayType(DoubleType)),
-            StructField("nrm", DoubleType), StructField("vbucket", LongType),
-            StructField("ingest", LongType))))
+          s"${vecState(rootDir)}/vecs", VecDupStream.vecsSchema)
         .select(col("vec_id").as("doc_id"))
       // deleted (tombstoned) ids leave the default verdict universe —
       // a forgotten doc gets no row; explicit `ids` callers may still

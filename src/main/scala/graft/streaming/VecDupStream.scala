@@ -67,11 +67,49 @@ object VecDupStream {
     StructField("bpfx", LongType),
     StructField("ingest", LongType)))
 
-  private val vecsSchema: StructType = StructType(Seq(
+  /** Raw-vector side table. Layout v3 stores components as FLOAT32:
+    * the corpus embeddings arrive as float (the parquet sources are
+    * `list<float>`), so the float64 cast the gate scored in carries 4
+    * wasted bytes per dimension — at 100 TB the `vecs` arrays are the
+    * index's dominant bytes, and halving them is free: float→double
+    * widening is exact, so every score computed from the stored floats
+    * is bit-identical to one computed from the double cast of the same
+    * source. (A genuinely-double producer loses the sub-float32 tail
+    * on ingest; scoring stays double/exact-integer either way.)
+    */
+  private[streaming] val vecsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
-    StructField("v", ArrayType(DoubleType)),
+    StructField("v", ArrayType(FloatType)),
     StructField("nrm", DoubleType),
     StructField("vbucket", LongType),
+    StructField("ingest", LongType)))
+
+  /** PQ-code side table (layout v3): M=[[pqM]] one-byte-scale codes +
+    * the stored norm per vector — the compressed leg [[queryTopK]]
+    * ADC-pre-ranks candidates on, so raw `vecs` bytes are fetched only
+    * for the exact-verify tail. Same vbucket layout + vec_id sort as
+    * `vecs`, so the candidate read is dir-pruned and row-group-pruned
+    * identically — just ~20 B/row instead of D×4.
+    */
+  private[streaming] val pqSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("codes", ArrayType(IntegerType)),
+    StructField("nrm", DoubleType),
+    StructField("vbucket", LongType),
+    StructField("ingest", LongType)))
+
+  /** PQ codebook sub-table: the M×K centroid components, trained ONCE
+    * from the first ingested batch (deterministic, RNG-free — the
+    * batch face's salted-md5 seeding + one Lloyd round, the measured
+    * knee) and read by every later fold's encode and every query's ADC
+    * table. Generational (`ingest=<first fold>`) so snapshots carry it
+    * with the machinery that copies the other sub-tables.
+    */
+  private[streaming] val pqbookSchema: StructType = StructType(Seq(
+    StructField("sub", IntegerType),
+    StructField("code", IntegerType),
+    StructField("pos", IntegerType),
+    StructField("c", DoubleType),
     StructField("ingest", LongType)))
 
   /** Tombstone sub-table (layout v2): one row per DELETED vector under
@@ -85,15 +123,27 @@ object VecDupStream {
     StructField("vbucket", LongType),
     StructField("ingest", LongType)))
 
+  /** PQ geometry of the compressed leg: [[pqM]] round-robin subspaces
+    * (sub = pos % M, the batch face's convention), [[pqK]] codes per
+    * subspace codebook — 8 small codes per vector vs D float32
+    * components. The codebook is K·D component rows — a broadcast.
+    * (Defined before [[layoutVersion]], which embeds them.)
+    */
+  private val pqM = 8
+  private val pqK = 16
+
   private val subTables = Seq(
     LsmIndex.Sub("buckets", bucketsSchema, Seq("tbl", "bpfx")),
     LsmIndex.Sub("vecs", vecsSchema, Seq("vbucket"),
       sortCols = Seq("vec_id")),
+    LsmIndex.Sub("pq", pqSchema, Seq("vbucket"), sortCols = Seq("vec_id")),
+    LsmIndex.Sub("pqbook", pqbookSchema, Nil),
     LsmIndex.Sub("tombs", tombsSchema, Seq("vbucket")))
 
   private[graft] val layoutVersion =
-    "graft-vecdup-v2 buckets=(tbl,bpfx=low8(bucket32),ingest):4x256 " +
-      "prefix-maskable32 vecs=(vbucket=pmod256,ingest) " +
+    "graft-vecdup-v3 buckets=(tbl,bpfx=low8(bucket32),ingest):4x256 " +
+      "prefix-maskable32 vecs=float32(vbucket=pmod256,ingest) " +
+      s"pq=codes$pqM" + s"x$pqK+nrm(vbucket,ingest) pqbook=MxKxD/M " +
       "tombs=(vbucket,ingest) del=neg-markers"
 
   /** Cosine floor for emitting a verified pair. */
@@ -108,6 +158,25 @@ object VecDupStream {
     * NearDupStream.verifyIdPushdownMax).
     */
   private val verifyIdPushdownMax = 65536
+
+  /** Per-query exact-verify tail: when a query's LSH candidate set
+    * exceeds this, ADC keeps only the top [[adcExactTail]] by
+    * approximate cosine and the raw-vector fetch + exact scoring run
+    * over those; a query with ≤ tail candidates is NEVER pruned, so
+    * its results are bit-identical to the uncompressed path. Sized at
+    * ~4× the steady-state candidate geometry (tables × (1+p) × target
+    * occupancy stays ≈500–1000 at any corpus size because p grows with
+    * log N), so pruning engages exactly where it pays: skewed buckets
+    * and dup-heavy corpora where one probe returns thousands.
+    */
+  private val adcExactTail = 2048
+
+  /** Total-distinct-candidate threshold below which [[queryTopK]]
+    * skips the ADC leg entirely (the exact fetch is already cheap and
+    * per-query sets are necessarily under [[adcExactTail]] — results
+    * identical either way, and small queries pay zero extra reads).
+    */
+  private val adcEngageMin = 4096
 
   val defaultMaxGenerations: Int = NearDupStream.defaultMaxGenerations
 
@@ -170,8 +239,9 @@ object VecDupStream {
           val res = LsmIndex.compact(spark, stateDir,
             subTables.filterNot(_.name == "tombs"),
             targetFileBytes, minFiles,
-            transforms = Map("buckets" -> dropDoomed, "vecs" -> dropDoomed),
-            force = Set("buckets", "vecs"))
+            transforms = Map("buckets" -> dropDoomed, "vecs" -> dropDoomed,
+              "pq" -> dropDoomed),
+            force = Set("buckets", "vecs", "pq"))
           tfs.delete(tombsRoot, true)
           spark.catalog.refreshByPath(tombsRoot.toString)
           res
@@ -253,10 +323,28 @@ object VecDupStream {
           bucketRel(asBatch).withColumn("ingest", lit(-1L))
             .write.partitionBy("tbl", "bpfx", "ingest")
             .parquet(s"$staging/buckets")
-          sigRel(asBatch).withColumn("ingest", lit(-1L))
-            .sortWithinPartitions(col("vbucket"), col("vec_id"))
-            .write.partitionBy("vbucket", "ingest")
-            .parquet(s"$staging/vecs")
+          val sig = sigRel(asBatch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            sig.withColumn("ingest", lit(-1L))
+              .sortWithinPartitions(col("vbucket"), col("vec_id"))
+              .write.partitionBy("vbucket", "ingest")
+              .parquet(s"$staging/vecs")
+            // the compressed leg is DERIVED state: retrain the
+            // codebook from the full surviving corpus (not the
+            // original first batch — migration is the one moment the
+            // whole distribution is in hand) and re-encode everything
+            // as the same consolidated generation
+            val cent = trainCodebook(spark, sig)
+            try {
+              cent.withColumn("ingest", lit(-1L)).coalesce(1)
+                .write.partitionBy("ingest").parquet(s"$staging/pqbook")
+              encodeRel(sig, cent).withColumn("ingest", lit(-1L))
+                .sortWithinPartitions(col("vbucket"), col("vec_id"))
+                .write.partitionBy("vbucket", "ingest")
+                .parquet(s"$staging/pq")
+            } finally cent.unpersist()
+          } finally sig.unpersist()
           val got = spark.read.schema(vecsSchema)
             .parquet(s"$staging/vecs")
             .select(col("vec_id")).distinct().count()
@@ -407,13 +495,133 @@ object VecDupStream {
       .withColumn("bpfx", col("bucket32").bitwiseAND(lit(255L)))
   }
 
-  /** Verify side-table rows of a (vec_id, embedding) relation. */
+  /** Verify side-table rows of a (vec_id, embedding) relation. Layout
+    * v3: components stored as float32 (see [[vecsSchema]]); the norm —
+    * like every score — is computed in double from the float32-rounded
+    * components, so stored and later-read arithmetic agree exactly.
+    */
   private def sigRel(d: DataFrame): DataFrame = {
     graft.plans.VectorExprs.register(d.sparkSession)
     d.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+      .withColumn("nrm", sqrt(expr(s"graft_dot($asDbl, $asDbl)")))
       .withColumn("vbucket", pmod(col("vec_id"), lit(nVecBuckets)))
+  }
+
+  /** The stored float32 `v` widened back to the double every scoring
+    * expression runs in (exact widening — see [[vecsSchema]]).
+    */
+  private val asDbl = "cast(v as array<double>)"
+
+  // ---------------------------------------------------------------------
+  // PQ compressed leg (layout v3): codebook training, encode, ADC
+  // ---------------------------------------------------------------------
+
+  /** The positions relation of a (vec_id, v) set: one row per
+    * (vector, dimension) with the µ-quantized component — the exact-
+    * integer grain every PQ computation below shares with the batch
+    * faces (Similarity.pqDistAndCodesRounds).
+    */
+  private def posRel(d: DataFrame): DataFrame =
+    d.select(col("vec_id"),
+        posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * lit(1000000.0)).cast("long"))
+      .withColumn("sub", pmod(col("pos"), lit(pqM)).cast("int"))
+
+  /** Exact-integer d2 of every (vector, sub) against every code of a
+    * centroid relation (sub, code, pos, c) — per-position squared
+    * diffs floor-quantized to bigint BEFORE the sum, so assignment
+    * argmins are bit-deterministic (the k-means family's contract).
+    */
+  private def pqD2(qp: DataFrame, cent: DataFrame): DataFrame =
+    qp.join(broadcast(cent.select(col("sub"), col("code"), col("pos"),
+        col("c"))), Seq("sub", "pos"))
+      .withColumn("dx", col("xq").cast("double") / lit(1000000.0) - col("c"))
+      .withColumn("sqq", floor(col("dx") * col("dx") * lit(1.0e12))
+        .cast("long"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum(col("sqq")).as("d2"))
+
+  /** Train the M×K codebook from a (vec_id, v) relation — the batch
+    * face's RNG-free recipe: salted-md5 top-K seeds, ONE Lloyd round
+    * (the measured knee, SCALING.md). Returns (sub, code, pos, c).
+    */
+  private def trainCodebook(spark: SparkSession, d: DataFrame): DataFrame = {
+    val qp = posRel(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = qp.select(col("vec_id")).distinct()
+        .withColumn("h", expr(
+          "cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+        .orderBy(col("h").asc, col("vec_id").asc).limit(pqK)
+        .withColumn("code", (row_number().over(
+          Window.orderBy(col("h").asc, col("vec_id").asc)) - 1).cast("int"))
+        .select(col("vec_id").as("seed_id"), col("code"))
+      val c0 = qp.join(broadcast(seeds), col("vec_id") === col("seed_id"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("xq").cast("double") / lit(1000000.0)).as("c"))
+      val wsub = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2").asc, col("code").asc)
+      val assign = pqD2(qp, c0).withColumn("rn", row_number().over(wsub))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      qp.join(assign, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(col("xq")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    } finally qp.unpersist()
+  }
+
+  /** The stored codebook, or None while no fold has trained one. Tiny
+    * (≤ K·D rows) — read whole, never pruned.
+    */
+  private def readCodebook(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/pqbook")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || LsmIndex.readOrEmpty(spark, p.toString,
+        pqbookSchema).isEmpty) None
+    else Some(spark.read.schema(pqbookSchema).parquet(p.toString)
+      .select(col("sub"), col("code"), col("pos"), col("c")))
+  }
+
+  /** The codebook to encode `gen` with: the stored one when present,
+    * else train from this (first) fold's vectors and publish it as the
+    * fold's own generation — deterministic, so a crashed-then-retried
+    * first fold re-trains identically and the keyed overwrite
+    * converges. Later folds ENCODE ONLY: codes stay comparable across
+    * generations because the codebook never moves after first publish
+    * (migration retrains from the full surviving corpus).
+    */
+  private def ensureCodebook(spark: SparkSession, stateDir: String,
+      d: DataFrame, gen: Long): DataFrame =
+    readCodebook(spark, stateDir).getOrElse {
+      val cent = trainCodebook(spark, d)
+      cent.withColumn("ingest", lit(gen))
+        .coalesce(1)
+        .write.partitionBy("ingest")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$stateDir/pqbook")
+      spark.catalog.refreshByPath(s"$stateDir/pqbook")
+      cent
+    }
+
+  /** Encode a (vec_id, v, nrm, vbucket) relation against a codebook:
+    * one row per vector with its M codes (argmin d2 per subspace,
+    * exact-integer, (d2, code) tie-break) as a sub-ordered array.
+    */
+  private def encodeRel(d: DataFrame, cent: DataFrame): DataFrame = {
+    val wsub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2").asc, col("code").asc)
+    val codes = pqD2(posRel(d), cent)
+      .withColumn("rn", row_number().over(wsub)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"),
+        col("code")))), x => x.getField("code")).as("codes"))
+    d.select(col("vec_id"), col("nrm"), col("vbucket"))
+      .join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("nrm"), col("vbucket"))
   }
 
   private def readOrEmpty(spark: SparkSession, dir: String,
@@ -573,7 +781,8 @@ object VecDupStream {
           .join(dupVecs.select(col("vec_id").as("dup_id"),
             col("v").as("vb"), col("nrm").as("nb")), Seq("dup_id"))
           .withColumn("sim",
-            expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+            expr("graft_dot(cast(va as array<double>), " +
+              "cast(vb as array<double>))") / (col("na") * col("nb")))
           .filter(col("sim") >= simFloor)
           .select(col("new_id"), col("dup_id"),
             floor(col("sim") * lit(1000000.0)).cast("long").as("sim_micro"))
@@ -602,6 +811,23 @@ object VecDupStream {
         .write.partitionBy("vbucket", "ingest")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(vecsDir)
+      // the compressed leg: encode this fold's vectors against the
+      // stored codebook (trained by the first fold — see
+      // ensureCodebook) and fold the codes under the same vbucket/sort
+      // layout; a crash between the vecs and pq writes drops the
+      // batch's codes from ADC pre-rank until the retry heals it (the
+      // candidate joins tolerate a missing pq row the same way they
+      // tolerate a missing vecs row)
+      val cent = ensureCodebook(spark, stateDir, dNew, batchId)
+      try {
+        encodeRel(dNew, cent).withColumn("ingest", lit(batchId))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("vbucket"))
+          .sortWithinPartitions(col("vbucket"), col("vec_id"))
+          .write.partitionBy("vbucket", "ingest")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$stateDir/pq")
+      } finally cent.unpersist()
       writeCountMarker(spark, stateDir, batchId, batchN)
       if (!idSpan.isNullAt(1))
         LsmIndex.HiWater(stateDir).record(spark, batchId,
@@ -637,8 +863,46 @@ object VecDupStream {
     * cardinality. Cache lifecycle is caller-owned (clearCache between
     * queries), and the returned plan is live.
     */
+  /** Candidate-bounded read of a vbucket-partitioned sub-table for an
+    * id set: collect up to [[verifyIdPushdownMax]] ids and push them
+    * down as (vbucket IN, vec_id IN) parquet predicates (dir prune +
+    * row-group prune on the vec_id sort); above the bound, fall back
+    * to a vbucket-pruned distributed semi-join. `ids` must be a
+    * single-column `vec_id` relation.
+    */
+  private def fetchForIds(spark: SparkSession, dir: String,
+      schema: StructType, ids: DataFrame,
+      precollected: Option[Array[Long]] = None): DataFrame = {
+    val sample = precollected.getOrElse(
+      ids.limit(verifyIdPushdownMax + 1).collect().map(_.getLong(0)))
+    val base = readOrEmpty(spark, dir, schema)
+    if (sample.isEmpty) base.filter(lit(false))
+    else if (sample.length <= verifyIdPushdownMax) {
+      val vbs = sample.map(i => Math.floorMod(i, nVecBuckets.toLong))
+        .distinct.toSeq
+      base.filter(col("vbucket").isin(vbs: _*) &&
+        col("vec_id").isin(sample.toSeq: _*))
+    } else {
+      val vbs = ids
+        .select(pmod(col("vec_id"), lit(nVecBuckets)).as("vbucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
+      base.filter(col("vbucket").isin(vbs: _*))
+        .join(ids, Seq("vec_id"), "left_semi")
+    }
+  }
+
   def queryTopK(spark: SparkSession, stateDir: String, queries: DataFrame,
-      k: Int = 3, exclude: Option[DataFrame] = None): DataFrame = {
+      k: Int = 3, exclude: Option[DataFrame] = None): DataFrame =
+    queryTopKTuned(spark, stateDir, queries, k, exclude,
+      adcEngageMin, adcExactTail)
+
+  /** [[queryTopK]] with the ADC thresholds exposed (private[graft] —
+    * the specs' seam for exercising the compressed leg on fixtures
+    * smaller than the production [[adcEngageMin]]).
+    */
+  private[graft] def queryTopKTuned(spark: SparkSession, stateDir: String,
+      queries: DataFrame, k: Int, exclude: Option[DataFrame],
+      engageMin: Int, exactTail: Int): DataFrame = {
     ensureLayout(spark, stateDir)
     val storedN = storedCount(spark, stateDir)
     val p = graft.operators.Similarity.lshAutoPlanes(math.max(storedN, 1L))
@@ -669,33 +933,67 @@ object VecDupStream {
         Seq("vec_id"), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("vec_id")).distinct()
-    val idSample = candIds.limit(verifyIdPushdownMax + 1)
-      .collect().map(_.getLong(0))
-    val vecsBase = readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
-    val side =
-      if (idSample.length <= verifyIdPushdownMax) {
-        val vbs = idSample.map(i => Math.floorMod(i, nVecBuckets.toLong))
-          .distinct.toSeq
-        vecsBase.filter(col("vbucket").isin(vbs: _*) &&
-          col("vec_id").isin(idSample.toSeq: _*))
-      } else {
-        val vbs = candIds
-          .select(pmod(col("vec_id"), lit(nVecBuckets)).as("vbucket"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
-        vecsBase.filter(col("vbucket").isin(vbs: _*))
-          .join(candIds, Seq("vec_id"), "left_semi")
-      }
+    val idSample = candIds.limit(verifyIdPushdownMax + 1).collect()
+      .map(_.getLong(0))
+    // ADC PRE-RANK (layout v3): when the candidate set is large enough
+    // to matter, rank candidates on their PQ codes (the ~20 B/row
+    // compressed leg) against the query's exact subvectors, and fetch
+    // raw float32 vectors only for the per-query top-`exactTail` — so
+    // verify-read bytes track the tail, not the candidate set. A query
+    // with ≤ exactTail candidates is never pruned: its results are
+    // bit-identical to the uncompressed path, which is what keeps the
+    // driver-checked oracle faces exact at demo scale while skewed or
+    // dup-heavy candidate sets get the compressed read at 100 TB.
+    val engage =
+      if (idSample.length <= engageMin) None
+      else readCodebook(spark, stateDir)
+    val verifySet = engage match {
+      case None => cand
+      case Some(cent) =>
+        val pqSide = fetchForIds(spark, s"$stateDir/pq", pqSchema, candIds,
+            Some(idSample))
+          .select(col("vec_id"), col("codes"), col("nrm")).distinct()
+        val qpos = queries.filter(col("embedding").isNotNull)
+          .select(col("query_id"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("pos", "x")))
+          .withColumn("sub", pmod(col("pos"), lit(pqM)).cast("int"))
+        // exact-integer query-side dot table: Σ_pos floor(x·c·1e12)
+        // per (query, sub, code) — deterministic integer sums, the
+        // same µ-grain discipline as every other scoring face
+        val dtab = qpos.join(broadcast(cent), Seq("sub", "pos"))
+          .withColumn("pp",
+            floor(col("x") * col("c") * lit(1.0e12)).cast("long"))
+          .groupBy(col("query_id"), col("sub"), col("code"))
+          .agg(sum(col("pp")).as("dd"))
+        val adc = cand.join(pqSide, Seq("vec_id"))
+          .select(col("query_id"), col("vec_id"), col("nrm"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(dtab, Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id"), col("nrm"))
+          .agg(sum(col("dd")).as("adot"))
+        val wa = Window.partitionBy(col("query_id"))
+          .orderBy((col("adot").cast("double") / col("nrm")).desc,
+            col("vec_id").asc)
+        adc.withColumn("arn", row_number().over(wa))
+          .filter(col("arn") <= exactTail)
+          .select(col("query_id"), col("vec_id"))
+    }
+    val side = fetchForIds(spark, s"$stateDir/vecs", vecsSchema,
+      verifySet.select(col("vec_id")).distinct(),
+      if (engage.isEmpty) Some(idSample) else None)
     val qv = queries.filter(col("embedding").isNotNull)
       .select(col("query_id"),
         col("embedding").cast("array<double>").as("vq"))
       .withColumn("nq", sqrt(expr("graft_dot(vq, vq)")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_micro").desc, col("vec_id").asc)
-    cand.join(side.select(col("vec_id"), col("v"), col("nrm")).distinct(),
+    verifySet
+      .join(side.select(col("vec_id"), col("v"), col("nrm")).distinct(),
         Seq("vec_id"))
       .join(qv, Seq("query_id"))
       .withColumn("sim_micro",
-        floor(expr("graft_dot(vq, v)") / (col("nq") * col("nrm"))
+        floor(expr(s"graft_dot(vq, $asDbl)") / (col("nq") * col("nrm"))
           * lit(1000000.0)).cast("long"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -113,6 +113,9 @@ class GateDeleteSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$state/buckets")
       .filter(col("vec_id").isin(3L, 7L)).count() == 0,
       "compaction must drop deleted vectors' bucket rows")
+    assert(spark.read.parquet(s"$state/pq")
+      .filter(col("vec_id").isin(3L, 7L)).count() == 0,
+      "compaction must drop deleted vectors' PQ-code rows")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/tombs")),
