@@ -2016,11 +2016,74 @@ object CorpusOps {
        |FROM pranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
 
+  /** dense_index_adc — the composed pipeline's dense retrieval leg
+    * served ENTIRELY through the vec gate's PQ-compressed read path
+    * (round 11): queries run [[graft.streaming.PipelineStream.denseTopK]]
+    * with ADC pre-rank force-engaged (engageMin = 0) at a covering
+    * exact-verify tail, so the codebook read, candidate code fetch,
+    * exact-integer ADC table, pre-rank window, and tail-bounded raw
+    * float32 fetch all sit on the oracle path. The covering tail makes
+    * the compressed path bit-identical to exact by construction
+    * (nothing is pruned — PqLegSpec pins the same equality at the
+    * plan-metrics level), so the oracle is the dense-leg SQL of the
+    * hybrid chain: LSH candidates at corpus-derived width, curation
+    * drop set excluded, exact cosine, top-k.
+    */
+  def denseIndexAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = pipeRootFor(spark, sfDir)
+    val qs = pipelineCorpus(spark, sfDir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("embedding"))
+    canon(graft.streaming.PipelineStream.denseTopK(spark, root, qs))
+  }
+
+  val denseIndexAdcSql: String =
+    s"""WITH $pipelineKeptCtes,
+       |qv AS (
+       |  SELECT doc_id AS query_id, v FROM corpus
+       |  WHERE source = 'src0' AND v IS NOT NULL),
+       |vbq AS (SELECT vec_id, tbl,
+       |          bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
+       |        FROM b32, psel),
+       |qb32 AS (
+       |  ${lshBucketTablesSql("qv", "query_id AS vec_id")}),
+       |qvb AS (SELECT vec_id AS query_id, tbl,
+       |          bucket32 & ((CAST(1 AS BIGINT) << p) - 1) AS bucket
+       |        FROM qb32, psel),
+       |qprobes AS (
+       |  SELECT query_id, tbl, bucket FROM qvb
+       |  UNION ALL
+       |  SELECT b.query_id, b.tbl,
+       |    xor(b.bucket, CAST(1 AS BIGINT) << g.i) AS bucket
+       |  FROM qvb b CROSS JOIN (
+       |    SELECT unnest(generate_series(0, (SELECT p - 1 FROM psel)))
+       |      AS i) g),
+       |dcand AS (
+       |  SELECT DISTINCT pr.query_id, s.vec_id
+       |  FROM qprobes pr JOIN vbq s ON pr.tbl = s.tbl AND pr.bucket = s.bucket
+       |  WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)),
+       |dsim AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(floor(list_dot_product(q.v, s.v)
+       |        / (sqrt(list_dot_product(q.v, q.v))
+       |           * sqrt(list_dot_product(s.v, s.v)))
+       |      * 1000000.0) AS BIGINT) AS sim_micro
+       |  FROM dcand c JOIN qv q ON c.query_id = q.query_id
+       |  JOIN ev s ON c.vec_id = s.vec_id),
+       |dranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_micro DESC, vec_id ASC) AS rank
+       |  FROM dsim)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sim_micro
+       |FROM dranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "vec_id", "sim_micro"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
     "bm25_index_topk" -> bm25IndexTopk,
     "hybrid_topk" -> hybridTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
+    "dense_index_adc" -> denseIndexAdc,
     "phrase_match" -> phraseMatch,
     "phrase_index_match" -> phraseIndexMatch,
     "phrase_index_kept" -> phraseIndexKept,
@@ -2054,6 +2117,7 @@ object CorpusOps {
     "bm25_index_topk" -> bm25TopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,
+    "dense_index_adc" -> denseIndexAdcSql,
     "phrase_match" -> phraseMatchSql,
     "phrase_index_match" -> phraseMatchSql,
     "phrase_index_kept" -> phraseIndexKeptSql,

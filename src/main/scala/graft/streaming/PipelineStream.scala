@@ -113,6 +113,24 @@ object PipelineStream {
     graft.Tables.canon(graft.operators.CorpusOps.rrfFuse(sparse, dense))
   }
 
+  /** The hybrid face's DENSE LEG alone — ranked ANN over the vector
+    * gate's LSM index, curation drop set excluded before ranking —
+    * with the PQ/ADC thresholds exposed (round 11): the driver-checked
+    * oracle row `dense_index_adc` runs it FULLY ENGAGED (engageMin =
+    * 0) at a covering tail, so the compressed leg — codebook read,
+    * candidate code fetch, exact-integer ADC table, pre-rank window,
+    * tail-bounded raw fetch — is oracle-checked bit-identical against
+    * the exact dense-leg SQL, not just spec-pinned.
+    */
+  def denseTopK(spark: SparkSession, rootDir: String, queries: DataFrame,
+      engageMin: Int = 0, exactTail: Int = 1 << 20): DataFrame = {
+    val dropped = CurationStream.pairLog(spark, rootDir)
+      .select(col("new_id").as("vec_id")).distinct()
+    VecDupStream.queryTopKTuned(spark, s"$rootDir/vec_state",
+      queries.select(col("query_id"), col("embedding")),
+      graft.operators.CorpusOps.bm25K, Some(dropped), engageMin, exactTail)
+  }
+
   /** DELETE documents from the WHOLE pipeline — right-to-be-forgotten
     * across all three LSM states in one call: the retrieval index
     * (BM25/phrase/NEAR stop answering with the doc, idf/avgdl/df
