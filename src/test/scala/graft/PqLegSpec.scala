@@ -146,6 +146,8 @@ class PqLegSpec extends SparkSpecBase {
     val top = key(tailed).head
     assert(top._3 == 2000L && top._4 >= 999999L,
       s"exact dup must survive the tail and rank first: ${key(tailed)}")
+    info(s"vecs-scan rows: exact=$exactVecsRows tail8=$tailVecsRows " +
+      s"(collapse ${exactVecsRows / math.max(tailVecsRows, 1L)}x)")
 
     // 4. second fold encodes against the FIRST fold's codebook — one
     // pqbook generation, and cross-fold queries still work
