@@ -1597,16 +1597,36 @@ object CorpusOps {
     * doc_id, rank_sparse) and (query_id, doc_id, rank_dense).
     */
   private[graft] def rrfFuse(sparse: DataFrame,
-      dense: DataFrame): DataFrame = {
-    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      dense: DataFrame): DataFrame = rrfFuseLegs(Seq(sparse, dense))
+
+  /** N-leg RRF fusion (round 11 — the proximity leg made fusion
+    * arity-generic): each leg carries (query_id, doc_id, rank_<leg>)
+    * with a distinct rank column name; legs are chained full-outer on
+    * (query_id, doc_id) — the using-column join coalesces the keys,
+    * so the chain is the SQL `coalesce`-key pattern exactly — and
+    * every candidate's grade is Σ over legs of
+    * ⌊10⁶/(rrfConst + rank_leg)⌋ (0 for a leg that missed it), in
+    * exact integer µ-units. `n_legs` counts supporting legs, the
+    * agreement signal consumers threshold on. For two legs this is
+    * bit-identical to the round-9 fusion (same joins, same integer
+    * arithmetic), which is what keeps the existing hybrid oracle rows
+    * green under the generalization.
+    */
+  private[graft] def rrfFuseLegs(legs: Seq[DataFrame]): DataFrame = {
+    require(legs.nonEmpty, "rrfFuseLegs needs at least one leg")
+    val joined = legs.reduce(
+      _.join(_, Seq("query_id", "doc_id"), "full_outer"))
+    val rankCols = joined.columns.filter(_.startsWith("rank_")).toSeq
+    require(rankCols.length == legs.length,
+      s"each leg must carry exactly one rank_* column, got $rankCols")
+    val fused = joined
       .withColumn("rrf_micro",
-        coalesce(expr(s"cast(1000000 div ($rrfConst + rank_sparse) as bigint)"),
-          lit(0L)) +
-        coalesce(expr(s"cast(1000000 div ($rrfConst + rank_dense) as bigint)"),
-          lit(0L)))
+        rankCols.map(c =>
+          coalesce(expr(s"cast(1000000 div ($rrfConst + $c) as bigint)"),
+            lit(0L))).reduce(_ + _))
       .withColumn("n_legs",
-        (when(col("rank_sparse").isNotNull, 1).otherwise(0) +
-          when(col("rank_dense").isNotNull, 1).otherwise(0)).cast("int"))
+        rankCols.map(c => when(col(c).isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("int"))
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_micro").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(wf))
@@ -1850,7 +1870,8 @@ object CorpusOps {
     * With no slice, `pselq` degenerates to `psel` and this is the
     * round-9 hybrid_index_topk oracle unchanged in meaning.
     */
-  private def hybridIndexSqlFor(slice: Option[String]): String = {
+  private def hybridIndexSqlFor(slice: Option[String],
+      prox: Boolean = false): String = {
     val keptRel = slice.fold("kept")(s =>
       s"(SELECT doc_id, text FROM kept WHERE NOT (${s.format("doc_id")}))")
     val pselq = slice.fold("pselq AS (SELECT p FROM psel)")(s =>
@@ -1909,16 +1930,35 @@ object CorpusOps {
        |        ORDER BY sim_micro DESC, doc_id ASC) AS rank_dense
        |    FROM dsim)
        |  WHERE rank_dense <= $bm25K),
-       |fused AS (
-       |  SELECT coalesce(s.query_id, de.query_id) AS query_id,
-       |    coalesce(s.doc_id, de.doc_id) AS doc_id,
+       |${if (!prox) "" else
+          s"""${nearCtes(keptRel,
+               "(SELECT doc_id, text FROM corpus WHERE source = 'src0')",
+               sloppy = true)},
+             |prox AS (
+             |  SELECT query_id, doc_id, rank AS rank_prox FROM nranked
+             |  WHERE rank <= $bm25K),
+             |""".stripMargin}fused AS (
+       |  SELECT coalesce(s.query_id, de.query_id${
+           if (prox) ", px.query_id" else ""}) AS query_id,
+       |    coalesce(s.doc_id, de.doc_id${
+           if (prox) ", px.doc_id" else ""}) AS doc_id,
        |    CAST(coalesce(1000000 // ($rrfConst + s.rank_sparse), 0)
-       |       + coalesce(1000000 // ($rrfConst + de.rank_dense), 0)
+       |       + coalesce(1000000 // ($rrfConst + de.rank_dense), 0)${
+           if (prox)
+             s"\n       + coalesce(1000000 // ($rrfConst + px.rank_prox), 0)"
+           else ""}
        |      AS BIGINT) AS rrf_micro,
        |    CAST((s.rank_sparse IS NOT NULL)::INT
-       |       + (de.rank_dense IS NOT NULL)::INT AS INT) AS n_legs
+       |       + (de.rank_dense IS NOT NULL)::INT${
+           if (prox) "\n       + (px.rank_prox IS NOT NULL)::INT"
+           else ""} AS INT) AS n_legs
        |  FROM sparse s FULL OUTER JOIN dense de
-       |    ON s.query_id = de.query_id AND s.doc_id = de.doc_id),
+       |    ON s.query_id = de.query_id AND s.doc_id = de.doc_id${
+           if (prox)
+             s"""\n  FULL OUTER JOIN prox px
+                |    ON coalesce(s.query_id, de.query_id) = px.query_id
+                |   AND coalesce(s.doc_id, de.doc_id) = px.doc_id""".stripMargin
+           else ""}),
        |franked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY rrf_micro DESC, doc_id ASC) AS rank
@@ -1930,6 +1970,29 @@ object CorpusOps {
   }
 
   val hybridIndexTopkSql: String = hybridIndexSqlFor(None)
+
+  /** hybrid_prox_topk — THREE-LEG hybrid retrieval over the composed
+    * pipeline (round 11, roadmap "proximity leg in hybrid fusion"):
+    * [[hybridIndexTopk]]'s sparse (kept-corpus BM25) and dense
+    * (vec-gate LSM, drop set excluded) legs plus a PROXIMITY leg —
+    * sloppy-frequency NEAR over the kept positional index (Σ
+    * ⌊10⁶/(1+slop)⌋ per doc, Lucene's sloppy-phrase grade) — fused by
+    * the arity-generic shared RRF (rrfFuseLegs). The oracle re-derives
+    * all three legs AND the keep set in SQL: the shared kept CTEs,
+    * the BM25 chain, the dense LSH emulation, and the same
+    * length-generic window-merge NEAR chain the standalone
+    * `near_sloppy` rows pin — then the 3-way coalesce-key full-outer
+    * fusion in exact integer µ-units.
+    */
+  def hybridProxTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = pipeRootFor(spark, sfDir)
+    val qs = pipelineCorpus(spark, sfDir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"), col("embedding"))
+    graft.streaming.PipelineStream.hybridProxTopK(spark, root, qs)
+  }
+
+  val hybridProxTopkSql: String = hybridIndexSqlFor(None, prox = true)
 
   /** The deleted slice of the composed-pipeline delete face: every
     * 11th train doc (pmod 3), deleted AFTER the pipeline indexed the
@@ -2037,7 +2100,31 @@ object CorpusOps {
     canon(graft.streaming.PipelineStream.denseTopK(spark, root, qs))
   }
 
-  val denseIndexAdcSql: String =
+  val denseIndexAdcSql: String = denseLegSqlFor("")
+
+  /** dense_index_filtered — FILTERED ANN over the composed pipeline's
+    * vector index (round 11): the dense leg constrained to an ALLOW
+    * set (here: train docs from three named sources — the "top-k among
+    * docs from source X" shape a metadata-constrained RAG query runs),
+    * applied to candidates BEFORE ranking so the constrained list is
+    * full-depth over the allowed subset, never a post-filtered stub.
+    * Runs through the same force-engaged compressed leg as
+    * dense_index_adc, so allow × ADC compose on the oracle path.
+    */
+  private val denseAllowSources = Seq("src1", "src2", "src3")
+
+  def denseIndexFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = pipeRootFor(spark, sfDir)
+    val corpus = pipelineCorpus(spark, sfDir)
+    val qs = corpus.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("embedding"))
+    val allow = corpus.filter(col("source").isin(denseAllowSources: _*))
+      .select(col("doc_id").as("vec_id"))
+    canon(graft.streaming.PipelineStream.denseTopK(spark, root, qs,
+      allow = Some(allow)))
+  }
+
+  private def denseLegSqlFor(candExtra: String): String =
     s"""WITH $pipelineKeptCtes,
        |qv AS (
        |  SELECT doc_id AS query_id, v FROM corpus
@@ -2061,7 +2148,7 @@ object CorpusOps {
        |dcand AS (
        |  SELECT DISTINCT pr.query_id, s.vec_id
        |  FROM qprobes pr JOIN vbq s ON pr.tbl = s.tbl AND pr.bucket = s.bucket
-       |  WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)),
+       |  WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)$candExtra),
        |dsim AS (
        |  SELECT c.query_id, c.vec_id,
        |    CAST(floor(list_dot_product(q.v, s.v)
@@ -2078,12 +2165,18 @@ object CorpusOps {
        |FROM dranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "vec_id", "sim_micro"))}""".stripMargin
 
+  val denseIndexFilteredSql: String = denseLegSqlFor(
+    "\n      AND s.vec_id IN (SELECT doc_id FROM corpus WHERE source IN (" +
+      denseAllowSources.map(s => s"'$s'").mkString(", ") + "))")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
     "bm25_index_topk" -> bm25IndexTopk,
     "hybrid_topk" -> hybridTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
+    "hybrid_prox_topk" -> hybridProxTopk,
     "dense_index_adc" -> denseIndexAdc,
+    "dense_index_filtered" -> denseIndexFiltered,
     "phrase_match" -> phraseMatch,
     "phrase_index_match" -> phraseIndexMatch,
     "phrase_index_kept" -> phraseIndexKept,
@@ -2117,7 +2210,9 @@ object CorpusOps {
     "bm25_index_topk" -> bm25TopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,
+    "hybrid_prox_topk" -> hybridProxTopkSql,
     "dense_index_adc" -> denseIndexAdcSql,
+    "dense_index_filtered" -> denseIndexFilteredSql,
     "phrase_match" -> phraseMatchSql,
     "phrase_index_match" -> phraseMatchSql,
     "phrase_index_kept" -> phraseIndexKeptSql,

@@ -135,8 +135,11 @@ object CurationStream {
 
   /** Both gates' cadence rule in one call (see
     * NearDupStream.defaultMaxGenerations): compact whichever state has
-    * accreted ≥ maxGen generations in its worst partition dir. Returns
-    * whether either compaction ran.
+    * accreted ≥ maxGen generations in its worst partition dir, and
+    * (round 11) consolidate either EMISSION log once it has accreted
+    * ≥ maxGen `batch_id=` partitions — the logs grow one dir per
+    * batch forever, the same generation-count pressure one level up
+    * (LsmIndex.compactEmissions). Returns whether any compaction ran.
     */
   def compactIfDue(spark: SparkSession, rootDir: String,
       targetFileBytes: Long,
@@ -145,7 +148,11 @@ object CurationStream {
       targetFileBytes, maxGen)
     val v = VecDupStream.compactIfDue(spark, vecState(rootDir),
       targetFileBytes, maxGen)
-    t || v
+    val to = LsmIndex.compactEmissions(spark, txtOut(rootDir),
+      txtOutSchema, targetFileBytes, minDirs = maxGen)._1 > 0
+    val vo = LsmIndex.compactEmissions(spark, vecOut(rootDir),
+      vecOutSchema, targetFileBytes, minDirs = maxGen)._1 > 0
+    t || v || to || vo
   }
 
   /** File-source streaming runner over (doc_id, text, embedding,

@@ -279,6 +279,73 @@ private[graft] object LsmIndex {
     (parts, before, after)
   }
 
+  /** EMISSION-LOG COMPACTION (round 11, roadmap item): the gates'
+    * flagged-pair logs are written `outDir/batch_id=<id>/` — one dir
+    * per micro-batch, forever — so a long-lived stream's verdict reads
+    * ([[KeepResolve]] over the log) pay a file-listing fan-in linear
+    * in BATCH COUNT, not data size: the same generation-count pressure
+    * [[compact]] bounds for state sub-tables, one level up.
+    *
+    * This pass consolidates every `batch_id=` partition into a single
+    * deduped `batch_id=-1` partition (the `ingest=-1` convention),
+    * sized to `targetFileBytes`, under [[compact]]'s exact crash
+    * contract: staging write + row-count verify BEFORE any delete,
+    * then the two-rename swap. The ORIGINAL batch ids are physical
+    * idempotence keys, not data — every consumer either aggregates
+    * over the whole log (KeepResolve min-partner, the verdict flags,
+    * the drop sets — all duplicate-tolerant) or filters to the
+    * CURRENT batch's freshly-written partition; like [[compact]], run
+    * it between stream runs against a cleanly stopped checkpoint. A
+    * batch re-delivered AFTER its partition was consolidated away
+    * re-emits under its own `batch_id=` (the gates recompute the same
+    * pairs against the accumulated state) and the read-side
+    * duplicate tolerance converges — the duplicate bytes persist
+    * until the next consolidation, exactly the state sub-tables'
+    * re-delivery-after-compaction story.
+    *
+    * Returns (batchDirsBefore, filesBefore, filesAfter); (0, 0, 0)
+    * when fewer than `minDirs` partitions exist (no-op — bounding a
+    * one-batch log would only churn bytes).
+    */
+  def compactEmissions(spark: SparkSession, outDir: String,
+      schema: StructType, targetFileBytes: Long,
+      minDirs: Int = 2): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0, 0)
+    val dirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (dirs.size < minDirs) return (0, 0, 0)
+    val files = dataFilesOf(fs, root)
+    val dataCols = schema.fieldNames.toSeq.filterNot(_ == "batch_id")
+    // distinct over the DATA columns: a pair is emitted exactly once —
+    // in the batch its new_id arrived (HiWater forbids re-arrival), so
+    // the only collapsible duplicates are replay copies of the same row
+    val merged = spark.read.schema(schema).parquet(outDir)
+      .select(dataCols.map(col): _*).distinct()
+    val expected = merged.count()
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val staging = new org.apache.hadoop.fs.Path(outDir + "_compact_staging")
+    val retired = new org.apache.hadoop.fs.Path(outDir + "_pre_compact")
+    fs.delete(staging, true); fs.delete(retired, true)
+    merged.repartition(nOut)
+      .sortWithinPartitions(dataCols.map(col): _*)
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").parquet(staging.toString)
+    val got = spark.read.schema(schema).parquet(staging.toString).count()
+    require(got == expected,
+      s"emission compaction staging lost rows ($got != $expected) for " +
+        s"$outDir; original untouched")
+    require(fs.rename(root, retired), s"rename $root -> $retired failed")
+    require(fs.rename(staging, root), s"rename $staging -> $root failed")
+    fs.delete(retired, true)
+    spark.catalog.refreshByPath(outDir)
+    (dirs.size, files.size, dataFilesOf(fs, root).size)
+  }
+
   /** The stamped layout version of a state root, if any. */
   def readLayout(spark: SparkSession, stateDir: String): Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -113,6 +113,39 @@ object PipelineStream {
     graft.Tables.canon(graft.operators.CorpusOps.rrfFuse(sparse, dense))
   }
 
+  /** THREE-LEG HYBRID RETRIEVAL (round 11): [[hybridTopK]]'s sparse
+    * and dense legs plus a PROXIMITY leg — sloppy-frequency NEAR over
+    * the kept-corpus positional index ([[IndexStream.queryNear]] with
+    * `sloppy = true`: Σ ⌊10⁶/(1+slop)⌋ per document, the Lucene
+    * sloppy-phrase grade) — fused by the arity-generic shared RRF
+    * (CorpusOps.rrfFuseLegs). Phrase-proximity evidence is the signal
+    * the other two legs can't see: BM25 is bag-of-words (order-blind)
+    * and the dense leg is whole-document geometry, so a document
+    * carrying the query's leading terms adjacent and in order gets a
+    * third independent vote. All three legs are served from the
+    * pipeline's accumulated LSM state — no batch-side corpus scan.
+    */
+  def hybridProxTopK(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame = {
+    val sparse = IndexStream.queryTopK(spark, ridxState(rootDir),
+        queries.select(col("query_id"), col("text")))
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_sparse"))
+    val dropped = CurationStream.pairLog(spark, rootDir)
+      .select(col("new_id").as("vec_id")).distinct()
+    val dense = VecDupStream.queryTopK(spark, s"$rootDir/vec_state",
+        queries.select(col("query_id"), col("embedding")),
+        k = graft.operators.CorpusOps.bm25K, exclude = Some(dropped))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    val prox = IndexStream.queryNear(spark, ridxState(rootDir),
+        queries.select(col("query_id"), col("text")), sloppy = true)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_prox"))
+    graft.Tables.canon(graft.operators.CorpusOps.rrfFuseLegs(
+      Seq(sparse, dense, prox)))
+  }
+
   /** The hybrid face's DENSE LEG alone — ranked ANN over the vector
     * gate's LSM index, curation drop set excluded before ranking —
     * with the PQ/ADC thresholds exposed (round 11): the driver-checked
@@ -122,13 +155,18 @@ object PipelineStream {
     * tail-bounded raw fetch — is oracle-checked bit-identical against
     * the exact dense-leg SQL, not just spec-pinned.
     */
+  /** `allow` (optional): metadata-constrained retrieval — only these
+    * vec_ids may rank (applied before ranking, after the drop set).
+    */
   def denseTopK(spark: SparkSession, rootDir: String, queries: DataFrame,
-      engageMin: Int = 0, exactTail: Int = 1 << 20): DataFrame = {
+      engageMin: Int = 0, exactTail: Int = 1 << 20,
+      allow: Option[DataFrame] = None): DataFrame = {
     val dropped = CurationStream.pairLog(spark, rootDir)
       .select(col("new_id").as("vec_id")).distinct()
     VecDupStream.queryTopKTuned(spark, s"$rootDir/vec_state",
       queries.select(col("query_id"), col("embedding")),
-      graft.operators.CorpusOps.bm25K, Some(dropped), engageMin, exactTail)
+      graft.operators.CorpusOps.bm25K, Some(dropped), engageMin, exactTail,
+      allow)
   }
 
   /** DELETE documents from the WHOLE pipeline — right-to-be-forgotten

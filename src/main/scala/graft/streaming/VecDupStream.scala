@@ -891,10 +891,22 @@ object VecDupStream {
     }
   }
 
+  /** `allow` (round 11 — FILTERED ANN, the other half of the
+    * candidate-set algebra `exclude` started): when present, only
+    * vec_ids IN the allow relation may rank — the metadata-constrained
+    * retrieval a RAG pipeline runs ("top-k among docs from source X /
+    * tenant Y / after date D"). Applied to candidates BEFORE ranking
+    * (like exclude), so a constrained query returns a full-depth
+    * ranked list over the allowed subset instead of a post-filtered
+    * stub. Semi-join shape: the allow set is usually a metadata
+    * predicate's id projection — broadcast when small, shuffled
+    * semi-join when not; candidates stay LSH-bounded either way.
+    */
   def queryTopK(spark: SparkSession, stateDir: String, queries: DataFrame,
-      k: Int = 3, exclude: Option[DataFrame] = None): DataFrame =
+      k: Int = 3, exclude: Option[DataFrame] = None,
+      allow: Option[DataFrame] = None): DataFrame =
     queryTopKTuned(spark, stateDir, queries, k, exclude,
-      adcEngageMin, adcExactTail)
+      adcEngageMin, adcExactTail, allow)
 
   /** [[queryTopK]] with the ADC thresholds exposed (private[graft] —
     * the specs' seam for exercising the compressed leg on fixtures
@@ -902,7 +914,8 @@ object VecDupStream {
     */
   private[graft] def queryTopKTuned(spark: SparkSession, stateDir: String,
       queries: DataFrame, k: Int, exclude: Option[DataFrame],
-      engageMin: Int, exactTail: Int): DataFrame = {
+      engageMin: Int, exactTail: Int,
+      allow: Option[DataFrame] = None): DataFrame = {
     ensureLayout(spark, stateDir)
     val storedN = storedCount(spark, stateDir)
     val p = graft.operators.Similarity.lshAutoPlanes(math.max(storedN, 1L))
@@ -928,9 +941,12 @@ object VecDupStream {
     val cand0 = minusTombs(spark, stateDir,
       probes.join(known, Seq("tbl", "mb"))
         .select(col("query_id"), col("vec_id")).distinct())
-    val cand = exclude.fold(cand0)(ex =>
+    val cand1 = exclude.fold(cand0)(ex =>
       cand0.join(ex.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti"))
+    val cand = allow.fold(cand1)(al =>
+      cand1.join(al.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("vec_id")).distinct()
     val idSample = candIds.limit(verifyIdPushdownMax + 1).collect()
@@ -999,6 +1015,161 @@ object VecDupStream {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         col("sim_micro"))
+  }
+
+  /** CODEBOOK DRIFT METRIC (round 11, roadmap item): the PQ codebook
+    * trains ONCE on the first fold and is frozen so codes stay
+    * comparable across generations — which means a corpus whose
+    * embedding distribution MOVES quantizes progressively worse, and
+    * the ADC pre-rank silently degrades toward random until a
+    * migration retrains. This maintenance metric makes that staleness
+    * observable: per ingest generation, the mean exact-integer
+    * quantization error (pqD2's d2 units — Σ over dimensions of
+    * ⌊(x−c)²·10¹²⌋) of a deterministic per-generation sample of
+    * stored vectors against their STORED code assignments. The stored
+    * assignment is the frozen codebook's argmin, so this IS the best
+    * the frozen book can do — a later generation whose `mean_d2` sits
+    * well above the training-era generations' is the retrain signal
+    * (`migrateState` retrains from the full surviving corpus).
+    *
+    * Cost contract: the sample ids come from a column-pruned scan of
+    * the small `pq` sub-table (vec_id, ingest only — never the raw
+    * vectors), md5-ordered per generation (deterministic, RNG-free)
+    * and capped at `samplePerGen`; raw vectors and codes are then
+    * fetched by the id-pushdown read ([[fetchForIds]]: vbucket dir
+    * prune + vec_id row-group prune), so the metric reads
+    * O(generations × samplePerGen) rows of each sub-table, never the
+    * index. Output: (ingest, n_sampled, mean_d2, train_gen) — one row
+    * per surviving generation, ascending; empty while no codebook
+    * exists. `train_gen` is the pqbook generation id (−1 after a
+    * compaction merged it; the comparison baseline is then simply the
+    * earliest generations).
+    */
+  def codebookDrift(spark: SparkSession, stateDir: String,
+      samplePerGen: Int = 256): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("ingest", LongType),
+        StructField("n_sampled", LongType, nullable = false),
+        StructField("mean_d2", LongType),
+        StructField("train_gen", LongType))))
+    readCodebook(spark, stateDir) match {
+      case None => emptyOut
+      case Some(cent) =>
+        val trainGen = spark.read.schema(pqbookSchema)
+          .parquet(s"$stateDir/pqbook")
+          .select(col("ingest")).head().getLong(0)
+        val wg = Window.partitionBy(col("ingest"))
+          .orderBy(col("h").asc, col("vec_id").asc)
+        val sampled = minusTombs(spark, stateDir,
+            readOrEmpty(spark, s"$stateDir/pq", pqSchema)
+              .select(col("vec_id"), col("ingest")))
+          .withColumn("h", expr("cast(conv(substr(md5(cast(vec_id as " +
+            "string)), 1, 8), 16, 10) as bigint)"))
+          .withColumn("rn", row_number().over(wg))
+          .filter(col("rn") <= samplePerGen)
+          .select(col("vec_id"), col("ingest"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idArr = sampled.select(col("vec_id"))
+          .limit(verifyIdPushdownMax).collect().map(_.getLong(0))
+        val ids = sampled.select(col("vec_id"))
+        val qp = posRel(fetchForIds(spark, s"$stateDir/vecs", vecsSchema,
+          ids, Some(idArr)).select(col("vec_id"), col("v")))
+        val codes = fetchForIds(spark, s"$stateDir/pq", pqSchema,
+            ids, Some(idArr))
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+        val err = qp.join(codes, Seq("vec_id", "sub"))
+          .join(broadcast(cent), Seq("sub", "code", "pos"))
+          .withColumn("dx",
+            col("xq").cast("double") / lit(1000000.0) - col("c"))
+          .withColumn("sqq",
+            floor(col("dx") * col("dx") * lit(1.0e12)).cast("long"))
+          .groupBy(col("vec_id")).agg(sum(col("sqq")).as("d2"))
+        sampled.join(err, Seq("vec_id"))
+          .groupBy(col("ingest"))
+          .agg(count(lit(1)).as("n_sampled"),
+            floor(avg(col("d2"))).cast("long").as("mean_d2"))
+          .withColumn("train_gen", lit(trainGen))
+          .orderBy(col("ingest").asc)
+    }
+  }
+
+  /** CODEBOOK RETRAIN (round 11 — the drift metric's remedy): retrain
+    * the PQ codebook from the FULL surviving corpus and re-encode
+    * every stored vector against it, without the layout-version bump
+    * [[migrateState]] requires. One pass over `vecs` (inherent to
+    * retraining) producing a consolidated `ingest=-1` `pq` generation
+    * plus the new `pqbook`; the per-query read path is untouched.
+    *
+    * Crash contract: both replacements stage fully and row-count
+    * verify BEFORE any swap (original untouched up to that point); a
+    * `_RETRAIN_PENDING` marker brackets the two renames, and because
+    * the whole operation is deterministic (RNG-free training) and
+    * keyed by full replacement, re-running `retrainCodebook` after a
+    * crash converges — the marker makes the interruption observable.
+    * Inside the window between the two swaps the codes and book can
+    * mismatch; that degrades the ADC PRE-RANK only (the same
+    * quality-not-correctness class as the drift being repaired —
+    * exact verify still scores true vectors; results change only
+    * where tail pruning was already engaged), and the retry repairs
+    * it. Returns false (no-op) while the state has no codebook or no
+    * vectors.
+    */
+  def retrainCodebook(spark: SparkSession, stateDir: String): Boolean = {
+    ensureLayout(spark, stateDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pqRoot = new org.apache.hadoop.fs.Path(s"$stateDir/pq")
+    val bookRoot = new org.apache.hadoop.fs.Path(s"$stateDir/pqbook")
+    val fs = pqRoot.getFileSystem(conf)
+    if (readCodebook(spark, stateDir).isEmpty) return false
+    val raw = minusTombs(spark, stateDir,
+        readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
+          .select(col("vec_id"), col("v"), col("nrm"), col("vbucket"))
+          .distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val expected = raw.count()
+      if (expected == 0L) return false
+      val cent = trainCodebook(spark, raw.select(col("vec_id"), col("v")))
+      val bookStaging = new org.apache.hadoop.fs.Path(
+        s"$stateDir/pqbook_retrain_staging")
+      val pqStaging = new org.apache.hadoop.fs.Path(
+        s"$stateDir/pq_retrain_staging")
+      val bookPre = new org.apache.hadoop.fs.Path(
+        s"$stateDir/pqbook_pre_retrain")
+      val pqPre = new org.apache.hadoop.fs.Path(s"$stateDir/pq_pre_retrain")
+      Seq(bookStaging, pqStaging, bookPre, pqPre)
+        .foreach(p => fs.delete(p, true))
+      cent.withColumn("ingest", lit(-1L)).coalesce(1)
+        .write.partitionBy("ingest").parquet(bookStaging.toString)
+      encodeRel(raw, cent)
+        .repartition(col("vbucket"))
+        .sortWithinPartitions(col("vbucket"), col("vec_id"))
+        .withColumn("ingest", lit(-1L))
+        .write.partitionBy("vbucket", "ingest").parquet(pqStaging.toString)
+      val got = spark.read.schema(pqSchema).parquet(pqStaging.toString)
+        .count()
+      require(got == expected,
+        s"retrain staging lost rows ($got != $expected) for $pqRoot; " +
+          "original untouched")
+      val pending = new org.apache.hadoop.fs.Path(
+        s"$stateDir/_RETRAIN_PENDING")
+      fs.create(pending, true).close()
+      require(fs.rename(bookRoot, bookPre) &&
+        fs.rename(bookStaging, bookRoot),
+        s"pqbook swap failed for $stateDir")
+      require(fs.rename(pqRoot, pqPre) && fs.rename(pqStaging, pqRoot),
+        s"pq swap failed for $stateDir")
+      Seq(bookPre, pqPre).foreach(p => fs.delete(p, true))
+      fs.delete(pending, false)
+      spark.catalog.refreshByPath(bookRoot.toString)
+      spark.catalog.refreshByPath(pqRoot.toString)
+      cent.unpersist()
+      true
+    } finally raw.unpersist()
   }
 
   def keepDecisions(spark: SparkSession, stateDir: String,

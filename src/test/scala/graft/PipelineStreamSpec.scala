@@ -163,6 +163,31 @@ class PipelineStreamSpec extends SparkSpecBase {
     assert(!byDoc.contains(11L),
       s"hybrid surfaced a curation-dropped doc: $hybrid")
 
+    // THREE-LEG hybrid (round 11): a query whose leading bigram sits
+    // ADJACENT in doc 12 ("xzmaterial about" in t6), whose words match
+    // it, and whose embedding matches it gets all three votes — n_legs
+    // = 3 — and the curation-dropped doc 11 still never appears (the
+    // prox leg reads the kept index, which never held it)
+    val pq = Seq((906L, "xzmaterial about telescopes", unit(9)))
+      .toDF("query_id", "text", "embedding")
+    val proxed = PipelineStream.hybridProxTopK(spark, state, pq)
+      .collect().map(r => (r.getLong(2), r.getInt(4))).toMap
+    assert(proxed.get(12L).contains(3),
+      s"doc 12 must carry all three legs' votes: $proxed")
+    assert(!proxed.contains(11L),
+      s"three-leg hybrid surfaced a curation-dropped doc: $proxed")
+    // two-leg and three-leg fusion agree where the prox leg abstains:
+    // a query with no ordered co-occurrence anywhere ranks identically
+    // under both (the third leg contributes 0 to every candidate)
+    val nq = Seq((907L, "unseenz xzmaterial", unit(5)))
+      .toDF("query_id", "text", "embedding")
+    val two = PipelineStream.hybridTopK(spark, state, nq)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val three = PipelineStream.hybridProxTopK(spark, state, nq)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(two == three,
+      s"prox-abstaining fusion must equal two-leg fusion: $two vs $three")
+
     // one-legged queries degrade instead of erroring: a null text
     // answers from the dense leg alone, a null embedding from the
     // sparse leg alone (each leg filters its own nulls; the fusion is

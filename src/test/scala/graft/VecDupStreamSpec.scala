@@ -175,6 +175,17 @@ class VecDupStreamSpec extends SparkSpecBase {
     assert(!got2.contains(2L),
       s"excluded candidate leaked into the ranking: $got2")
 
+    // allow (filtered ANN): only the allowed subset ranks, and the
+    // constrained list is full-depth (contiguous ranks from 1), not a
+    // post-filtered stub with holes
+    val got3 = VecDupStream.queryTopK(spark, state, probe,
+        allow = Some(Seq(1L, 3L).toDF("vec_id"))).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(got3.nonEmpty && got3.map(_._2).toSet.subsetOf(Set(1L, 3L)),
+      s"allow leaked a non-allowed candidate: ${got3.toSeq}")
+    assert(got3.map(_._1).toSeq == (1 to got3.length).toSeq,
+      s"filtered ranking must be contiguous from 1: ${got3.toSeq}")
+
     // deterministic across runs
     val a = VecDupStream.queryTopK(spark, state, probe).collect().toSeq
     spark.catalog.clearCache()
