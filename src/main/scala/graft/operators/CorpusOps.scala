@@ -1354,9 +1354,11 @@ object CorpusOps {
   private def ridxStateAndQueries(spark: SparkSession,
       sfDir: String): (String, DataFrame) = {
     val d = load(spark, sfDir, "documents")
-    val lay = graft.streaming.IndexStream.layoutVersion
+    val n = docCount(spark, sfDir)
+    val lay = graft.streaming.IndexStream.adaptiveLayoutVersion(n)
     val state = TmpData.sharedState("ridx", sfDir,
         TmpData.stampOf(lay, ridxRecipe), Seq(lay)) { staging =>
+      graft.streaming.IndexStream.initState(spark, staging, n)
       val train = d.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"), col("source"))
       (0 until 3).foreach { i =>
@@ -1447,9 +1449,11 @@ object CorpusOps {
   private def ridxDelStateAndQueries(spark: SparkSession,
       sfDir: String): (String, DataFrame) = {
     val d = load(spark, sfDir, "documents")
-    val lay = graft.streaming.IndexStream.layoutVersion
+    val n = docCount(spark, sfDir)
+    val lay = graft.streaming.IndexStream.adaptiveLayoutVersion(n)
     val state = TmpData.sharedState("ridxdel", sfDir,
         TmpData.stampOf(lay, ridxDelRecipe), Seq(lay)) { staging =>
+      graft.streaming.IndexStream.initState(spark, staging, n)
       val train = d.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"), col("source"))
       (0 until 2).foreach { i =>
@@ -1475,7 +1479,8 @@ object CorpusOps {
     */
   def bm25Asof(spark: SparkSession, sfDir: String): DataFrame = {
     val (state, q) = ridxDelStateAndQueries(spark, sfDir)
-    val lay = graft.streaming.IndexStream.layoutVersion
+    val lay = graft.streaming.IndexStream.adaptiveLayoutVersion(
+      docCount(spark, sfDir))
     val snap = TmpData.sharedState("ridxsnap", sfDir,
         TmpData.stampOf(lay, ridxDelRecipe, "snap: asOfSeq=1"),
         Seq(lay)) { staging =>
@@ -1725,15 +1730,42 @@ object CorpusOps {
     */
   private val pipeRecipe = "pipe: one PipelineStream batch 0 over train"
 
-  private def pipeLayouts = Seq(
-    graft.streaming.IndexStream.layoutVersion,
-    graft.streaming.NearDupStream.layoutVersion,
-    graft.streaming.VecDupStream.layoutVersion)
+  /** Corpus cardinality for the adaptive dir-domain choice — a
+    * metadata-only parquet count, one cheap driver job per face
+    * invocation (the same cost class as TmpData's fingerprint
+    * listing).
+    */
+  private def docCount(spark: SparkSession, sfDir: String): Long =
+    load(spark, sfDir, "documents").count()
 
-  private def pipeRootFor(spark: SparkSession, sfDir: String): String =
+  /** The pipe root's layout strings — the vec gate's is the
+    * CORPUS-SIZED adaptive domain (round 11): the demo corpus pays
+    * per-dir file constants across the full fan-out on every fold and
+    * probe, so the state is created via `VecDupStream.initState` at
+    * the domain its cardinality warrants; the layout string rides the
+    * shared-state key, so a re-sized corpus keys a fresh root.
+    */
+  private def pipeLayouts(spark: SparkSession,
+      sfDir: String): Seq[String] = {
+    val n = docCount(spark, sfDir)
+    Seq(
+      graft.streaming.IndexStream.adaptiveLayoutVersion(n),
+      graft.streaming.NearDupStream.adaptiveLayoutVersion(n),
+      graft.streaming.VecDupStream.adaptiveLayoutVersion(n))
+  }
+
+  private def pipeRootFor(spark: SparkSession, sfDir: String): String = {
+    val lays = pipeLayouts(spark, sfDir)
     TmpData.sharedState("pipe", sfDir,
-        TmpData.stampOf(pipeLayouts :+ pipeRecipe: _*), pipeLayouts) {
+        TmpData.stampOf(lays :+ pipeRecipe: _*), lays) {
       staging =>
+        val n = docCount(spark, sfDir)
+        graft.streaming.VecDupStream.initState(spark,
+          s"$staging/vec_state", n)
+        graft.streaming.NearDupStream.initState(spark,
+          s"$staging/txt_state", n)
+        graft.streaming.IndexStream.initState(spark,
+          s"$staging/ridx_state", n)
         graft.streaming.PipelineStream.applyBatch(spark, staging,
           pipelineCorpus(spark, sfDir)
             .filter(col("source") =!= "src0")
@@ -1741,6 +1773,7 @@ object CorpusOps {
               col("source")),
           batchId = 0L)
     }
+  }
 
   def hybridIndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val root = pipeRootFor(spark, sfDir)
@@ -2024,10 +2057,11 @@ object CorpusOps {
     // SF), the copy is not; LSM state roots are self-contained dirs,
     // so a byte copy IS the state. The delete happens INSIDE the
     // build, so the published root is immutable like the others.
+    val delLays = pipeLayouts(spark, sfDir)
     val root = TmpData.sharedState("pipedel", sfDir,
-        TmpData.stampOf(pipeLayouts ++ Seq(pipeRecipe,
+        TmpData.stampOf(delLays ++ Seq(pipeRecipe,
           s"pipedel: delete [${hybridDeleteSlice.format("doc_id")}] id 0"): _*),
-        pipeLayouts) { staging =>
+        delLays) { staging =>
       val src = pipeRootFor(spark, sfDir)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)

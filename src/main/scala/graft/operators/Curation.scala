@@ -56,11 +56,19 @@ object Curation {
     // need it; re-runs — same session or a later Verify/Bench process
     // — time the verdict view over existing state, the steady-state
     // shape anyway
-    val lays = Seq(graft.streaming.NearDupStream.layoutVersion,
-      graft.streaming.VecDupStream.layoutVersion)
+    // corpus-sized vec-gate dir domain (round 11) — the adaptive
+    // layout string rides the shared-state key like the pipe root's
+    val nDocs = load(spark, sfDir, "documents").count()
+    val lays = Seq(
+      graft.streaming.NearDupStream.adaptiveLayoutVersion(nDocs),
+      graft.streaming.VecDupStream.adaptiveLayoutVersion(nDocs))
     val root = TmpData.sharedState("curation", sfDir,
         TmpData.stampOf(lays :+ "curation: one batch 0, whole corpus": _*),
         lays) { staging =>
+      graft.streaming.NearDupStream.initState(spark,
+        s"$staging/txt_state", nDocs)
+      graft.streaming.VecDupStream.initState(spark,
+        s"$staging/vec_state", nDocs)
       CurationStream.applyBatch(spark, staging, corpus, batchId = 0L)
     }
     canon(CurationStream.verdicts(spark, root,

@@ -147,15 +147,78 @@ object IndexStream {
     LsmIndex.Sub("tombs", tombsSchema, Seq("dbucket"),
       sortCols = Seq("doc_id")))
 
-  private[graft] val layoutVersion =
-    "graft-ridx-v4 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+  /** Per-state directory-domain geometry (round 11 — corpus-adaptive
+    * dir domains, the same creation-time layout term as
+    * [[VecDupStream.Geom]]): `db` = dbucket count (docs/tombs dirs),
+    * `hx` = tpfx hex chars (the postings sub-table has 16^hx dirs).
+    * The production default (256, 2) regenerates the historical
+    * layout string byte-identically, so existing states stay valid; a
+    * small corpus created through [[initState]] stops paying the
+    * 256+256 per-dir file constants on every fold and posting fetch.
+    * The dfs sub-table keeps its fixed 16-dir dpfx domain — it is
+    * vocabulary-sized and already coarse. Derived columns (`tpfx`,
+    * `dbucket`) are always computed FROM the state's recorded
+    * geometry.
+    */
+  private[graft] case class Geom(db: Int, hx: Int) {
+    require(Integer.bitCount(db) == 1 && (hx == 1 || hx == 2),
+      s"geometry must be power-of-two db and hx in {1,2}: db=$db hx=$hx")
+    def tpfxDirs: Int = 1 << (4 * hx)
+  }
+
+  private[graft] val defaultGeom = Geom(256, 2)
+
+  /** Smallest domain keeping ~≤4096 docs per dbucket dir (clamped to
+    * [16, production] — below that a dir's per-generation file
+    * overhead dwarfs its data and the doc_id IN pushdown prunes at
+    * row-group grain anyway), and one tpfx hex char until the corpus
+    * is large enough that a fold's vocabulary spread across 16 dirs
+    * would make posting files unwieldy (a point query touches only
+    * its own terms' dirs at either width; term-sorted files prune the
+    * rest at row-group grain).
+    */
+  private[graft] def adaptiveGeom(expectedDocs: Long): Geom = {
+    var bb = 4
+    while (bb < 8 && (expectedDocs >> bb) > 4096) bb += 1
+    Geom(1 << bb, if (expectedDocs <= (1L << 18)) 1 else 2)
+  }
+
+  private[graft] def layoutVersionFor(g: Geom): String =
+    s"graft-ridx-v4 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
+      s"${g.tpfxDirs} sort=term " +
       "pos=sorted-int-array " +
-      "docs=(dbucket=pmod256,ingest) sort=doc_id " +
+      s"docs=(dbucket=pmod${g.db},ingest) sort=doc_id " +
       "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
-      "tombs=(dbucket=pmod256,ingest) del=neg-df+neg-markers " +
+      s"tombs=(dbucket=pmod${g.db},ingest) del=neg-df+neg-markers " +
       "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n"
 
-  private val nDocBuckets = 256
+  private[graft] val layoutVersion = layoutVersionFor(defaultGeom)
+
+  private val geomRe =
+    """md5hex(\d)\(term\).*dbucket=pmod(\d+)""".r.unanchored
+
+  private[graft] def parseGeom(layout: String): Option[Geom] =
+    layout match {
+      case geomRe(hx, db) =>
+        try Some(Geom(db.toInt, hx.toInt))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+  private[graft] def geomOf(spark: SparkSession, stateDir: String): Geom =
+    LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).getOrElse(defaultGeom)
+
+  /** Create a FRESH state with a corpus-sized dir domain; no-op on an
+    * existing state (the domain is immutable after creation —
+    * [[migrateState]] re-domains).
+    */
+  def initState(spark: SparkSession, stateDir: String,
+      expectedDocs: Long): Unit =
+    ensureLayout(spark, stateDir, adaptiveGeom(expectedDocs))
+
+  private[graft] def adaptiveLayoutVersion(expectedDocs: Long): String =
+    layoutVersionFor(adaptiveGeom(expectedDocs))
 
   /** Largest term set a query batch pushes down as a term IN (...)
     * parquet predicate (queries are the small side by contract); above
@@ -170,9 +233,13 @@ object IndexStream {
   private def markers(stateDir: String) = LsmIndex.Markers(stateDir)
 
   private[streaming] def ensureLayout(spark: SparkSession,
-      stateDir: String): Unit = {
-    LsmIndex.ensureLayout(spark, stateDir, layoutVersion,
-      subTables.map(_.name))
+      stateDir: String, geom: Geom = defaultGeom): Unit = {
+    // an existing state's recorded domain is authoritative (see
+    // VecDupStream.ensureLayout); only a fresh state takes `geom`
+    val expect = LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).map(layoutVersionFor)
+      .getOrElse(layoutVersionFor(geom))
+    LsmIndex.ensureLayout(spark, stateDir, expect, subTables.map(_.name))
     markers(stateDir).recover(spark)
   }
 
@@ -275,17 +342,19 @@ object IndexStream {
     * for directory shortlists — MUST match Spark's md5() (lowercase
     * hex over UTF-8 bytes), pinned by spec.
     */
-  private[graft] def tpfxOf(term: String): String = {
+  private[graft] def tpfxOf(term: String,
+      hx: Int = defaultGeom.hx): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(term.getBytes("UTF-8"))
-    f"${d(0) & 0xff}%02x"
+    f"${d(0) & 0xff}%02x".substring(0, hx)
   }
 
   /** The dfs sub-table's coarser dir key: first hex CHAR of md5(term)
     * (16 dirs) — the leading nibble of [[tpfxOf]], so the two
     * shortlists derive from one digest.
     */
-  private[graft] def dpfxOf(term: String): String = tpfxOf(term).substring(0, 1)
+  private[graft] def dpfxOf(term: String): String =
+    tpfxOf(term, hx = 2).substring(0, 1)
 
   /** The per-batch posting rows (term, doc_id, tf, positions, tpfx) of
     * a (doc_id, text) relation, via the SHARED tokenizer. `positions`
@@ -297,7 +366,7 @@ object IndexStream {
     * lives in its own parquet chunks and every bag-of-words read
     * projects it away before the scan (column pruning, spec-pinned).
     */
-  private def tfRel(d: DataFrame): DataFrame =
+  private def tfRel(d: DataFrame, g: Geom = defaultGeom): DataFrame =
     d.filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(graft.operators.CorpusOps.bm25Tokens(col("text")))
@@ -305,7 +374,7 @@ object IndexStream {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("tpfx", substring(md5(col("term")), 1, 2))
+      .withColumn("tpfx", substring(md5(col("term")), 1, g.hx))
 
   /** The per-batch df rows (term, df, gen, dpfx) — df counted from the
     * same posting rows the batch writes, so dfs and postings can never
@@ -319,12 +388,13 @@ object IndexStream {
   /** The per-batch doc-stats rows (doc_id, lt, dl, dbucket); dl from
     * the posting rows so the two sub-tables can never disagree.
     */
-  private def docsRel(d: DataFrame, tf: DataFrame): DataFrame =
+  private def docsRel(d: DataFrame, tf: DataFrame,
+      g: Geom = defaultGeom): DataFrame =
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .join(d.filter(col("text").isNotNull)
         .select(col("doc_id"), lower(col("text")).as("lt")).distinct(),
         Seq("doc_id"))
-      .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
+      .withColumn("dbucket", pmod(col("doc_id"), lit(g.db)))
       .select(col("doc_id"), col("lt"), col("dl"), col("dbucket"))
 
   /** Fold one micro-batch of documents into the index. O(batch): the
@@ -335,11 +405,12 @@ object IndexStream {
       batchId: Long): Unit = {
     if (batch.isEmpty) return
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val b = batch.select(col("doc_id"), col("text")).distinct()
-    val tf = tfRel(b)
+    val tf = tfRel(b, g)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val docs = docsRel(b, tf)
+      val docs = docsRel(b, tf, g)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val stats = docs.agg(count(lit(1)).as("n"),
@@ -427,6 +498,7 @@ object IndexStream {
       deleteId: Long): Long = {
     require(deleteId >= 0, s"deleteId must be >= 0, got $deleteId")
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val gen = -(2L + deleteId)
     val want = ids.select(col("doc_id")).distinct()
     // already-tombstoned ids (by OTHER operations) contribute nothing:
@@ -447,7 +519,7 @@ object IndexStream {
         docsSchema)
       val doomedRows =
         if (idSample.length <= pushdownMax) {
-          val dbs = idSample.map(i => Math.floorMod(i, nDocBuckets.toLong))
+          val dbs = idSample.map(i => Math.floorMod(i, g.db.toLong))
             .distinct.toSeq
           docsBase.filter(col("dbucket").isin(dbs: _*) &&
             col("doc_id").isin(idSample.toSeq: _*))
@@ -472,7 +544,7 @@ object IndexStream {
         // conservative), and the retry path tolerates either order
         // (own-generation exclusion above).
         doomed.select(col("doc_id"))
-          .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
+          .withColumn("dbucket", pmod(col("doc_id"), lit(g.db)))
           .withColumn("ingest", lit(gen))
           .repartition(spark.sparkContext.defaultParallelism,
             col("dbucket"))
@@ -484,7 +556,7 @@ object IndexStream {
         // layout-stable and the tokenizer shared, so these are exactly
         // the contributions their fold once added)
         val negDfs = tfRel(doomed.select(col("doc_id"),
-            col("lt").as("text")))
+            col("lt").as("text")), g)
           .groupBy(col("term")).agg((-count(lit(1))).as("df"))
           .withColumn("gen", lit(gen))
           .withColumn("dpfx", substring(md5(col("term")), 1, 1))
@@ -607,6 +679,7 @@ object IndexStream {
   def queryTopK(spark: SparkSession, stateDir: String,
       queries: DataFrame, asOf: Option[Long] = None): DataFrame = {
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
     val st = markers(stateDir).stored(spark, gens)
     val nDocs = if (st.nonEmpty) st.head else 0L
@@ -677,7 +750,7 @@ object IndexStream {
     // (spec-pinned on the ReadSchema).
     val post = minusTombs(spark, stateDir,
       postingsFor(spark, stateDir, selPairs,
-          selected.select(col("term")).distinct(), gens)
+          selected.select(col("term")).distinct(), gens, g)
         .select(col("term"), col("doc_id"), col("tf"))
         .distinct(), gens)
     val hits = selected.join(post, Seq("term"))
@@ -691,14 +764,14 @@ object IndexStream {
     val dlSide =
       if (idSample.length <= pushdownMax) {
         val dbs = idSample
-          .map(i => Math.floorMod(i, nDocBuckets.toLong))
+          .map(i => Math.floorMod(i, g.db.toLong))
           .distinct.toSeq
         docsBase.filter(col("dbucket").isin(dbs: _*) &&
           col("doc_id").isin(idSample.toSeq: _*))
       } else {
         val dbs = candIds
-          .select(pmod(col("doc_id"), lit(nDocBuckets)).as("dbucket"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256
+          .select(pmod(col("doc_id"), lit(g.db)).as("dbucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ db
         docsBase.filter(col("dbucket").isin(dbs: _*))
           .join(candIds, Seq("doc_id"), "left_semi")
       }
@@ -761,7 +834,8 @@ object IndexStream {
   private def postingsFor(spark: SparkSession, stateDir: String,
       selPairs: Array[org.apache.spark.sql.Row],
       selectedTerms: DataFrame,
-      gens: Option[Set[Long]] = None): DataFrame = {
+      gens: Option[Set[Long]] = None,
+      g: Geom = defaultGeom): DataFrame = {
     // the main path's exact (term, gen) dir shortlist already carries
     // the as-of restriction (selPairs derive from gen-filtered dfs
     // rows); the fallback's tpfx-dir scan needs the explicit filter
@@ -770,17 +844,17 @@ object IndexStream {
       (p, g) => p.filter(col("ingest").isin(g.toSeq: _*)))
     if (selPairs.length <= pushdownMax) {
       val selTerms = selPairs.map(_.getString(0)).distinct.toSeq
-      val tpfxs = selTerms.map(tpfxOf).distinct
+      val tpfxs = selTerms.map(tpfxOf(_, g.hx)).distinct
       val dirs = (selPairs.map(r =>
-          s"${tpfxOf(r.getString(0))}/${r.getLong(1)}") ++
+          s"${tpfxOf(r.getString(0), g.hx)}/${r.getLong(1)}") ++
         tpfxs.map(p => s"$p/-1")).distinct.toSeq
       base.filter(col("tpfx").isin(tpfxs: _*) &&
         concat_ws("/", col("tpfx"), col("ingest")).isin(dirs: _*) &&
         col("term").isin(selTerms: _*))
     } else {
       val pfx = selectedTerms
-        .select(substring(md5(col("term")), 1, 2).as("tpfx"))
-        .distinct().collect().map(_.getString(0)).toSeq // ≤ 256, fixed
+        .select(substring(md5(col("term")), 1, g.hx).as("tpfx"))
+        .distinct().collect().map(_.getString(0)).toSeq // ≤ 16^hx, fixed
       base.filter(col("tpfx").isin(pfx: _*))
         .join(selectedTerms.select(col("term")).distinct(), Seq("term"),
           "left_semi")
@@ -818,6 +892,7 @@ object IndexStream {
       len: Int = graft.operators.CorpusOps.phraseLen,
       asOf: Option[Long] = None): Option[DataFrame] = {
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
     val ops = graft.operators.CorpusOps
     val q = queries.filter(col("text").isNotNull)
@@ -835,7 +910,7 @@ object IndexStream {
     if (selPairs.isEmpty) return None
     val post = minusTombs(spark, stateDir,
       postingsFor(spark, stateDir, selPairs,
-          q.select(col("term")).distinct(), gens)
+          q.select(col("term")).distinct(), gens, g)
         .select(col("term"), col("doc_id"), col("positions"))
         .distinct(), gens)
     Some(q.join(post, Seq("term"))
@@ -890,8 +965,13 @@ object IndexStream {
     * shell (staging, verify, swap, crash recovery) is
     * [[LsmIndex.migrate]]'s.
     */
-  def migrateState(spark: SparkSession, stateDir: String): Boolean =
-    LsmIndex.migrate(spark, stateDir, layoutVersion) { (oldRoot, staging) =>
+  def migrateState(spark: SparkSession, stateDir: String): Boolean = {
+    // the rebuild keeps the state's recorded dir-domain geometry;
+    // unparsable pre-geometry layouts rebuild at the production domain
+    val gOld = LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).getOrElse(defaultGeom)
+    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gOld)) {
+        (oldRoot, staging) =>
       val fs = new org.apache.hadoop.fs.Path(oldRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val docsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/docs")
@@ -918,10 +998,10 @@ object IndexStream {
           // idempotent, so re-tokenizing lt equals tokenizing the
           // original text
           val asBatch = raw.select(col("doc_id"), col("lt").as("text"))
-          val tf = tfRel(asBatch)
+          val tf = tfRel(asBatch, gOld)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val docs = docsRel(asBatch, tf)
+            val docs = docsRel(asBatch, tf, gOld)
             tf.withColumn("ingest", lit(-1L))
               .sortWithinPartitions(col("tpfx"), col("term"))
               .write.partitionBy("tpfx", "ingest")
@@ -949,6 +1029,7 @@ object IndexStream {
         } finally raw.unpersist()
       }
     }
+  }
 
   /** File-source streaming runner: watch `sourceDir` for document
     * parquet and fold each micro-batch into the index.

@@ -85,16 +85,71 @@ object NearDupStream {
   /** Verified-Jaccard floor for emitting a pair. */
   private val jaccardFloor = 0.5
 
-  /** Doc-bucket count for the verify side-table. 256, not 16 (round
-    * 6): directory pruning on dbucket saturates once the candidate set
-    * covers the bucket domain — the fixed-block law again — so the
-    * domain must comfortably exceed a batch's typical candidate
-    * spread. Beyond dir pruning the verify read carries a doc_id IN
-    * predicate (bounded collect below) that prunes at row-group grain,
-    * so dbucket width only has to keep the DIRECTORY scan shortlist
-    * small.
+  /** Per-state directory-domain geometry (round 11 — corpus-adaptive
+    * dir domains, the same creation-time layout term as
+    * [[VecDupStream.Geom]]): `db` = dbucket count (docs/tombs dirs),
+    * `hx` = bpfx hex chars (each band has 16^hx bucket dirs). The
+    * production default (256, 2) regenerates the historical layout
+    * string byte-identically, so existing states stay valid; a small
+    * corpus created through [[initState]] stops paying the 4×256+256
+    * per-dir file constants. Derived columns (`bpfx`, `dbucket`) are
+    * always computed FROM the state's recorded geometry.
     */
-  private val nDocBuckets = 256
+  private[graft] case class Geom(db: Int, hx: Int) {
+    require(Integer.bitCount(db) == 1 && (hx == 1 || hx == 2),
+      s"geometry must be power-of-two db and hx in {1,2}: db=$db hx=$hx")
+    def bandDirs: Int = 1 << (4 * hx)
+  }
+
+  /** Production default: 256 doc buckets (round 6: directory pruning
+    * on dbucket saturates once the candidate set covers the bucket
+    * domain, so the domain must comfortably exceed a batch's typical
+    * candidate spread; the doc_id IN pushdown prunes row groups below
+    * that) and two bpfx hex chars (256 bucket dirs per band).
+    */
+  private[graft] val defaultGeom = Geom(256, 2)
+
+  /** Smallest domain keeping ~≤4096 docs per dbucket dir (clamped to
+    * [16, production] — below that a dir's per-generation file
+    * overhead dwarfs its data and the doc_id IN pushdown prunes at
+    * row-group grain anyway), and one bpfx hex char until the corpus
+    * is large enough that 16 dirs per band would hold foreign-bucket
+    * bulk a candidate read cannot skip.
+    */
+  private[graft] def adaptiveGeom(expectedDocs: Long): Geom = {
+    var bb = 4
+    while (bb < 8 && (expectedDocs >> bb) > 4096) bb += 1
+    Geom(1 << bb, if (expectedDocs <= (1L << 18)) 1 else 2)
+  }
+
+  private[graft] def layoutVersionFor(g: Geom): String =
+    s"graft-neardup-v3 buckets=(band_idx,bpfx,ingest):4x${g.bandDirs} " +
+      s"docs=(dbucket=pmod${g.db},ingest) tombs=(dbucket,ingest)"
+
+  private val geomRe = """:4x(\d+) docs=\(dbucket=pmod(\d+)""".r.unanchored
+
+  private[graft] def parseGeom(layout: String): Option[Geom] =
+    layout match {
+      case geomRe(bd, db) =>
+        try Some(Geom(db.toInt, if (bd.toInt == 16) 1 else 2))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+  private[graft] def geomOf(spark: SparkSession, stateDir: String): Geom =
+    LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).getOrElse(defaultGeom)
+
+  /** Create a FRESH state with a corpus-sized dir domain; no-op on an
+    * existing state (the domain is immutable after creation —
+    * [[migrateState]] re-domains).
+    */
+  def initState(spark: SparkSession, stateDir: String,
+      expectedDocs: Long): Unit =
+    ensureLayout(spark, stateDir, adaptiveGeom(expectedDocs))
+
+  private[graft] def adaptiveLayoutVersion(expectedDocs: Long): String =
+    layoutVersionFor(adaptiveGeom(expectedDocs))
 
   /** Largest candidate-id set the verify read will collect and push
     * down as a doc_id IN (...) parquet predicate (~0.5 MB of longs at
@@ -109,7 +164,7 @@ object NearDupStream {
     * band geometry of Dedup.minhashLshOn (8 native minhashes, 4 bands
     * of 2), plus the bucket-prefix partition column.
     */
-  private def bandRel(d: DataFrame): DataFrame = {
+  private def bandRel(d: DataFrame, g: Geom = defaultGeom): DataFrame = {
     graft.plans.TextExprs.register(d.sparkSession)
     d.filter(col("text").isNotNull)
       .select(col("doc_id"), expr("graft_minhash(lower(text))").as("m"))
@@ -119,16 +174,16 @@ object NearDupStream {
       .withColumn("b3", md5(concat(col("m.s6"), col("m.s7"))))
       .selectExpr("doc_id",
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, bucket)")
-      .withColumn("bpfx", substring(col("bucket"), 1, 2))
+      .withColumn("bpfx", substring(col("bucket"), 1, g.hx))
   }
 
   /** Verify side-table rows of a (doc_id, text) relation. */
-  private def sigRel(d: DataFrame): DataFrame = {
+  private def sigRel(d: DataFrame, g: Geom = defaultGeom): DataFrame = {
     graft.plans.TextExprs.register(d.sparkSession)
     d.filter(col("text").isNotNull)
       .select(col("doc_id"), lower(col("text")).as("lt"),
         expr("graft_minhash(lower(text)).n_sh").as("n_sh"))
-      .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
+      .withColumn("dbucket", pmod(col("doc_id"), lit(g.db)))
   }
 
   /** Index layout version, stamped as `stateDir/_LAYOUT` the first time
@@ -139,9 +194,7 @@ object NearDupStream {
     * drop docs, compaction no-ops), so a mismatch — or pre-existing
     * state with no marker at all — must FAIL FAST instead.
     */
-  private[graft] val layoutVersion =
-    "graft-neardup-v3 buckets=(band_idx,bpfx,ingest):4x256 " +
-      "docs=(dbucket=pmod256,ingest) tombs=(dbucket,ingest)"
+  private[graft] val layoutVersion = layoutVersionFor(defaultGeom)
 
   /** Tombstone sub-table (layout v3): one row per DELETED document
     * under `ingest=-(2+deleteId)` generations — right-to-be-forgotten,
@@ -161,8 +214,15 @@ object NearDupStream {
       sortCols = Seq("doc_id")),
     LsmIndex.Sub("tombs", tombsSchema, Seq("dbucket")))
 
-  private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit =
-    LsmIndex.ensureLayout(spark, stateDir, layoutVersion, subTables.map(_.name))
+  private[streaming] def ensureLayout(spark: SparkSession,
+      stateDir: String, geom: Geom = defaultGeom): Unit = {
+    // an existing state's recorded domain is authoritative (see
+    // VecDupStream.ensureLayout); only a fresh state takes `geom`
+    val expect = LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).map(layoutVersionFor)
+      .getOrElse(layoutVersionFor(geom))
+    LsmIndex.ensureLayout(spark, stateDir, expect, subTables.map(_.name))
+  }
 
   private def readOrEmpty(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = LsmIndex.readOrEmpty(spark, dir, schema)
@@ -187,6 +247,7 @@ object NearDupStream {
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val bucketsDir = s"$stateDir/buckets"
     val docsDir = s"$stateDir/docs"
     // ENFORCE the id-monotonicity ingest contract this gate's
@@ -212,7 +273,7 @@ object NearDupStream {
           val indexed =
             if (sample.length <= verifyIdPushdownMax) {
               val dbs = sample
-                .map(i => Math.floorMod(i, nDocBuckets.toLong))
+                .map(i => Math.floorMod(i, g.db.toLong))
                 .distinct.toSeq
               docsBase.filter(col("dbucket").isin(dbs: _*) &&
                 col("doc_id").isin(sample.toSeq: _*))
@@ -228,9 +289,9 @@ object NearDupStream {
     }
     // distinct() everywhere batch rows enter state: a re-delivered
     // batch must merge to the identical index
-    val b = bandRel(batch).distinct()
+    val b = bandRel(batch, g).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dNew = sigRel(batch).distinct()
+    val dNew = sigRel(batch, g).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // touched hash-partition set is bounded: ≤ 4 × batch docs and ≤
@@ -282,12 +343,12 @@ object NearDupStream {
             // negative doc_id under % would prune the WRONG dbucket dir
             // and silently drop the doc from verification
             val dbs =
-              idSample.map(i => Math.floorMod(i, nDocBuckets.toLong)).distinct.toSeq
+              idSample.map(i => Math.floorMod(i, g.db.toLong)).distinct.toSeq
             dupBase.filter(col("dbucket").isin(dbs: _*) &&
               col("doc_id").isin(idSample.toSeq: _*))
           } else {
             val dupDb = dupIds
-              .select(pmod(col("dup_id"), lit(nDocBuckets)).as("dbucket"))
+              .select(pmod(col("dup_id"), lit(g.db)).as("dbucket"))
               .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
             dupBase.filter(col("dbucket").isin(dupDb: _*))
               .join(dupIds, col("doc_id") === col("dup_id"), "left_semi")
@@ -496,6 +557,7 @@ object NearDupStream {
       deleteId: Long): Long = {
     require(deleteId >= 0, s"deleteId must be >= 0, got $deleteId")
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val gen = -(2L + deleteId)
     val want = ids.select(col("doc_id")).distinct()
     val priorTombs = readOrEmpty(spark, s"$stateDir/tombs", tombsSchema)
@@ -509,7 +571,7 @@ object NearDupStream {
       val docsBase = readOrEmpty(spark, s"$stateDir/docs", docsSchema)
       val doomedRows =
         if (idSample.length <= verifyIdPushdownMax) {
-          val dbs = idSample.map(i => Math.floorMod(i, nDocBuckets.toLong))
+          val dbs = idSample.map(i => Math.floorMod(i, g.db.toLong))
             .distinct.toSeq
           docsBase.filter(col("dbucket").isin(dbs: _*) &&
             col("doc_id").isin(idSample.toSeq: _*))
@@ -522,7 +584,7 @@ object NearDupStream {
         val n = doomed.count()
         if (n == 0L) return 0L
         doomed
-          .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets)))
+          .withColumn("dbucket", pmod(col("doc_id"), lit(g.db)))
           .withColumn("ingest", lit(gen))
           .repartition(spark.sparkContext.defaultParallelism,
             col("dbucket"))
@@ -575,8 +637,13 @@ object NearDupStream {
     * re-ingestion of the corpus. The swap's transactional shell is
     * [[LsmIndex.migrate]].
     */
-  def migrateState(spark: SparkSession, stateDir: String): Boolean =
-    LsmIndex.migrate(spark, stateDir, layoutVersion) { (oldRoot, staging) =>
+  def migrateState(spark: SparkSession, stateDir: String): Boolean = {
+    // the rebuild keeps the state's recorded dir-domain geometry;
+    // unparsable pre-geometry layouts rebuild at the production domain
+    val gOld = LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).getOrElse(defaultGeom)
+    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gOld)) {
+        (oldRoot, staging) =>
       val fs = new org.apache.hadoop.fs.Path(oldRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val docsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/docs")
@@ -600,10 +667,10 @@ object NearDupStream {
           // lt is already lowercased, so feeding it back through the
           // (lower-casing) signature pipeline is idempotent
           val asBatch = raw.select(col("doc_id"), col("lt").as("text"))
-          bandRel(asBatch).withColumn("ingest", lit(-1L))
+          bandRel(asBatch, gOld).withColumn("ingest", lit(-1L))
             .write.partitionBy("band_idx", "bpfx", "ingest")
             .parquet(s"$staging/buckets")
-          sigRel(asBatch).withColumn("ingest", lit(-1L))
+          sigRel(asBatch, gOld).withColumn("ingest", lit(-1L))
             .sortWithinPartitions(col("dbucket"), col("doc_id"))
             .write.partitionBy("dbucket", "ingest")
             .parquet(s"$staging/docs")
@@ -623,6 +690,7 @@ object NearDupStream {
         } finally raw.unpersist()
       }
     }
+  }
 
   /** The KEEP/DROP policy view a training-data writer consumes: one
     * row per INDEXED document with its verdict — `drop` iff the doc was

@@ -140,17 +140,93 @@ object VecDupStream {
     LsmIndex.Sub("pqbook", pqbookSchema, Nil),
     LsmIndex.Sub("tombs", tombsSchema, Seq("vbucket")))
 
-  private[graft] val layoutVersion =
-    "graft-vecdup-v3 buckets=(tbl,bpfx=low8(bucket32),ingest):4x256 " +
-      "prefix-maskable32 vecs=float32(vbucket=pmod256,ingest) " +
+  /** Per-state DIRECTORY-DOMAIN geometry (round 11 — corpus-adaptive
+    * dir domains): `bb` = bpfx bits (the buckets sub-table has
+    * 4 × 2^bb hash dirs), `vb` = vbucket count (the vecs/pq/tombs
+    * dirs). The domain is a LAYOUT term chosen at state creation,
+    * recorded inside `_LAYOUT`, and parsed back on every open — the
+    * fixed 4×256/256 production constants are the default, but a
+    * small corpus pays per-dir file-creation and file-open constants
+    * (~11–16 ms each, SCALING.md) across the full fan-out on every
+    * fold and query, so a state sized for its corpus cuts demo-scale
+    * cost several-fold without touching production geometry. All
+    * derived columns (`bpfx`, `vbucket`) are computed FROM the
+    * state's recorded geometry, so reads and writes can never
+    * disagree; the LSH signatures themselves (bucket32, read width p)
+    * are geometry-independent — only the dir fan-out changes.
+    */
+  private[graft] case class Geom(vb: Int, bb: Int) {
+    require(Integer.bitCount(vb) == 1 && bb >= 0 && bb <= 8,
+      s"geometry must be power-of-two vb and bb in [0,8]: vb=$vb bb=$bb")
+    def bpfxMask: Long = (1L << bb) - 1
+    def bpfxDirs: Long = 1L << bb
+  }
+
+  private[graft] val defaultGeom = Geom(256, 8)
+
+  /** Smallest power-of-two domain keeping ~≤4096 vectors per dir,
+    * clamped to [16, production]: the creation-time corpus-sized
+    * choice for a state whose expected cardinality is known. Below
+    * ~4096 rows a dir's one-file-per-generation overhead dwarfs its
+    * data, and candidate reads prune at row-group grain (vec_id-sorted
+    * files) well before dir grain — so small corpora take the coarser
+    * fan-out and large ones converge to the production constants.
+    */
+  private[graft] def adaptiveGeom(expectedVecs: Long): Geom = {
+    var bb = 4
+    while (bb < 8 && (expectedVecs >> bb) > 4096) bb += 1
+    Geom(1 << bb, bb)
+  }
+
+  private[graft] def layoutVersionFor(g: Geom): String =
+    s"graft-vecdup-v3 buckets=(tbl,bpfx=low${g.bb}(bucket32),ingest):" +
+      s"4x${g.bpfxDirs} " +
+      s"prefix-maskable32 vecs=float32(vbucket=pmod${g.vb},ingest) " +
       s"pq=codes$pqM" + s"x$pqK+nrm(vbucket,ingest) pqbook=MxKxD/M " +
       "tombs=(vbucket,ingest) del=neg-markers"
+
+  private[graft] val layoutVersion = layoutVersionFor(defaultGeom)
+
+  private val geomRe =
+    """low(\d+)\(bucket32\).*vbucket=pmod(\d+)""".r.unanchored
+
+  /** The geometry a recorded layout string declares, if parsable. */
+  private[graft] def parseGeom(layout: String): Option[Geom] =
+    layout match {
+      case geomRe(bb, vb) =>
+        try Some(Geom(vb.toInt, bb.toInt)) catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** The authoritative geometry of an EXISTING state (its `_LAYOUT`
+    * record), or the production default while none is stamped yet.
+    */
+  private[graft] def geomOf(spark: SparkSession,
+      stateDir: String): Geom =
+    LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).getOrElse(defaultGeom)
+
+  /** Create a FRESH state whose dir domains are sized to the expected
+    * corpus ([[adaptiveGeom]]). No-op (keeping the recorded geometry)
+    * when the state already exists — the domain is immutable after
+    * creation; a mis-sized state re-domains through
+    * [[migrateState]]'s rebuild.
+    */
+  def initState(spark: SparkSession, stateDir: String,
+      expectedVecs: Long): Unit =
+    ensureLayout(spark, stateDir, adaptiveGeom(expectedVecs))
+
+  /** The `_LAYOUT` string [[initState]] stamps for this expected
+    * cardinality — callers that content-key derived state on layout
+    * strings (the demo-state roots) fold it into their keys.
+    */
+  private[graft] def adaptiveLayoutVersion(expectedVecs: Long): String =
+    layoutVersionFor(adaptiveGeom(expectedVecs))
 
   /** Cosine floor for emitting a verified pair. */
   private val simFloor = 0.9
 
   private val nTables = 4
-  private val nVecBuckets = 256
 
   /** Largest candidate-id set the verify read collects and pushes down
     * as a vec_id IN (...) parquet predicate; above it verification
@@ -180,8 +256,16 @@ object VecDupStream {
 
   val defaultMaxGenerations: Int = NearDupStream.defaultMaxGenerations
 
-  private[streaming] def ensureLayout(spark: SparkSession, stateDir: String): Unit = {
-    LsmIndex.ensureLayout(spark, stateDir, layoutVersion, subTables.map(_.name))
+  private[streaming] def ensureLayout(spark: SparkSession,
+      stateDir: String, geom: Geom = defaultGeom): Unit = {
+    // an existing state's recorded domain is authoritative: validate
+    // the marker against the version string its OWN geometry
+    // regenerates (structural drift still fails fast); only a fresh
+    // state takes the caller's geometry
+    val expect = LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).map(layoutVersionFor)
+      .getOrElse(layoutVersionFor(geom))
+    LsmIndex.ensureLayout(spark, stateDir, expect, subTables.map(_.name))
     markers(stateDir).recover(spark)
   }
 
@@ -296,8 +380,14 @@ object VecDupStream {
     * Returns true when a migration ran, false when the state was
     * already at the current layout.
     */
-  def migrateState(spark: SparkSession, stateDir: String): Boolean =
-    LsmIndex.migrate(spark, stateDir, layoutVersion) { (oldRoot, staging) =>
+  def migrateState(spark: SparkSession, stateDir: String): Boolean = {
+    // the rebuild keeps the state's recorded dir-domain geometry (a
+    // re-domaining migration would pass a different target here);
+    // unparsable pre-geometry layouts rebuild at the production domain
+    val gOld = LsmIndex.readLayout(spark, stateDir)
+      .flatMap(parseGeom).getOrElse(defaultGeom)
+    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gOld)) {
+        (oldRoot, staging) =>
       val fs = new org.apache.hadoop.fs.Path(oldRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val vecsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/vecs")
@@ -320,10 +410,10 @@ object VecDupStream {
         try {
           val n = raw.select(col("vec_id")).distinct().count()
           val asBatch = raw.select(col("vec_id"), col("v").as("embedding"))
-          bucketRel(asBatch).withColumn("ingest", lit(-1L))
+          bucketRel(asBatch, gOld).withColumn("ingest", lit(-1L))
             .write.partitionBy("tbl", "bpfx", "ingest")
             .parquet(s"$staging/buckets")
-          val sig = sigRel(asBatch)
+          val sig = sigRel(asBatch, gOld)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             sig.withColumn("ingest", lit(-1L))
@@ -366,6 +456,7 @@ object VecDupStream {
         } finally raw.unpersist()
       }
     }
+  }
 
   /** DELETE vectors from the gate's index with exact semantics — the
     * right-to-be-forgotten path, mirroring
@@ -401,6 +492,7 @@ object VecDupStream {
       deleteId: Long): Long = {
     require(deleteId >= 0, s"deleteId must be >= 0, got $deleteId")
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val gen = -(2L + deleteId)
     val want = ids.select(col("vec_id")).distinct()
     val priorTombs = readOrEmpty(spark, s"$stateDir/tombs", tombsSchema)
@@ -414,7 +506,7 @@ object VecDupStream {
       val vecsBase = readOrEmpty(spark, s"$stateDir/vecs", vecsSchema)
       val doomedRows =
         if (idSample.length <= verifyIdPushdownMax) {
-          val vbs = idSample.map(i => Math.floorMod(i, nVecBuckets.toLong))
+          val vbs = idSample.map(i => Math.floorMod(i, g.vb.toLong))
             .distinct.toSeq
           vecsBase.filter(col("vbucket").isin(vbs: _*) &&
             col("vec_id").isin(idSample.toSeq: _*))
@@ -427,7 +519,7 @@ object VecDupStream {
         val n = doomed.count()
         if (n == 0L) return 0L
         doomed
-          .withColumn("vbucket", pmod(col("vec_id"), lit(nVecBuckets)))
+          .withColumn("vbucket", pmod(col("vec_id"), lit(g.vb)))
           .withColumn("ingest", lit(gen))
           .repartition(spark.sparkContext.defaultParallelism,
             col("vbucket"))
@@ -476,7 +568,8 @@ object VecDupStream {
     * batch face, so the stored signatures never depend on the read
     * width.
     */
-  private def bucketRel(d: DataFrame): DataFrame = {
+  private def bucketRel(d: DataFrame,
+      g: Geom = defaultGeom): DataFrame = {
     graft.plans.VectorExprs.register(d.sparkSession)
     val base = d.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -492,7 +585,7 @@ object VecDupStream {
     base.select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"),
         col("tb.bucket32").as("bucket32"))
-      .withColumn("bpfx", col("bucket32").bitwiseAND(lit(255L)))
+      .withColumn("bpfx", col("bucket32").bitwiseAND(lit(g.bpfxMask)))
   }
 
   /** Verify side-table rows of a (vec_id, embedding) relation. Layout
@@ -500,12 +593,12 @@ object VecDupStream {
     * like every score — is computed in double from the float32-rounded
     * components, so stored and later-read arithmetic agree exactly.
     */
-  private def sigRel(d: DataFrame): DataFrame = {
+  private def sigRel(d: DataFrame, g: Geom = defaultGeom): DataFrame = {
     graft.plans.VectorExprs.register(d.sparkSession)
     d.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
       .withColumn("nrm", sqrt(expr(s"graft_dot($asDbl, $asDbl)")))
-      .withColumn("vbucket", pmod(col("vec_id"), lit(nVecBuckets)))
+      .withColumn("vbucket", pmod(col("vec_id"), lit(g.vb)))
   }
 
   /** The stored float32 `v` widened back to the double every scoring
@@ -643,19 +736,21 @@ object VecDupStream {
     markers(stateDir).stored(spark).headOption.getOrElse(0L)
 
   /** The `bpfx` dirs a query bucket's Hamming-1 probe set can land in,
-    * at read width p. Flips at bit positions < min(p, 8) change the low
-    * byte; flips at ≥ 8 do not. For p < 8 the mask is coarser than the
-    * dir key, so every dir whose low p bits match a probe is included
-    * (2^(8−p) dirs per probe — only ever at tiny corpora).
+    * at read width p, for a state with `bb` bpfx bits. Flips at bit
+    * positions < min(p, bb) change the dir key; flips at ≥ bb do not.
+    * For p < bb the mask is coarser than the dir key, so every dir
+    * whose low p bits match a probe is included (2^(bb−p) dirs per
+    * probe — only ever at tiny corpora).
     */
-  private[streaming] def probeDirs(b255: Long, p: Int): Seq[Long] = {
+  private[graft] def probeDirs(bLow: Long, p: Int,
+      bb: Int = defaultGeom.bb): Seq[Long] = {
     val maskP = (1L << p) - 1
-    val qm = b255 & maskP
-    val probesLow = qm +: (0 until math.min(p, 8)).map(i => qm ^ (1L << i))
-    if (p >= 8) probesLow.distinct
+    val qm = bLow & maskP
+    val probesLow = qm +: (0 until math.min(p, bb)).map(i => qm ^ (1L << i))
+    if (p >= bb) probesLow.distinct
     else {
       val targets = probesLow.toSet
-      (0L until 256L).filter(y => targets.contains(y & maskP))
+      (0L until (1L << bb)).filter(y => targets.contains(y & maskP))
     }
   }
 
@@ -669,6 +764,7 @@ object VecDupStream {
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val bucketsDir = s"$stateDir/buckets"
     val vecsDir = s"$stateDir/vecs"
     // ENFORCE the id-monotonicity ingest contract (round 10) — see
@@ -689,7 +785,7 @@ object VecDupStream {
           val indexed =
             if (sample.length <= verifyIdPushdownMax) {
               val vbs = sample
-                .map(i => Math.floorMod(i, nVecBuckets.toLong))
+                .map(i => Math.floorMod(i, g.vb.toLong))
                 .distinct.toSeq
               vecsBase.filter(col("vbucket").isin(vbs: _*) &&
                 col("vec_id").isin(sample.toSeq: _*))
@@ -703,9 +799,9 @@ object VecDupStream {
         }
       }
     }
-    val b = bucketRel(batch).distinct()
+    val b = bucketRel(batch, g).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dNew = sigRel(batch).distinct()
+    val dNew = sigRel(batch, g).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // READ WIDTH for this batch: p from the corpus size AFTER this
@@ -718,11 +814,12 @@ object VecDupStream {
       val p = graft.operators.Similarity.lshAutoPlanes(storedN + batchN)
       val maskP = (1L << p) - 1
       // touched (tbl, bpfx) dir shortlist: batch dirs expanded by the
-      // Hamming-1 probe reach — ≤ 9 dirs per (vector, table) at p ≥ 8,
-      // capped by the fixed 4 × 256 domain; a fixed-size driver list
+      // Hamming-1 probe reach — ≤ bb+1 dirs per (vector, table) at
+      // p ≥ bb, capped by the state's 4 × 2^bb domain; a fixed-size
+      // driver list
       val touched = b.select(col("tbl"), col("bpfx")).distinct()
         .collect().flatMap(r =>
-          probeDirs(r.getLong(1), p).map(d => s"${r.getInt(0)}/$d"))
+          probeDirs(r.getLong(1), p, g.bb).map(d => s"${r.getInt(0)}/$d"))
         .distinct.toSeq
       val oldBuckets = readOrEmpty(spark, bucketsDir, bucketsSchema)
         .filter(concat_ws("/", col("tbl"), col("bpfx")).isin(touched: _*))
@@ -760,14 +857,14 @@ object VecDupStream {
         val dupBase = readOrEmpty(spark, vecsDir, vecsSchema)
         val dupSide =
           if (idSample.length <= verifyIdPushdownMax) {
-            val vbs = idSample.map(i => Math.floorMod(i, nVecBuckets.toLong))
+            val vbs = idSample.map(i => Math.floorMod(i, g.vb.toLong))
               .distinct.toSeq
             dupBase.filter(col("vbucket").isin(vbs: _*) &&
               col("vec_id").isin(idSample.toSeq: _*))
           } else {
             val dupVb = dupIds
-              .select(pmod(col("dup_id"), lit(nVecBuckets)).as("vbucket"))
-              .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
+              .select(pmod(col("dup_id"), lit(g.vb)).as("vbucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq // ≤ vb, fixed
             dupBase.filter(col("vbucket").isin(dupVb: _*))
               .join(dupIds, col("vec_id") === col("dup_id"), "left_semi")
           }
@@ -872,20 +969,21 @@ object VecDupStream {
     */
   private def fetchForIds(spark: SparkSession, dir: String,
       schema: StructType, ids: DataFrame,
-      precollected: Option[Array[Long]] = None): DataFrame = {
+      precollected: Option[Array[Long]] = None,
+      g: Geom = defaultGeom): DataFrame = {
     val sample = precollected.getOrElse(
       ids.limit(verifyIdPushdownMax + 1).collect().map(_.getLong(0)))
     val base = readOrEmpty(spark, dir, schema)
     if (sample.isEmpty) base.filter(lit(false))
     else if (sample.length <= verifyIdPushdownMax) {
-      val vbs = sample.map(i => Math.floorMod(i, nVecBuckets.toLong))
+      val vbs = sample.map(i => Math.floorMod(i, g.vb.toLong))
         .distinct.toSeq
       base.filter(col("vbucket").isin(vbs: _*) &&
         col("vec_id").isin(sample.toSeq: _*))
     } else {
       val vbs = ids
-        .select(pmod(col("vec_id"), lit(nVecBuckets)).as("vbucket"))
-        .distinct().collect().map(_.getLong(0)).toSeq // ≤ 256, fixed
+        .select(pmod(col("vec_id"), lit(g.vb)).as("vbucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq // ≤ vb, fixed
       base.filter(col("vbucket").isin(vbs: _*))
         .join(ids, Seq("vec_id"), "left_semi")
     }
@@ -917,16 +1015,17 @@ object VecDupStream {
       engageMin: Int, exactTail: Int,
       allow: Option[DataFrame] = None): DataFrame = {
     ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
     val storedN = storedCount(spark, stateDir)
     val p = graft.operators.Similarity.lshAutoPlanes(math.max(storedN, 1L))
     val maskP = (1L << p) - 1
     val b = bucketRel(queries
-        .select(col("query_id").as("vec_id"), col("embedding")))
+        .select(col("query_id").as("vec_id"), col("embedding")), g)
       .withColumnRenamed("vec_id", "query_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = b.select(col("tbl"), col("bpfx")).distinct()
       .collect().flatMap(r =>
-        probeDirs(r.getLong(1), p).map(d => s"${r.getInt(0)}/$d"))
+        probeDirs(r.getLong(1), p, g.bb).map(d => s"${r.getInt(0)}/$d"))
       .distinct.toSeq
     val known = readOrEmpty(spark, s"$stateDir/buckets", bucketsSchema)
       .filter(concat_ws("/", col("tbl"), col("bpfx")).isin(touched: _*))
@@ -967,7 +1066,7 @@ object VecDupStream {
       case None => cand
       case Some(cent) =>
         val pqSide = fetchForIds(spark, s"$stateDir/pq", pqSchema, candIds,
-            Some(idSample))
+            Some(idSample), g)
           .select(col("vec_id"), col("codes"), col("nrm")).distinct()
         val qpos = queries.filter(col("embedding").isNotNull)
           .select(col("query_id"),
@@ -997,7 +1096,7 @@ object VecDupStream {
     }
     val side = fetchForIds(spark, s"$stateDir/vecs", vecsSchema,
       verifySet.select(col("vec_id")).distinct(),
-      if (engage.isEmpty) Some(idSample) else None)
+      if (engage.isEmpty) Some(idSample) else None, g)
     val qv = queries.filter(col("embedding").isNotNull)
       .select(col("query_id"),
         col("embedding").cast("array<double>").as("vq"))
@@ -1055,6 +1154,7 @@ object VecDupStream {
         StructField("n_sampled", LongType, nullable = false),
         StructField("mean_d2", LongType),
         StructField("train_gen", LongType))))
+    val g = geomOf(spark, stateDir)
     readCodebook(spark, stateDir) match {
       case None => emptyOut
       case Some(cent) =>
@@ -1076,9 +1176,9 @@ object VecDupStream {
           .limit(verifyIdPushdownMax).collect().map(_.getLong(0))
         val ids = sampled.select(col("vec_id"))
         val qp = posRel(fetchForIds(spark, s"$stateDir/vecs", vecsSchema,
-          ids, Some(idArr)).select(col("vec_id"), col("v")))
+          ids, Some(idArr), g).select(col("vec_id"), col("v")))
         val codes = fetchForIds(spark, s"$stateDir/pq", pqSchema,
-            ids, Some(idArr))
+            ids, Some(idArr), g)
           .select(col("vec_id"),
             posexplode(col("codes")).as(Seq("sub", "code")))
         val err = qp.join(codes, Seq("vec_id", "sub"))
