@@ -970,7 +970,44 @@ object IndexStream {
     // unparsable pre-geometry layouts rebuild at the production domain
     val gOld = LsmIndex.readLayout(spark, stateDir)
       .flatMap(parseGeom).getOrElse(defaultGeom)
-    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gOld)) {
+    rebuildTo(spark, stateDir, gOld)
+  }
+
+  /** RE-DOMAIN (round 11, the growth half of the adaptive-domain
+    * story): rebuild the state at the dir-domain geometry its CURRENT
+    * live cardinality warrants — a state created small through
+    * [[initState]] grows its fan-out as the corpus grows instead of
+    * hitting per-dir file bloat at scale. GROW-ONLY (a shrinking
+    * corpus never thrashes the domain back down; an explicit
+    * [[migrateState]]-class rebuild is the shrink path if one is ever
+    * wanted), pin-aware like compaction (the rebuild is an epoch
+    * barrier — it consolidates history into `ingest=-1` — so it must
+    * not seal generations a registered pin still addresses), and a
+    * no-op while the recorded domain already fits. The measurement is
+    * O(1): the live doc count from the ncount markers (deletes
+    * subtract). Returns true iff a rebuild ran.
+    */
+  def redomainIfDue(spark: SparkSession, stateDir: String,
+      expectedDocs: Option[Long] = None): Boolean = {
+    ensureLayout(spark, stateDir)
+    val gOld = geomOf(spark, stateDir)
+    val n = expectedDocs.getOrElse(
+      markers(stateDir).stored(spark).headOption.getOrElse(0L))
+    val gNew = adaptiveGeom(n)
+    if (gNew.db <= gOld.db && gNew.hx <= gOld.hx) return false
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir)) return false
+    rebuildTo(spark, stateDir,
+      Geom(math.max(gNew.db, gOld.db), math.max(gNew.hx, gOld.hx)))
+  }
+
+  /** Rebuild the derived state from the layout-stable raw columns at
+    * TARGET geometry `gNew` (the recorded one for a version upgrade, a
+    * larger one for a re-domain) inside [[LsmIndex.migrate]]'s
+    * transactional shell.
+    */
+  private def rebuildTo(spark: SparkSession, stateDir: String,
+      gNew: Geom): Boolean = {
+    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gNew)) {
         (oldRoot, staging) =>
       val fs = new org.apache.hadoop.fs.Path(oldRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -998,10 +1035,10 @@ object IndexStream {
           // idempotent, so re-tokenizing lt equals tokenizing the
           // original text
           val asBatch = raw.select(col("doc_id"), col("lt").as("text"))
-          val tf = tfRel(asBatch, gOld)
+          val tf = tfRel(asBatch, gNew)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val docs = docsRel(asBatch, tf, gOld)
+            val docs = docsRel(asBatch, tf, gNew)
             tf.withColumn("ingest", lit(-1L))
               .sortWithinPartitions(col("tpfx"), col("term"))
               .write.partitionBy("tpfx", "ingest")

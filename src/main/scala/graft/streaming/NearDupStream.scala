@@ -642,7 +642,40 @@ object NearDupStream {
     // unparsable pre-geometry layouts rebuild at the production domain
     val gOld = LsmIndex.readLayout(spark, stateDir)
       .flatMap(parseGeom).getOrElse(defaultGeom)
-    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gOld)) {
+    rebuildTo(spark, stateDir, gOld)
+  }
+
+  /** RE-DOMAIN (round 11 — [[IndexStream.redomainIfDue]]'s contract on
+    * this gate): rebuild at the dir-domain geometry the CURRENT live
+    * corpus warrants, grow-only and pin-aware. This gate has no O(1)
+    * count markers, so the measurement is one survivor count over the
+    * docs sub-table — call at maintenance cadence (or rarer), not per
+    * batch. Returns true iff a rebuild ran.
+    */
+  def redomainIfDue(spark: SparkSession, stateDir: String,
+      expectedDocs: Option[Long] = None): Boolean = {
+    ensureLayout(spark, stateDir)
+    val gOld = geomOf(spark, stateDir)
+    val n = expectedDocs.getOrElse {
+      val docs = readOrEmpty(spark, s"$stateDir/docs", docsSchema)
+        .select(col("doc_id")).distinct()
+      val tombs = readOrEmpty(spark, s"$stateDir/tombs", tombsSchema)
+        .select(col("doc_id")).distinct()
+      docs.join(tombs, Seq("doc_id"), "left_anti").count()
+    }
+    val gNew = adaptiveGeom(n)
+    if (gNew.db <= gOld.db && gNew.hx <= gOld.hx) return false
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir)) return false
+    rebuildTo(spark, stateDir,
+      Geom(math.max(gNew.db, gOld.db), math.max(gNew.hx, gOld.hx)))
+  }
+
+  /** Rebuild the derived state from the layout-stable raw columns at
+    * TARGET geometry `gNew` inside [[LsmIndex.migrate]]'s shell.
+    */
+  private def rebuildTo(spark: SparkSession, stateDir: String,
+      gNew: Geom): Boolean = {
+    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gNew)) {
         (oldRoot, staging) =>
       val fs = new org.apache.hadoop.fs.Path(oldRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -667,10 +700,10 @@ object NearDupStream {
           // lt is already lowercased, so feeding it back through the
           // (lower-casing) signature pipeline is idempotent
           val asBatch = raw.select(col("doc_id"), col("lt").as("text"))
-          bandRel(asBatch, gOld).withColumn("ingest", lit(-1L))
+          bandRel(asBatch, gNew).withColumn("ingest", lit(-1L))
             .write.partitionBy("band_idx", "bpfx", "ingest")
             .parquet(s"$staging/buckets")
-          sigRel(asBatch, gOld).withColumn("ingest", lit(-1L))
+          sigRel(asBatch, gNew).withColumn("ingest", lit(-1L))
             .sortWithinPartitions(col("dbucket"), col("doc_id"))
             .write.partitionBy("dbucket", "ingest")
             .parquet(s"$staging/docs")

@@ -333,6 +333,21 @@ object PipelineStream {
     g || r
   }
 
+  /** RE-DOMAIN fan-out (round 11): grow each state's dir-domain
+    * geometry to what its live cardinality warrants (see
+    * [[IndexStream.redomainIfDue]] — grow-only, pin-aware, an epoch
+    * barrier when it runs). The text gate's measurement is a survivor
+    * count over its docs sub-table, so call this at maintenance
+    * cadence or rarer — never per batch. Returns whether any state was
+    * rebuilt.
+    */
+  def redomainIfDue(spark: SparkSession, rootDir: String): Boolean = {
+    val t = NearDupStream.redomainIfDue(spark, s"$rootDir/txt_state")
+    val v = VecDupStream.redomainIfDue(spark, s"$rootDir/vec_state")
+    val r = IndexStream.redomainIfDue(spark, ridxState(rootDir))
+    t || v || r
+  }
+
   /** File-source streaming runner over (doc_id, text, embedding,
     * source) parquet.
     */

@@ -381,12 +381,39 @@ object VecDupStream {
     * already at the current layout.
     */
   def migrateState(spark: SparkSession, stateDir: String): Boolean = {
-    // the rebuild keeps the state's recorded dir-domain geometry (a
-    // re-domaining migration would pass a different target here);
+    // the rebuild keeps the state's recorded dir-domain geometry;
     // unparsable pre-geometry layouts rebuild at the production domain
     val gOld = LsmIndex.readLayout(spark, stateDir)
       .flatMap(parseGeom).getOrElse(defaultGeom)
-    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gOld)) {
+    rebuildTo(spark, stateDir, gOld)
+  }
+
+  /** RE-DOMAIN (round 11 — [[IndexStream.redomainIfDue]]'s contract on
+    * this gate): rebuild at the dir-domain geometry the CURRENT live
+    * corpus warrants, grow-only and pin-aware; the measurement is the
+    * O(1) ncount markers. The rebuild also retrains the PQ codebook
+    * over the grown corpus (it reuses the migration body), so a
+    * re-domain doubles as the drift remedy. Returns true iff a rebuild
+    * ran.
+    */
+  def redomainIfDue(spark: SparkSession, stateDir: String,
+      expectedVecs: Option[Long] = None): Boolean = {
+    ensureLayout(spark, stateDir)
+    val gOld = geomOf(spark, stateDir)
+    val n = expectedVecs.getOrElse(storedCount(spark, stateDir))
+    val gNew = adaptiveGeom(n)
+    if (gNew.vb <= gOld.vb && gNew.bb <= gOld.bb) return false
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir)) return false
+    rebuildTo(spark, stateDir,
+      Geom(math.max(gNew.vb, gOld.vb), math.max(gNew.bb, gOld.bb)))
+  }
+
+  /** Rebuild the derived state from the layout-stable raw columns at
+    * TARGET geometry `gNew` inside [[LsmIndex.migrate]]'s shell.
+    */
+  private def rebuildTo(spark: SparkSession, stateDir: String,
+      gNew: Geom): Boolean = {
+    LsmIndex.migrate(spark, stateDir, layoutVersionFor(gNew)) {
         (oldRoot, staging) =>
       val fs = new org.apache.hadoop.fs.Path(oldRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -410,10 +437,10 @@ object VecDupStream {
         try {
           val n = raw.select(col("vec_id")).distinct().count()
           val asBatch = raw.select(col("vec_id"), col("v").as("embedding"))
-          bucketRel(asBatch, gOld).withColumn("ingest", lit(-1L))
+          bucketRel(asBatch, gNew).withColumn("ingest", lit(-1L))
             .write.partitionBy("tbl", "bpfx", "ingest")
             .parquet(s"$staging/buckets")
-          val sig = sigRel(asBatch, gOld)
+          val sig = sigRel(asBatch, gNew)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             sig.withColumn("ingest", lit(-1L))
