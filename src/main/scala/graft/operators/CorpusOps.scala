@@ -1015,6 +1015,48 @@ object CorpusOps {
     canon(graft.streaming.IndexStream.queryTopK(spark, state, q))
   }
 
+  /** bm25_after_redomain — the GROWTH path of the corpus-adaptive dir
+    * domains (round 11) on the driver's oracle gate: the train corpus
+    * folds into a state created at the SMALLEST domain (Geom(16,1) —
+    * as if sized for a tiny corpus), then `redomainIfDue` grows it to
+    * the production domain through the migrate-shell rebuild, and
+    * ranked retrieval over the re-domained state must still reproduce
+    * the same first-principles oracle SQL as bm25_index_topk. This is
+    * the one oracle row that drives the migration/rebuild machinery
+    * end-to-end at SF scale (elsewhere it is spec-pinned only); it
+    * also proves the rebuild's physical tombstone reclaim implicitly —
+    * the state carries no tombs here, but the consolidated ingest=-1
+    * generation, re-derived markers, and dfs re-aggregation are all on
+    * the scored path.
+    */
+  private val ridxGrowRecipe =
+    "ridxgrow: init tiny Geom(16,1); 2 folds pmod(doc_id,2)=i; " +
+      "redomainIfDue to production"
+
+  def bm25AfterRedomain(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    val layTiny = graft.streaming.IndexStream.adaptiveLayoutVersion(1L)
+    val layProd = graft.streaming.IndexStream.layoutVersion
+    val state = TmpData.sharedState("ridxgrow", sfDir,
+        TmpData.stampOf(layTiny, layProd, ridxGrowRecipe),
+        Seq(layProd)) { staging =>
+      graft.streaming.IndexStream.initState(spark, staging,
+        expectedDocs = 1L)
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"), col("source"))
+      (0 until 2).foreach { i =>
+        graft.streaming.IndexStream.applyBatch(spark, staging,
+          train.filter(pmod(col("doc_id"), lit(2)) === i), i.toLong)
+      }
+      require(graft.streaming.IndexStream.redomainIfDue(spark, staging,
+        expectedDocs = Some(1L << 22)),
+        s"redomain did not run while growing $staging")
+    }
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    canon(graft.streaming.IndexStream.queryTopK(spark, state, q))
+  }
+
   // ---------------------------------------------------------------------
   // phrase_match — positional exact-phrase retrieval
   // ---------------------------------------------------------------------
@@ -2206,6 +2248,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
     "bm25_index_topk" -> bm25IndexTopk,
+    "bm25_after_redomain" -> bm25AfterRedomain,
     "hybrid_topk" -> hybridTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
     "hybrid_prox_topk" -> hybridProxTopk,
@@ -2242,6 +2285,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "bm25_index_topk" -> bm25TopkSql,
+    "bm25_after_redomain" -> bm25TopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,
     "hybrid_prox_topk" -> hybridProxTopkSql,
