@@ -941,7 +941,16 @@ object CorpusOps {
     * scoring/selection/cap SQL cannot drift between oracle rows.
     * Emits CTEs `toks..ranked`; the caller selects from `ranked`.
     */
-  private[graft] def bm25Ctes(train: String, queries: String): String =
+  /** `allowPred` (round 11, filtered retrieval): an optional SQL
+    * predicate on `scored` rows inserted UNDER the rank window (so the
+    * ranked list re-ranks over the allowed docs) while every corpus
+    * statistic above it — df, n_docs, totdl, term selection, the
+    * head-term cap — stays whole-corpus, matching the query faces'
+    * filtered-retrieval contract. Empty = the historical unfiltered
+    * SQL, byte-identical.
+    */
+  private[graft] def bm25Ctes(train: String, queries: String,
+      allowPred: String = ""): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |  FROM $train
@@ -983,7 +992,7 @@ object CorpusOps {
        |), ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_micro DESC, doc_id ASC) AS rank
-       |  FROM scored
+       |  FROM scored$allowPred
        |)""".stripMargin
 
   val bm25TopkSql: String =
@@ -2245,10 +2254,43 @@ object CorpusOps {
     "\n      AND s.vec_id IN (SELECT doc_id FROM corpus WHERE source IN (" +
       denseAllowSources.map(s => s"'$s'").mkString(", ") + "))")
 
+  /** bm25_index_filtered — FILTERED sparse retrieval (round 11), the
+    * BM25 twin of `dense_index_filtered`'s allow sets: only documents
+    * in the allow relation (here the same three-source slice as the
+    * dense face, so the two legs demonstrate one tenant-scoping
+    * contract) may rank, applied to the posting hits BEFORE ranking
+    * and before the dl fetch, while every corpus statistic — df-based
+    * term selection, the head-term cap, n_docs, totdl — stays
+    * whole-index so scores stay comparable across filters. The oracle
+    * re-ranks the first-principles BM25 scores over the allowed docs
+    * (the predicate sits under the rank window, above nothing else).
+    */
+  def bm25IndexFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    val allow = load(spark, sfDir, "documents")
+      .filter(col("source").isin(denseAllowSources: _*))
+      .select(col("doc_id"))
+    canon(graft.streaming.IndexStream.queryTopK(spark, state, q,
+      allow = Some(allow)))
+  }
+
+  val bm25IndexFilteredSql: String =
+    s"""WITH ${bm25Ctes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        "\n  WHERE doc_id IN (SELECT doc_id FROM documents " +
+          "WHERE source IN (" +
+          denseAllowSources.map(s => s"'$s'").mkString(", ") + "))")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM ranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
     "bm25_index_topk" -> bm25IndexTopk,
     "bm25_after_redomain" -> bm25AfterRedomain,
+    "bm25_index_filtered" -> bm25IndexFiltered,
     "hybrid_topk" -> hybridTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
     "hybrid_prox_topk" -> hybridProxTopk,
@@ -2286,6 +2328,7 @@ object CorpusOps {
     "bm25_topk" -> bm25TopkSql,
     "bm25_index_topk" -> bm25TopkSql,
     "bm25_after_redomain" -> bm25TopkSql,
+    "bm25_index_filtered" -> bm25IndexFilteredSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,
     "hybrid_prox_topk" -> hybridProxTopkSql,

@@ -677,7 +677,8 @@ object IndexStream {
     * snapshots reserved for long-lived reproducibility roots.
     */
   def queryTopK(spark: SparkSession, stateDir: String,
-      queries: DataFrame, asOf: Option[Long] = None): DataFrame = {
+      queries: DataFrame, asOf: Option[Long] = None,
+      allow: Option[DataFrame] = None): DataFrame = {
     ensureLayout(spark, stateDir)
     val g = geomOf(spark, stateDir)
     val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
@@ -753,7 +754,19 @@ object IndexStream {
           selected.select(col("term")).distinct(), gens, g)
         .select(col("term"), col("doc_id"), col("tf"))
         .distinct(), gens)
-    val hits = selected.join(post, Seq("term"))
+    // FILTERED RETRIEVAL (round 11 — the sparse twin of
+    // VecDupStream's allow sets): only doc_ids IN the allow relation
+    // may rank, applied to the posting hits BEFORE ranking and before
+    // the dl fetch (the allow set SHRINKS the candidate read — a
+    // tenant-scoped query reads that tenant's dl rows, not the
+    // corpus's). Corpus statistics (n_docs, totdl, df-based term
+    // selection and the head-term cap) stay WHOLE-INDEX by contract:
+    // scores mean the same thing inside and outside the filter, and
+    // the ranked list is the unfiltered list's allowed suffix
+    // re-ranked — matching the dense leg's semantics.
+    val hits = allow.foldLeft(selected.join(post, Seq("term")))(
+        (h, a) => h.join(a.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
     val idSample = candIds.limit(pushdownMax + 1)

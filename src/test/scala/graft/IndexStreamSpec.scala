@@ -162,6 +162,51 @@ class IndexStreamSpec extends SparkSpecBase {
       s"driver/Spark md5 prefix disagreement: ${mismatches.take(3).toSeq}")
   }
 
+  test("filtered retrieval: allow sets restrict candidates and re-rank; stats stay whole-index") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ridx-allow").toString
+    val state = s"$root/state"
+    trainSlices(2).zipWithIndex.foreach { case (p, i) =>
+      IndexStream.applyBatch(spark, state, p, i.toLong)
+    }
+    val full = IndexStream.queryTopK(spark, state, queries)
+    val fullRows = rows(full)
+    assert(fullRows.nonEmpty)
+
+    // a covering allow set is a no-op (bit-identical, ranks included)
+    val all = documents.filter(col("source") =!= "src0")
+      .select(col("doc_id"))
+    assert(rows(IndexStream.queryTopK(spark, state, queries,
+      allow = Some(all))) == fullRows)
+
+    // a real allow slice: every returned doc is allowed, scores equal
+    // the unfiltered face's scores for those docs (whole-index stats),
+    // and ranks are contiguous from 1 per query (re-ranked, not
+    // post-filtered with holes)
+    val allowSrc = documents.filter(col("source").isin("src1", "src2"))
+      .select(col("doc_id"))
+    val allowed = allowSrc.collect().map(_.getLong(0)).toSet
+    val filt = rows(IndexStream.queryTopK(spark, state, queries,
+      allow = Some(allowSrc)))
+    assert(filt.nonEmpty && filt.forall(r => allowed.contains(r._3)),
+      "a non-allowed doc ranked")
+    val fullScores = fullRows.map(r => (r._1, r._3) -> (r._4, r._5)).toMap
+    // only docs the unfiltered top-k also surfaced are comparable;
+    // deeper allowed docs are below its k cutoff by construction
+    filt.filter(r => fullScores.contains((r._1, r._3))).foreach { r =>
+      assert(fullScores((r._1, r._3)) == ((r._4, r._5)),
+        s"score changed under the filter for ${(r._1, r._3)}")
+    }
+    filt.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).toSeq.sorted == (1 to rs.size),
+        s"ranks not contiguous for query $q")
+    }
+
+    // empty allow set: no rows, never an error
+    assert(rows(IndexStream.queryTopK(spark, state, queries,
+      allow = Some(Seq.empty[Long].toDF("doc_id")))).isEmpty)
+  }
+
   test("query on empty state returns no rows") {
     val root = Files.createTempDirectory("graft-ridx-empty").toString
     val out = IndexStream.queryTopK(spark, s"$root/state", queries)

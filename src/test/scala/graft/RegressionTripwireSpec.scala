@@ -27,7 +27,15 @@ class RegressionTripwireSpec extends SparkSpecBase {
     // ≈ 0.6 s at sf0.01) and the round-5 curve-less queries, now on
     // the measured curve (SCALING.md §round-6)
     "ann_ivf_auto" -> 15.0,
-    "ngram_novelty" -> 18.0)
+    "ngram_novelty" -> 18.0,
+    // round-11: the four round-10 warmed-bench drifters — all
+    // recovered on a quiet box (0.11/0.15/0.55/0.17 s warmed at
+    // sf0.1), adjudicating the drift as machine noise; tripwired here
+    // so a real plan regression in any of them is caught structurally
+    "stratified_sample" -> 10.0,
+    "skew_profile" -> 10.0,
+    "split_leak_check" -> 15.0,
+    "scd2_history" -> 10.0)
 
   test("prior worst-case queries stay under generous warmed stage ceilings at sf0.01") {
     for ((name, ceiling) <- ceilings) {
