@@ -580,12 +580,14 @@ object VecDupStream {
     * tombstone exists (one driver-side dir check).
     */
   private def minusTombs(spark: SparkSession, stateDir: String,
-      rel: DataFrame): DataFrame = {
+      rel: DataFrame, gens: Option[Set[Long]] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) rel
     else rel.join(
-      spark.read.schema(tombsSchema).parquet(p.toString)
+      gens.foldLeft(
+          spark.read.schema(tombsSchema).parquet(p.toString))(
+        (t, gg) => t.filter(col("ingest").isin(gg.toSeq: _*)))
         .select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
   }
@@ -696,13 +698,15 @@ object VecDupStream {
   /** The stored codebook, or None while no fold has trained one. Tiny
     * (≤ K·D rows) — read whole, never pruned.
     */
-  private def readCodebook(spark: SparkSession,
-      stateDir: String): Option[DataFrame] = {
+  private def readCodebook(spark: SparkSession, stateDir: String,
+      gens: Option[Set[Long]] = None): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$stateDir/pqbook")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || LsmIndex.readOrEmpty(spark, p.toString,
-        pqbookSchema).isEmpty) None
-    else Some(spark.read.schema(pqbookSchema).parquet(p.toString)
+    def gated(d: DataFrame) = gens.foldLeft(d)(
+      (b, gg) => b.filter(col("ingest").isin(gg.toSeq: _*)))
+    if (!fs.exists(p) || gated(LsmIndex.readOrEmpty(spark, p.toString,
+        pqbookSchema)).isEmpty) None
+    else Some(gated(spark.read.schema(pqbookSchema).parquet(p.toString))
       .select(col("sub"), col("code"), col("pos"), col("c")))
   }
 
@@ -759,8 +763,9 @@ object VecDupStream {
       batchId: Long, n: Long): Unit =
     markers(stateDir).write(spark, batchId, Seq(n))
 
-  private def storedCount(spark: SparkSession, stateDir: String): Long =
-    markers(stateDir).stored(spark).headOption.getOrElse(0L)
+  private def storedCount(spark: SparkSession, stateDir: String,
+      gens: Option[Set[Long]] = None): Long =
+    markers(stateDir).stored(spark, gens).headOption.getOrElse(0L)
 
   /** The `bpfx` dirs a query bucket's Hamming-1 probe set can land in,
     * at read width p, for a state with `bb` bpfx bits. Flips at bit
@@ -997,10 +1002,12 @@ object VecDupStream {
   private def fetchForIds(spark: SparkSession, dir: String,
       schema: StructType, ids: DataFrame,
       precollected: Option[Array[Long]] = None,
-      g: Geom = defaultGeom): DataFrame = {
+      g: Geom = defaultGeom,
+      gens: Option[Set[Long]] = None): DataFrame = {
     val sample = precollected.getOrElse(
       ids.limit(verifyIdPushdownMax + 1).collect().map(_.getLong(0)))
-    val base = readOrEmpty(spark, dir, schema)
+    val base = gens.foldLeft(readOrEmpty(spark, dir, schema))(
+      (d, gg) => d.filter(col("ingest").isin(gg.toSeq: _*)))
     if (sample.isEmpty) base.filter(lit(false))
     else if (sample.length <= verifyIdPushdownMax) {
       val vbs = sample.map(i => Math.floorMod(i, g.vb.toLong))
@@ -1029,21 +1036,34 @@ object VecDupStream {
     */
   def queryTopK(spark: SparkSession, stateDir: String, queries: DataFrame,
       k: Int = 3, exclude: Option[DataFrame] = None,
-      allow: Option[DataFrame] = None): DataFrame =
+      allow: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame =
     queryTopKTuned(spark, stateDir, queries, k, exclude,
-      adcEngageMin, adcExactTail, allow)
+      adcEngageMin, adcExactTail, allow, asOf)
 
   /** [[queryTopK]] with the ADC thresholds exposed (private[graft] —
     * the specs' seam for exercising the compressed leg on fixtures
     * smaller than the production [[adcEngageMin]]).
+    *
+    * `asOf` (round 11 — the dense twin of
+    * [[IndexStream.queryTopK]]'s native as-of): answer over exactly
+    * the generations of ledger operations with seq ≤ asOf, IN PLACE —
+    * no snapshot materialization. Every read (markers → read width p,
+    * buckets, tombstones, pq codes, codebook, raw vectors) filters to
+    * the as-of generation set, so the answer is bit-identical to
+    * `snapshotTo(asOf)` + query (spec-pinned); the same barrier
+    * fail-fast applies (history merged by compaction/migration is not
+    * addressable).
     */
   private[graft] def queryTopKTuned(spark: SparkSession, stateDir: String,
       queries: DataFrame, k: Int, exclude: Option[DataFrame],
       engageMin: Int, exactTail: Int,
-      allow: Option[DataFrame] = None): DataFrame = {
+      allow: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame = {
     ensureLayout(spark, stateDir)
     val g = geomOf(spark, stateDir)
-    val storedN = storedCount(spark, stateDir)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val storedN = storedCount(spark, stateDir, gens)
     val p = graft.operators.Similarity.lshAutoPlanes(math.max(storedN, 1L))
     val maskP = (1L << p) - 1
     val b = bucketRel(queries
@@ -1054,7 +1074,9 @@ object VecDupStream {
       .collect().flatMap(r =>
         probeDirs(r.getLong(1), p, g.bb).map(d => s"${r.getInt(0)}/$d"))
       .distinct.toSeq
-    val known = readOrEmpty(spark, s"$stateDir/buckets", bucketsSchema)
+    val known = gens.foldLeft(
+        readOrEmpty(spark, s"$stateDir/buckets", bucketsSchema))(
+        (d, gg) => d.filter(col("ingest").isin(gg.toSeq: _*)))
       .filter(concat_ws("/", col("tbl"), col("bpfx")).isin(touched: _*))
       .select(col("tbl"), col("bucket32").bitwiseAND(lit(maskP)).as("mb"),
         col("vec_id"))
@@ -1066,7 +1088,7 @@ object VecDupStream {
         explode(array(variants: _*)).as("mb"))
     val cand0 = minusTombs(spark, stateDir,
       probes.join(known, Seq("tbl", "mb"))
-        .select(col("query_id"), col("vec_id")).distinct())
+        .select(col("query_id"), col("vec_id")).distinct(), gens)
     val cand1 = exclude.fold(cand0)(ex =>
       cand0.join(ex.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti"))
@@ -1088,12 +1110,12 @@ object VecDupStream {
     // dup-heavy candidate sets get the compressed read at 100 TB.
     val engage =
       if (idSample.length <= engageMin) None
-      else readCodebook(spark, stateDir)
+      else readCodebook(spark, stateDir, gens)
     val verifySet = engage match {
       case None => cand
       case Some(cent) =>
         val pqSide = fetchForIds(spark, s"$stateDir/pq", pqSchema, candIds,
-            Some(idSample), g)
+            Some(idSample), g, gens)
           .select(col("vec_id"), col("codes"), col("nrm")).distinct()
         val qpos = queries.filter(col("embedding").isNotNull)
           .select(col("query_id"),
@@ -1123,7 +1145,7 @@ object VecDupStream {
     }
     val side = fetchForIds(spark, s"$stateDir/vecs", vecsSchema,
       verifySet.select(col("vec_id")).distinct(),
-      if (engage.isEmpty) Some(idSample) else None, g)
+      if (engage.isEmpty) Some(idSample) else None, g, gens)
     val qv = queries.filter(col("embedding").isNotNull)
       .select(col("query_id"),
         col("embedding").cast("array<double>").as("vq"))

@@ -82,6 +82,51 @@ class AsofPinSpec extends SparkSpecBase {
       "asOf at the newest seq must equal the live answer")
   }
 
+  test("dense leg: VecDupStream.queryTopK(asOf) equals snapshotTo + query at every ledger seq") {
+    import spark.implicits._
+    import graft.streaming.VecDupStream
+    val root = Files.createTempDirectory("graft-vasof").toString
+    val state = s"$root/state"; val out = s"$root/out"
+    def vec(i: Int): Seq[Double] =
+      (0 until 64).map(j => math.sin(0.1 * (i * 17 + j * 3) % 31) + 0.1 * j)
+    VecDupStream.applyBatch(spark, state, out,
+      (0L until 30L).map(i => i -> vec(i.toInt))
+        .toDF("vec_id", "embedding"), batchId = 0L) // seq 1
+    VecDupStream.applyBatch(spark, state, out,
+      (30L until 50L).map(i => i -> vec(i.toInt))
+        .toDF("vec_id", "embedding"), batchId = 1L) // seq 2
+    VecDupStream.deleteDocs(spark, state,
+      Seq(3L, 31L).toDF("vec_id"), deleteId = 0L)   // seq 3
+
+    val probe = Seq((900L, vec(3)), (901L, vec(31)), (902L, vec(45)))
+      .toDF("query_id", "embedding")
+    for (seq <- 1L to 3L) {
+      val snap = s"$root/s$seq"
+      VecDupStream.snapshotTo(spark, state, snap, asOfSeq = seq)
+      assert(rows(VecDupStream.queryTopK(spark, state, probe, k = 5,
+          asOf = Some(seq))) ==
+        rows(VecDupStream.queryTopK(spark, snap, probe, k = 5)),
+        s"dense asOf($seq) differs from snapshot($seq) + query")
+    }
+    // the as-of read never sees post-seq state: the seq-1 answer must
+    // rank only batch-0 vectors, and the seq-3 one must exclude the
+    // deleted ids
+    val seq1Ids = VecDupStream.queryTopK(spark, state, probe, k = 5,
+      asOf = Some(1L)).select("vec_id").collect().map(_.getLong(0))
+    assert(seq1Ids.nonEmpty && seq1Ids.forall(_ < 30L))
+    val seq3Ids = VecDupStream.queryTopK(spark, state, probe, k = 5,
+      asOf = Some(3L)).select("vec_id").collect().map(_.getLong(0))
+    assert(!seq3Ids.contains(3L) && !seq3Ids.contains(31L))
+    // and the force-engaged ADC path agrees with its snapshot twin too
+    // (the codebook read is generation-filtered like every other)
+    assert(rows(VecDupStream.queryTopKTuned(spark, state, probe, 5, None,
+        engageMin = 0, exactTail = 4096, allow = None,
+        asOf = Some(2L))) ==
+      rows(VecDupStream.queryTopKTuned(spark, s"$root/s2", probe, 5,
+        None, engageMin = 0, exactTail = 4096)),
+      "force-engaged ADC asOf differs from its snapshot twin")
+  }
+
   test("asOf past a compaction barrier fails fast; at the barrier it answers live") {
     val root = Files.createTempDirectory("graft-asof-bar").toString
     val state = s"$root/state"
