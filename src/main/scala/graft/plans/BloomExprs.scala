@@ -1,9 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SQL faces for Spark's built-in bloom-filter machinery (the same
   * `BloomFilterAggregate`/`BloomFilterMightContain` pair the optimizer's
@@ -21,22 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomExprs {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg"))) {
-      reg.createOrReplaceTempFunction("graft_bloom_agg", exprs =>
-        exprs match {
-          case Seq(child) => new BloomFilterAggregate(child)
-          case Seq(child, items) => new BloomFilterAggregate(child, items)
-          case Seq(child, items, bits) =>
-            new BloomFilterAggregate(child, items, bits)
-          case _ => throw new IllegalArgumentException(
-            s"graft_bloom_agg expects 1-3 arguments, got ${exprs.length}")
-        }, "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("graft_bloom_contains"))) {
-      reg.createOrReplaceTempFunction("graft_bloom_contains", exprs =>
-        BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
-    }
-  }
+  /** Idempotent — delegates to the canonical [[GraftExtensions]]
+    * description list (graft_bloom_agg / graft_bloom_contains included).
+    */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.registerInSession(spark)
 }

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+
+/** The engine's `SparkSessionExtensions` entry point: every native
+  * Catalyst expression the library ships, injected as a permanent SQL
+  * function at SESSION-BUILD time. A deployment that sets
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * (or builds with `SparkSession.builder().withExtensions(new
+  * GraftExtensions)`) gets `graft_dot`, `graft_simhash`,
+  * `graft_simhash60`, `graft_minhash`, `graft_shingle_overlap`,
+  * `graft_nfc`, `graft_bloom_agg` and `graft_bloom_contains` in plain
+  * `spark.sql(...)` from the first statement — on every executor-side
+  * session, in thrift-server sessions, and without any library call
+  * having run first. This is the production wiring; the in-session
+  * [[registerInSession]] path (what `Graft.init` and the query faces
+  * call) applies the SAME descriptions to an already-built session, so
+  * the two routes cannot drift.
+  *
+  * The injected functions are the exact expression classes the
+  * DataFrame faces use (`DotProduct`, `SimHash32`, ...), so a SQL user
+  * and a Column-API user get bit-identical semantics — one
+  * implementation, two surfaces.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def desc(name: String, clazz: Class[_], usage: String,
+      builder: Builder): (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
+      builder)
+
+  private def arity(name: String, n: Int, e: Seq[Expression]): Unit =
+    require(e.length == n,
+      s"$name expects $n argument(s), got ${e.length}")
+
+  /** The canonical (identifier, info, builder) list — ONE definition
+    * feeding both the extension injection and the in-session registry.
+    */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    desc("graft_dot", classOf[DotProduct],
+      "graft_dot(a, b) - dot product of two array<double> vectors " +
+        "(strict left-to-right summation).",
+      e => { arity("graft_dot", 2, e); DotProduct(e(0), e(1)) }),
+    desc("graft_simhash", classOf[SimHash32],
+      "graft_simhash(str) - 32-bit SimHash of a whitespace-tokenized " +
+        "string (md5-derived per-token h32, +/-1 bit votes).",
+      e => { arity("graft_simhash", 1, e); SimHash32(e.head) }),
+    desc("graft_simhash60", classOf[SimHash60],
+      "graft_simhash60(str) - 60-bit SimHash over 3-gram shingles " +
+        "(production-width banded geometry).",
+      e => { arity("graft_simhash60", 1, e); SimHash60(e.head) }),
+    desc("graft_minhash", classOf[MinHash8],
+      "graft_minhash(str) - 8-slot MinHash signature struct " +
+        "(s0..s7 plus shingle count) over 3-gram shingles.",
+      e => { arity("graft_minhash", 1, e); MinHash8(e.head) }),
+    desc("graft_shingle_overlap", classOf[ShingleOverlap],
+      "graft_shingle_overlap(a, b) - exact 3-gram shared-shingle count " +
+        "(bigint) for Jaccard verification.",
+      e => { arity("graft_shingle_overlap", 2, e)
+        ShingleOverlap(e(0), e(1)) }),
+    desc("graft_nfc", classOf[NfcNormalize],
+      "graft_nfc(str) - Unicode NFC normalization.",
+      e => { arity("graft_nfc", 1, e); NfcNormalize(e.head) }),
+    desc("graft_bloom_agg", classOf[BloomFilterAggregate],
+      "graft_bloom_agg(xxhash64(k)[, items[, bits]]) - aggregate keys " +
+        "into a bloom filter (Spark's runtime-filter machinery, " +
+        "exposed for explicit pre-filters).",
+      {
+        case Seq(child) => new BloomFilterAggregate(child)
+        case Seq(child, items) => new BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) =>
+          new BloomFilterAggregate(child, items, bits)
+        case e => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1-3 arguments, got ${e.length}")
+      }),
+    desc("graft_bloom_contains", classOf[BloomFilterMightContain],
+      "graft_bloom_contains(bf, xxhash64(k)) - probe a bloom filter " +
+        "(false positives possible, false negatives impossible).",
+      e => { arity("graft_bloom_contains", 2, e)
+        BloomFilterMightContain(e(0), e(1)) })
+  )
+
+  /** The same registrations applied to an ALREADY-BUILT session — the
+    * path `Graft.init` and the query faces use. Idempotent and quiet
+    * (skip-if-present: faces call this per query, and an unconditional
+    * replace logs a "function replaced" warning per call).
+    */
+  def registerInSession(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    descriptions.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+}

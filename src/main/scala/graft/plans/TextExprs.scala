@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -330,32 +329,11 @@ object NfcNormalize {
 }
 
 object TextExprs {
-  /** Register `graft_simhash(str)`, `graft_minhash(str)` and
-    * `graft_shingle_overlap(a, b)` in the session registry. Idempotent
-    * and quiet (no replace-warning spam on repeated calls).
+  /** Register `graft_simhash(str)`, `graft_minhash(str)`,
+    * `graft_shingle_overlap(a, b)` (and the rest of the engine's SQL
+    * functions) in the session registry. Idempotent and quiet —
+    * delegates to the canonical [[GraftExtensions]] description list.
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_simhash"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_simhash", exprs => SimHash32(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("graft_simhash60"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("graft_minhash"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_minhash", exprs => MinHash8(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("graft_shingle_overlap"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_shingle_overlap",
-        exprs => ShingleOverlap(exprs(0), exprs(1)), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("graft_nfc"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.registerInSession(spark)
 }

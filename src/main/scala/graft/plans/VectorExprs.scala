@@ -57,17 +57,12 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorExprs {
-  /** Register `graft_dot(arr, arr)` in the session's function registry so
-    * it is usable from expr()/SQL. Idempotent.
+  /** Register the engine's SQL functions (incl. `graft_dot(arr, arr)`)
+    * in the session's function registry so they are usable from
+    * expr()/SQL. Idempotent — delegates to the canonical
+    * [[GraftExtensions]] description list (one definition, two routes:
+    * extension injection at session build, or this in-session call).
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
-    // skip if present: every similarity query calls register(), and the
-    // unconditional replace logs a "function replaced" warning per call
-    if (!reg.functionExists(id)) {
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.registerInSession(spark)
 }
