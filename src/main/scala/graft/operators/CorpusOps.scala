@@ -949,8 +949,26 @@ object CorpusOps {
     * filtered-retrieval contract. Empty = the historical unfiltered
     * SQL, byte-identical.
     */
+  /** `allTerms` (round 11, the MaxScore face): when true, the `sel`
+    * CTE keeps EVERY uncapped query term (no df-rarest limit) — the
+    * exact full-query scoring semantics of [[bm25FullTopkOn]]. False
+    * emits the historical rarest-[[bm25QueryTerms]] SQL byte-identically.
+    */
   private[graft] def bm25Ctes(train: String, queries: String,
-      allowPred: String = ""): String =
+      allowPred: String = "", allTerms: Boolean = false): String = {
+    val sel =
+      if (!allTerms)
+        s"""  SELECT term, query_id, df FROM (
+           |    SELECT q.term, q.query_id, d.df,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY d.df ASC, q.term ASC) AS trank
+           |    FROM qterms q JOIN dft d USING (term), stamp st
+           |    WHERE 2 * d.df <= st.n_docs)
+           |  WHERE trank <= $bm25QueryTerms""".stripMargin
+      else
+        s"""  SELECT q.term, q.query_id, d.df
+           |  FROM qterms q JOIN dft d USING (term), stamp st
+           |  WHERE 2 * d.df <= st.n_docs""".stripMargin
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |  FROM $train
@@ -968,13 +986,7 @@ object CorpusOps {
        |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
        |  FROM $queries
        |), sel AS (
-       |  SELECT term, query_id, df FROM (
-       |    SELECT q.term, q.query_id, d.df,
-       |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY d.df ASC, q.term ASC) AS trank
-       |    FROM qterms q JOIN dft d USING (term), stamp st
-       |    WHERE 2 * d.df <= st.n_docs)
-       |  WHERE trank <= $bm25QueryTerms
+       |$sel
        |), scored_terms AS (
        |  SELECT s.query_id, tf.doc_id,
        |    CAST((CAST(22 AS HUGEINT) * tf.tf * st.totdl
@@ -994,11 +1006,150 @@ object CorpusOps {
        |    ORDER BY score_micro DESC, doc_id ASC) AS rank
        |  FROM scored$allowPred
        |)""".stripMargin
+  }
 
   val bm25TopkSql: String =
     s"""WITH ${bm25Ctes(
         "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
         "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM ranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bm25_full_topk — exact ALL-terms BM25 via MaxScore-style pruning
+  // ---------------------------------------------------------------------
+
+  /** bm25_full_topk — EXACT full-query BM25: every uncapped query term
+    * scores (not just the df-rarest [[bm25QueryTerms]]), and the
+    * top-[[bm25K]] is still computed without ranking the whole corpus —
+    * the MaxScore idea (Turtle & Flood, "Query evaluation: strategies
+    * and optimizations", 1995) recast set-wise for a shuffle engine:
+    *
+    *  1. ESSENTIAL terms: the [[bm25QueryTerms]] df-rarest per query
+    *     (the same static-WAND selection [[bm25TopkOn]] uses). Their
+    *     postings define the candidate universe — Σ df over the
+    *     shortest lists, never queries × corpus.
+    *  2. Candidates get their FULL exact score: ALL uncapped query
+    *     terms' postings join, restricted to candidates by a left-semi
+    *     join — at scale a frequent term's posting fetch prunes to the
+    *     candidate docs (row-group grain) instead of scoring its whole
+    *     list, and the scoring shuffle is candidate-volume, not
+    *     posting-volume.
+    *  3. The PROOF that no non-candidate doc belongs in the top-k: a
+    *     non-candidate contains no essential term, so its score is at
+    *     most Σ ub(t) over the query's NON-essential terms, where
+    *     ub(t) = max over t's postings of the exact per-term µ-score.
+    *     If that bound is STRICTLY below the query's k-th candidate
+    *     score, the restricted ranking is provably exact (strict also
+    *     settles ties — the doc_id-asc tiebreak could otherwise admit
+    *     a tying non-candidate).
+    *  4. Queries where the bound fails — or with fewer than
+    *     [[bm25K]] candidates — FALL BACK to unrestricted full scoring
+    *     for that query only: exact by construction, never wrong, just
+    *     unpruned. Bm25MaxScoreSpec pins that natural corpora don't
+    *     trigger it and an adversarial one does (and stays exact).
+    *
+    * Everything stays exact-integer (ub is a max of the same µ-score
+    * expression the oracle computes), so the ok/fallback routing — and
+    * therefore the plan shape — is deterministic, and the oracle is
+    * simply the full-scoring SQL ([[bm25Ctes]] with `allTerms = true`):
+    * the pruning must be invisible in the answer.
+    */
+  def bm25FullTopk(spark: SparkSession, sfDir: String): DataFrame =
+    bm25FullTopkOn(load(spark, sfDir, "documents"))
+
+  def bm25FullTopkOn(d: DataFrame): DataFrame = canon(bm25FullParts(d)._1)
+
+  /** The MaxScore plan's parts, for the spec: (result, fallback
+    * queries, candidate pairs, restricted scored pairs). */
+  private[graft] def bm25FullParts(d: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        explode(bm25Tokens(col("text"))).as("term"))
+    val tf = Caching.persistOnce(
+      toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stamp = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("totdl"))
+    val qTerms = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(bm25Tokens(col("text")))).as("term"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    // every uncapped query term, essentialness ranked by df
+    val qsel = Caching.persistOnce(qTerms.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stamp))
+      .filter(bm25CapOk(col("df"), col("n_docs")))
+      .withColumn("trank", row_number().over(wq)))
+    val essential = qsel.filter(col("trank") <= bm25QueryTerms)
+    val nonEss = qsel.filter(col("trank") > bm25QueryTerms)
+    // tight per-term upper bound: max over the term's postings of the
+    // exact µ-score — computed only for terms some query holds
+    // non-essentially (query-vocabulary grain, not corpus grain)
+    val ubT = tf
+      .join(nonEss.select(col("term")).distinct(), Seq("term"), "left_semi")
+      .join(dl, Seq("doc_id"))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stamp))
+      .withColumn("m", expr(bm25TermMicroExpr))
+      .groupBy(col("term")).agg(max(col("m")).as("ub_micro"))
+    // candidate universe: docs holding >=1 essential term
+    val cand = essential.select(col("term"), col("query_id"))
+      .join(tf, Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    // full exact scores, candidate-restricted
+    val ranked = Caching.persistOnce(
+      qsel.select(col("term"), col("query_id"), col("df"),
+          col("n_docs"), col("totdl"))
+        .join(tf, Seq("term"))
+        .join(cand, Seq("query_id", "doc_id"), "left_semi")
+        .repartition(col("doc_id"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("term_micro", expr(bm25TermMicroExpr))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("term_micro")).as("score_micro"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(wd)))
+    val kth = ranked.filter(col("rank") === bm25K)
+      .select(col("query_id"), col("score_micro").as("kth_micro"))
+    // fallback iff the query HAS non-essential terms and their summed
+    // bound could reach the k-th candidate (or candidates < k)
+    val fb = nonEss.join(ubT, Seq("term"))
+      .groupBy(col("query_id")).agg(sum(col("ub_micro")).as("sum_ub"))
+      .join(kth, Seq("query_id"), "left")
+      .filter(col("kth_micro").isNull || col("sum_ub") >= col("kth_micro"))
+      .select(col("query_id"))
+    val fbTop = qsel.join(broadcast(fb), Seq("query_id"), "left_semi")
+      .select(col("term"), col("query_id"), col("df"),
+        col("n_docs"), col("totdl"))
+      .join(tf, Seq("term"))
+      .repartition(col("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("term_micro", expr(bm25TermMicroExpr))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wd))
+    val cols = Seq(col("query_id"), col("rank"), col("doc_id"),
+      col("score_micro"), col("n_terms"))
+    val out = ranked.join(broadcast(fb), Seq("query_id"), "left_anti")
+      .filter(col("rank") <= bm25K).select(cols: _*)
+      .unionByName(fbTop.filter(col("rank") <= bm25K).select(cols: _*))
+    (out, fb, cand, ranked)
+  }
+
+  val bm25FullTopkSql: String =
+    s"""WITH ${bm25Ctes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        allTerms = true)}
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
        |FROM ranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
@@ -2288,6 +2439,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
+    "bm25_full_topk" -> bm25FullTopk,
     "bm25_index_topk" -> bm25IndexTopk,
     "bm25_after_redomain" -> bm25AfterRedomain,
     "bm25_index_filtered" -> bm25IndexFiltered,
@@ -2326,6 +2478,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
+    "bm25_full_topk" -> bm25FullTopkSql,
     "bm25_index_topk" -> bm25TopkSql,
     "bm25_after_redomain" -> bm25TopkSql,
     "bm25_index_filtered" -> bm25IndexFilteredSql,
