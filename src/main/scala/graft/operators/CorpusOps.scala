@@ -1175,6 +1175,20 @@ object CorpusOps {
     canon(graft.streaming.IndexStream.queryTopK(spark, state, q))
   }
 
+  /** bm25_full_index — the INCREMENTAL MaxScore face: full-query exact
+    * BM25 (every uncapped term scores) over the SAME LSM index state as
+    * bm25_index_topk, with the pruning proof served from the dfs
+    * sub-table's stored per-term impact bound (`max_tf`, layout v5) —
+    * no posting list is read to decide exactness. Driver-checked
+    * against the same full-scoring SQL as the batch face
+    * (bm25_full_topk): the shared tokenizer/cap/scoring/k definitions
+    * make the two faces bit-identical by construction.
+    */
+  def bm25FullIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryTopKAll(spark, state, q))
+  }
+
   /** bm25_after_redomain — the GROWTH path of the corpus-adaptive dir
     * domains (round 11) on the driver's oracle gate: the train corpus
     * folds into a state created at the SMALLEST domain (Geom(16,1) —
@@ -1288,12 +1302,16 @@ object CorpusOps {
     * equi-join. Shared by [[phraseMatchOn]] and [[nearMatchOn]].
     */
   private def phrasePosRowsOn(d: DataFrame,
-      len: Int = phraseLen): DataFrame = {
+      len: Int = phraseLen, distinctTerms: Boolean = false): DataFrame = {
     val toks = d.filter(col("source") =!= "src0")
       .select(col("doc_id"),
         posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
     val qp = d.filter(col("source") === "src0")
       .filter(size(bm25Tokens(col("text"))) >= len)
+      // the unordered face's contract: all len phrase terms distinct
+      .filter(if (distinctTerms)
+          size(array_distinct(phraseTerms(col("text"), len))) === len
+        else lit(true))
       .select(col("doc_id").as("query_id"),
         posexplode(phraseTerms(col("text"), len)).as(Seq("i", "term")))
     qp.join(toks, Seq("term"))
@@ -1412,6 +1430,79 @@ object CorpusOps {
   def nearSloppy(spark: SparkSession, sfDir: String): DataFrame =
     nearMatchOn(load(spark, sfDir, "documents"), sloppy = true)
 
+  /** UNORDERED proximity (round 11 — NEAR/w without the order
+    * constraint, the other half of every proximity operator family):
+    * the minimal window containing ALL the query phrase's terms in ANY
+    * order, per (query, doc). Same span scale as the ordered face
+    * (len − 1 = the terms are mutually adjacent), same two ranking
+    * grades (min_span asc / sloppy Σ ⌊10⁶/(1+slop)⌋ with
+    * slop = span − (len−1)).
+    *
+    * Linear, like the ordered merge — never positions^len: each
+    * document's slot rows sort once by position, and one running
+    * per-slot max frame (UNBOUNDED PRECEDING .. CURRENT ROW) carries
+    * the LAST position of every slot; a row where all `len` slots have
+    * been seen closes the minimal window ending there —
+    * span = pos − least(lasts) (the classic minimal-cover sweep). The
+    * face requires the phrase's `len` terms to be DISTINCT (the
+    * unordered window of a duplicated term needs multiplicity
+    * counting, which this face deliberately does not define — the
+    * query filter is part of the contract and mirrored in the oracle
+    * SQL), so each document position matches exactly one slot and the
+    * per-slot lasts are distinct positions: span ≥ len − 1 always
+    * holds and the sloppy divisor stays ≥ 1.
+    */
+  private[graft] def nearUnorderedRank(posRows: DataFrame,
+      len: Int = phraseLen, sloppy: Boolean = false): DataFrame = {
+    require(len >= 2, s"unordered NEAR needs at least 2 slots, got $len")
+    val w = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lasts = (0 until len).map(k =>
+      max(when(col("i") === k, col("pos"))).over(w).as(s"l$k"))
+    val withL = posRows.select(
+      Seq(col("query_id"), col("doc_id"), col("pos")) ++ lasts: _*)
+    val allSeen = (0 until len).map(k => col(s"l$k").isNotNull)
+      .reduce(_ && _)
+    val ends = withL.filter(allSeen)
+      .withColumn("span",
+        (col("pos") - least((0 until len).map(k => col(s"l$k")): _*))
+          .cast("bigint"))
+    val spans =
+      if (!sloppy)
+        ends.groupBy(col("query_id"), col("doc_id"))
+          .agg(min(col("span")).as("min_span"))
+      else
+        ends.withColumn("contrib",
+            expr(s"cast(1000000 div (1 + span - ${len - 1}) as bigint)"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("contrib")).as("sloppy_micro"))
+    val wr =
+      if (!sloppy) Window.partitionBy(col("query_id"))
+        .orderBy(col("min_span").asc, col("doc_id").asc)
+      else Window.partitionBy(col("query_id"))
+        .orderBy(col("sloppy_micro").desc, col("doc_id").asc)
+    spans.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col(if (sloppy) "sloppy_micro" else "min_span"))
+  }
+
+  /** [[nearUnorderedRank]] over an explicit documents relation — the
+    * batch face; queries whose leading phrase holds duplicate terms
+    * are excluded by contract (see the rank core).
+    */
+  def nearUnorderedOn(d: DataFrame, len: Int = phraseLen,
+      sloppy: Boolean = false): DataFrame =
+    canon(nearUnorderedRank(
+      phrasePosRowsOn(d, len, distinctTerms = true), len, sloppy))
+
+  /** near_unordered — minimal any-order window of the query's leading
+    * bigram terms over the train corpus, ranked tightest-first.
+    */
+  def nearUnordered(spark: SparkSession, sfDir: String): DataFrame =
+    nearUnorderedOn(load(spark, sfDir, "documents"))
+
   /** The phrase oracle CTE chain over pluggable (doc_id, text)
     * relations — same contract as [[bm25Ctes]]: ONE definition feeds
     * phrase_match and phrase_index_match so the semantics cannot
@@ -1423,7 +1514,10 @@ object CorpusOps {
     * the phrase and NEAR oracle chains.
     */
   private def posCtes(train: String, queries: String,
-      len: Int = phraseLen): String =
+      len: Int = phraseLen, distinctTerms: Boolean = false): String = {
+    val dt = if (!distinctTerms) ""
+      else s"\n    AND len(list_distinct(list_slice(" +
+        s"string_split(lower(text), ' '), 1, $len))) = $len"
     s"""ptoks AS (
        |  SELECT doc_id,
        |    unnest(string_split(lower(text), ' ')) AS term,
@@ -1436,8 +1530,9 @@ object CorpusOps {
        |      $len)) AS term,
        |    unnest(generate_series(0, $len - 1)) AS i
        |  FROM $queries
-       |  WHERE len(string_split(lower(text), ' ')) >= $len
+       |  WHERE len(string_split(lower(text), ' ')) >= $len$dt
        |)""".stripMargin
+  }
 
   private[graft] def phraseCtes(train: String, queries: String,
       len: Int = phraseLen): String =
@@ -1496,6 +1591,52 @@ object CorpusOps {
        |  FROM nspan
        |)""".stripMargin
   }
+
+  /** The UNORDERED proximity oracle chain — the same minimal-cover
+    * sweep as [[nearUnorderedRank]]: one running per-slot max window
+    * (aggregate window functions skip NULLs in both engines), a row
+    * where every slot has been seen closes span = pos − least(lasts).
+    * Emits `..uranked` with a `min_span` or `sloppy_micro` column.
+    */
+  private[graft] def nearUnorderedCtes(train: String, queries: String,
+      len: Int = phraseLen, sloppy: Boolean = false): String = {
+    val lasts = (0 until len).map(k =>
+      s"    max(CASE WHEN i = $k THEN pos END) OVER uw AS l$k")
+      .mkString(",\n")
+    val nn = (0 until len).map(k => s"l$k IS NOT NULL").mkString(" AND ")
+    val leastE = s"least(${(0 until len).map(k => s"l$k").mkString(", ")})"
+    val agg =
+      if (!sloppy) s"CAST(min(pos - $leastE) AS BIGINT) AS min_span"
+      else s"CAST(sum(1000000 // (1 + pos - $leastE - ${len - 1})) " +
+        "AS BIGINT) AS sloppy_micro"
+    val order = if (!sloppy) "min_span ASC" else "sloppy_micro DESC"
+    s"""${posCtes(train, queries, len, distinctTerms = true)}, uposr AS (
+       |  SELECT q.query_id, t.doc_id, q.i, t.pos
+       |  FROM qp q JOIN ptoks t USING (term)
+       |), ulast AS (
+       |  SELECT query_id, doc_id, pos,
+       |$lasts
+       |  FROM uposr
+       |  WINDOW uw AS (PARTITION BY query_id, doc_id ORDER BY pos ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), uspan AS (
+       |  SELECT query_id, doc_id, $agg
+       |  FROM ulast WHERE $nn
+       |  GROUP BY 1, 2
+       |), uranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY $order, doc_id ASC) AS rank
+       |  FROM uspan
+       |)""".stripMargin
+  }
+
+  val nearUnorderedSql: String =
+    s"""WITH ${nearUnorderedCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, min_span
+       |FROM uranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "min_span"))}""".stripMargin
 
   val nearMatchSql: String =
     s"""WITH ${nearCtes(
@@ -1627,6 +1768,15 @@ object CorpusOps {
     val (state, q) = ridxStateAndQueries(spark, sfDir)
     canon(graft.streaming.IndexStream.queryNear(spark, state, q,
       sloppy = true))
+  }
+
+  /** near_unordered_index — the incremental unordered-proximity face
+    * over the same shared LSM state, checked against the same
+    * minimal-cover oracle as near_unordered.
+    */
+  def nearUnorderedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryNearUnordered(spark, state, q))
   }
 
   /** The train-doc predicate of the delete faces' oracle: every 7th
@@ -2440,6 +2590,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> bm25Topk,
     "bm25_full_topk" -> bm25FullTopk,
+    "bm25_full_index" -> bm25FullIndex,
     "bm25_index_topk" -> bm25IndexTopk,
     "bm25_after_redomain" -> bm25AfterRedomain,
     "bm25_index_filtered" -> bm25IndexFiltered,
@@ -2457,6 +2608,8 @@ object CorpusOps {
     "near3_index_match" -> near3IndexMatch,
     "near_sloppy" -> nearSloppy,
     "near_sloppy_index" -> nearSloppyIndex,
+    "near_unordered" -> nearUnordered,
+    "near_unordered_index" -> nearUnorderedIndex,
     "phrase3_match" -> phrase3Match,
     "phrase3_index_match" -> phrase3IndexMatch,
     "bm25_after_delete" -> bm25AfterDelete,
@@ -2479,6 +2632,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "bm25_full_topk" -> bm25FullTopkSql,
+    "bm25_full_index" -> bm25FullTopkSql,
     "bm25_index_topk" -> bm25TopkSql,
     "bm25_after_redomain" -> bm25TopkSql,
     "bm25_index_filtered" -> bm25IndexFilteredSql,
@@ -2496,6 +2650,8 @@ object CorpusOps {
     "near3_index_match" -> near3MatchSql,
     "near_sloppy" -> nearSloppySql,
     "near_sloppy_index" -> nearSloppySql,
+    "near_unordered" -> nearUnorderedSql,
+    "near_unordered_index" -> nearUnorderedSql,
     "phrase3_match" -> phrase3MatchSql,
     "phrase3_index_match" -> phrase3MatchSql,
     "bm25_after_delete" -> bm25AfterDeleteSql,

@@ -118,6 +118,7 @@ object IndexStream {
   private val dfsSchema: StructType = StructType(Seq(
     StructField("term", StringType),
     StructField("df", LongType),
+    StructField("max_tf", LongType),
     StructField("gen", LongType),
     StructField("dpfx", StringType),
     StructField("ingest", LongType)))
@@ -184,11 +185,12 @@ object IndexStream {
   }
 
   private[graft] def layoutVersionFor(g: Geom): String =
-    s"graft-ridx-v4 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
+    s"graft-ridx-v5 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
       s"${g.tpfxDirs} sort=term " +
       "pos=sorted-int-array " +
       s"docs=(dbucket=pmod${g.db},ingest) sort=doc_id " +
       "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
+      "impact=max_tf " +
       s"tombs=(dbucket=pmod${g.db},ingest) del=neg-df+neg-markers " +
       "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n"
 
@@ -322,7 +324,12 @@ object IndexStream {
               // deletes' negative rows cancel to the surviving count;
               // fully-deleted terms sum to 0 and leave the index
               "dfs" -> (d => d.groupBy(col("term"))
-                .agg(sum(col("df")).as("df"))
+                .agg(sum(col("df")).as("df"),
+                  // the impact bound survives as the max of history —
+                  // possibly stale-high after reclaim (the max-tf doc
+                  // may be gone), which stays a valid upper bound;
+                  // migration rebuilds tighten it
+                  max(col("max_tf")).as("max_tf"))
                 .filter(col("df") > 0)
                 .withColumn("gen", lit(-1L))
                 .withColumn("dpfx", substring(md5(col("term")), 1, 1)))),
@@ -376,12 +383,22 @@ object IndexStream {
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tpfx", substring(md5(col("term")), 1, g.hx))
 
-  /** The per-batch df rows (term, df, gen, dpfx) — df counted from the
-    * same posting rows the batch writes, so dfs and postings can never
-    * disagree.
+  /** The per-batch df rows (term, df, max_tf, gen, dpfx) — df counted
+    * from the same posting rows the batch writes, so dfs and postings
+    * can never disagree. `max_tf` (layout v5) is the term's IMPACT
+    * BOUND: the largest tf any posting of this generation carries.
+    * [[queryTopKAll]] turns it into a per-term score upper bound
+    * (µ-score at tf = dl = max_tf — valid because the µ-score rises in
+    * tf, falls in dl, and tf ≤ dl in every real posting), so the
+    * MaxScore exactness proof reads NO posting list. Deletes write
+    * max_tf = 0 rows and reclaim keeps the max of survivors' history —
+    * the stored bound can only ever be stale-HIGH, which keeps it a
+    * bound (a too-high max_tf costs a fallback, never a wrong answer);
+    * migration/redomain rebuilds tighten it back to exact.
     */
   private def dfsRel(tf: DataFrame, batchId: Long): DataFrame =
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"))
       .withColumn("gen", lit(batchId))
       .withColumn("dpfx", substring(md5(col("term")), 1, 1))
 
@@ -558,6 +575,9 @@ object IndexStream {
         val negDfs = tfRel(doomed.select(col("doc_id"),
             col("lt").as("text")), g)
           .groupBy(col("term")).agg((-count(lit(1))).as("df"))
+          // max_tf = 0: a delete row never LOWERS the stored impact
+          // bound (max over gens) — stale-high is safe, see dfsRel
+          .withColumn("max_tf", lit(0L))
           .withColumn("gen", lit(gen))
           .withColumn("dpfx", substring(md5(col("term")), 1, 1))
         negDfs.withColumn("ingest", lit(gen))
@@ -808,6 +828,153 @@ object IndexStream {
         col("score_micro"), col("n_terms"))
   }
 
+  /** Full-query EXACT BM25 over the accumulated index — the
+    * incremental twin of CorpusOps.bm25FullTopkOn: EVERY uncapped
+    * query term scores (not just the df-rarest [[graft.operators
+    * .CorpusOps.bm25QueryTerms]]), with MaxScore pruning whose proof
+    * obligation reads NO posting list:
+    *
+    *  - the `dfs` sub-table (layout v5) stores each term's IMPACT
+    *    BOUND `max_tf` next to its df, maintained by the fold for
+    *    free; ub(term) = µ-score at tf = dl = max_tf (valid since the
+    *    µ-score rises in tf, falls in dl, and tf ≤ dl in any posting;
+    *    deletes/reclaim only ever leave the bound stale-HIGH — a
+    *    fallback trigger, never a wrong answer);
+    *  - candidates come from the essential (df-rarest) terms' postings
+    *    — the same generation-shortlisted, tombstone-anti-joined fetch
+    *    as [[queryTopK]]; non-essential postings join candidate-
+    *    restricted, so the scoring shuffle is candidate-volume;
+    *  - a query whose non-essential bounds could reach its k-th
+    *    candidate score falls back to unrestricted ranking over its
+    *    posting hits (exact by construction).
+    *
+    * Answers are bit-identical to the batch face over the same corpus
+    * (shared tokenizer/cap/scoring/k definitions) and therefore to the
+    * full-scoring oracle SQL.
+    */
+  def queryTopKAll(spark: SparkSession, stateDir: String,
+      queries: DataFrame): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
+    val st = markers(stateDir).stored(spark, None)
+    val nDocs = if (st.nonEmpty) st.head else 0L
+    val totDl = if (st.size > 1) st(1) else 0L
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("score_micro", LongType),
+        StructField("n_terms", LongType, nullable = false))))
+    if (nDocs <= 0L || totDl <= 0L) return emptyOut
+    val q = queries.filter(col("text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(
+          graft.operators.CorpusOps.bm25Tokens(col("text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return emptyOut
+    val dfsR = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cumulative df + the stored impact bound, per live term
+    val dfT = dfsR.groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), max(col("max_tf")).as("max_tf"))
+      .filter(col("df") > 0)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    // EVERY uncapped query term, essentialness ranked by df
+    val qsel = q.join(dfT, Seq("term"))
+      .filter(graft.operators.CorpusOps.bm25CapOk(col("df"), lit(nDocs)))
+      .withColumn("trank", row_number().over(wq))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selPairs = qsel.select(col("term")).distinct()
+      .join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (selPairs.isEmpty) return emptyOut
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs,
+          qsel.select(col("term")).distinct(), None, g)
+        .select(col("term"), col("doc_id"), col("tf"))
+        .distinct(), None)
+    val hitsAll = qsel
+      .select(col("term"), col("query_id"), col("df"), col("trank"))
+      .join(post, Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate universe: docs holding >=1 essential term
+    val cand = hitsAll
+      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("query_id"), col("doc_id")).distinct()
+    // dl fetch bounded by ALL posting-hit ids (covers the fallback
+    // path's universe too — one bounded read serves both branches)
+    val hitIds = hitsAll.select(col("doc_id")).distinct()
+    val idSample = hitIds.limit(pushdownMax + 1)
+      .collect().map(_.getLong(0))
+    val docsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/docs",
+      docsSchema)
+    val dlSide =
+      if (idSample.length <= pushdownMax) {
+        val dbs = idSample.map(i => Math.floorMod(i, g.db.toLong))
+          .distinct.toSeq
+        docsBase.filter(col("dbucket").isin(dbs: _*) &&
+          col("doc_id").isin(idSample.toSeq: _*))
+      } else {
+        val dbs = hitIds
+          .select(pmod(col("doc_id"), lit(g.db)).as("dbucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ db
+        docsBase.filter(col("dbucket").isin(dbs: _*))
+          .join(hitIds, Seq("doc_id"), "left_semi")
+      }
+    val dl = dlSide.select(col("doc_id"), col("dl")).distinct()
+    def scoreRank(hits: DataFrame): DataFrame = {
+      val wd = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+      hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("totdl", lit(totDl))
+        .withColumn("term_micro",
+          expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("term_micro")).as("score_micro"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(wd))
+    }
+    val ranked = scoreRank(
+      hitsAll.join(cand, Seq("query_id", "doc_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kth = ranked
+      .filter(col("rank") === graft.operators.CorpusOps.bm25K)
+      .select(col("query_id"), col("score_micro").as("kth_micro"))
+    // the per-query proof obligation, from dfs metadata alone:
+    // ub(term) = µ-score at tf = dl = max_tf
+    val sumUb = qsel
+      .filter(col("trank") > graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("query_id"), col("df"),
+        col("max_tf").as("tf"), col("max_tf").as("dl"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("totdl", lit(totDl))
+      .withColumn("ub_micro",
+        expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+      .groupBy(col("query_id")).agg(sum(col("ub_micro")).as("sum_ub"))
+    val fb = sumUb.join(kth, Seq("query_id"), "left")
+      .filter(col("kth_micro").isNull ||
+        col("sum_ub") >= col("kth_micro"))
+      .select(col("query_id"))
+    val fbTop = scoreRank(
+      hitsAll.join(broadcast(fb), Seq("query_id"), "left_semi"))
+    val cols = Seq(col("query_id"), col("rank"), col("doc_id"),
+      col("score_micro"), col("n_terms"))
+    ranked.join(broadcast(fb), Seq("query_id"), "left_anti")
+      .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+      .select(cols: _*)
+      .unionByName(fbTop
+        .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+        .select(cols: _*))
+  }
+
   /** The dfs sub-table rows for a query term set — dpfx dir shortlist
     * + term IN row-group pushdown when the term sample collected under
     * [[pushdownMax]], distributed left-semi join above it. Returns
@@ -830,7 +997,8 @@ object IndexStream {
       } else {
         dfsBase.join(terms, Seq("term"), "left_semi")
       }
-    rows.select(col("term"), col("df"), col("gen")).distinct()
+    rows.select(col("term"), col("df"), col("max_tf"), col("gen"))
+      .distinct()
   }
 
   /** The pruned posting read for an exact (term, gen) shortlist
@@ -903,13 +1071,18 @@ object IndexStream {
   private def phrasePosRows(spark: SparkSession, stateDir: String,
       queries: DataFrame,
       len: Int = graft.operators.CorpusOps.phraseLen,
-      asOf: Option[Long] = None): Option[DataFrame] = {
+      asOf: Option[Long] = None,
+      distinctTerms: Boolean = false): Option[DataFrame] = {
     ensureLayout(spark, stateDir)
     val g = geomOf(spark, stateDir)
     val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
     val ops = graft.operators.CorpusOps
     val q = queries.filter(col("text").isNotNull)
       .filter(size(ops.bm25Tokens(col("text"))) >= len)
+      // the unordered face's contract: all len phrase terms distinct
+      .filter(if (distinctTerms)
+          size(array_distinct(ops.phraseTerms(col("text"), len))) === len
+        else lit(true))
       .select(col("query_id"),
         posexplode(ops.phraseTerms(col("text"), len)).as(Seq("i", "term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -968,6 +1141,24 @@ object IndexStream {
         emptyRanked(spark, if (sloppy) "sloppy_micro" else "min_span")
       case Some(pr) =>
         graft.operators.CorpusOps.nearRank(pr, len, sloppy)
+    }
+
+  /** UNORDERED proximity over the accumulated index: minimal any-order
+    * window of the query's phrase terms per document — same posting
+    * fetch as [[queryNear]], the shared minimal-cover sweep
+    * (CorpusOps.nearUnorderedRank) as the rank core, and the same
+    * distinct-terms query contract as the batch face.
+    */
+  def queryNearUnordered(spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      sloppy: Boolean = false, asOf: Option[Long] = None): DataFrame =
+    phrasePosRows(spark, stateDir, queries, len, asOf,
+        distinctTerms = true) match {
+      case None =>
+        emptyRanked(spark, if (sloppy) "sloppy_micro" else "min_span")
+      case Some(pr) =>
+        graft.operators.CorpusOps.nearUnorderedRank(pr, len, sloppy)
     }
 
   /** LAYOUT MIGRATION: rebuild the DERIVED state — `postings`, the dl

@@ -122,6 +122,87 @@ class Bm25MaxScoreSpec extends SparkSpecBase {
     assert(faceRows(out) == naiveAll(d))
   }
 
+  private def buildState(d: DataFrame): String = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-maxscore").toString
+    graft.streaming.IndexStream.initState(spark, root, expectedDocs = 100L)
+    val train = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"))
+    graft.streaming.IndexStream.applyBatch(spark, root,
+      train.filter(pmod(col("doc_id"), lit(2)) === 0), 0L)
+    graft.streaming.IndexStream.applyBatch(spark, root,
+      train.filter(pmod(col("doc_id"), lit(2)) === 1), 1L)
+    root
+  }
+
+  private def queriesOf(d: DataFrame): DataFrame =
+    d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+
+  test("index face (queryTopKAll) matches naive over a 2-generation state") {
+    // the separated corpus: prunes with no fallback on the batch face;
+    // the index face must agree with naive either way
+    val corpus: Seq[(Long, String, String)] =
+      (0 until 40).map { i =>
+        (i.toLong, "train",
+          s"unique$i shared${i % 4} shared${(i + 1) % 4} pad padd")
+      } :+ ((900L, "src0", "unique3 unique7 unique11 shared1 shared2"))
+    val d = docs(corpus)
+    val root = buildState(d)
+    val got = graft.streaming.IndexStream
+      .queryTopKAll(spark, root, queriesOf(d))
+    assert(faceRows(got) == naiveAll(d))
+    spark.catalog.clearCache()
+  }
+
+  test("index face prunes exactly through the adversarial fallback") {
+    val midSpam = "zmid " * 40
+    val pad = (0 until 12).map(i => s"p$i").mkString(" ")
+    val corpus = Seq[(Long, String, String)](
+      (1L, "train", "rare1 filler0"),
+      (2L, "train", "rare2 filler1"),
+      (3L, "train", s"rare3 $pad"),
+      (4L, "train", s"rare3 $pad"),
+      (5L, "train", midSpam.trim),
+      (6L, "train", midSpam.trim + " filler4"),
+      (7L, "train", "filler5 filler6"),
+      (8L, "train", "filler7 filler8"),
+      (9L, "train", "filler9 fillerA"),
+      (100L, "src0", "rare1 rare2 rare3 zmid"))
+    val d = docs(corpus)
+    val root = buildState(d)
+    val got = graft.streaming.IndexStream
+      .queryTopKAll(spark, root, queriesOf(d))
+    val rows = faceRows(got)
+    assert(rows == naiveAll(d))
+    assert(rows.map(_._3).contains(5L),
+      "the non-candidate zmid doc must rank via the fallback")
+    spark.catalog.clearCache()
+  }
+
+  test("stale impact bound after a delete stays an upper bound (exact answers)") {
+    // delete the doc that CARRIES a term's max_tf: the stored bound is
+    // now stale-high, which may cost a fallback but never exactness
+    val corpus: Seq[(Long, String, String)] =
+      (0 until 30).map { i =>
+        (i.toLong, "train",
+          s"unique$i shared${i % 4} shared${(i + 1) % 4} pad padd")
+      } ++ Seq(
+        (50L, "train", ("shared1 " * 20).trim), // max_tf carrier for shared1
+        (900L, "src0", "unique3 unique7 shared1 shared2"))
+    val d = docs(corpus.toSeq)
+    val root = buildState(d)
+    val doomed = spark.range(50, 51).select(col("id").as("doc_id"))
+    val n = graft.streaming.IndexStream.deleteDocs(spark, root, doomed, 0L)
+    assert(n == 1L)
+    spark.catalog.clearCache()
+    val got = graft.streaming.IndexStream
+      .queryTopKAll(spark, root, queriesOf(d))
+    val survivors = d.filter(col("doc_id") =!= 50L)
+    assert(faceRows(got) == naiveAll(survivors))
+    spark.catalog.clearCache()
+  }
+
   test("default bm25Ctes SQL is unchanged by the allTerms refactor") {
     val sql = CorpusOps.bm25Ctes("train_rel", "query_rel")
     assert(sql.contains("WHERE trank <= 3"))

@@ -325,4 +325,69 @@ class PhraseSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       "the queries x phraseLen side should broadcast")
   }
+
+  test("unordered NEAR: any-order windows, ordered misses recovered, dup-term phrases excluded") {
+    val d = docs(Seq(
+      (100L, "big cat query", "src0"),
+      (1L, "big cat here", "src1"),     // adjacent in order: span 1
+      (2L, "cat big", "src1"),          // adjacent REVERSED: span 1 here,
+                                        // invisible to ordered NEAR
+      (3L, "big x y cat", "src1"),      // span 3 either way
+      (4L, "cat z big", "src1"),        // reversed span 2
+      (5L, "big dog", "src1"),          // cat missing: no window
+      // dup-term phrase query: excluded by the distinct-terms contract
+      (101L, "a a query", "src0"),
+      (6L, "a a a", "src1")))
+    val got = outSpan(CorpusOps.nearUnorderedOn(d))
+    assert(got == Set(
+      (100L, 1, 1L, 1L), (100L, 2, 2L, 1L), (100L, 3, 4L, 2L)),
+      s"unordered NEAR semantics mismatch: $got")
+    assert(!got.exists(_._1 == 101L),
+      "dup-term phrase queries must be excluded")
+    // the ordered face cannot see doc 2's reversed adjacency
+    val ordered = outSpan(CorpusOps.nearMatchOn(d))
+    assert(!ordered.exists(t => t._1 == 100L && t._3 == 2L),
+      "fixture broken: ordered NEAR should miss the reversed pair")
+  }
+
+  test("unordered NEAR len=3: minimal cover across interleavings; sloppy grade exact") {
+    val d = docs(Seq(
+      (100L, "one two three query words", "src0"),
+      (1L, "three one two", "src1"),         // any-order adjacent: span 2
+      (2L, "one x two y three", "src1"),     // span 4
+      // minimal cover is the TAIL window [three@3, two@4, one@5]:
+      // span 2 — the sweep must find it among the earlier, wider
+      // covers ending at three@3 (span 3) and two@4 (span 3)
+      (3L, "two one z three two one", "src1"),
+      (4L, "one two", "src1")))              // three missing: no window
+    val got = outSpan(CorpusOps.nearUnorderedOn(d, len = 3))
+    assert(got == Set(
+      (100L, 1, 1L, 2L), (100L, 2, 3L, 2L), (100L, 3, 2L, 4L)),
+      s"unordered NEAR len-3 mismatch: $got")
+    val sloppy = outCol(CorpusOps.nearUnorderedOn(d, sloppy = true),
+      "sloppy_micro")
+    // bigram "one two": doc1 reversed-adjacent windows... recompute on
+    // the len=2 face: doc 1 "three one two" -> one@1,two@2: span 1 =
+    // 10^6; doc 2 span 2 (one@0,two@2) = 500000; doc 3 windows ending
+    // at one@1 (two@0: span 1 -> 10^6), two@4 (one@1? latest one@1,
+    // span 3 -> 333333), one@5 (two@4, span 1 -> 10^6); doc 4 span 1
+    assert(sloppy.exists(t => t._3 == 3L && t._4 == 2333333L),
+      s"sloppy unordered total mismatch: $sloppy")
+  }
+
+  test("unordered NEAR: incremental index face matches the batch face") {
+    val root = Files.createTempDirectory("graft-near-unord").toString
+    val state = s"$root/state"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val queries = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val want = outSpan(CorpusOps.nearUnorderedOn(d))
+    assert(want.nonEmpty, "fixture must retrieve something")
+    assert(outSpan(IndexStream.queryNearUnordered(spark, state,
+      queries)) == want,
+      "index unordered NEAR must equal the batch face bit-for-bit")
+  }
 }
