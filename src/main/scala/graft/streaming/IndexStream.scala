@@ -852,11 +852,23 @@ object IndexStream {
     * (shared tokenizer/cap/scoring/k definitions) and therefore to the
     * full-scoring oracle SQL.
     */
+  /** `asOf` and `allow` carry [[queryTopK]]'s exact contracts: as-of
+    * filters generations in place under the ledger's addressability
+    * rules, and an allow set restricts the RANKED universe (applied to
+    * the posting hits before candidates, ranking, and the dl fetch)
+    * while corpus statistics — df, the cap, n_docs/totdl, the impact
+    * bounds — stay whole-index. The MaxScore proof still holds
+    * filtered: a non-candidate ALLOWED doc contains no essential term,
+    * so its score is bounded by the same non-essential ub sum, checked
+    * against the k-th ALLOWED candidate.
+    */
   def queryTopKAll(spark: SparkSession, stateDir: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, asOf: Option[Long] = None,
+      allow: Option[DataFrame] = None): DataFrame = {
     ensureLayout(spark, stateDir)
     val g = geomOf(spark, stateDir)
-    val st = markers(stateDir).stored(spark, None)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val st = markers(stateDir).stored(spark, gens)
     val nDocs = if (st.nonEmpty) st.head else 0L
     val totDl = if (st.size > 1) st(1) else 0L
     def emptyOut = spark.createDataFrame(
@@ -877,7 +889,7 @@ object IndexStream {
       .limit(pushdownMax + 1).collect().map(_.getString(0))
     if (termSample.isEmpty) return emptyOut
     val dfsR = dfsRowsFor(spark, stateDir,
-      q.select(col("term")).distinct(), termSample)
+      q.select(col("term")).distinct(), termSample, gens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cumulative df + the stored impact bound, per live term
     val dfT = dfsR.groupBy(col("term"))
@@ -897,12 +909,14 @@ object IndexStream {
     if (selPairs.isEmpty) return emptyOut
     val post = minusTombs(spark, stateDir,
       postingsFor(spark, stateDir, selPairs,
-          qsel.select(col("term")).distinct(), None, g)
+          qsel.select(col("term")).distinct(), gens, g)
         .select(col("term"), col("doc_id"), col("tf"))
-        .distinct(), None)
-    val hitsAll = qsel
-      .select(col("term"), col("query_id"), col("df"), col("trank"))
-      .join(post, Seq("term"))
+        .distinct(), gens)
+    val hitsAll = allow.foldLeft(qsel
+        .select(col("term"), col("query_id"), col("df"), col("trank"))
+        .join(post, Seq("term")))(
+        (h, a) => h.join(a.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate universe: docs holding >=1 essential term
     val cand = hitsAll
@@ -913,8 +927,9 @@ object IndexStream {
     val hitIds = hitsAll.select(col("doc_id")).distinct()
     val idSample = hitIds.limit(pushdownMax + 1)
       .collect().map(_.getLong(0))
-    val docsBase = LsmIndex.readOrEmpty(spark, s"$stateDir/docs",
-      docsSchema)
+    val docsBase = gens.foldLeft(
+      LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema))(
+      (d, gg) => d.filter(col("ingest").isin(gg.toSeq: _*)))
     val dlSide =
       if (idSample.length <= pushdownMax) {
         val dbs = idSample.map(i => Math.floorMod(i, g.db.toLong))

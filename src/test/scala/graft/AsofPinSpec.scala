@@ -69,6 +69,11 @@ class AsofPinSpec extends SparkSpecBase {
           asOf = Some(seq))) ==
         rows(IndexStream.queryNear(spark, snap, queries)),
         s"NEAR asOf=$seq must equal the seq-$seq snapshot")
+      assert(rows(IndexStream.queryTopKAll(spark, state, queries,
+          asOf = Some(seq))) ==
+        rows(IndexStream.queryTopKAll(spark, snap, queries)),
+        s"MaxScore asOf=$seq must equal the seq-$seq snapshot")
+      spark.catalog.clearCache()
     }
     // the fixture is discriminating: the three prefixes answer
     // differently, so the equalities above are not vacuous

@@ -203,6 +203,32 @@ class Bm25MaxScoreSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("filtered full-term retrieval: allow set re-ranks under whole-corpus stats") {
+    val corpus: Seq[(Long, String, String)] =
+      (0 until 40).map { i =>
+        (i.toLong, "train",
+          s"unique$i shared${i % 4} shared${(i + 1) % 4} pad padd")
+      } :+ ((900L, "src0", "unique3 unique7 unique11 shared1 shared2"))
+    val d = docs(corpus)
+    val root = buildState(d)
+    // allow only even doc_ids; expected = naive full scoring with the
+    // predicate UNDER the rank window (stats whole-corpus)
+    val allow = spark.range(0, 40, 2).select(col("id").as("doc_id"))
+    val got = graft.streaming.IndexStream
+      .queryTopKAll(spark, root, queriesOf(d), allow = Some(allow))
+    val unfiltered = graft.streaming.IndexStream
+      .queryTopKAll(spark, root, queriesOf(d))
+    assert(faceRows(got).forall(t => t._3 % 2 == 0),
+      "only allowed docs may rank")
+    // scores of surviving docs are the unfiltered scores (whole-corpus
+    // stats): every (doc, score) pair in the filtered answer that also
+    // ranked unfiltered must carry the identical score
+    val unf = faceRows(unfiltered).map(t => (t._1, t._3) -> t._4).toMap
+    assert(faceRows(got).forall { t =>
+      unf.get((t._1, t._3)).forall(_ == t._4) })
+    spark.catalog.clearCache()
+  }
+
   test("default bm25Ctes SQL is unchanged by the allTerms refactor") {
     val sql = CorpusOps.bm25Ctes("train_rel", "query_rel")
     assert(sql.contains("WHERE trank <= 3"))
