@@ -248,6 +248,17 @@ object IndexStream {
   def maxGenerations(spark: SparkSession, stateDir: String): Int =
     LsmIndex.maxGenerations(spark, stateDir, subTables.map(_.name))
 
+  /** Operational DESCRIBE of an index state root — see
+    * [[LsmIndex.stats]]; corpus rows are the marker-stored (n_docs,
+    * tot_dl).
+    */
+  def stateStats(spark: SparkSession, stateDir: String): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val st = markers(stateDir).stored(spark)
+    LsmIndex.stats(spark, stateDir, subTables.map(_.name),
+      Seq("n_docs", "tot_dl").zip(st))
+  }
+
   def compactionDue(spark: SparkSession, stateDir: String,
       maxGen: Int = defaultMaxGenerations): Boolean =
     maxGenerations(spark, stateDir) >= maxGen

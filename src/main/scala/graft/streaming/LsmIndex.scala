@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Shared machinery for LSM-shaped streaming state: a state root holding
   * one or more sub-tables, each hash-partitioned on fixed columns with
@@ -168,6 +168,67 @@ private[graft] object LsmIndex {
     val st = fs.listStatus(p).toSeq
     st.filter(s => s.isFile && s.getPath.getName.startsWith("part-")) ++
       st.filter(_.isDirectory).flatMap(d => dataFilesOf(fs, d.getPath))
+  }
+
+  /** Operational DESCRIBE of a state root — the maintenance dashboard
+    * an operator reads before deciding to compact, re-domain, migrate,
+    * or investigate: per-sub-table logical generations / partition
+    * dirs / data files / bytes (driver-side FS metadata only, bounded
+    * by dir domain × generations — the same listings every query face
+    * already pays; NO data is read), the corpus constants from the
+    * markers, the ledger position (operations recorded, last seq,
+    * compaction barriers), the registered pins, and the stamped
+    * layout. Rows are (section, name, value, text): numeric facts
+    * carry `value`, the layout string rides `text`.
+    */
+  def stats(spark: SparkSession, stateDir: String, subNames: Seq[String],
+      markerVals: Seq[(String, Long)]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, java.lang.Long, String)]
+    def add(sec: String, name: String, v: Long): Unit =
+      rows += ((sec, name, java.lang.Long.valueOf(v), null))
+    for (sub <- subNames) {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val fs = root.getFileSystem(conf)
+      val sec = s"sub:$sub"
+      if (!fs.exists(root)) add(sec, "generations", 0L)
+      else {
+        val parts = partDirsOf(fs, root)
+        val gens = parts.flatMap(p => fs.listStatus(p).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith("ingest="))).distinct
+        val files = dataFilesOf(fs, root)
+        add(sec, "generations", gens.size.toLong)
+        add(sec, "part_dirs", parts.size.toLong)
+        add(sec, "files", files.size.toLong)
+        add(sec, "bytes", files.map(_.getLen).sum)
+      }
+    }
+    markerVals.foreach { case (n, v) => add("corpus", n, v) }
+    val es = OpLog(stateDir).entries(spark)
+    add("ledger", "entries", es.size.toLong)
+    if (es.nonEmpty) add("ledger", "last_seq", es.map(_._1).max)
+    add("ledger", "compactions", es.count(_._2 == "compact").toLong)
+    val pinsDir = new org.apache.hadoop.fs.Path(s"$stateDir/pins")
+    val pfs = pinsDir.getFileSystem(conf)
+    val nPins = if (!pfs.exists(pinsDir)) 0L
+      else pfs.listStatus(pinsDir).count(st =>
+        st.isFile && st.getPath.getName.startsWith("pin_")).toLong
+    add("pins", "registered", nPins)
+    Pins(stateDir).minSeq(spark)
+      .foreach(s => add("pins", "min_seq", s))
+    readLayout(spark, stateDir).foreach(l =>
+      rows += (("layout", "version", null, l)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq.map {
+        case (sec, n, v, t) => org.apache.spark.sql.Row(sec, n, v, t)
+      }, 1),
+      StructType(Seq(
+        StructField("section", StringType),
+        StructField("name", StringType),
+        StructField("value", LongType),
+        StructField("text", StringType))))
   }
 
   /** The sub-tables a [[compact]] call at `minFiles` would rewrite —

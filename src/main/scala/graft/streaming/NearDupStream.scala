@@ -443,6 +443,15 @@ object NearDupStream {
   def maxGenerations(spark: SparkSession, stateDir: String): Int =
     LsmIndex.maxGenerations(spark, stateDir, subTables.map(_.name))
 
+  /** Operational DESCRIBE of a text-gate state root — see
+    * [[LsmIndex.stats]] (this gate keeps no corpus marker; live doc
+    * count is a docs-minus-tombs read the dashboard doesn't pay).
+    */
+  def stateStats(spark: SparkSession, stateDir: String): DataFrame = {
+    ensureLayout(spark, stateDir)
+    LsmIndex.stats(spark, stateDir, subTables.map(_.name), Seq.empty)
+  }
+
   /** True when the cadence rule says to compact now. */
   def compactionDue(spark: SparkSession, stateDir: String,
       maxGen: Int = defaultMaxGenerations): Boolean =

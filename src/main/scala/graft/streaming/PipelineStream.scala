@@ -333,6 +333,21 @@ object PipelineStream {
     g || r
   }
 
+  /** Operational DESCRIBE fan-out: all three gates' [[LsmIndex.stats]]
+    * rows under a `gate` column — the one dashboard call an operator
+    * makes before deciding which state to compact, re-domain, or
+    * investigate. FS metadata + markers only, no data read.
+    */
+  def stateStats(spark: SparkSession, rootDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    NearDupStream.stateStats(spark, s"$rootDir/txt_state")
+      .withColumn("gate", lit("txt"))
+      .unionByName(VecDupStream.stateStats(spark, s"$rootDir/vec_state")
+        .withColumn("gate", lit("vec")))
+      .unionByName(IndexStream.stateStats(spark, ridxState(rootDir))
+        .withColumn("gate", lit("ridx")))
+  }
+
   /** RE-DOMAIN fan-out (round 11): grow each state's dir-domain
     * geometry to what its live cardinality warrants (see
     * [[IndexStream.redomainIfDue]] — grow-only, pin-aware, an epoch

@@ -272,6 +272,17 @@ object VecDupStream {
   def maxGenerations(spark: SparkSession, stateDir: String): Int =
     LsmIndex.maxGenerations(spark, stateDir, subTables.map(_.name))
 
+  /** Operational DESCRIBE of a vec-gate state root — see
+    * [[LsmIndex.stats]]; the corpus row is the marker-stored live
+    * vector count.
+    */
+  def stateStats(spark: SparkSession, stateDir: String): DataFrame = {
+    ensureLayout(spark, stateDir)
+    LsmIndex.stats(spark, stateDir, subTables.map(_.name),
+      markers(stateDir).stored(spark).headOption
+        .map(("n_vecs", _)).toSeq)
+  }
+
   def compactionDue(spark: SparkSession, stateDir: String,
       maxGen: Int = defaultMaxGenerations): Boolean =
     maxGenerations(spark, stateDir) >= maxGen
