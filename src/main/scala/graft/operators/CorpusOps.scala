@@ -1921,10 +1921,18 @@ object CorpusOps {
   /** [[hybridTopk]] over explicit (doc_id, source, text) documents and
     * (vec_id, label, embedding) embeddings — the spec seam.
     */
-  def hybridTopkOn(d: DataFrame, e: DataFrame): DataFrame = {
+  def hybridTopkOn(d: DataFrame, e: DataFrame): DataFrame =
+    canon(rrfFuse(
+      bm25TopkOn(d).select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_sparse")),
+      denseLegOn(d, e)))
+
+  /** The exact-cosine dense leg shared by [[hybridTopkOn]] and
+    * [[hybridFullTopkOn]]: candidates blocked to the query's IVF cell
+    * (label equi-join, never a cartesian), µ-floored cosine, top-k.
+    */
+  private def denseLegOn(d: DataFrame, e: DataFrame): DataFrame = {
     graft.plans.VectorExprs.register(d.sparkSession)
-    val sparse = bm25TopkOn(d)
-      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
     val ev = e.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
@@ -1938,15 +1946,31 @@ object CorpusOps {
         col("v").as("vc"), col("nrm").as("nc")), Seq("doc_id"))
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_micro").desc, col("doc_id").asc)
-    val dense = qv.join(cv, Seq("label"))
+    qv.join(cv, Seq("label"))
       .withColumn("sim_micro",
         floor(expr("graft_dot(vq, vc)") / (col("nq") * col("nc"))
           * lit(1000000.0)).cast("long"))
       .withColumn("rank_dense", row_number().over(wd))
       .filter(col("rank_dense") <= bm25K)
       .select(col("query_id"), col("doc_id"), col("rank_dense"))
-    canon(rrfFuse(sparse, dense))
   }
+
+  /** hybrid_full_topk — the hybrid composition with the EXACT
+    * full-query sparse leg: [[bm25FullTopkOn]] (MaxScore) replaces the
+    * rarest-3 approximation under the identical dense leg and RRF
+    * fusion, so the flagship retrieval composition carries true BM25
+    * semantics end-to-end. The oracle swaps the sparse subquery of the
+    * hybrid SQL for the full-scoring chain — one template, two rows.
+    */
+  def hybridFullTopk(spark: SparkSession, sfDir: String): DataFrame =
+    hybridFullTopkOn(load(spark, sfDir, "documents"),
+      load(spark, sfDir, "embeddings"))
+
+  def hybridFullTopkOn(d: DataFrame, e: DataFrame): DataFrame =
+    canon(rrfFuse(
+      bm25FullTopkOn(d).select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_sparse")),
+      denseLegOn(d, e)))
 
   /** The RRF fusion tail — shared by the batch face above and the
     * streaming face (streaming.PipelineStream.hybridTopK), so both
@@ -1992,10 +2016,14 @@ object CorpusOps {
         col("rrf_micro"), col("n_legs"))
   }
 
-  val hybridTopkSql: String =
+  /** The hybrid oracle template over a pluggable sparse-leg SQL —
+    * ONE definition feeds hybrid_topk (rarest-3 leg) and
+    * hybrid_full_topk (the MaxScore full-scoring leg).
+    */
+  private def hybridSqlOver(sparseSql: String): String =
     s"""WITH sparse AS (
        |  SELECT query_id, doc_id, rank AS rank_sparse FROM (
-       |    $bm25TopkSql
+       |    $sparseSql
        |  )
        |), e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -2039,6 +2067,10 @@ object CorpusOps {
        |FROM ranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "rrf_micro",
          "n_legs"))}""".stripMargin
+
+  val hybridTopkSql: String = hybridSqlOver(bm25TopkSql)
+
+  val hybridFullTopkSql: String = hybridSqlOver(bm25FullTopkSql)
 
   /** hybrid_index_topk — the WHOLE streaming retrieval stack as one
     * driver-checked oracle row (round 10, verdict item 2): the train
@@ -2595,6 +2627,7 @@ object CorpusOps {
     "bm25_after_redomain" -> bm25AfterRedomain,
     "bm25_index_filtered" -> bm25IndexFiltered,
     "hybrid_topk" -> hybridTopk,
+    "hybrid_full_topk" -> hybridFullTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
     "hybrid_prox_topk" -> hybridProxTopk,
     "dense_index_adc" -> denseIndexAdc,
@@ -2637,6 +2670,7 @@ object CorpusOps {
     "bm25_after_redomain" -> bm25TopkSql,
     "bm25_index_filtered" -> bm25IndexFilteredSql,
     "hybrid_topk" -> hybridTopkSql,
+    "hybrid_full_topk" -> hybridFullTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,
     "hybrid_prox_topk" -> hybridProxTopkSql,
     "dense_index_adc" -> denseIndexAdcSql,
