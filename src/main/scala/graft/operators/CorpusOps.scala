@@ -1503,6 +1503,101 @@ object CorpusOps {
   def nearUnordered(spark: SparkSession, sfDir: String): DataFrame =
     nearUnorderedOn(load(spark, sfDir, "documents"))
 
+  /** search_snippets — SNIPPET EXTRACTION, the result-shaping step
+    * between ranked retrieval and a human (or an LLM context window):
+    * for each query and each of its top-[[bm25K]] proximity-ranked
+    * documents, the BEST WINDOW — the minimal any-order cover of the
+    * query's phrase terms (ties broken to the EARLIEST window) — is
+    * located and the covered token run is emitted as text. Runs on the
+    * same linear per-slot sweep as [[nearUnorderedRank]]; the argmin
+    * is one row_number over (span asc, start asc) per (query, doc),
+    * then one join back to the document text for the token slice —
+    * O(ranked docs), never a re-scan. Both engines slice the SAME
+    * lowered-tokenization (1-based slice of span+1 tokens), so the
+    * emitted snippet strings are byte-identical.
+    */
+  def searchSnippets(spark: SparkSession, sfDir: String): DataFrame =
+    searchSnippetsOn(load(spark, sfDir, "documents"))
+
+  def searchSnippetsOn(d: DataFrame, len: Int = phraseLen): DataFrame = {
+    val posRows = phrasePosRowsOn(d, len, distinctTerms = true)
+    val w = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lasts = (0 until len).map(k =>
+      max(when(col("i") === k, col("pos"))).over(w).as(s"l$k"))
+    val withL = posRows.select(
+      Seq(col("query_id"), col("doc_id"), col("pos")) ++ lasts: _*)
+    val allSeen = (0 until len).map(k => col(s"l$k").isNotNull)
+      .reduce(_ && _)
+    val ends = withL.filter(allSeen)
+      .withColumn("snip_start",
+        least((0 until len).map(k => col(s"l$k")): _*))
+      .withColumn("span", (col("pos") - col("snip_start")).cast("bigint"))
+    val wb = Window.partitionBy(col("query_id"), col("doc_id"))
+      .orderBy(col("span").asc, col("snip_start").asc)
+    val best = ends.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("span").asc, col("doc_id").asc)
+    val ranked = best.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= bm25K)
+    val train = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"), bm25Tokens(col("text")).as("toks"))
+    val out = ranked.join(train, Seq("doc_id"))
+      .withColumn("snippet", array_join(
+        slice(col("toks"), col("snip_start") + lit(1),
+          col("span") + lit(1)), " "))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("snip_start").cast("bigint").as("snip_start"),
+        col("snippet"))
+    canon(out)
+  }
+
+  val searchSnippetsSql: String = {
+    val len = phraseLen
+    val lasts = (0 until len).map(k =>
+      s"    max(CASE WHEN i = $k THEN pos END) OVER uw AS l$k")
+      .mkString(",\n")
+    val nn = (0 until len).map(k => s"l$k IS NOT NULL").mkString(" AND ")
+    val leastE = s"least(${(0 until len).map(k => s"l$k").mkString(", ")})"
+    s"""WITH ${posCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        len, distinctTerms = true)}, uposr AS (
+       |  SELECT q.query_id, t.doc_id, q.i, t.pos
+       |  FROM qp q JOIN ptoks t USING (term)
+       |), ulast AS (
+       |  SELECT query_id, doc_id, pos,
+       |$lasts
+       |  FROM uposr
+       |  WINDOW uw AS (PARTITION BY query_id, doc_id ORDER BY pos ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), uend AS (
+       |  SELECT query_id, doc_id, $leastE AS snip_start,
+       |    CAST(pos - $leastE AS BIGINT) AS span
+       |  FROM ulast WHERE $nn
+       |), ubest AS (
+       |  SELECT query_id, doc_id, snip_start, span FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+       |      ORDER BY span ASC, snip_start ASC) AS rn FROM uend)
+       |  WHERE rn = 1
+       |), uranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY span ASC, doc_id ASC) AS rank
+       |  FROM ubest
+       |)
+       |SELECT query_id, rank, doc_id, snip_start, snippet FROM (
+       |  SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.doc_id,
+       |    r.snip_start,
+       |    array_to_string(list_slice(string_split(lower(d.text), ' '),
+       |      r.snip_start + 1, r.snip_start + r.span + 1), ' ') AS snippet
+       |  FROM uranked r JOIN documents d ON r.doc_id = d.doc_id
+       |  WHERE r.rank <= $bm25K)
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "snip_start",
+         "snippet"))}""".stripMargin
+  }
+
   /** The phrase oracle CTE chain over pluggable (doc_id, text)
     * relations — same contract as [[bm25Ctes]]: ONE definition feeds
     * phrase_match and phrase_index_match so the semantics cannot
@@ -2643,6 +2738,7 @@ object CorpusOps {
     "near_sloppy_index" -> nearSloppyIndex,
     "near_unordered" -> nearUnordered,
     "near_unordered_index" -> nearUnorderedIndex,
+    "search_snippets" -> searchSnippets,
     "phrase3_match" -> phrase3Match,
     "phrase3_index_match" -> phrase3IndexMatch,
     "bm25_after_delete" -> bm25AfterDelete,
@@ -2686,6 +2782,7 @@ object CorpusOps {
     "near_sloppy_index" -> nearSloppySql,
     "near_unordered" -> nearUnorderedSql,
     "near_unordered_index" -> nearUnorderedSql,
+    "search_snippets" -> searchSnippetsSql,
     "phrase3_match" -> phrase3MatchSql,
     "phrase3_index_match" -> phrase3MatchSql,
     "bm25_after_delete" -> bm25AfterDeleteSql,

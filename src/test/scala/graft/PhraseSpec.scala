@@ -375,6 +375,27 @@ class PhraseSpec extends SparkSpecBase {
       s"sloppy unordered total mismatch: $sloppy")
   }
 
+  test("snippets: best window located (ties -> earliest), token run sliced exactly") {
+    val d = docs(Seq(
+      (100L, "big cat query", "src0"),
+      // two windows: [big@1, cat@3] span 2 and [cat@3, big@4] span 1
+      // -> best is the TIGHTER reversed one: "cat big"
+      (1L, "x big y cat big z", "src1"),
+      // tie on span (two adjacencies): earliest window wins
+      (2L, "big cat then big cat", "src1"),
+      (3L, "cat q r s big", "src1")))      // span 4: "cat q r s big"
+    val got = graft.operators.CorpusOps.searchSnippetsOn(d)
+      .select("query_id", "rank", "doc_id", "snip_start", "snippet")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (100L, 1, 1L, 3L, "cat big"),
+      (100L, 2, 2L, 0L, "big cat"),
+      (100L, 3, 3L, 0L, "cat q r s big")),
+      s"snippet semantics mismatch: $got")
+  }
+
   test("unordered NEAR: incremental index face matches the batch face") {
     val root = Files.createTempDirectory("graft-near-unord").toString
     val state = s"$root/state"
