@@ -69,6 +69,14 @@ object PipelineStream {
       queries: DataFrame): DataFrame =
     IndexStream.queryTopK(spark, ridxState(rootDir), queries)
 
+  /** Exact full-query BM25 over the kept corpus — the MaxScore face
+    * ([[IndexStream.queryTopKAll]]) served from the pipeline's index;
+    * same keep-at-ingest contract as [[queryTopK]].
+    */
+  def queryTopKAll(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame =
+    IndexStream.queryTopKAll(spark, ridxState(rootDir), queries)
+
   /** Exact-phrase retrieval over the kept corpus (round 10): the
     * pipeline's BM25 index holds EXACTLY the keep set (dropped docs
     * never fold in, and keep-at-ingest finality — enforced by the
