@@ -968,8 +968,20 @@ object IndexStream {
           count(lit(1)).as("n_terms"))
         .withColumn("rank", row_number().over(wd))
     }
+    // the candidate semi-join must not shuffle the posting hits: a
+    // frequent non-essential term's hits are posting-volume, and an
+    // SMJ semi-join would pay their full shuffle write before AQE
+    // could flip strategy. Candidates are essential-posting-bounded,
+    // so when they sample under the pushdown cap (the common case —
+    // queries × Σ df(essential)), BROADCAST them and the big side
+    // streams map-side; the distributed join stays as the fallback
+    // at any candidate volume. Same discipline as the dl fetch.
+    val candSide =
+      if (cand.limit(pushdownMax + 1).count() <= pushdownMax)
+        broadcast(cand)
+      else cand
     val ranked = scoreRank(
-      hitsAll.join(cand, Seq("query_id", "doc_id"), "left_semi"))
+      hitsAll.join(candSide, Seq("query_id", "doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kth = ranked
       .filter(col("rank") === graft.operators.CorpusOps.bm25K)
