@@ -371,4 +371,24 @@ class PlanHygieneSpec extends SparkSpecBase {
       "term IN predicate did not reach the parquet row-group stats")
     spark.catalog.clearCache()
   }
+
+  test("round-11-late faces: no cartesian anywhere; snippets and unordered NEAR broadcast their small sides; full-BM25 source filters pushed") {
+    for (name <- Seq("bm25_full_topk", "near_unordered",
+        "search_snippets", "hybrid_full_topk")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+    // the corpus split reaches the documents scan as a pushed filter
+    val pf = plan("bm25_full_topk")
+    assert(pf.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("source")),
+      "the src0/train split must push to the documents scan")
+    // the queries x phraseLen side broadcasts on the positional faces
+    assert(plan("near_unordered").contains("BroadcastHashJoin"),
+      "unordered NEAR's phrase side should broadcast")
+    assert(plan("search_snippets").contains("BroadcastHashJoin"),
+      "snippets' phrase side should broadcast")
+    spark.catalog.clearCache()
+  }
 }
