@@ -1102,21 +1102,26 @@ object CorpusOps {
     val cand = essential.select(col("term"), col("query_id"))
       .join(tf, Seq("term"))
       .select(col("query_id"), col("doc_id")).distinct()
-    val wd = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_micro").desc, col("doc_id").asc)
-    // full exact scores, candidate-restricted
-    val ranked = Caching.persistOnce(
-      qsel.select(col("term"), col("query_id"), col("df"),
-          col("n_docs"), col("totdl"))
-        .join(tf, Seq("term"))
-        .join(cand, Seq("query_id", "doc_id"), "left_semi")
+    // ONE scoring chain for the restricted and fallback branches —
+    // a pipeline change cannot reach one and miss the other
+    def scoreRank(sel: DataFrame,
+        restrictTo: Option[DataFrame]): DataFrame = {
+      val wd = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+      restrictTo.foldLeft(sel.join(tf, Seq("term")))(
+          (b, c) => b.join(c, Seq("query_id", "doc_id"), "left_semi"))
         .repartition(col("doc_id"))
         .join(dl, Seq("doc_id"))
         .withColumn("term_micro", expr(bm25TermMicroExpr))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("term_micro")).as("score_micro"),
           count(lit(1)).as("n_terms"))
-        .withColumn("rank", row_number().over(wd)))
+        .withColumn("rank", row_number().over(wd))
+    }
+    // full exact scores, candidate-restricted
+    val ranked = Caching.persistOnce(scoreRank(
+      qsel.select(col("term"), col("query_id"), col("df"),
+        col("n_docs"), col("totdl")), Some(cand)))
     val kth = ranked.filter(col("rank") === bm25K)
       .select(col("query_id"), col("score_micro").as("kth_micro"))
     // fallback iff the query HAS non-essential terms and their summed
@@ -1126,17 +1131,10 @@ object CorpusOps {
       .join(kth, Seq("query_id"), "left")
       .filter(col("kth_micro").isNull || col("sum_ub") >= col("kth_micro"))
       .select(col("query_id"))
-    val fbTop = qsel.join(broadcast(fb), Seq("query_id"), "left_semi")
-      .select(col("term"), col("query_id"), col("df"),
-        col("n_docs"), col("totdl"))
-      .join(tf, Seq("term"))
-      .repartition(col("doc_id"))
-      .join(dl, Seq("doc_id"))
-      .withColumn("term_micro", expr(bm25TermMicroExpr))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("term_micro")).as("score_micro"),
-        count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(wd))
+    val fbTop = scoreRank(
+      qsel.join(broadcast(fb), Seq("query_id"), "left_semi")
+        .select(col("term"), col("query_id"), col("df"),
+          col("n_docs"), col("totdl")), None)
     val cols = Seq(col("query_id"), col("rank"), col("doc_id"),
       col("score_micro"), col("n_terms"))
     val out = ranked.join(broadcast(fb), Seq("query_id"), "left_anti")
@@ -1452,9 +1450,14 @@ object CorpusOps {
     * per-slot lasts are distinct positions: span ≥ len − 1 always
     * holds and the sloppy divisor stays ≥ 1.
     */
-  private[graft] def nearUnorderedRank(posRows: DataFrame,
-      len: Int = phraseLen, sloppy: Boolean = false): DataFrame = {
-    require(len >= 2, s"unordered NEAR needs at least 2 slots, got $len")
+  /** The minimal-cover ends — ONE definition shared by unordered NEAR
+    * and snippet extraction (a snippet IS the min-span window, so the
+    * two faces must sweep identically): one row per position where
+    * every slot has been seen, carrying the window start
+    * (least of the per-slot running lasts) and span = pos − start.
+    */
+  private def coverEndsOn(posRows: DataFrame, len: Int): DataFrame = {
+    require(len >= 2, s"unordered cover needs at least 2 slots, got $len")
     val w = Window.partitionBy(col("query_id"), col("doc_id"))
       .orderBy(col("pos").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1464,10 +1467,18 @@ object CorpusOps {
       Seq(col("query_id"), col("doc_id"), col("pos")) ++ lasts: _*)
     val allSeen = (0 until len).map(k => col(s"l$k").isNotNull)
       .reduce(_ && _)
-    val ends = withL.filter(allSeen)
+    withL.filter(allSeen)
+      .withColumn("snip_start",
+        least((0 until len).map(k => col(s"l$k")): _*))
       .withColumn("span",
-        (col("pos") - least((0 until len).map(k => col(s"l$k")): _*))
-          .cast("bigint"))
+        (col("pos") - col("snip_start")).cast("bigint"))
+      .select(col("query_id"), col("doc_id"), col("pos"),
+        col("snip_start"), col("span"))
+  }
+
+  private[graft] def nearUnorderedRank(posRows: DataFrame,
+      len: Int = phraseLen, sloppy: Boolean = false): DataFrame = {
+    val ends = coverEndsOn(posRows, len)
     val spans =
       if (!sloppy)
         ends.groupBy(col("query_id"), col("doc_id"))
@@ -1503,6 +1514,25 @@ object CorpusOps {
   def nearUnordered(spark: SparkSession, sfDir: String): DataFrame =
     nearUnorderedOn(load(spark, sfDir, "documents"))
 
+  /** near_unordered_sloppy — the sloppy-frequency grade of unordered
+    * proximity (Σ ⌊10⁶/(1+slop)⌋ over minimal covers, slop = span −
+    * (len−1)) — puts [[nearUnorderedCtes]]'s sloppy branch on the
+    * driver gate so both engines' division/arithmetic parity is
+    * oracle-checked, not just spec-pinned.
+    */
+  def nearUnorderedSloppy(spark: SparkSession, sfDir: String): DataFrame =
+    nearUnorderedOn(load(spark, sfDir, "documents"), sloppy = true)
+
+  val nearUnorderedSloppySql: String =
+    s"""WITH ${nearUnorderedCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        sloppy = true)}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, sloppy_micro
+       |FROM uranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id",
+         "sloppy_micro"))}""".stripMargin
+
   /** search_snippets — SNIPPET EXTRACTION, the result-shaping step
     * between ranked retrieval and a human (or an LLM context window):
     * for each query and each of its top-[[bm25K]] proximity-ranked
@@ -1520,20 +1550,8 @@ object CorpusOps {
     searchSnippetsOn(load(spark, sfDir, "documents"))
 
   def searchSnippetsOn(d: DataFrame, len: Int = phraseLen): DataFrame = {
-    val posRows = phrasePosRowsOn(d, len, distinctTerms = true)
-    val w = Window.partitionBy(col("query_id"), col("doc_id"))
-      .orderBy(col("pos").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lasts = (0 until len).map(k =>
-      max(when(col("i") === k, col("pos"))).over(w).as(s"l$k"))
-    val withL = posRows.select(
-      Seq(col("query_id"), col("doc_id"), col("pos")) ++ lasts: _*)
-    val allSeen = (0 until len).map(k => col(s"l$k").isNotNull)
-      .reduce(_ && _)
-    val ends = withL.filter(allSeen)
-      .withColumn("snip_start",
-        least((0 until len).map(k => col(s"l$k")): _*))
-      .withColumn("span", (col("pos") - col("snip_start")).cast("bigint"))
+    val ends = coverEndsOn(
+      phrasePosRowsOn(d, len, distinctTerms = true), len)
     val wb = Window.partitionBy(col("query_id"), col("doc_id"))
       .orderBy(col("span").asc, col("snip_start").asc)
     val best = ends.withColumn("rn", row_number().over(wb))
@@ -1556,11 +1574,7 @@ object CorpusOps {
 
   val searchSnippetsSql: String = {
     val len = phraseLen
-    val lasts = (0 until len).map(k =>
-      s"    max(CASE WHEN i = $k THEN pos END) OVER uw AS l$k")
-      .mkString(",\n")
-    val nn = (0 until len).map(k => s"l$k IS NOT NULL").mkString(" AND ")
-    val leastE = s"least(${(0 until len).map(k => s"l$k").mkString(", ")})"
+    val (lasts, nn, leastE) = coverSqlParts(len)
     s"""WITH ${posCtes(
         "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
         "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
@@ -1592,7 +1606,8 @@ object CorpusOps {
        |    r.snip_start,
        |    array_to_string(list_slice(string_split(lower(d.text), ' '),
        |      r.snip_start + 1, r.snip_start + r.span + 1), ' ') AS snippet
-       |  FROM uranked r JOIN documents d ON r.doc_id = d.doc_id
+       |  FROM uranked r JOIN (SELECT doc_id, text FROM documents
+       |    WHERE source <> 'src0') d ON r.doc_id = d.doc_id
        |  WHERE r.rank <= $bm25K)
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "snip_start",
          "snippet"))}""".stripMargin
@@ -1693,13 +1708,22 @@ object CorpusOps {
     * where every slot has been seen closes span = pos − least(lasts).
     * Emits `..uranked` with a `min_span` or `sloppy_micro` column.
     */
-  private[graft] def nearUnorderedCtes(train: String, queries: String,
-      len: Int = phraseLen, sloppy: Boolean = false): String = {
+  /** The SQL fragments of the minimal-cover sweep (per-slot running
+    * maxes, the all-seen predicate, the least-of-lasts start) — ONE
+    * definition shared by the unordered-NEAR and snippet oracles.
+    */
+  private def coverSqlParts(len: Int): (String, String, String) = {
     val lasts = (0 until len).map(k =>
       s"    max(CASE WHEN i = $k THEN pos END) OVER uw AS l$k")
       .mkString(",\n")
     val nn = (0 until len).map(k => s"l$k IS NOT NULL").mkString(" AND ")
     val leastE = s"least(${(0 until len).map(k => s"l$k").mkString(", ")})"
+    (lasts, nn, leastE)
+  }
+
+  private[graft] def nearUnorderedCtes(train: String, queries: String,
+      len: Int = phraseLen, sloppy: Boolean = false): String = {
+    val (lasts, nn, leastE) = coverSqlParts(len)
     val agg =
       if (!sloppy) s"CAST(min(pos - $leastE) AS BIGINT) AS min_span"
       else s"CAST(sum(1000000 // (1 + pos - $leastE - ${len - 1})) " +
@@ -2738,6 +2762,7 @@ object CorpusOps {
     "near_sloppy_index" -> nearSloppyIndex,
     "near_unordered" -> nearUnordered,
     "near_unordered_index" -> nearUnorderedIndex,
+    "near_unordered_sloppy" -> nearUnorderedSloppy,
     "search_snippets" -> searchSnippets,
     "phrase3_match" -> phrase3Match,
     "phrase3_index_match" -> phrase3IndexMatch,
@@ -2782,6 +2807,7 @@ object CorpusOps {
     "near_sloppy_index" -> nearSloppySql,
     "near_unordered" -> nearUnorderedSql,
     "near_unordered_index" -> nearUnorderedSql,
+    "near_unordered_sloppy" -> nearUnorderedSloppySql,
     "search_snippets" -> searchSnippetsSql,
     "phrase3_match" -> phrase3MatchSql,
     "phrase3_index_match" -> phrase3MatchSql,

@@ -653,6 +653,35 @@ object IndexStream {
       Seq("ncount", "hiwater"))
   }
 
+  /** Candidate-bounded (doc_id, dl) fetch from the docs sub-table —
+    * doc_id IN + dbucket dir pruning when the id set samples under
+    * [[pushdownMax]], a distributed semi-join (still dbucket-pruned)
+    * above it. ONE definition shared by [[queryTopK]] and
+    * [[queryTopKAll]], so a pushdown fix cannot reach one face and
+    * miss the other.
+    */
+  private def dlFor(spark: SparkSession, stateDir: String, g: Geom,
+      ids: DataFrame, gens: Option[Set[Long]]): DataFrame = {
+    val idSample = ids.limit(pushdownMax + 1).collect().map(_.getLong(0))
+    val docsBase = gens.foldLeft(
+      LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema))(
+      (d, gg) => d.filter(col("ingest").isin(gg.toSeq: _*)))
+    val dlSide =
+      if (idSample.length <= pushdownMax) {
+        val dbs = idSample.map(i => Math.floorMod(i, g.db.toLong))
+          .distinct.toSeq
+        docsBase.filter(col("dbucket").isin(dbs: _*) &&
+          col("doc_id").isin(idSample.toSeq: _*))
+      } else {
+        val dbs = ids
+          .select(pmod(col("doc_id"), lit(g.db)).as("dbucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq // ≤ db
+        docsBase.filter(col("dbucket").isin(dbs: _*))
+          .join(ids, Seq("doc_id"), "left_semi")
+      }
+    dlSide.select(col("doc_id"), col("dl")).distinct()
+  }
+
   /** Drop tombstoned doc_ids from a relation — the query faces'
     * candidate exclusion. One distributed anti-join keyed doc_id
     * against the O(deleted) tombstone relation (broadcast when small,
@@ -800,26 +829,7 @@ object IndexStream {
           Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
-    val idSample = candIds.limit(pushdownMax + 1)
-      .collect().map(_.getLong(0))
-    val docsBase = gens.foldLeft(
-      LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema))(
-      (d, g) => d.filter(col("ingest").isin(g.toSeq: _*)))
-    val dlSide =
-      if (idSample.length <= pushdownMax) {
-        val dbs = idSample
-          .map(i => Math.floorMod(i, g.db.toLong))
-          .distinct.toSeq
-        docsBase.filter(col("dbucket").isin(dbs: _*) &&
-          col("doc_id").isin(idSample.toSeq: _*))
-      } else {
-        val dbs = candIds
-          .select(pmod(col("doc_id"), lit(g.db)).as("dbucket"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ db
-        docsBase.filter(col("dbucket").isin(dbs: _*))
-          .join(candIds, Seq("doc_id"), "left_semi")
-      }
-    val dl = dlSide.select(col("doc_id"), col("dl")).distinct()
+    val dl = dlFor(spark, stateDir, g, candIds, gens)
     // co-partition the posting hits with the dl fetch on doc_id (the
     // batch face's scale-shape exchange; locally it also keeps the
     // 128-bit scoring out of a coalesced single-partition tail)
@@ -935,26 +945,8 @@ object IndexStream {
       .select(col("query_id"), col("doc_id")).distinct()
     // dl fetch bounded by ALL posting-hit ids (covers the fallback
     // path's universe too — one bounded read serves both branches)
-    val hitIds = hitsAll.select(col("doc_id")).distinct()
-    val idSample = hitIds.limit(pushdownMax + 1)
-      .collect().map(_.getLong(0))
-    val docsBase = gens.foldLeft(
-      LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema))(
-      (d, gg) => d.filter(col("ingest").isin(gg.toSeq: _*)))
-    val dlSide =
-      if (idSample.length <= pushdownMax) {
-        val dbs = idSample.map(i => Math.floorMod(i, g.db.toLong))
-          .distinct.toSeq
-        docsBase.filter(col("dbucket").isin(dbs: _*) &&
-          col("doc_id").isin(idSample.toSeq: _*))
-      } else {
-        val dbs = hitIds
-          .select(pmod(col("doc_id"), lit(g.db)).as("dbucket"))
-          .distinct().collect().map(_.getLong(0)).toSeq // ≤ db
-        docsBase.filter(col("dbucket").isin(dbs: _*))
-          .join(hitIds, Seq("doc_id"), "left_semi")
-      }
-    val dl = dlSide.select(col("doc_id"), col("dl")).distinct()
+    val dl = dlFor(spark, stateDir, g,
+      hitsAll.select(col("doc_id")).distinct(), gens)
     def scoreRank(hits: DataFrame): DataFrame = {
       val wd = Window.partitionBy(col("query_id"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
