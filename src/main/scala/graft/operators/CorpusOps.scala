@@ -954,21 +954,13 @@ object CorpusOps {
     * exact full-query scoring semantics of [[bm25FullTopkOn]]. False
     * emits the historical rarest-[[bm25QueryTerms]] SQL byte-identically.
     */
-  private[graft] def bm25Ctes(train: String, queries: String,
-      allowPred: String = "", allTerms: Boolean = false): String = {
-    val sel =
-      if (!allTerms)
-        s"""  SELECT term, query_id, df FROM (
-           |    SELECT q.term, q.query_id, d.df,
-           |      row_number() OVER (PARTITION BY q.query_id
-           |        ORDER BY d.df ASC, q.term ASC) AS trank
-           |    FROM qterms q JOIN dft d USING (term), stamp st
-           |    WHERE 2 * d.df <= st.n_docs)
-           |  WHERE trank <= $bm25QueryTerms""".stripMargin
-      else
-        s"""  SELECT q.term, q.query_id, d.df
-           |  FROM qterms q JOIN dft d USING (term), stamp st
-           |  WHERE 2 * d.df <= st.n_docs""".stripMargin
+  /** The corpus-statistics oracle CTE prefix (`toks..qterms`) every
+    * retrieval oracle builds on — tokenizer, tf/dl/df grains, the
+    * 1-row corpus stamp, and the query-term unnest. ONE definition
+    * shared by [[bm25Ctes]], [[boolCtes]], and the expansion/facet
+    * chains, mirroring how the Spark faces share [[bm25Tokens]].
+    */
+  private[graft] def coreCtes(train: String, queries: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
        |  FROM $train
@@ -985,16 +977,42 @@ object CorpusOps {
        |  SELECT doc_id AS query_id,
        |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
        |  FROM $queries
-       |), sel AS (
+       |)""".stripMargin
+
+  /** The exact-integer BM25 µ-score in DuckDB HUGEINT arithmetic over
+    * pluggable tf/df/dl expressions (a `stamp st` relation must be in
+    * scope) — the oracle twin of [[bm25TermMicroExpr]], one definition
+    * for every chain that scores.
+    */
+  private[graft] def termMicroSql(tf: String, df: String,
+      dl: String): String =
+    s"""CAST((CAST(22 AS HUGEINT) * $tf * st.totdl
+       |            * (2 * st.n_docs - 2 * $df + 1) * 1000000)
+       |      // ((2 * $df + 1)
+       |            * (CAST(10 AS HUGEINT) * $tf * st.totdl
+       |               + 3 * st.totdl + 9 * $dl * st.n_docs))
+       |      AS BIGINT)""".stripMargin
+
+  private[graft] def bm25Ctes(train: String, queries: String,
+      allowPred: String = "", allTerms: Boolean = false): String = {
+    val sel =
+      if (!allTerms)
+        s"""  SELECT term, query_id, df FROM (
+           |    SELECT q.term, q.query_id, d.df,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY d.df ASC, q.term ASC) AS trank
+           |    FROM qterms q JOIN dft d USING (term), stamp st
+           |    WHERE 2 * d.df <= st.n_docs)
+           |  WHERE trank <= $bm25QueryTerms""".stripMargin
+      else
+        s"""  SELECT q.term, q.query_id, d.df
+           |  FROM qterms q JOIN dft d USING (term), stamp st
+           |  WHERE 2 * d.df <= st.n_docs""".stripMargin
+    s"""${coreCtes(train, queries)}, sel AS (
        |$sel
        |), scored_terms AS (
        |  SELECT s.query_id, tf.doc_id,
-       |    CAST((CAST(22 AS HUGEINT) * tf.tf * st.totdl
-       |            * (2 * st.n_docs - 2 * s.df + 1) * 1000000)
-       |      // ((2 * s.df + 1)
-       |            * (CAST(10 AS HUGEINT) * tf.tf * st.totdl
-       |               + 3 * st.totdl + 9 * dl.dl * st.n_docs))
-       |      AS BIGINT) AS term_micro
+       |    ${termMicroSql("tf.tf", "s.df", "dl.dl")} AS term_micro
        |  FROM sel s JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
        |    stamp st
        |), scored AS (
@@ -1152,6 +1170,302 @@ object CorpusOps {
        |FROM ranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
          "n_terms"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bool_topk — boolean retrieval (MUST / MUST NOT) with BM25 ranking
+  // ---------------------------------------------------------------------
+
+  /** MUST conjuncts per boolean query (the derivation rule below). */
+  private[graft] val boolMustTerms = 2
+
+  /** bool_topk — BOOLEAN retrieval: conjunction + exclusion with BM25
+    * ranking, the `+a +b -c` query shape every search surface exposes
+    * next to ranked bag-of-words. The query derivation is the same
+    * deterministic convention as the other retrieval faces (each src0
+    * document IS a query): rank the query's distinct in-vocabulary
+    * terms by (df asc, term asc) — the bm25_topk selection order —
+    * then
+    *
+    *  - the [[boolMustTerms]] RAREST terms are MUST conjuncts: a
+    *    document matches only if it contains ALL of them;
+    *  - the NEXT term (when the query has one) is the MUST NOT
+    *    exclusion: any document containing it is dropped;
+    *  - matches rank by the integer sum of the must terms' exact BM25
+    *    µ-scores ([[bm25TermMicroExpr]]), tie-broken doc_id asc,
+    *    top-[[bm25K]] per query. Queries with fewer than
+    *    [[boolMustTerms]] in-vocabulary terms return nothing (an
+    *    undefined conjunction matches nothing, in both engines, by the
+    *    same HAVING count = n rule).
+    *
+    * Unlike the SCORING faces, no head-term cap applies: boolean
+    * operators are FILTERS the user asked for by name — `+the` must
+    * match documents containing "the" (the same contract as the phrase
+    * face, which also answers stopword phrases and pays their posting
+    * volume). The µ-score stays well-defined at any df (the raw-odds
+    * idf (2N−2df+1)/(2df+1) is strictly positive up to df = N).
+    *
+    * Scale: the conjunction is the INTERSECTION of the must posting
+    * lists — `HAVING count(*) = 2` over the joined hits IS set
+    * intersection ((doc, term)-grain tf rows exist at most once), one
+    * aggregation, no self-join; read volume is Σ df(must) — the df-asc
+    * derivation keeps the demo rows on the SHORT lists, and a
+    * stopword conjunct costs what it names; the exclusion is a
+    * left-anti join at candidate grain. Nothing touches
+    * queries × corpus.
+    */
+  def boolTopk(spark: SparkSession, sfDir: String): DataFrame =
+    boolTopkOn(load(spark, sfDir, "documents"))
+
+  def boolTopkOn(d: DataFrame): DataFrame = {
+    val toks = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        explode(bm25Tokens(col("text"))).as("term"))
+    val tf = Caching.persistOnce(
+      toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stamp = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("totdl"))
+    val qTerms = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(bm25Tokens(col("text")))).as("term"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val qsel = qTerms.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stamp))
+      .withColumn("trank", row_number().over(wq))
+    val must = qsel.filter(col("trank") <= boolMustTerms)
+      .select(col("term"), col("query_id"), col("df"),
+        col("n_docs"), col("totdl"))
+    val mustNot = qsel.filter(col("trank") === boolMustTerms + 1)
+      .select(col("term"), col("query_id"))
+    // intersection: a (doc, term) tf row exists at most once, so a
+    // candidate matched ALL must terms iff its hit count equals
+    // boolMustTerms — which also erases queries with < boolMustTerms
+    // eligible terms (their count can never reach it)
+    val conj = must.join(tf, Seq("term"))
+      .repartition(col("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("term_micro", expr(bm25TermMicroExpr))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === boolMustTerms)
+    val notPairs = mustNot
+      .join(tf.select(col("term"), col("doc_id")), Seq("term"))
+      .select(col("query_id"), col("doc_id"))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val out = conj.join(notPairs, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+    canon(out)
+  }
+
+  /** The boolean-retrieval oracle chain — same derivation, conjunction
+    * (HAVING count = [[boolMustTerms]]), exclusion anti-join, and
+    * µ-score ranking as [[boolTopkOn]]. Emits `..branked`.
+    */
+  private[graft] def boolCtes(train: String, queries: String): String =
+    s"""${coreCtes(train, queries)}, bqsel AS (
+       |  SELECT q.term, q.query_id, d.df,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY d.df ASC, q.term ASC) AS trank
+       |  FROM qterms q JOIN dft d USING (term)
+       |), bmust AS (
+       |  SELECT term, query_id, df FROM bqsel WHERE trank <= $boolMustTerms
+       |), bnot AS (
+       |  SELECT term, query_id FROM bqsel WHERE trank = ${boolMustTerms + 1}
+       |), bterms AS (
+       |  SELECT s.query_id, tf.doc_id,
+       |    ${termMicroSql("tf.tf", "s.df", "dl.dl")} AS term_micro
+       |  FROM bmust s JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+       |    stamp st
+       |), bconj AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*)::BIGINT AS n_terms
+       |  FROM bterms GROUP BY 1, 2 HAVING count(*) = $boolMustTerms
+       |), bkept AS (
+       |  SELECT c.query_id, c.doc_id, c.score_micro, c.n_terms FROM bconj c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bnot m JOIN tf t USING (term)
+       |    WHERE m.query_id = c.query_id AND t.doc_id = c.doc_id)
+       |), branked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM bkept
+       |)""".stripMargin
+
+  val boolTopkSql: String =
+    s"""WITH ${boolCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM branked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  /** bool_index_topk — the INCREMENTAL boolean face over the shared
+    * LSM index state: same dfs-before-postings read discipline as
+    * bm25_index_topk (selection and the cap run on the vocabulary
+    * sub-table; only the must/mustNot terms' posting dirs are ever
+    * opened), bit-identical to [[boolTopkOn]] by shared definitions,
+    * and driver-checked against the same [[boolTopkSql]].
+    */
+  def boolIndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryBool(spark, state, q))
+  }
+
+  // ---------------------------------------------------------------------
+  // bm25_prefix_topk — prefix (multi-term expansion) retrieval
+  // ---------------------------------------------------------------------
+
+  /** Prefix width of the expansion faces' oracle rows. The synthetic
+    * corpus's vocabulary shares no multi-character prefixes (31 terms,
+    * all 4-prefixes unique), so the DRIVER-CHECKED rows pin width 1 —
+    * the only width where expansion sets exceed one term here; the
+    * width is an API parameter and the spec exercises wider ones.
+    */
+  private[graft] val prefixLen = 1
+
+  /** Expansion cap — Lucene's maxExpansions: at most this many
+    * vocabulary terms score per prefix, rarest (df asc, term asc)
+    * first, which both bounds the posting volume (Σ df over ≤ max
+    * terms) and keeps the selection deterministic.
+    */
+  private[graft] val prefixExpandMax = 4
+
+  /** bm25_prefix_topk — PREFIX retrieval (`dat*`): the query's rarest
+    * in-vocabulary term seeds a prefix, every vocabulary term sharing
+    * that prefix (up to [[prefixExpandMax]], rarest first) becomes a
+    * disjunct, and documents rank by the integer sum of the matched
+    * disjuncts' exact BM25 µ-scores — Lucene's multi-term query
+    * rewrite (prefix → bounded OR over the term dictionary) with the
+    * blended scoring of its SynonymQuery. As in Lucene, NO head-term
+    * cap applies: a prefix names every completion, stopwords included;
+    * the expansion cap is what bounds cost. The "prefix" is the
+    * fixed-width rule substring(term, 1, len) on BOTH sides (an exact
+    * equi-join — a seed shorter than `len` expands only to itself),
+    * so both engines and the oracle agree bit-for-bit.
+    *
+    * Scale: expansion runs entirely on the VOCABULARY grain (dft —
+    * never a posting or the corpus), as an equi-join on the computed
+    * prefix key; posting I/O is Σ df over ≤ [[prefixExpandMax]]
+    * selected terms; scoring/ranking are the bm25_topk plan shapes.
+    */
+  def prefixTopk(spark: SparkSession, sfDir: String): DataFrame =
+    prefixTopkOn(load(spark, sfDir, "documents"))
+
+  def prefixTopkOn(d: DataFrame, len: Int = prefixLen,
+      max: Int = prefixExpandMax): DataFrame = {
+    val toks = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        explode(bm25Tokens(col("text"))).as("term"))
+    val tf = Caching.persistOnce(
+      toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = Caching.persistOnce(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val stamp = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("totdl"))
+    val qTerms = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(bm25Tokens(col("text")))).as("term"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val seed = qTerms.join(dfT, Seq("term"))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") === 1)
+      .select(col("query_id"),
+        substring(col("term"), 1, len).as("pfx"))
+    // vocabulary-grain expansion: an equi-join on the fixed-width
+    // prefix key (the seed side is queries-count — broadcast)
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val expd = dfT.withColumn("pfx", substring(col("term"), 1, len))
+      .join(broadcast(seed), Seq("pfx"))
+      .withColumn("xrank", row_number().over(wx))
+      .filter(col("xrank") <= max)
+      .select(col("term"), col("query_id"), col("df"))
+      .crossJoin(broadcast(stamp))
+    val scoredTerms = expd.join(tf, Seq("term"))
+      .repartition(col("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("term_micro", expr(bm25TermMicroExpr))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val out = scoredTerms.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+    canon(out)
+  }
+
+  /** The prefix-expansion oracle chain — same seed (uncapped trank-1),
+    * fixed-width prefix equi-join, rarest-first expansion cap, and
+    * µ-score ranking as [[prefixTopkOn]]. Emits `..xranked`.
+    */
+  private[graft] def prefixCtes(train: String, queries: String,
+      len: Int = prefixLen, max: Int = prefixExpandMax): String =
+    s"""${coreCtes(train, queries)}, pqsel AS (
+       |  SELECT q.term, q.query_id, d.df,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY d.df ASC, q.term ASC) AS trank
+       |  FROM qterms q JOIN dft d USING (term)
+       |), pseed AS (
+       |  SELECT query_id, substring(term, 1, $len) AS pfx FROM pqsel
+       |  WHERE trank = 1
+       |), pexp AS (
+       |  SELECT query_id, term, df FROM (
+       |    SELECT s.query_id, d.term, d.df,
+       |      row_number() OVER (PARTITION BY s.query_id
+       |        ORDER BY d.df ASC, d.term ASC) AS xrank
+       |    FROM pseed s JOIN dft d
+       |      ON substring(d.term, 1, $len) = s.pfx)
+       |  WHERE xrank <= $max
+       |), xterms AS (
+       |  SELECT s.query_id, tf.doc_id,
+       |    ${termMicroSql("tf.tf", "s.df", "dl.dl")} AS term_micro
+       |  FROM pexp s JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+       |    stamp st
+       |), xscored AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*)::BIGINT AS n_terms
+       |  FROM xterms GROUP BY 1, 2
+       |), xranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM xscored
+       |)""".stripMargin
+
+  val prefixTopkSql: String =
+    s"""WITH ${prefixCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM xranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  /** bm25_prefix_index — the INCREMENTAL prefix face: expansion runs
+    * on the vocabulary-grain `dfs` sub-table (prefix-pushdown pruned,
+    * ZERO posting reads), then only the ≤ [[prefixExpandMax]] selected
+    * completions' generation-shortlisted postings are fetched.
+    * Bit-identical to [[prefixTopkOn]] by shared definitions and
+    * driver-checked against the same [[prefixTopkSql]].
+    */
+  def prefixIndexTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryPrefix(spark, state, q))
+  }
 
   /** bm25_index_topk — the INCREMENTAL retrieval face, driver-checked
     * against the same oracle as bm25_topk. The corpus is folded into
@@ -2745,6 +3059,10 @@ object CorpusOps {
     "bm25_index_topk" -> bm25IndexTopk,
     "bm25_after_redomain" -> bm25AfterRedomain,
     "bm25_index_filtered" -> bm25IndexFiltered,
+    "bool_topk" -> boolTopk,
+    "bool_index_topk" -> boolIndexTopk,
+    "bm25_prefix_topk" -> prefixTopk,
+    "bm25_prefix_index" -> prefixIndexTopk,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
@@ -2790,6 +3108,10 @@ object CorpusOps {
     "bm25_index_topk" -> bm25TopkSql,
     "bm25_after_redomain" -> bm25TopkSql,
     "bm25_index_filtered" -> bm25IndexFilteredSql,
+    "bool_topk" -> boolTopkSql,
+    "bool_index_topk" -> boolTopkSql,
+    "bm25_prefix_topk" -> prefixTopkSql,
+    "bm25_prefix_index" -> prefixTopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,

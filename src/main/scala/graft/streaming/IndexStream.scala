@@ -1005,6 +1005,230 @@ object IndexStream {
         .select(cols: _*))
   }
 
+  /** Boolean retrieval (MUST / MUST NOT) over the accumulated index —
+    * the incremental twin of CorpusOps.boolTopkOn, bit-identical by
+    * shared definitions (tokenizer, cap, trank derivation, µ-score,
+    * k). Read shape: the derivation runs on the vocabulary-grain `dfs`
+    * sub-table BEFORE any posting I/O; the conjunction fetches only
+    * the [[graft.operators.CorpusOps.boolMustTerms]] rarest terms'
+    * generation-shortlisted postings and intersects them with ONE
+    * `HAVING count = n` aggregation (candidate volume ≤ the shorter
+    * list); the MUST NOT term's postings fetch term-pruned the same
+    * way (a stopword exclusion pays its named posting volume — the
+    * boolean faces carry NO head-term cap, see the batch face) and
+    * drops candidates with one left-anti join. `asOf` carries
+    * [[queryTopK]]'s exact contract.
+    */
+  def queryBool(spark: SparkSession, stateDir: String,
+      queries: DataFrame, asOf: Option[Long] = None): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val st = markers(stateDir).stored(spark, gens)
+    val nDocs = if (st.nonEmpty) st.head else 0L
+    val totDl = if (st.size > 1) st(1) else 0L
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("score_micro", LongType),
+        StructField("n_terms", LongType, nullable = false))))
+    if (nDocs <= 0L || totDl <= 0L) return emptyOut
+    val q = queries.filter(col("text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(
+          graft.operators.CorpusOps.bm25Tokens(col("text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return emptyOut
+    val dfsR = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample, gens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    // NO head-term cap here: boolean operators are filters the user
+    // asked for by name (CorpusOps.boolTopkOn — same contract as the
+    // phrase face, which also answers stopword phrases)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val qsel = q.join(dfT, Seq("term"))
+      .withColumn("trank", row_number().over(wq))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mustN = graft.operators.CorpusOps.boolMustTerms
+    val must = qsel.filter(col("trank") <= mustN)
+      .select(col("term"), col("query_id"), col("df"))
+    val mustNot = qsel.filter(col("trank") === mustN + 1)
+      .select(col("term"), col("query_id"))
+    val selPairs = must.select(col("term")).distinct()
+      .join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (selPairs.isEmpty) return emptyOut
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs,
+          must.select(col("term")).distinct(), gens, g)
+        .select(col("term"), col("doc_id"), col("tf"))
+        .distinct(), gens)
+    val hits = must.join(post, Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = hits.select(col("doc_id")).distinct()
+    val dl = dlFor(spark, stateDir, g, candIds, gens)
+    val conj = hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("totdl", lit(totDl))
+      .withColumn("term_micro",
+        expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === mustN)
+    // the exclusion fetch: term-pruned to the mustNot terms' own
+    // generation dirs; empty when no query carries a third eligible
+    // term (zero extra posting reads on pure conjunctions)
+    val notPairs = mustNot.select(col("term")).distinct()
+      .join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    val kept =
+      if (notPairs.isEmpty) conj
+      else {
+        val postNot = minusTombs(spark, stateDir,
+          postingsFor(spark, stateDir, notPairs,
+              mustNot.select(col("term")).distinct(), gens, g)
+            .select(col("term"), col("doc_id"))
+            .distinct(), gens)
+        conj.join(mustNot.join(postNot, Seq("term"))
+            .select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+      }
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    kept.withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
+  /** Prefix (multi-term expansion) retrieval over the accumulated
+    * index — the incremental twin of CorpusOps.prefixTopkOn,
+    * bit-identical by shared definitions. Read shape: the seed (each
+    * query's rarest in-vocabulary term) resolves on the query's OWN
+    * terms' dfs rows; the EXPANSION is a vocabulary-grain dfs read —
+    * prefix-pushdown pruned (StringStartsWith reaches the parquet
+    * row groups; the fixed-width substring equi-join above it is the
+    * exact rule) and NEVER a posting read; then only the selected
+    * ≤ max completions' generation-shortlisted postings are fetched,
+    * exactly [[queryTopK]]'s fetch/score/rank path. `asOf` carries
+    * [[queryTopK]]'s contract.
+    */
+  def queryPrefix(spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.prefixLen,
+      max: Int = graft.operators.CorpusOps.prefixExpandMax,
+      asOf: Option[Long] = None): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val st = markers(stateDir).stored(spark, gens)
+    val nDocs = if (st.nonEmpty) st.head else 0L
+    val totDl = if (st.size > 1) st(1) else 0L
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("score_micro", LongType),
+        StructField("n_terms", LongType, nullable = false))))
+    if (nDocs <= 0L || totDl <= 0L) return emptyOut
+    val q = queries.filter(col("text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(
+          graft.operators.CorpusOps.bm25Tokens(col("text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return emptyOut
+    // seed resolution: df ranks over the query's own terms only
+    val dfsQ = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample, gens)
+    val dfQ = dfsQ.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val seed = q.join(dfQ, Seq("term"))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") === 1)
+      .select(col("query_id"),
+        substring(col("term"), 1, len).as("pfx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pfxSample = seed.select(col("pfx")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (pfxSample.isEmpty) return emptyOut
+    // vocabulary-grain expansion on the dfs sub-table: startsWith is
+    // the PUSHABLE superset filter (row-group pruning), the
+    // fixed-width substring key the exact rule
+    val dfsBase = gens.foldLeft(
+      LsmIndex.readOrEmpty(spark, s"$stateDir/dfs", dfsSchema))(
+      (d, gg) => d.filter(col("ingest").isin(gg.toSeq: _*)))
+    val dfsPruned =
+      if (pfxSample.length <= pushdownMax)
+        dfsBase.filter(
+          pfxSample.map(p => col("term").startsWith(p)).reduce(_ || _))
+      else dfsBase.join(
+        seed.select(col("pfx")).distinct(),
+        substring(col("term"), 1, len) === col("pfx"), "left_semi")
+    val vocab = dfsPruned
+      .select(col("term"), col("df")).groupBy(col("term"))
+      .agg(sum(col("df")).as("df")).filter(col("df") > 0)
+      .withColumn("pfx", substring(col("term"), 1, len))
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val expd = vocab.join(broadcast(seed), Seq("pfx"))
+      .withColumn("xrank", row_number().over(wx))
+      .filter(col("xrank") <= max)
+      .select(col("term"), col("query_id"), col("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the selected completions' exact generation shortlist, then the
+    // standard fetch/score/rank path
+    val expSample = expd.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (expSample.isEmpty) return emptyOut
+    val dfsE = dfsRowsFor(spark, stateDir,
+      expd.select(col("term")).distinct(), expSample, gens)
+    val selPairs = expd.select(col("term")).distinct()
+      .join(dfsE, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (selPairs.isEmpty) return emptyOut
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs,
+          expd.select(col("term")).distinct(), gens, g)
+        .select(col("term"), col("doc_id"), col("tf"))
+        .distinct(), gens)
+    val hits = expd.join(post, Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = hits.select(col("doc_id")).distinct()
+    val dl = dlFor(spark, stateDir, g, candIds, gens)
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("totdl", lit(totDl))
+      .withColumn("term_micro",
+        expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
   /** The dfs sub-table rows for a query term set — dpfx dir shortlist
     * + term IN row-group pushdown when the term sample collected under
     * [[pushdownMax]], distributed left-semi join above it. Returns

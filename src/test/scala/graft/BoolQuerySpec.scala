@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.CorpusOps
+import graft.streaming.IndexStream
+
+/** Boolean retrieval (bool_topk / bool_index_topk): MUST conjunction,
+  * MUST NOT exclusion, BM25 µ-score ranking over the matches — and
+  * bit-identity between the batch face and the incremental index face.
+  */
+class BoolQuerySpec extends SparkSpecBase {
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t, s) => Row(id, t, s) }, 2), schema)
+  }
+
+  private def out(df: DataFrame): Set[(Long, Int, Long, Long)] =
+    df.select("query_id", "rank", "doc_id", "n_terms").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  // Derivation on this fixture: query 100's terms ranked df-asc are
+  // "rare" (df=3), "mid" (df=4), "common" (df=5) -> must = {rare, mid},
+  // mustNot = common.
+  private val fixture = Seq(
+    (100L, "rare mid common", "src0"),
+    (1L, "rare mid fill pad", "src1"),    // both musts, no common
+    (2L, "rare mid common fill", "src1"), // both musts but excluded
+    (3L, "common fill pad zz", "src1"),   // mustNot only
+    (4L, "mid common fill pad", "src1"),  // one must only
+    (5L, "rare mid pad pad zz", "src1"),  // both musts, no common
+    (6L, "common fill zz pad", "src1"),   // mustNot only
+    (7L, "common fill zz zz", "src1"))    // mustNot only
+
+  test("conjunction matches ALL must terms; exclusion drops mustNot docs") {
+    val got = out(CorpusOps.boolTopkOn(docs(fixture)))
+    // docs 1 and 5 match (both musts, no common); 2 is excluded by
+    // "common"; 3/4 hold only one must; 6 holds none
+    assert(got.map(_._3) == Set(1L, 5L), s"match set wrong: $got")
+    assert(got.forall(_._4 == CorpusOps.boolMustTerms),
+      s"n_terms must equal the conjunct count: $got")
+  }
+
+  test("ranking is the exact µ-score sum over the must terms") {
+    val o = CorpusOps.boolTopkOn(docs(fixture))
+      .select("query_id", "rank", "doc_id", "score_micro").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // doc 5 (dl=5) vs doc 1 (dl=4): same tf for both musts, shorter
+    // doc scores higher under length normalization
+    assert(o.map(_._2).toSeq == Seq(1L, 5L),
+      s"rank order must follow the µ-score: ${o.toSeq}")
+    assert(o(0)._3 > o(1)._3, s"doc 1 must outscore doc 5: ${o.toSeq}")
+  }
+
+  test("a query with fewer than boolMustTerms in-vocabulary terms matches nothing") {
+    val d = docs(fixture :+ (200L, "rare offvocab0 offvocab1", "src0"))
+    val got = CorpusOps.boolTopkOn(d)
+      .filter(col("query_id") === 200L).count()
+    assert(got == 0L, "an undefined conjunction must match nothing")
+  }
+
+  test("index face is bit-identical to the batch face (fixture and corpus)") {
+    val d = docs(fixture)
+    val root = Files.createTempDirectory("graft-bool").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val batch = CorpusOps.boolTopkOn(d)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    val index = IndexStream.queryBool(spark, state, q)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    assert(batch == index, "index face must equal the batch face")
+    assert(batch.nonEmpty, "fixture must produce matches")
+  }
+
+  test("no mustNot term (2-term query) means pure conjunction — and zero exclusion fetch") {
+    val d = docs(Seq(
+      (100L, "rare mid", "src0"),
+      (1L, "rare mid pad", "src1"),
+      (2L, "rare pad pad", "src1"),
+      (3L, "rare mid rare", "src1")))
+    val got = out(CorpusOps.boolTopkOn(d))
+    assert(got.map(_._3) == Set(1L, 3L), s"pure conjunction wrong: $got")
+    val root = Files.createTempDirectory("graft-bool2").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    assert(out(IndexStream.queryBool(spark, state, q)).map(_._3) ==
+      Set(1L, 3L), "index face pure conjunction wrong")
+  }
+
+  test("deletes apply: a tombstoned doc stops matching the boolean face") {
+    import spark.implicits._
+    val d = docs(fixture)
+    val root = Files.createTempDirectory("graft-bool3").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    IndexStream.deleteDocs(spark, state, Seq(1L).toDF("doc_id"), 1L)
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val got = out(IndexStream.queryBool(spark, state, q))
+    assert(got.map(_._3) == Set(5L),
+      s"deleted doc 1 must stop matching: $got")
+  }
+}
