@@ -1467,6 +1467,260 @@ object CorpusOps {
     canon(graft.streaming.IndexStream.queryPrefix(spark, state, q))
   }
 
+  // ---------------------------------------------------------------------
+  // search_facets — facet counts over the full match set
+  // ---------------------------------------------------------------------
+
+  /** search_facets — FACETED search: for each query, the count of
+    * matching documents per metadata value (`lang` here), over the
+    * FULL match set — every document holding at least one selected
+    * query term under the standard bm25_topk selection (df-rarest
+    * uncapped terms) — not just the top-k. The facet attribute lives
+    * in the document table, not the index: the classic architecture
+    * where the inverted index serves ids and a doc-attribute store
+    * serves fields, so the incremental face needs NO extra index
+    * state.
+    *
+    * Scale: the match set is the same posting-bounded candidate
+    * universe the ranked face already computes (Σ df over selected
+    * terms, never queries × corpus); the facet join is one equi-join
+    * at candidate grain against the attribute table; counts aggregate
+    * at (query, value) grain — facet-value cardinality, tiny. Facet
+    * values rank (count desc, value asc) for a deterministic order.
+    */
+  def searchFacets(spark: SparkSession, sfDir: String): DataFrame =
+    searchFacetsOn(load(spark, sfDir, "documents"))
+
+  def searchFacetsOn(d: DataFrame): DataFrame = {
+    val toks = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        explode(bm25Tokens(col("text"))).as("term"))
+    val tf = Caching.persistOnce(
+      toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val qTerms = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(bm25Tokens(col("text")))).as("term"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = qTerms.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .filter(bm25CapOk(col("df"), col("n_docs")))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= bm25QueryTerms)
+      .select(col("term"), col("query_id"))
+    val matches = selected
+      .join(tf.select(col("term"), col("doc_id")), Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    facetRollup(matches, d)
+  }
+
+  /** Facet counts of a (query_id, doc_id) match set against the
+    * documents attribute table — shared by the batch and index faces
+    * (and usable over PipelineStream.queryMatches' kept-corpus ids).
+    */
+  private[graft] def facetRollup(matches: DataFrame,
+      d: DataFrame): DataFrame = {
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_docs").desc, col("lang").asc)
+    val out = matches
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("query_id"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(wf))
+      .select(col("query_id"), col("rank"), col("lang"), col("n_docs"))
+    canon(out)
+  }
+
+  val searchFacetsSql: String =
+    s"""WITH ${bm25Ctes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
+       |fmatch AS (
+       |  SELECT DISTINCT query_id, doc_id FROM scored
+       |), facets AS (
+       |  SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs
+       |  FROM fmatch m JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_docs DESC, lang ASC) AS INT) AS rank,
+       |  lang, n_docs
+       |FROM facets
+       |${canonOrderSql(Seq("query_id", "rank", "lang", "n_docs"))}"""
+      .stripMargin
+
+  /** search_facets_index — the INCREMENTAL facet face: match ids come
+    * from the LSM index (dfs-shortlisted posting fetch, tombstones
+    * applied), facet attributes from the external documents table —
+    * the id-server/attribute-store split. Driver-checked against the
+    * same [[searchFacetsSql]].
+    */
+  def searchFacetsIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    facetRollup(
+      graft.streaming.IndexStream.queryMatches(spark, state, q),
+      load(spark, sfDir, "documents"))
+  }
+
+  // ---------------------------------------------------------------------
+  // bm25f_topk — fielded retrieval (simple BM25F)
+  // ---------------------------------------------------------------------
+
+  /** Tokens of the TITLE field: the document's first [[titleTokens]]
+    * tokens. The corpus has a single text column, so fields derive
+    * deterministically from position — the convention a real fielded
+    * corpus would replace with its own column split; everything
+    * downstream is field-source-agnostic.
+    */
+  private[graft] val titleTokens = 5
+
+  /** Title weight of the simple-BM25F blend (body weight 1). */
+  private[graft] val titleWeight = 2
+
+  /** bm25f_topk — FIELDED retrieval, the simple BM25F of Robertson,
+    * Zaragoza & Taylor (CIKM 2004): instead of scoring fields
+    * separately and summing (which double-counts the tf saturation),
+    * per-term frequencies BLEND ACROSS FIELDS with field weights
+    * BEFORE the one shared saturation —
+    *
+    *   wtf(t, d) = [[titleWeight]] · tf_title + tf_body,
+    *   wdl(d)    = [[titleWeight]] · |title| + |body|,
+    *
+    * then the standard exact-integer machinery runs unchanged on
+    * (wtf, wdl, Σ wdl): one µ-score expression, one selection rule
+    * (df-rarest uncapped — df stays a DOCUMENT count, fields don't
+    * change it), one top-[[bm25K]] window. A term hit in the title is
+    * worth [[titleWeight]] body hits, and a long title lengthens the
+    * normalizing length accordingly — exactly the paper's structure,
+    * made engine-exact in µ-units.
+    *
+    * Scale: identical plan shapes to [[bm25TopkOn]] — the weighting is
+    * a per-row CASE on the token position before the same (doc, term)/
+    * doc/vocab-grain aggregations; nothing new shuffles.
+    */
+  def bm25fTopk(spark: SparkSession, sfDir: String): DataFrame =
+    bm25fTopkOn(load(spark, sfDir, "documents"))
+
+  def bm25fTopkOn(d: DataFrame): DataFrame = {
+    val wtoks = d.filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
+      .withColumn("w",
+        when(col("pos") < titleTokens, lit(titleWeight.toLong))
+          .otherwise(lit(1L)))
+    // weighted tf and dl at the same grains as the unfielded face
+    val tf = Caching.persistOnce(
+      wtoks.groupBy(col("doc_id"), col("term"))
+        .agg(sum(col("w")).as("tf")))
+    val dl = wtoks.groupBy(col("doc_id")).agg(sum(col("w")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stamp = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("totdl"))
+    val qTerms = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(bm25Tokens(col("text")))).as("term"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = qTerms.join(dfT, Seq("term"))
+      .crossJoin(broadcast(stamp))
+      .filter(bm25CapOk(col("df"), col("n_docs")))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"),
+        col("n_docs"), col("totdl"))
+    val scoredTerms = selected.join(tf, Seq("term"))
+      .repartition(col("doc_id"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("term_micro", expr(bm25TermMicroExpr))
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val out = scoredTerms.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+    canon(out)
+  }
+
+  /** The BM25F oracle chain — position-derived field weights feeding
+    * the same selection/scoring text as the unfielded chain. Emits
+    * `..franked`.
+    */
+  private[graft] def bm25fCtes(train: String, queries: String): String =
+    s"""ftoks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(text), ' ')) AS term,
+       |    unnest(generate_series(0,
+       |      len(string_split(lower(text), ' ')) - 1)) AS pos
+       |  FROM $train
+       |), fwtoks AS (
+       |  SELECT doc_id, term,
+       |    CASE WHEN pos < $titleTokens THEN $titleWeight ELSE 1 END AS w
+       |  FROM ftoks
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tf
+       |  FROM fwtoks GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS dl FROM fwtoks GROUP BY 1
+       |), dft AS (
+       |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |), stamp AS (
+       |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS totdl
+       |  FROM dl
+       |), qterms AS (
+       |  SELECT doc_id AS query_id,
+       |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
+       |  FROM $queries
+       |), fsel AS (
+       |  SELECT term, query_id, df FROM (
+       |    SELECT q.term, q.query_id, d.df,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY d.df ASC, q.term ASC) AS trank
+       |    FROM qterms q JOIN dft d USING (term), stamp st
+       |    WHERE 2 * d.df <= st.n_docs)
+       |  WHERE trank <= $bm25QueryTerms
+       |), fterms AS (
+       |  SELECT s.query_id, tf.doc_id,
+       |    ${termMicroSql("tf.tf", "s.df", "dl.dl")} AS term_micro
+       |  FROM fsel s JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+       |    stamp st
+       |), fscored AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*)::BIGINT AS n_terms
+       |  FROM fterms GROUP BY 1, 2
+       |), franked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM fscored
+       |)""".stripMargin
+
+  val bm25fTopkSql: String =
+    s"""WITH ${bm25fCtes(
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM franked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  /** bm25f_index — the INCREMENTAL fielded face: weighted tf from the
+    * positional postings the layout already carries, weighted dl from
+    * the stored dl, the weighted corpus length from the v6 markers —
+    * no fielded state at all (see IndexStream.queryFielded).
+    * Driver-checked against the same [[bm25fTopkSql]].
+    */
+  def bm25fIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryFielded(spark, state, q))
+  }
+
   /** bm25_index_topk — the INCREMENTAL retrieval face, driver-checked
     * against the same oracle as bm25_topk. The corpus is folded into
     * the LSM inverted index (streaming.IndexStream) in three
@@ -3063,6 +3317,10 @@ object CorpusOps {
     "bool_index_topk" -> boolIndexTopk,
     "bm25_prefix_topk" -> prefixTopk,
     "bm25_prefix_index" -> prefixIndexTopk,
+    "search_facets" -> searchFacets,
+    "search_facets_index" -> searchFacetsIndex,
+    "bm25f_topk" -> bm25fTopk,
+    "bm25f_index" -> bm25fIndex,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
@@ -3112,6 +3370,10 @@ object CorpusOps {
     "bool_index_topk" -> boolTopkSql,
     "bm25_prefix_topk" -> prefixTopkSql,
     "bm25_prefix_index" -> prefixTopkSql,
+    "search_facets" -> searchFacetsSql,
+    "search_facets_index" -> searchFacetsSql,
+    "bm25f_topk" -> bm25fTopkSql,
+    "bm25f_index" -> bm25fTopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,

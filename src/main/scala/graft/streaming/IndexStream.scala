@@ -184,15 +184,23 @@ object IndexStream {
     Geom(1 << bb, if (expectedDocs <= (1L << 18)) 1 else 2)
   }
 
+  /** v6 (round 11): the ncount markers carry a THIRD element,
+    * tot_ttl = Σ min(dl, titleTokens) — the fielded face's weighted
+    * corpus length derives as tot_dl + (titleWeight−1)·tot_ttl without
+    * any corpus-grain read (see [[queryFielded]]); folds, deletes, and
+    * rebuilds all maintain it next to (n_docs, tot_dl).
+    */
   private[graft] def layoutVersionFor(g: Geom): String =
-    s"graft-ridx-v5 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
+    s"graft-ridx-v6 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
       s"${g.tpfxDirs} sort=term " +
       "pos=sorted-int-array " +
       s"docs=(dbucket=pmod${g.db},ingest) sort=doc_id " +
       "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
       "impact=max_tf " +
       s"tombs=(dbucket=pmod${g.db},ingest) del=neg-df+neg-markers " +
-      "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n"
+      "tok=lower-ws ncount=(n_docs,tot_dl,tot_ttl) " +
+      s"title=${graft.operators.CorpusOps.titleTokens}x" +
+      s"${graft.operators.CorpusOps.titleWeight} cap=2df<=n"
 
   private[graft] val layoutVersion = layoutVersionFor(defaultGeom)
 
@@ -256,7 +264,7 @@ object IndexStream {
     ensureLayout(spark, stateDir)
     val st = markers(stateDir).stored(spark)
     LsmIndex.stats(spark, stateDir, subTables.map(_.name),
-      Seq("n_docs", "tot_dl").zip(st))
+      Seq("n_docs", "tot_dl", "tot_ttl").zip(st))
   }
 
   def compactionDue(spark: SparkSession, stateDir: String,
@@ -442,7 +450,10 @@ object IndexStream {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val stats = docs.agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).as("t")).collect()(0)
+          coalesce(sum(col("dl")), lit(0L)).as("t"),
+          coalesce(sum(least(col("dl"),
+            lit(graft.operators.CorpusOps.titleTokens.toLong))),
+            lit(0L)).as("w")).collect()(0)
         // repartition on the dir key before the partitioned write so a
         // generation lands as ONE file per touched dir, not one per
         // (task, dir) — without it a w-task batch writes up to w× the
@@ -470,7 +481,7 @@ object IndexStream {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/dfs")
         markers(stateDir).write(spark, batchId,
-          Seq(stats.getLong(0), stats.getLong(1)))
+          Seq(stats.getLong(0), stats.getLong(1), stats.getLong(2)))
         LsmIndex.OpLog(stateDir).record(spark, "fold", batchId)
         // a re-delivered batch REPLACES its generation's part files;
         // drop any cached file listing of the sub-tables so a
@@ -559,7 +570,10 @@ object IndexStream {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val stats = doomed.agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).as("t")).collect()(0)
+          coalesce(sum(col("dl")), lit(0L)).as("t"),
+          coalesce(sum(least(col("dl"),
+            lit(graft.operators.CorpusOps.titleTokens.toLong))),
+            lit(0L)).as("w")).collect()(0)
         val n = stats.getLong(0)
         if (n == 0L) return 0L
         // TOMBSTONES FIRST (ADVICE r10): the safety-relevant half of
@@ -597,7 +611,8 @@ object IndexStream {
           .write.partitionBy("dpfx", "ingest")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/dfs")
-        markers(stateDir).write(spark, gen, Seq(-n, -stats.getLong(1)))
+        markers(stateDir).write(spark, gen,
+          Seq(-n, -stats.getLong(1), -stats.getLong(2)))
         LsmIndex.OpLog(stateDir).record(spark, "del", deleteId)
         spark.catalog.refreshByPath(s"$stateDir/dfs")
         spark.catalog.refreshByPath(s"$stateDir/tombs")
@@ -1229,6 +1244,157 @@ object IndexStream {
         col("score_micro"), col("n_terms"))
   }
 
+  /** The full match set (query_id, doc_id) of each query under the
+    * standard ranked-retrieval term selection — every indexed document
+    * holding at least one selected term, tombstones applied. The id
+    * half of the faceted-search face (CorpusOps.searchFacetsIndex):
+    * the index serves ids, the document table serves attributes. Same
+    * dfs-before-postings read discipline as [[queryTopK]]; the result
+    * is candidate-grain (never ranked, never joined to dl — facet
+    * counting needs no scores).
+    */
+  def queryMatches(spark: SparkSession, stateDir: String,
+      queries: DataFrame, asOf: Option[Long] = None): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val st = markers(stateDir).stored(spark, gens)
+    val nDocs = if (st.nonEmpty) st.head else 0L
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("doc_id", LongType))))
+    if (nDocs <= 0L) return emptyOut
+    val q = queries.filter(col("text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(
+          graft.operators.CorpusOps.bm25Tokens(col("text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return emptyOut
+    val dfsR = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample, gens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = q.join(dfT, Seq("term"))
+      .filter(graft.operators.CorpusOps.bm25CapOk(col("df"), lit(nDocs)))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("term"), col("query_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selPairs = selected.select(col("term")).distinct()
+      .join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (selPairs.isEmpty) return emptyOut
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs,
+          selected.select(col("term")).distinct(), gens, g)
+        .select(col("term"), col("doc_id"))
+        .distinct(), gens)
+    selected.join(post, Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+  }
+
+  /** FIELDED (simple BM25F) retrieval over the accumulated index — the
+    * incremental twin of CorpusOps.bm25fTopkOn, bit-identical by
+    * shared definitions, with NO fielded state: the weighted term
+    * frequency derives from the positional postings the v3+ layout
+    * already carries (a title hit is a position < titleTokens), the
+    * weighted document length from the stored dl (wdl = dl +
+    * (titleWeight−1)·min(dl, titleTokens) — the title is the first
+    * titleTokens tokens by construction), and the weighted corpus
+    * length from the v6 markers' third element (tot_ttl), so the face
+    * reads exactly what [[queryTopK]] reads plus one parquet column
+    * chunk (positions) on the selected terms only. Selection, the
+    * head-term cap, and df are the unfielded definitions (fields never
+    * change document frequency). `asOf` carries [[queryTopK]]'s
+    * contract.
+    */
+  def queryFielded(spark: SparkSession, stateDir: String,
+      queries: DataFrame, asOf: Option[Long] = None): DataFrame = {
+    ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val st = markers(stateDir).stored(spark, gens)
+    val nDocs = if (st.nonEmpty) st.head else 0L
+    val totDl = if (st.size > 1) st(1) else 0L
+    val totTtl = if (st.size > 2) st(2) else 0L
+    val tt = graft.operators.CorpusOps.titleTokens
+    val tw = graft.operators.CorpusOps.titleWeight
+    val wTot = totDl + (tw - 1).toLong * totTtl
+    def emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("score_micro", LongType),
+        StructField("n_terms", LongType, nullable = false))))
+    if (nDocs <= 0L || totDl <= 0L || totTtl <= 0L) return emptyOut
+    val q = queries.filter(col("text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(
+          graft.operators.CorpusOps.bm25Tokens(col("text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return emptyOut
+    val dfsR = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample, gens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = q.join(dfT, Seq("term"))
+      .filter(graft.operators.CorpusOps.bm25CapOk(col("df"), lit(nDocs)))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selPairs = selected.select(col("term")).distinct()
+      .join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (selPairs.isEmpty) return emptyOut
+    // the ONE read this face adds over queryTopK: the positions column
+    // rides the same pruned posting rows
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs,
+          selected.select(col("term")).distinct(), gens, g)
+        .select(col("term"), col("doc_id"), col("tf"), col("positions"))
+        .distinct(), gens)
+    val hits = selected.join(post, Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = hits.select(col("doc_id")).distinct()
+    val dl = dlFor(spark, stateDir, g, candIds, gens)
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
+      // the simple-BM25F blend in place: tf/dl/totdl become their
+      // weighted versions, the µ-score expression runs unchanged
+      .withColumn("tf", expr(
+        s"tf + ${tw - 1} * size(filter(positions, p -> p < $tt))"))
+      .withColumn("dl", expr(s"dl + ${tw - 1} * least(dl, ${tt}L)"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("totdl", lit(wTot))
+      .withColumn("term_micro",
+        expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+  }
+
   /** The dfs sub-table rows for a query term set — dpfx dir shortlist
     * + term IN row-group pushdown when the term sample collected under
     * [[pushdownMax]], distributed left-semi join above it. Returns
@@ -1517,9 +1683,13 @@ object IndexStream {
             require(got == n,
               s"migration staging lost documents ($got != $n) for " +
                 s"$oldRoot; original untouched")
-            val totDl = staged.agg(
-              coalesce(sum(col("dl")), lit(0L))).collect()(0).getLong(0)
-            LsmIndex.Markers(staging).write(spark, -1L, Seq(n, totDl))
+            val totRow = staged.agg(
+              coalesce(sum(col("dl")), lit(0L)),
+              coalesce(sum(least(col("dl"),
+                lit(graft.operators.CorpusOps.titleTokens.toLong))),
+                lit(0L))).collect()(0)
+            LsmIndex.Markers(staging).write(spark, -1L,
+              Seq(n, totRow.getLong(0), totRow.getLong(1)))
           } finally tf.unpersist()
         } finally raw.unpersist()
       }

@@ -89,6 +89,37 @@ object PipelineStream {
       queries: DataFrame): DataFrame =
     IndexStream.queryPhrase(spark, ridxState(rootDir), queries)
 
+  /** Boolean (MUST / MUST NOT) retrieval over the kept corpus — the
+    * round-11-late face served from the pipeline's index; same
+    * keep-at-ingest contract as [[queryTopK]].
+    */
+  def queryBool(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame =
+    IndexStream.queryBool(spark, ridxState(rootDir), queries)
+
+  /** Prefix (multi-term expansion) retrieval over the kept corpus —
+    * expansion runs on the kept index's vocabulary, so a dropped doc's
+    * unique completions are unexpandable by construction.
+    */
+  def queryPrefix(spark: SparkSession, rootDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.prefixLen,
+      max: Int = graft.operators.CorpusOps.prefixExpandMax): DataFrame =
+    IndexStream.queryPrefix(spark, ridxState(rootDir), queries, len, max)
+
+  /** Fielded (simple BM25F) retrieval over the kept corpus. */
+  def queryFielded(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame =
+    IndexStream.queryFielded(spark, ridxState(rootDir), queries)
+
+  /** The full (query_id, doc_id) match set over the kept corpus — the
+    * id half of faceted search (CorpusOps.facetRollup joins the
+    * attribute table).
+    */
+  def queryMatches(spark: SparkSession, rootDir: String,
+      queries: DataFrame): DataFrame =
+    IndexStream.queryMatches(spark, ridxState(rootDir), queries)
+
   /** STREAMING HYBRID RETRIEVAL (round 9): reciprocal-rank fusion of
     * the sparse leg (the kept-corpus BM25 index) and the dense leg
     * (the vector gate's own LSM LSH index, with the curation drop set

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.CorpusOps
+
+/** Fielded retrieval (bm25f_topk): the simple-BM25F blend — weighted
+  * tf/dl through ONE shared saturation — must rank a title hit above
+  * an identical body hit, and reduce to something the unfielded face
+  * ties on.
+  */
+class Bm25fSpec extends SparkSpecBase {
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, t, s) => Row(id, t, s) }, 2), schema)
+  }
+
+  test("a title hit outranks the same hit in the body") {
+    // identical 8-token docs; "rare" sits at pos 0 (title) in doc 1,
+    // pos 7 (body) in doc 2 -> same plain-BM25 score (tie broken by
+    // doc_id), but BM25F weights the title hit double
+    val d = docs(Seq(
+      (100L, "rare off1 off2", "src0"),
+      (1L, "rare pad pad pad pad fill fill fill", "src1"),
+      (2L, "pad pad pad pad pad fill fill rare", "src1"),
+      (3L, "pad fill pad fill pad fill pad fill", "src1"),
+      (4L, "fill pad fill pad fill pad fill pad", "src1")))
+    val got = CorpusOps.bm25fTopkOn(d)
+      .select("rank", "doc_id", "score_micro").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L),
+      s"title hit must outrank the body hit: ${got.toSeq}")
+    assert(got(0)._3 > got(1)._3,
+      s"BM25F must separate the scores: ${got.toSeq}")
+    // the unfielded face ties them (identical tf/dl/df)
+    val plain = CorpusOps.bm25TopkOn(d)
+      .select("doc_id", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(plain(1L) == plain(2L),
+      s"fixture broken: plain BM25 should tie docs 1 and 2: $plain")
+  }
+
+  test("index face is bit-identical to the batch face, with no fielded state") {
+    import java.nio.file.Files
+    import graft.streaming.IndexStream
+    val d = docs(Seq(
+      (100L, "rare off1 off2", "src0"),
+      (1L, "rare pad pad pad pad fill fill fill", "src1"),
+      (2L, "pad pad pad pad pad fill fill rare", "src1"),
+      (3L, "pad fill pad fill pad fill pad fill", "src1"),
+      (4L, "fill pad fill pad fill pad fill pad", "src1")))
+    val root = Files.createTempDirectory("graft-bm25f").toString
+    val state = s"$root/state"
+    // two generations so the marker sum and positions both span folds
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0")
+        .filter(col("doc_id") <= 2L), 0L)
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0")
+        .filter(col("doc_id") > 2L), 1L)
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val batch = CorpusOps.bm25fTopkOn(d)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    val index = IndexStream.queryFielded(spark, state, q)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    assert(batch == index, "fielded index face must equal the batch face")
+    assert(batch.nonEmpty, "fixture must produce matches")
+  }
+
+  test("fielded scores over survivors are exact after a delete") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.streaming.IndexStream
+    val all = Seq(
+      (100L, "rare off1 off2", "src0"),
+      (1L, "rare pad pad pad pad fill fill fill", "src1"),
+      (2L, "pad pad pad pad pad fill fill rare", "src1"),
+      (3L, "pad fill pad fill pad fill pad fill", "src1"),
+      (4L, "fill pad fill pad fill pad fill pad", "src1"),
+      (5L, "rare fill pad pad pad pad", "src1"))
+    val root = Files.createTempDirectory("graft-bm25f-del").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state,
+      docs(all).filter(col("source") =!= "src0"), 0L)
+    IndexStream.deleteDocs(spark, state, Seq(5L).toDF("doc_id"), 0L)
+    val q = docs(all).filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val got = IndexStream.queryFielded(spark, state, q)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    // survivors-only reference: the batch face over the corpus minus
+    // doc 5 (the delete subtracts its tot_ttl share too — wTot exact)
+    val want = CorpusOps.bm25fTopkOn(docs(all.filterNot(_._1 == 5L)))
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      "post-delete fielded scores must equal a fresh survivors-only index")
+  }
+
+  test("length normalization runs on the WEIGHTED length") {
+    // both docs hold "rare" once in the BODY (equal wtf); doc 1's
+    // weighted length is smaller -> higher score
+    val d = docs(Seq(
+      (100L, "rare off1 off2", "src0"),
+      (1L, "pad pad pad pad pad rare", "src1"),
+      (2L, "pad pad pad pad pad rare fill", "src1"),
+      (3L, "pad fill pad fill pad fill", "src1"),
+      (4L, "fill pad fill pad fill pad", "src1")))
+    val got = CorpusOps.bm25fTopkOn(d)
+      .select("rank", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L),
+      s"shorter doc must rank first under length normalization: " +
+        s"${got.toSeq}")
+  }
+}

@@ -43,13 +43,14 @@ class GateGeomSpec extends SparkSpecBase {
     assert(IndexStream.layoutVersionFor(IndexStream.defaultGeom) ==
       IndexStream.layoutVersion)
     assert(IndexStream.layoutVersion ==
-      "graft-ridx-v5 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+      "graft-ridx-v6 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
         "pos=sorted-int-array " +
         "docs=(dbucket=pmod256,ingest) sort=doc_id " +
         "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
         "impact=max_tf " +
         "tombs=(dbucket=pmod256,ingest) del=neg-df+neg-markers " +
-        "tok=lower-ws ncount=(n_docs,tot_dl) cap=2df<=n")
+        "tok=lower-ws ncount=(n_docs,tot_dl,tot_ttl) title=5x2 " +
+        "cap=2df<=n")
     assert(NearDupStream.parseGeom(NearDupStream.layoutVersion)
       .contains(NearDupStream.defaultGeom))
     assert(IndexStream.parseGeom(IndexStream.layoutVersion)

@@ -391,4 +391,26 @@ class PlanHygieneSpec extends SparkSpecBase {
       "snippets' phrase side should broadcast")
     spark.catalog.clearCache()
   }
+
+  test("boolean/prefix/facet/fielded faces: no cartesian; source split pushed; the one crossJoin is the 1-row stamp") {
+    for (name <- Seq("bool_topk", "bm25_prefix_topk", "search_facets",
+        "bm25f_topk")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("source")),
+        s"$name: the src0/train split must push to the documents scan")
+    }
+    // prefix expansion joins the vocabulary on the computed prefix key
+    // — a hash join; the only nested loop allowed is the 1-row corpus
+    // stamp's broadcast cross
+    val pp = plan("bm25_prefix_topk")
+    assert(pp.contains("BroadcastHashJoin"),
+      "prefix expansion must be an equi-join on the prefix key")
+    assert(pp.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      "only the 1-row stamp may plan a nested loop")
+    spark.catalog.clearCache()
+  }
 }
