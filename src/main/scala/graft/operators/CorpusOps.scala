@@ -1526,8 +1526,14 @@ object CorpusOps {
       d: DataFrame): DataFrame = {
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("n_docs").desc, col("lang").asc)
+    // attribute universe = the TRAIN slice only, matching the match
+    // set's universe — doc_id is unique per source, not globally, so
+    // joining the full table would silently inflate counts on a
+    // src0/train id collision (identically in engine and oracle, which
+    // is exactly why parity tests can't catch it)
     val out = matches
-      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("query_id"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("rank", row_number().over(wf))
@@ -1543,7 +1549,9 @@ object CorpusOps {
        |  SELECT DISTINCT query_id, doc_id FROM scored
        |), facets AS (
        |  SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs
-       |  FROM fmatch m JOIN documents d USING (doc_id)
+       |  FROM fmatch m
+       |  JOIN (SELECT doc_id, lang FROM documents
+       |        WHERE source <> 'src0') d USING (doc_id)
        |  GROUP BY 1, 2
        |)
        |SELECT query_id,

@@ -107,6 +107,15 @@ private[operators] object TmpData {
     */
   private val okMarker = "_GRAFT_STATE_OK"
 
+  /** How long a published shared-state root of ANOTHER stamp survives
+    * before the prune reclaims it — long enough that a concurrently
+    * running process built on the old stamp (a different code version
+    * sharing the box) finishes reading it first. Cross-VERSION
+    * concurrency beyond this window is out of scope: the loser sees a
+    * vanished root and rebuilds into its own staging dir.
+    */
+  private val pruneGraceMs: Long = 2L * 60 * 60 * 1000
+
   /** Short fingerprint of build-recipe/layout strings, for use as the
     * `stamp` term of [[sharedState]] keys: any edit to a layout version
     * or to the builder's recipe text produces a new key, so a stale
@@ -174,11 +183,17 @@ private[operators] object TmpData {
     // prune completed caches of OTHER fingerprints/stamps for this
     // (kind, source path) — a rewritten sf dir or revised recipe would
     // otherwise leak its old state forever; in-flight staging dirs are
-    // pid-keyed (different name shape) and self-clean on exit
+    // pid-keyed (different name shape) and self-clean on exit.
+    // GRACE PERIOD (round 12): a sibling is only pruned once its
+    // publish mtime is comfortably older than any plausible run —
+    // a still-running process built on an OLD stamp (a different code
+    // version running concurrently) would otherwise lose its published
+    // root mid-read; after the grace it is a genuinely dead cache
     val sibs = shared.getParent.toFile.listFiles()
+    val cutoff = System.currentTimeMillis - pruneGraceMs
     if (sibs != null) sibs.filter { d =>
       d.getName.startsWith(s"graft_state_${kind}_${slug}_") &&
-        d.toPath != shared
+        d.toPath != shared && d.lastModified < cutoff
     }.foreach { d =>
       try Files.walk(d.toPath).sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -238,6 +238,12 @@ object IndexStream {
     */
   private val pushdownMax = 65536
 
+  /** Cap for the startsWith-OR pushdown branch of [[queryPrefix]] —
+    * far below [[pushdownMax]] because OR chains (unlike isin) grow
+    * the Catalyst expression tree one node per predicate.
+    */
+  private val prefixOrMax = 256
+
   val defaultMaxGenerations: Int = NearDupStream.defaultMaxGenerations
 
   private def markers(stateDir: String) = LsmIndex.Markers(stateDir)
@@ -277,6 +283,26 @@ object IndexStream {
     val due = compactionDue(spark, stateDir, maxGen)
     if (due) compactState(spark, stateDir, targetFileBytes)
     due
+  }
+
+  /** The composed maintenance policy (round 12): pin check →
+    * redomain-if-grown → compact-if-fragmented — the index gate has no
+    * codebook, so `retrained` is always false here (the vec gate's
+    * [[VecDupStream.maintainIfDue]] carries the drift leg). A pin
+    * addressing recorded history blocks the cycle whole.
+    */
+  def maintainIfDue(spark: SparkSession, stateDir: String,
+      targetFileBytes: Long = LsmIndex.defaultTargetFileBytes,
+      maxGen: Int = defaultMaxGenerations,
+      expectedDocs: Option[Long] = None): LsmIndex.Maintenance = {
+    ensureLayout(spark, stateDir)
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir))
+      return LsmIndex.Maintenance(pinned = true, redomained = false,
+        retrained = false, compacted = false)
+    val redomained = redomainIfDue(spark, stateDir, expectedDocs)
+    val compacted = compactIfDue(spark, stateDir, targetFileBytes, maxGen)
+    LsmIndex.Maintenance(pinned = false, redomained,
+      retrained = false, compacted = compacted)
   }
 
   /** Compaction with PHYSICAL tombstone reclamation: when tombstones
@@ -1189,15 +1215,34 @@ object IndexStream {
     val dfsBase = gens.foldLeft(
       LsmIndex.readOrEmpty(spark, s"$stateDir/dfs", dfsSchema))(
       (d, gg) => d.filter(col("ingest").isin(gg.toSeq: _*)))
+    // startsWith predicates cannot use the isin fast path, so a
+    // pushdownMax-deep OR chain would hand Catalyst a 65k-node
+    // expression tree (planning blowup / stack risk, unlike isin);
+    // prefix-seed cardinality is query-count-bounded anyway — cap the
+    // OR branch low and build it as a balanced reduction
+    def orBalanced(ps: Array[Column]): Column =
+      if (ps.length == 1) ps(0)
+      else {
+        val (l, r) = ps.splitAt(ps.length / 2)
+        orBalanced(l) || orBalanced(r)
+      }
     val dfsPruned =
-      if (pfxSample.length <= pushdownMax)
+      if (pfxSample.length <= prefixOrMax)
         dfsBase.filter(
-          pfxSample.map(p => col("term").startsWith(p)).reduce(_ || _))
+          orBalanced(pfxSample.map(p => col("term").startsWith(p))))
       else dfsBase.join(
         seed.select(col("pfx")).distinct(),
         substring(col("term"), 1, len) === col("pfx"), "left_semi")
+    // collapse byte-identical dfs rows before summing, mirroring
+    // dfsRowsFor's distinct over (term, df, gen): a batch re-delivered
+    // after compaction leaves the same logical row in both the
+    // compacted ingest=-1 dir and its own ingest dir — without the
+    // collapse, df double-counts and perturbs BOTH the rarest-first
+    // expansion cap and the µ-score (df feeds bm25TermMicroExpr),
+    // breaking bit-identity with prefixTopkOn/prefixTopkSql
     val vocab = dfsPruned
-      .select(col("term"), col("df")).groupBy(col("term"))
+      .select(col("term"), col("df"), col("gen")).distinct()
+      .groupBy(col("term"))
       .agg(sum(col("df")).as("df")).filter(col("df") > 0)
       .withColumn("pfx", substring(col("term"), 1, len))
     val wx = Window.partitionBy(col("query_id"))

@@ -795,6 +795,23 @@ private[graft] object LsmIndex {
       OpLog(stateDir).entries(spark).map(_._1).maxOption.exists(p <= _)
     }
 
+  /** Default compaction target file size for the composed maintenance
+    * policy — one comfortable parquet row-group-sized output file per
+    * merged partition dir at production sizes.
+    */
+  val defaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** What one `maintainIfDue` cycle did to a state root — the report
+    * an operator's maintenance cron logs. `pinned` means a registered
+    * pin addressed recorded history, so every structural action
+    * (redomain, retrain, compact — all epoch barriers or wholesale
+    * rewrites) was skipped this cycle; re-run after the pin releases.
+    */
+  final case class Maintenance(pinned: Boolean, redomained: Boolean,
+      retrained: Boolean, compacted: Boolean) {
+    def any: Boolean = redomained || retrained || compacted
+  }
+
   /** SNAPSHOT a state root as of an [[OpLog]] sequence number:
     * materialize a new, self-contained root holding exactly the
     * generations of operations with `seq ≤ asOfSeq`, as a pure byte

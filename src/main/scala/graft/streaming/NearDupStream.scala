@@ -471,6 +471,25 @@ object NearDupStream {
     due
   }
 
+  /** The composed maintenance policy (round 12): pin check →
+    * redomain-if-grown → compact-if-fragmented; no codebook on the
+    * text gate, so `retrained` is always false (see
+    * [[VecDupStream.maintainIfDue]] for the drift leg).
+    */
+  def maintainIfDue(spark: SparkSession, stateDir: String,
+      targetFileBytes: Long = LsmIndex.defaultTargetFileBytes,
+      maxGen: Int = defaultMaxGenerations,
+      expectedDocs: Option[Long] = None): LsmIndex.Maintenance = {
+    ensureLayout(spark, stateDir)
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir))
+      return LsmIndex.Maintenance(pinned = true, redomained = false,
+        retrained = false, compacted = false)
+    val redomained = redomainIfDue(spark, stateDir, expectedDocs)
+    val compacted = compactIfDue(spark, stateDir, targetFileBytes, maxGen)
+    LsmIndex.Maintenance(pinned = false, redomained,
+      retrained = false, compacted = compacted)
+  }
+
   /** The LSM compaction: every micro-batch appends an
     * `ingest=<batchId>` generation under the hash partitions it
     * touches, so per-batch cost stays O(batch) while GENERATION COUNT

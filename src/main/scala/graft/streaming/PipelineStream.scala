@@ -372,6 +372,38 @@ object PipelineStream {
     g || r
   }
 
+  /** The composed maintenance policy, pipeline-wide (round 12): run
+    * each gate's `maintainIfDue` — pin check → redomain-if-grown →
+    * retrain-if-drifted (vec gate only) → compact-if-fragmented — and
+    * consolidate the two emission logs on the same fragmentation
+    * cadence. THE one call an operator crons against a pipeline root;
+    * per-gate reports keyed `txt`/`vec`/`ridx` tell it what ran and
+    * what a pin blocked.
+    */
+  def maintainIfDue(spark: SparkSession, rootDir: String,
+      targetFileBytes: Long = LsmIndex.defaultTargetFileBytes,
+      maxGen: Int = NearDupStream.defaultMaxGenerations)
+      : Map[String, LsmIndex.Maintenance] = {
+    val t = NearDupStream.maintainIfDue(spark, s"$rootDir/txt_state",
+      targetFileBytes, maxGen)
+    val v = VecDupStream.maintainIfDue(spark, s"$rootDir/vec_state",
+      targetFileBytes, maxGen)
+    val r = IndexStream.maintainIfDue(spark, ridxState(rootDir),
+      targetFileBytes, maxGen)
+    // emission logs carry no pins or domains — consolidation is their
+    // whole maintenance story; fold it into the owning gate's report
+    val to = LsmIndex.compactEmissions(spark, s"$rootDir/txt_out",
+      CurationStream.txtOutSchema, targetFileBytes,
+      minDirs = maxGen)._1 > 0
+    val vo = LsmIndex.compactEmissions(spark, s"$rootDir/vec_out",
+      CurationStream.vecOutSchema, targetFileBytes,
+      minDirs = maxGen)._1 > 0
+    Map(
+      "txt" -> t.copy(compacted = t.compacted || to),
+      "vec" -> v.copy(compacted = v.compacted || vo),
+      "ridx" -> r)
+  }
+
   /** Operational DESCRIBE fan-out: all three gates' [[LsmIndex.stats]]
     * rows under a `gate` column — the one dashboard call an operator
     * makes before deciding which state to compact, re-domain, or

@@ -1332,6 +1332,68 @@ object VecDupStream {
     } finally raw.unpersist()
   }
 
+  /** Retrain triggers when the post-training-era generations' sampled
+    * quantization error exceeds this multiple of the training-era
+    * baseline. 4× is far above same-distribution noise (the spec's
+    * same-distribution generation sits within 2× of training) and far
+    * below a genuine distribution shift (the spec's shifted family
+    * lands orders of magnitude out).
+    */
+  private[graft] val driftRetrainRatio = 4L
+
+  /** The drift policy's trigger: sample-weighted mean quantization
+    * error of generations AFTER the codebook's training era vs the
+    * training-era baseline (gens ≤ train_gen; when the training
+    * generation merged into -1, the earliest surviving generation
+    * stands in). O(generations) driver rows — [[codebookDrift]] bounds
+    * the distributed work. False while either era lacks samples.
+    */
+  def driftRetrainDue(spark: SparkSession, stateDir: String,
+      ratio: Long = driftRetrainRatio): Boolean = {
+    val rows = codebookDrift(spark, stateDir).collect()
+    if (rows.isEmpty) return false
+    val trainGen = rows.head.getLong(3)
+    val baseGens: Set[Long] =
+      if (trainGen >= 0) rows.map(_.getLong(0)).filter(_ <= trainGen).toSet
+      else Set(rows.map(_.getLong(0)).min)
+    val (base, post) = rows.partition(r => baseGens.contains(r.getLong(0)))
+    if (base.isEmpty || post.isEmpty) return false
+    def werr(rs: Array[org.apache.spark.sql.Row]): (Long, Long) =
+      (rs.map(r => r.getLong(1) * r.getLong(2)).sum,
+        math.max(rs.map(_.getLong(1)).sum, 1L))
+    val (bNum, bDen) = werr(base)
+    val (pNum, pDen) = werr(post)
+    // cross-multiplied integer compare: pErr > ratio * bErr, with a
+    // floor of 1 on the baseline so a perfectly-quantized training era
+    // (error 0) still only triggers on a real post-era error
+    pNum * bDen > ratio * math.max(bNum, bDen) * pDen
+  }
+
+  /** The composed maintenance policy (round 12 — one call an operator
+    * crons): pin check → redomain-if-grown → retrain-if-drifted →
+    * compact-if-fragmented. A pin addressing recorded history blocks
+    * ALL structural actions this cycle (each is an epoch barrier or a
+    * wholesale sub-table swap that would seal or replace the pinned
+    * history). A redomain rebuild already retrains the codebook over
+    * the grown corpus ([[redomainIfDue]]), so the drift check is
+    * skipped in that cycle; compaction is evaluated last, over
+    * whatever state the earlier actions left.
+    */
+  def maintainIfDue(spark: SparkSession, stateDir: String,
+      targetFileBytes: Long = LsmIndex.defaultTargetFileBytes,
+      maxGen: Int = defaultMaxGenerations,
+      expectedVecs: Option[Long] = None): LsmIndex.Maintenance = {
+    ensureLayout(spark, stateDir)
+    if (LsmIndex.pinBlocksCompaction(spark, stateDir))
+      return LsmIndex.Maintenance(pinned = true, redomained = false,
+        retrained = false, compacted = false)
+    val redomained = redomainIfDue(spark, stateDir, expectedVecs)
+    val retrained = !redomained && driftRetrainDue(spark, stateDir) &&
+      retrainCodebook(spark, stateDir)
+    val compacted = compactIfDue(spark, stateDir, targetFileBytes, maxGen)
+    LsmIndex.Maintenance(pinned = false, redomained, retrained, compacted)
+  }
+
   def keepDecisions(spark: SparkSession, stateDir: String,
       outDir: String): DataFrame = {
     ensureLayout(spark, stateDir)

@@ -408,9 +408,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     val pp = plan("bm25_prefix_topk")
     assert(pp.contains("BroadcastHashJoin"),
       "prefix expansion must be an equi-join on the prefix key")
-    assert(pp.sliding("BroadcastNestedLoopJoin".length)
-        .count(_ == "BroadcastNestedLoopJoin") <= 1,
-      "only the 1-row stamp may plan a nested loop")
+    // FormattedMode prints each operator twice (tree sketch + numbered
+    // detail section) — count node detail headers "(N) ...", never raw
+    // substring occurrences
+    val bnljNodes = "\\(\\d+\\) BroadcastNestedLoopJoin".r
+      .findAllIn(pp).length
+    assert(bnljNodes <= 1,
+      s"$bnljNodes nested loops — only the 1-row stamp may plan one")
     spark.catalog.clearCache()
   }
 }

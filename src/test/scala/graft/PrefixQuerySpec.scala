@@ -88,6 +88,43 @@ class PrefixQuerySpec extends SparkSpecBase {
     }
   }
 
+  test("a batch re-delivered after compaction cannot double-count df in the expansion") {
+    // compaction moves a generation's dfs rows into the physical
+    // ingest=-1 dir (logical gen preserved); re-delivering the same
+    // batch id then writes byte-identical rows into its own ingest dir
+    // again. The vocabulary-grain df sum must collapse the duplicates
+    // (distinct over (term, df, gen), mirroring dfsRowsFor) or the
+    // rarest-first expansion cap flips: here apricot's df doubles
+    // 1 -> 2, loses its term-asc tie against apple, and the match set
+    // silently swaps doc 2 for doc 1.
+    val d = docs(Seq(
+      (100L, "apple offvocab", "src0"),
+      (1L, "apple pad pad", "src1"),
+      (2L, "apricot pad fill", "src1"),
+      (3L, "april apple fill", "src1"),
+      (4L, "pad fill pad", "src1")))
+    val root = Files.createTempDirectory("graft-prefix3").toString
+    val state = s"$root/state"
+    val batch0 = d.filter(col("doc_id") === 2L)
+    val batch1 = d.filter(col("source") =!= "src0" && col("doc_id") =!= 2L)
+    IndexStream.applyBatch(spark, state, batch0, 0L)
+    IndexStream.applyBatch(spark, state, batch1, 1L)
+    IndexStream.compactState(spark, state, 64L * 1024 * 1024)
+    IndexStream.applyBatch(spark, state, batch0, 0L) // re-delivery
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    // match set only: the documented marker tolerance (bounded N/totdl
+    // overcount on re-delivery-after-consolidation) may perturb scores,
+    // but never which terms expand or which docs match
+    val got = out(IndexStream.queryPrefix(spark, state, q,
+      len = 2, max = 2))
+    val want = out(CorpusOps.prefixTopkOn(d, len = 2, max = 2))
+    assert(want == Set((100L, 2L, 1L), (100L, 3L, 1L)),
+      s"fixture drifted: $want")
+    assert(got == want,
+      s"duplicate dfs rows perturbed the expansion: $got != $want")
+  }
+
   test("deletes apply and df-ranks re-derive over survivors") {
     import spark.implicits._
     val d = docs(fixture)
