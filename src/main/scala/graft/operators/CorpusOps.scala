@@ -1614,13 +1614,32 @@ object CorpusOps {
   def bm25fTopk(spark: SparkSession, sfDir: String): DataFrame =
     bm25fTopkOn(load(spark, sfDir, "documents"))
 
+  /** SCHEMA-DRIVEN FIELDS (round 12): when the corpus carries a real
+    * `title` column, it IS the title field (weighted [[titleWeight]])
+    * and `text` is the body — the positional first-[[titleTokens]]
+    * convention is the single-text-column fallback only. Queries stay
+    * unfielded (their terms come from `text`) in both shapes. With a
+    * title of exactly [[titleTokens]] tokens the two shapes blend
+    * identical (wtf, wdl) and rank bit-identically (spec-pinned) —
+    * the convention is the degenerate case of the schema.
+    */
   def bm25fTopkOn(d: DataFrame): DataFrame = {
-    val wtoks = d.filter(col("source") =!= "src0")
-      .select(col("doc_id"),
-        posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
-      .withColumn("w",
-        when(col("pos") < titleTokens, lit(titleWeight.toLong))
-          .otherwise(lit(1L)))
+    val train = d.filter(col("source") =!= "src0")
+    val wtoks =
+      if (d.columns.contains("title"))
+        train.select(col("doc_id"),
+            explode(bm25Tokens(col("title"))).as("term"))
+          .withColumn("w", lit(titleWeight.toLong))
+          .unionByName(train.select(col("doc_id"),
+              explode(bm25Tokens(col("text"))).as("term"))
+            .withColumn("w", lit(1L)))
+      else train
+        .select(col("doc_id"),
+          posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
+        .withColumn("w",
+          when(col("pos") < titleTokens, lit(titleWeight.toLong))
+            .otherwise(lit(1L)))
+        .select(col("doc_id"), col("term"), col("w"))
     // weighted tf and dl at the same grains as the unfielded face
     val tf = Caching.persistOnce(
       wtoks.groupBy(col("doc_id"), col("term"))

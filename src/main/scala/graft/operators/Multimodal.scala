@@ -19,9 +19,63 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
       width: Long, height: Long, n_frames: Long, checksum: String)
 
-  /** STUB decoder: deterministic metadata derived from the bytes.
-    * A real implementation would parse the container header here —
-    * this is the seam where a codec library plugs in.
+  private def md5hex(media: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(media).map("%02x".format(_)).mkString
+
+  /** REAL header decode (round 12 — replaces the stub for the two
+    * formats whose dimensions live in fixed container structure,
+    * public format knowledge only):
+    *
+    *  - PNG (RFC 2083): the 8-byte signature, then the mandatory
+    *    first IHDR chunk — big-endian width at offset 16, height at
+    *    20.
+    *  - JPEG (ISO/IEC 10918-1): SOI, then marker segments scanned by
+    *    their 2-byte lengths until the first frame header SOFn
+    *    (0xC0–0xCF minus the non-frame C4/C8/CC) — big-endian height
+    *    then width in its payload.
+    *
+    * Header-only: no sample data is decoded, no codec library. None
+    * for anything else (truncated, other formats) — the caller falls
+    * back to the stub seam.
+    */
+  def decodeHeader(media: Array[Byte]): Option[(String, Long, Long)] = {
+    def u8(i: Int): Int = media(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+        (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val pngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (media.length >= 24 &&
+        pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        new String(media.slice(12, 16), "US-ASCII") == "IHDR")
+      Some(("png", be32(16), be32(20)))
+    else if (media.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < media.length) {
+        if (u8(i) != 0xff) return None // malformed marker stream
+        val m = u8(i + 1)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+        else {
+          val segLen = be16(i + 2)
+          if (segLen < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof)
+            return if (i + 8 < media.length)
+              Some(("jpeg", be16(i + 7).toLong, be16(i + 5).toLong))
+            else None
+          i += 2 + segLen
+        }
+      }
+      None
+    } else None
+  }
+
+  /** STUB decoder for formats [[decodeHeader]] does not parse:
+    * deterministic metadata derived from the bytes — the seam where a
+    * codec library would plug in.
     */
   def decodeStub(docId: Long, media: Array[Byte]): MediaMeta = {
     val n = media.length.toLong
@@ -30,10 +84,20 @@ object Multimodal {
       case 1 => "jpeg"
       case _ => "webp"
     }
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(media).map("%02x".format(_)).mkString
-    MediaMeta(docId, n, fmt, 64 + n % 512, 64 + (n / 7) % 512, 1 + n % 30, digest)
+    MediaMeta(docId, n, fmt, 64 + n % 512, 64 + (n / 7) % 512,
+      1 + n % 30, md5hex(media))
   }
+
+  /** Decode one asset: real container-header dimensions for PNG/JPEG
+    * bytes, the deterministic stub for everything else.
+    */
+  def decode(docId: Long, media: Array[Byte]): MediaMeta =
+    decodeHeader(media) match {
+      case Some((fmt, w, h)) =>
+        MediaMeta(docId, media.length.toLong, fmt, w, h,
+          n_frames = 1L, checksum = md5hex(media))
+      case None => decodeStub(docId, media)
+    }
 
   /** Partition-parallel decode path (the shape a real codec would use):
     * binary column in, typed Dataset out, one decoder instance per
@@ -43,7 +107,7 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+      .mapPartitions { it => it.map { case (id, bytes) => decode(id, bytes) } }
   }
 
   /** Oracle-checked face of the same pipeline, expressed as pure

@@ -140,7 +140,9 @@ object IndexStream {
 
   private val subTables = Seq(
     LsmIndex.Sub("postings", postingsSchema, Seq("tpfx"),
-      sortCols = Seq("term")),
+      // (term, doc_id): compacted row groups keep the tight per-term
+      // doc_id ranges the block-max candidate pushdown skips on
+      sortCols = Seq("term", "doc_id")),
     LsmIndex.Sub("docs", docsSchema, Seq("dbucket"),
       sortCols = Seq("doc_id")),
     LsmIndex.Sub("dfs", dfsSchema, Seq("dpfx"),
@@ -488,7 +490,12 @@ object IndexStream {
         tf.withColumn("ingest", lit(batchId))
           .repartition(spark.sparkContext.defaultParallelism,
             col("tpfx"))
-          .sortWithinPartitions(col("tpfx"), col("term"))
+          // doc_id joins the sort (round 12 — block-max pruning): a
+          // term's row groups then carry tight disjoint doc_id ranges,
+          // so a candidate-id IN pushdown skips the row groups holding
+          // none of them (parquet min/max stats ARE the block-max
+          // sidecar — no extra metadata table)
+          .sortWithinPartitions(col("tpfx"), col("term"), col("doc_id"))
           .write.partitionBy("tpfx", "ingest")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/postings")
@@ -855,16 +862,30 @@ object IndexStream {
           selected.select(col("term")).distinct(), gens, g)
         .select(col("term"), col("doc_id"), col("tf"))
         .distinct(), gens)
-    // FILTERED RETRIEVAL (round 11 — the sparse twin of
-    // VecDupStream's allow sets): only doc_ids IN the allow relation
-    // may rank, applied to the posting hits BEFORE ranking and before
-    // the dl fetch (the allow set SHRINKS the candidate read — a
-    // tenant-scoped query reads that tenant's dl rows, not the
-    // corpus's). Corpus statistics (n_docs, totdl, df-based term
-    // selection and the head-term cap) stay WHOLE-INDEX by contract:
-    // scores mean the same thing inside and outside the filter, and
-    // the ranked list is the unfiltered list's allowed suffix
-    // re-ranked — matching the dense leg's semantics.
+    rankBm25Hits(spark, stateDir, g, gens, selected, post,
+      nDocs, totDl, allow)
+  }
+
+  /** The BM25 scoring tail shared by [[queryTopK]] and the hybrid
+    * shared-fetch face ([[queryHybridParts]]): allow-filter the
+    * posting hits, fetch dl candidate-bounded, score in exact µ-units,
+    * rank top-[[graft.operators.CorpusOps.bm25K]].
+    *
+    * FILTERED RETRIEVAL (round 11 — the sparse twin of VecDupStream's
+    * allow sets): only doc_ids IN the allow relation may rank, applied
+    * to the posting hits BEFORE ranking and before the dl fetch (the
+    * allow set SHRINKS the candidate read — a tenant-scoped query
+    * reads that tenant's dl rows, not the corpus's). Corpus statistics
+    * (n_docs, totdl, df-based term selection and the head-term cap)
+    * stay WHOLE-INDEX by contract: scores mean the same thing inside
+    * and outside the filter, and the ranked list is the unfiltered
+    * list's allowed suffix re-ranked — matching the dense leg's
+    * semantics.
+    */
+  private def rankBm25Hits(spark: SparkSession, stateDir: String,
+      g: Geom, gens: Option[Set[Long]], selected: DataFrame,
+      post: DataFrame, nDocs: Long, totDl: Long,
+      allow: Option[DataFrame]): DataFrame = {
     val hits = allow.foldLeft(selected.join(post, Seq("term")))(
         (h, a) => h.join(a.select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_semi"))
@@ -888,6 +909,94 @@ object IndexStream {
       .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_terms"))
+  }
+
+  /** ONE posting fetch serving BOTH legs of a hybrid sparse+proximity
+    * query (round 12 — the r11 verdict's named lever on
+    * hybrid_prox_topk): [[queryTopK]] and [[queryNear]] previously
+    * fetched the same dfs-shortlisted postings twice, once projecting
+    * tf and once positions. Here the (term, gen) shortlist covers the
+    * UNION of the BM25-selected terms and the query's leading phrase
+    * terms, the postings read projects both payloads, and the
+    * persisted relation feeds the BM25 scoring tail and the proximity
+    * rank core. Results are bit-identical to running the two faces
+    * separately (spec-pinned): the scoring chains are shared
+    * definitions, only the fetch is consolidated. Returns
+    * (bm25 top-k, proximity top-k).
+    */
+  def queryHybridParts(spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      sloppy: Boolean = true,
+      asOf: Option[Long] = None): (DataFrame, DataFrame) = {
+    ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
+    val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+    val ops = graft.operators.CorpusOps
+    val st = markers(stateDir).stored(spark, gens)
+    val nDocs = if (st.nonEmpty) st.head else 0L
+    val totDl = if (st.size > 1) st(1) else 0L
+    def emptySparse = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("score_micro", LongType),
+        StructField("n_terms", LongType, nullable = false))))
+    def emptyProx =
+      emptyRanked(spark, if (sloppy) "sloppy_micro" else "min_span")
+    if (nDocs <= 0L || totDl <= 0L) return (emptySparse, emptyProx)
+    val q = queries.filter(col("text").isNotNull)
+      .select(col("query_id"),
+        explode(array_distinct(ops.bm25Tokens(col("text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the proximity leg's slot rows — [[phrasePosRows]]'s exact query
+    // shape (ordered NEAR: no distinct-terms contract)
+    val qp = queries.filter(col("text").isNotNull)
+      .filter(size(ops.bm25Tokens(col("text"))) >= len)
+      .select(col("query_id"),
+        posexplode(ops.phraseTerms(col("text"), len)).as(Seq("i", "term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSample = q.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (termSample.isEmpty) return (emptySparse, emptyProx)
+    val dfsR = dfsRowsFor(spark, stateDir,
+      q.select(col("term")).distinct(), termSample, gens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val selected = q.join(dfT, Seq("term"))
+      .filter(ops.bm25CapOk(col("df"), lit(nDocs)))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= ops.bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fetch universe = BM25-selected ∪ phrase terms: a head term the
+    // cap excluded from scoring still fetches when the proximity leg
+    // needs its positions (phrase terms carry no df selection — the
+    // exact contract of the standalone positional faces)
+    val fetchTerms = selected.select(col("term"))
+      .union(qp.select(col("term"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selPairs = fetchTerms.join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (selPairs.isEmpty) return (emptySparse, emptyProx)
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, selPairs, fetchTerms, gens, g)
+        .select(col("term"), col("doc_id"), col("tf"), col("positions"))
+        .distinct(), gens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sparse = rankBm25Hits(spark, stateDir, g, gens, selected,
+      post.select(col("term"), col("doc_id"), col("tf")),
+      nDocs, totDl, None)
+    val posRows = qp.join(post, Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("i"),
+        explode(col("positions")).as("pos"))
+    (sparse, ops.nearRank(posRows, len, sloppy))
   }
 
   /** Full-query EXACT BM25 over the accumulated index — the
@@ -964,31 +1073,74 @@ object IndexStream {
       .filter(graft.operators.CorpusOps.bm25CapOk(col("df"), lit(nDocs)))
       .withColumn("trank", row_number().over(wq))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val selPairs = qsel.select(col("term")).distinct()
-      .join(dfsR, Seq("term"))
-      .select(col("term"), col("gen")).distinct()
-      .limit(pushdownMax + 1).collect()
-    if (selPairs.isEmpty) return emptyOut
-    val post = minusTombs(spark, stateDir,
-      postingsFor(spark, stateDir, selPairs,
-          qsel.select(col("term")).distinct(), gens, g)
+    val essSel = qsel
+      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"), col("trank"))
+    val nonSel = qsel
+      .filter(col("trank") > graft.operators.CorpusOps.bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("df"), col("trank"))
+    def allowed(h: DataFrame): DataFrame =
+      allow.foldLeft(h)((x, a) =>
+        x.join(a.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi"))
+    def pairsOf(sel: DataFrame): Array[org.apache.spark.sql.Row] =
+      sel.select(col("term")).distinct()
+        .join(dfsR, Seq("term"))
+        .select(col("term"), col("gen")).distinct()
+        .limit(pushdownMax + 1).collect()
+    // ESSENTIAL fetch: the df-rarest terms' full postings — the
+    // candidate source, never doc-restricted
+    val essPairs = pairsOf(essSel)
+    if (essPairs.isEmpty) return emptyOut
+    val postEss = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, essPairs,
+          essSel.select(col("term")).distinct(), gens, g)
         .select(col("term"), col("doc_id"), col("tf"))
         .distinct(), gens)
-    val hitsAll = allow.foldLeft(qsel
-        .select(col("term"), col("query_id"), col("df"), col("trank"))
-        .join(post, Seq("term")))(
-        (h, a) => h.join(a.select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_semi"))
+    val hitsEss = allowed(essSel.join(postEss, Seq("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate universe: docs holding >=1 essential term
-    val cand = hitsAll
-      .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
+    val cand = hitsEss
       .select(col("query_id"), col("doc_id")).distinct()
-    // dl fetch bounded by ALL posting-hit ids (covers the fallback
-    // path's universe too — one bounded read serves both branches)
-    val dl = dlFor(spark, stateDir, g,
-      hitsAll.select(col("doc_id")).distinct(), gens)
-    def scoreRank(hits: DataFrame): DataFrame = {
+    // BLOCK-MAX candidate pushdown (round 12, ROADMAP item): the
+    // NON-essential (frequent) terms' postings join candidate-
+    // restricted, and when the candidate ids sample under the pushdown
+    // cap they reach the posting scan as a doc_id IN predicate — the
+    // write-side (tpfx, term, doc_id) sort gives each term's row
+    // groups tight disjoint doc_id ranges, so parquet's min/max stats
+    // skip every row group holding no candidate (the stats ARE the
+    // block-max sidecar; no extra metadata table, maintained by the
+    // writer for free). The per-query exact rule stays the semi-join
+    // below — the IN is a superset filter, never the semantics.
+    val candIdArr = cand.select(col("doc_id")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getLong(0))
+    val nonPairs = pairsOf(nonSel)
+    def nonHits(restrict: Boolean): DataFrame = {
+      val raw = postingsFor(spark, stateDir, nonPairs,
+        nonSel.select(col("term")).distinct(), gens, g)
+      val pruned =
+        if (restrict && candIdArr.length <= pushdownMax)
+          raw.filter(col("doc_id").isin(candIdArr.toSeq: _*))
+        else raw
+      allowed(nonSel.join(
+        minusTombs(spark, stateDir,
+          pruned.select(col("term"), col("doc_id"), col("tf"))
+            .distinct(), gens), Seq("term")))
+    }
+    val hitsMain =
+      (if (nonPairs.isEmpty) hitsEss
+       else hitsEss.unionByName(nonHits(restrict = true)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dl fetch SPLIT (round 12 — r11 verdict item 7): the MAIN branch
+    // fetches dl for the CANDIDATE ids only; the fallback branch —
+    // when a query actually falls back — fetches its own posting-hit
+    // universe separately below. One shared hit-grain fetch would
+    // widen the common (zero-fallback) case to posting volume: a
+    // frequent non-essential term's hits are posting-grain, its
+    // candidates essential-grain.
+    val dlMain = dlFor(spark, stateDir, g,
+      cand.select(col("doc_id")).distinct(), gens)
+    def scoreRank(hits: DataFrame, dl: DataFrame): DataFrame = {
       val wd = Window.partitionBy(col("query_id"))
         .orderBy(col("score_micro").desc, col("doc_id").asc)
       hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
@@ -1010,11 +1162,10 @@ object IndexStream {
     // streams map-side; the distributed join stays as the fallback
     // at any candidate volume. Same discipline as the dl fetch.
     val candSide =
-      if (cand.limit(pushdownMax + 1).count() <= pushdownMax)
-        broadcast(cand)
-      else cand
+      if (candIdArr.length <= pushdownMax) broadcast(cand) else cand
     val ranked = scoreRank(
-      hitsAll.join(candSide, Seq("query_id", "doc_id"), "left_semi"))
+      hitsMain.join(candSide, Seq("query_id", "doc_id"), "left_semi"),
+      dlMain)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kth = ranked
       .filter(col("rank") === graft.operators.CorpusOps.bm25K)
@@ -1034,16 +1185,36 @@ object IndexStream {
       .filter(col("kth_micro").isNull ||
         col("sum_ub") >= col("kth_micro"))
       .select(col("query_id"))
-    val fbTop = scoreRank(
-      hitsAll.join(broadcast(fb), Seq("query_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cols = Seq(col("query_id"), col("rank"), col("doc_id"),
       col("score_micro"), col("n_terms"))
-    ranked.join(broadcast(fb), Seq("query_id"), "left_anti")
+    val mainTop = ranked
+      .join(broadcast(fb), Seq("query_id"), "left_anti")
       .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
       .select(cols: _*)
-      .unionByName(fbTop
+    // the fallback branch exists ONLY when a query actually fell back
+    // (zero on well-bounded corpora, spec-pinned): its unrestricted
+    // re-rank fetches dl over ITS OWN posting-hit universe, so a
+    // fallback-heavy workload widens its own read, never the main
+    // branch's candidate-bounded fetch. The ≤-queries-row collect is
+    // the branch decision, not a data read.
+    if (fb.limit(1).collect().isEmpty) mainTop
+    else {
+      // the fallback's unrestricted universe: essential hits carry no
+      // doc restriction already; the non-essential postings re-fetch
+      // WITHOUT the candidate pushdown (only here — a fallback-heavy
+      // workload widens its own read, never the main branch's)
+      val hitsFb =
+        (if (nonPairs.isEmpty) hitsEss
+         else hitsEss.unionByName(nonHits(restrict = false)))
+          .join(broadcast(fb), Seq("query_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dlFb = dlFor(spark, stateDir, g,
+        hitsFb.select(col("doc_id")).distinct(), gens)
+      mainTop.unionByName(scoreRank(hitsFb, dlFb)
         .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
         .select(cols: _*))
+    }
   }
 
   /** Boolean retrieval (MUST / MUST NOT) over the accumulated index —
@@ -1709,7 +1880,8 @@ object IndexStream {
           try {
             val docs = docsRel(asBatch, tf, gNew)
             tf.withColumn("ingest", lit(-1L))
-              .sortWithinPartitions(col("tpfx"), col("term"))
+              .sortWithinPartitions(col("tpfx"), col("term"),
+                col("doc_id"))
               .write.partitionBy("tpfx", "ingest")
               .parquet(s"$staging/postings")
             docs.withColumn("ingest", lit(-1L))

@@ -166,10 +166,17 @@ object PipelineStream {
     */
   def hybridProxTopK(spark: SparkSession, rootDir: String,
       queries: DataFrame): DataFrame = {
-    val sparse = IndexStream.queryTopK(spark, ridxState(rootDir),
-        queries.select(col("query_id"), col("text")))
-      .select(col("query_id"), col("doc_id"),
-        col("rank").as("rank_sparse"))
+    // ONE posting fetch serves the sparse AND proximity legs (round 12
+    // — IndexStream.queryHybridParts): previously the two legs each
+    // ran the dfs shortlist + posting fetch over the same terms, one
+    // projecting tf, one positions
+    val (sparse0, prox0) = IndexStream.queryHybridParts(spark,
+      ridxState(rootDir), queries.select(col("query_id"), col("text")),
+      sloppy = true)
+    val sparse = sparse0.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_sparse"))
+    val prox = prox0.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_prox"))
     val dropped = CurationStream.pairLog(spark, rootDir)
       .select(col("new_id").as("vec_id")).distinct()
     val dense = VecDupStream.queryTopK(spark, s"$rootDir/vec_state",
@@ -177,10 +184,6 @@ object PipelineStream {
         k = graft.operators.CorpusOps.bm25K, exclude = Some(dropped))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rank").as("rank_dense"))
-    val prox = IndexStream.queryNear(spark, ridxState(rootDir),
-        queries.select(col("query_id"), col("text")), sloppy = true)
-      .select(col("query_id"), col("doc_id"),
-        col("rank").as("rank_prox"))
     graft.Tables.canon(graft.operators.CorpusOps.rrfFuseLegs(
       Seq(sparse, dense, prox)))
   }

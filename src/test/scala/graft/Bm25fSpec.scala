@@ -108,6 +108,64 @@ class Bm25fSpec extends SparkSpecBase {
       "post-delete fielded scores must equal a fresh survivors-only index")
   }
 
+  private def fieldedDocs(
+      rows: Seq[(Long, String, String, String)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("title", StringType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("source", StringType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, ti, t, s) => Row(id, ti, t, s) }, 2), schema)
+  }
+
+  test("schema-driven fields: a real title column IS the title field; the positional convention is its degenerate case") {
+    // titles of exactly titleTokens (5) tokens: the schema-driven
+    // shape must rank bit-identically to the positional shape over
+    // the concatenated text — the convention is the degenerate case
+    val fielded = fieldedDocs(Seq(
+      (100L, "zz zz zz zz zz", "rare off1 off2", "src0"),
+      (1L, "rare pad pad pad pad", "fill fill fill", "src1"),
+      (2L, "pad pad pad pad pad", "fill fill rare", "src1"),
+      (3L, "pad fill pad fill pad", "fill pad fill", "src1"),
+      (4L, "fill pad fill pad fill", "pad fill pad", "src1")))
+    val positional = docs(Seq(
+      (100L, "rare off1 off2", "src0"),
+      (1L, "rare pad pad pad pad fill fill fill", "src1"),
+      (2L, "pad pad pad pad pad fill fill rare", "src1"),
+      (3L, "pad fill pad fill pad fill pad fill", "src1"),
+      (4L, "fill pad fill pad fill pad fill pad", "src1")))
+    val gotF = CorpusOps.bm25fTopkOn(fielded)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    val gotP = CorpusOps.bm25fTopkOn(positional)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    assert(gotF.nonEmpty && gotF == gotP,
+      s"5-token titles must reduce to the positional convention: " +
+        s"$gotF vs $gotP")
+
+    // titles of OTHER lengths separate the shapes: only the title's
+    // own tokens weigh double, never "the first five of the concat" —
+    // doc 1 holds rare in a 2-token TITLE (w=2), doc 2 in the BODY
+    // (w=1); positionally (concat) both would sit under pos 5 and tie
+    val short = fieldedDocs(Seq(
+      (100L, "zz zz", "rare off1 off2", "src0"),
+      (1L, "rare tt", "pad pad pad pad pad pad", "src1"),
+      (2L, "tt tt", "rare pad pad pad pad pad", "src1"),
+      (3L, "tt pad", "fill pad fill pad fill pad", "src1"),
+      (4L, "pad tt", "pad fill pad fill pad fill", "src1")))
+    val gotS = CorpusOps.bm25fTopkOn(short)
+      .select("rank", "doc_id", "score_micro").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(gotS.map(_._2).toSeq == Seq(1L, 2L),
+      s"title hit must outrank the body hit: ${gotS.toSeq}")
+    assert(gotS(0)._3 > gotS(1)._3,
+      s"2-token title must weigh as a field, not as position<5: " +
+        s"${gotS.toSeq}")
+  }
+
   test("length normalization runs on the WEIGHTED length") {
     // both docs hold "rare" once in the BODY (equal wtf); doc 1's
     // weighted length is smaller -> higher score

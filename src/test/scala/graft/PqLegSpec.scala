@@ -63,38 +63,8 @@ class PqLegSpec extends SparkSpecBase {
     Seq((9000L, probeVec.toSeq)).toDF("query_id", "embedding")
   }
 
-  /** Collect a result and the summed `numOutputRows` of every file
-    * scan whose path contains `dirToken` in its executed plan.
-    */
-  private def collectWithScanRows(df: DataFrame,
-      dirToken: String): (Seq[Row], Long) = {
-    val rows = df.collect().toSeq
-    var n = 0L
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      val q = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case x => x
-      }
-      q match {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec
-            if f.relation.location.rootPaths
-              .exists(_.toString.contains(dirToken)) =>
-          n += f.metrics("numOutputRows").value
-        // AQE materializes sub-plans behind QueryStageExec whose
-        // children list is EMPTY — the subtree hangs off .plan
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(s.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          walk(r.child)
-        case _ =>
-      }
-      q.children.foreach(walk)
-      q.subqueries.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    (rows, n)
-  }
+  // scan-volume probe: the shared SparkSpecBase.collectWithScanRows
+  // (factored there in round 12 — this spec introduced it)
 
   private def key(rs: Seq[Row]): Seq[(Long, Int, Long, Long)] =
     rs.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
