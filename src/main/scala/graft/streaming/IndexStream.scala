@@ -1274,16 +1274,58 @@ object IndexStream {
       .select(col("term"), col("query_id"), col("df"))
     val mustNot = qsel.filter(col("trank") === mustN + 1)
       .select(col("term"), col("query_id"))
-    val selPairs = must.select(col("term")).distinct()
-      .join(dfsR, Seq("term"))
-      .select(col("term"), col("gen")).distinct()
-      .limit(pushdownMax + 1).collect()
-    if (selPairs.isEmpty) return emptyOut
-    val post = minusTombs(spark, stateDir,
-      postingsFor(spark, stateDir, selPairs,
-          must.select(col("term")).distinct(), gens, g)
-        .select(col("term"), col("doc_id"), col("tf"))
-        .distinct(), gens)
+    // RAREST-MUST candidate pushdown (round 12, the conjunction twin
+    // of the positional faces' two-phase fetch): a conjunction match
+    // holds EVERY must term, so docs holding some query's RAREST must
+    // term bound the other must terms' read — engaged by the same
+    // df-ratio cost rule, decided from vocabulary-grain dfs rows
+    // before any posting I/O. The HAVING count = mustN aggregation
+    // stays the exact rule; the IN is a superset filter.
+    def fetchBool(terms: DataFrame, projCols: Seq[Column],
+        docFilter: Option[Array[Long]]): DataFrame = {
+      val pairs = terms.join(dfsR, Seq("term"))
+        .select(col("term"), col("gen")).distinct()
+        .limit(pushdownMax + 1).collect()
+      if (pairs.isEmpty) return null
+      val raw = postingsFor(spark, stateDir, pairs, terms, gens, g)
+      minusTombs(spark, stateDir,
+        docFilter.filter(_.length <= pushdownMax)
+          .foldLeft(raw)((r, ids) =>
+            r.filter(col("doc_id").isin(ids.toSeq: _*)))
+          .select(projCols: _*).distinct(), gens)
+    }
+    val tfCols = Seq(col("term"), col("doc_id"), col("tf"))
+    val dfMap = dfT.limit(pushdownMax + 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val rareArr = qsel.filter(col("trank") === 1)
+      .select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    val mustTermArr = must.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    val restArr = mustTermArr.diff(rareArr)
+    val sumRare = rareArr.map(dfMap.getOrElse(_, 0L)).sum
+    val sumRest = restArr.map(dfMap.getOrElse(_, 0L)).sum
+    val engage = restArr.nonEmpty && rareArr.nonEmpty &&
+      mustTermArr.length <= pushdownMax &&
+      sumRest > phrasePruneRatio * math.max(1L, sumRare)
+    val post =
+      if (!engage) fetchBool(must.select(col("term")).distinct(),
+        tfCols, None)
+      else {
+        val postRare = fetchBool(rareArr.toSeq.toDF("term"), tfCols, None)
+        if (postRare == null) null
+        else {
+          val pr = postRare.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val candIdArr = pr.select(col("doc_id")).distinct()
+            .limit(pushdownMax + 1).collect().map(_.getLong(0))
+          val postRest = fetchBool(restArr.toSeq.toDF("term"), tfCols,
+            Some(candIdArr))
+          if (postRest == null) pr else pr.unionByName(postRest)
+        }
+      }
+    if (post == null) return emptyOut
     val hits = must.join(post, Seq("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
@@ -1297,9 +1339,14 @@ object IndexStream {
       .agg(sum(col("term_micro")).as("score_micro"),
         count(lit(1)).as("n_terms"))
       .filter(col("n_terms") === mustN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the exclusion fetch: term-pruned to the mustNot terms' own
     // generation dirs; empty when no query carries a third eligible
-    // term (zero extra posting reads on pure conjunctions)
+    // term (zero extra posting reads on pure conjunctions). The
+    // exclusion only matters for docs IN the conjunction, so its
+    // posting read pushes the conjunction's ids down too — a stopword
+    // exclusion then reads candidate-grain row groups, never its
+    // named posting volume
     val notPairs = mustNot.select(col("term")).distinct()
       .join(dfsR, Seq("term"))
       .select(col("term"), col("gen")).distinct()
@@ -1307,14 +1354,17 @@ object IndexStream {
     val kept =
       if (notPairs.isEmpty) conj
       else {
-        val postNot = minusTombs(spark, stateDir,
-          postingsFor(spark, stateDir, notPairs,
-              mustNot.select(col("term")).distinct(), gens, g)
-            .select(col("term"), col("doc_id"))
-            .distinct(), gens)
-        conj.join(mustNot.join(postNot, Seq("term"))
-            .select(col("query_id"), col("doc_id")),
-          Seq("query_id", "doc_id"), "left_anti")
+        val conjIdArr = conj.select(col("doc_id")).distinct()
+          .limit(pushdownMax + 1).collect().map(_.getLong(0))
+        if (conjIdArr.isEmpty) conj
+        else {
+          val postNot = fetchBool(mustNot.select(col("term")).distinct(),
+            Seq(col("term"), col("doc_id")),
+            Some(conjIdArr))
+          conj.join(mustNot.join(postNot, Seq("term"))
+              .select(col("query_id"), col("doc_id")),
+            Seq("query_id", "doc_id"), "left_anti")
+        }
       }
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
@@ -1727,18 +1777,76 @@ object IndexStream {
     if (termSample.isEmpty) return None
     val dfsR = dfsRowsFor(spark, stateDir,
       q.select(col("term")).distinct(), termSample, gens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selPairs = dfsR.select(col("term"), col("gen")).distinct()
       .limit(pushdownMax + 1).collect()
     if (selPairs.isEmpty) return None
-    val post = minusTombs(spark, stateDir,
-      postingsFor(spark, stateDir, selPairs,
-          q.select(col("term")).distinct(), gens, g)
+    // TWO-PHASE candidate pushdown (round 12 — the positional twin of
+    // queryTopKAll's block-max prune): a phrase match must hold EVERY
+    // slot term, so docs holding some query's RAREST term are a
+    // superset of every match. When the rest of the terms' cumulative
+    // posting volume is markedly wider than the rarest terms'
+    // (df-ratio cost rule, decided from vocabulary-grain dfs rows
+    // before any posting I/O), fetch the rarest terms' postings first
+    // and push their doc ids into the remaining terms' read — the
+    // (tpfx, term, doc_id) write sort makes parquet row-group stats
+    // skip the frequent terms' non-candidate row groups. Below the
+    // ratio (uniform-df phrases, tiny corpora) the single fetch stays.
+    val dfMap = dfsR.select(col("term"), col("df")).groupBy(col("term"))
+      .agg(sum(col("df")).as("df")).filter(col("df") > 0)
+      .limit(pushdownMax + 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    def fetch(terms: DataFrame,
+        docFilter: Option[Array[Long]]): DataFrame = {
+      val pairs = terms.join(dfsR, Seq("term"))
+        .select(col("term"), col("gen")).distinct()
+        .limit(pushdownMax + 1).collect()
+      val raw = postingsFor(spark, stateDir, pairs, terms, gens, g)
+      docFilter.filter(_.length <= pushdownMax)
+        .foldLeft(raw)((r, ids) => r.filter(col("doc_id").isin(ids.toSeq: _*)))
         .select(col("term"), col("doc_id"), col("positions"))
-        .distinct(), gens)
+        .distinct()
+    }
+    import spark.implicits._
+    val rareTermArr = q
+      .join(dfMap.toSeq.toDF("term", "df"), Seq("term"))
+      .withColumn("rrank", row_number().over(wr))
+      .filter(col("rrank") === 1)
+      .select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    val restArr = dfMap.keys.toArray.diff(rareTermArr)
+    val sumRare = rareTermArr.map(dfMap.getOrElse(_, 0L)).sum
+    val sumRest = restArr.map(dfMap.getOrElse(_, 0L)).sum
+    val engage = restArr.nonEmpty &&
+      rareTermArr.nonEmpty && rareTermArr.length <= pushdownMax &&
+      sumRest > phrasePruneRatio * math.max(1L, sumRare)
+    val post =
+      if (!engage)
+        minusTombs(spark, stateDir,
+          fetch(q.select(col("term")).distinct(), None), gens)
+      else {
+        val postRare = fetch(rareTermArr.toSeq.toDF("term"), None)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val candIdArr = postRare.select(col("doc_id")).distinct()
+          .limit(pushdownMax + 1).collect().map(_.getLong(0))
+        val postRest = fetch(restArr.toSeq.toDF("term"),
+          Some(candIdArr))
+        minusTombs(spark, stateDir,
+          postRare.unionByName(postRest), gens)
+      }
     Some(q.join(post, Seq("term"))
       .select(col("query_id"), col("doc_id"), col("i"),
         explode(col("positions")).as("pos")))
   }
+
+  /** Engage [[phrasePosRows]]' two-phase candidate pushdown only when
+    * the non-rarest terms' cumulative df is this many times the rarest
+    * terms' — below it the second fetch's savings can't repay its
+    * extra job.
+    */
+  private val phrasePruneRatio = 4L
 
   private def emptyRanked(spark: SparkSession,
       valueCol: String): DataFrame =

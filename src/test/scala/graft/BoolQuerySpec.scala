@@ -106,6 +106,77 @@ class BoolQuerySpec extends SparkSpecBase {
       Set(1L, 3L), "index face pure conjunction wrong")
   }
 
+  test("rarest-must pushdown: flat posting scan under 10x growth of the frequent must and mustNot terms; bit-identical to the batch face") {
+    // the conjunction twin of the positional prune (round 12): must =
+    // {xanchor (df 8), zcommon (~25%)}, mustNot = zexclude (~40%) —
+    // the frequent must term's read is bounded by xanchor's docs, the
+    // exclusion read by the conjunction's ids
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 2 * 1024)
+    try {
+      def rowsOf(ids: Seq[Long]): Seq[(Long, String, String)] = ids.map { id =>
+        val rnd = new scala.util.Random(id)
+        val filler = (0 until 25).map(_ => s"w${rnd.nextInt(800)}")
+          .mkString(" ")
+        // df order asc: xanchor (8) < zmust (~25%) < zstop (~50%), so
+        // must = {xanchor, zmust}, mustNot = zstop
+        val t =
+          if (id <= 5L) s"xanchor zmust $filler"          // conj match
+          else if (id <= 8L) s"xanchor zmust zstop $filler" // excluded
+          else if (id % 4 == 1) s"zmust $filler"
+          else if (id % 2 == 0) s"zstop $filler"
+          else filler
+        (id, t, "s")
+      }
+      val root = Files.createTempDirectory("graft-boolprune").toString
+      val state = s"$root/state"
+      var corpus: Seq[Long] = Seq.empty
+      def seed(ids: Seq[Long], batchId: Long): Unit = {
+        corpus = corpus ++ ids
+        IndexStream.applyBatch(spark, state,
+          docs(rowsOf(ids)), batchId)
+      }
+      val qRow = Seq((900001L, "xanchor zmust zstop", "src0"))
+      def want(): Set[(Long, Int, Long, Long)] = {
+        val w = out(CorpusOps.boolTopkOn(docs(rowsOf(corpus) ++ qRow)))
+        spark.catalog.clearCache()
+        w
+      }
+      def got(): (Set[(Long, Int, Long, Long)], Long) = {
+        import spark.implicits._
+        val q = Seq((900001L, "xanchor zmust zstop"))
+          .toDF("query_id", "text")
+        val (rows, n) = scanRowsDuring("/postings") {
+          out(IndexStream.queryBool(spark, state, q))
+        }
+        spark.catalog.clearCache()
+        (rows, n)
+      }
+      seed(1L to 500L, 0L)
+      val (g1, p1) = got()
+      val w1 = want()
+      assert(w1.nonEmpty && w1.forall(t => t._3 <= 5L),
+        s"fixture must conjoin on docs 1..5: $w1")
+      assert(g1 == w1, "1x: index face must equal the batch face")
+      seed(501L to 5000L, 1L)
+      val (g10, p10) = got()
+      assert(g10 == want(), "10x: index face must equal the batch face")
+      info(s"posting-scan rows 1x=$p1 10x=$p10")
+      assert(p10 <= p1 * 3 + 64,
+        s"boolean posting scan grew with the frequent terms " +
+          s"(1x=$p1, 10x=$p10) — the rarest-must/conjunction pushdown " +
+          "is not reaching the row-group stats")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+    }
+  }
+
   test("deletes apply: a tombstoned doc stops matching the boolean face") {
     import spark.implicits._
     val d = docs(fixture)
