@@ -56,7 +56,8 @@ object Multimodal {
       while (i + 3 < media.length) {
         if (u8(i) != 0xff) return None // malformed marker stream
         val m = u8(i + 1)
-        if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+        if (m == 0xff) i += 1 // fill byte padding before a marker
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
         else {
           val segLen = be16(i + 2)
           if (segLen < 2) return None

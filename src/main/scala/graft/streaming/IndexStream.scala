@@ -990,8 +990,13 @@ object IndexStream {
         .select(col("term"), col("doc_id"), col("tf"), col("positions"))
         .distinct(), gens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct AFTER the tf projection: two generations can carry the
+    // same (term, doc_id, tf) with different positions payloads (a doc
+    // re-folded with reordered text) — queryTopK's 3-column distinct
+    // collapses them, so the shared leg must too or that term would
+    // double-count
     val sparse = rankBm25Hits(spark, stateDir, g, gens, selected,
-      post.select(col("term"), col("doc_id"), col("tf")),
+      post.select(col("term"), col("doc_id"), col("tf")).distinct(),
       nDocs, totDl, None)
     val posRows = qp.join(post, Seq("term"))
       .select(col("query_id"), col("doc_id"), col("i"),
@@ -1792,10 +1797,15 @@ object IndexStream {
     // (tpfx, term, doc_id) write sort makes parquet row-group stats
     // skip the frequent terms' non-candidate row groups. Below the
     // ratio (uniform-df phrases, tiny corpora) the single fetch stays.
-    val dfMap = dfsR.select(col("term"), col("df")).groupBy(col("term"))
+    val dfRows = dfsR.select(col("term"), col("df")).groupBy(col("term"))
       .agg(sum(col("df")).as("df")).filter(col("df") > 0)
       .limit(pushdownMax + 1).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // completeness gates the prune: a TRUNCATED vocabulary map could
+    // leave some query without a rare term in the candidate union, and
+    // its matches would be filtered away — engage only when every
+    // in-vocabulary query term is accounted for
+    val dfComplete = dfRows.length <= pushdownMax
+    val dfMap = dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("df").asc, col("term").asc)
     def fetch(terms: DataFrame,
@@ -1819,7 +1829,7 @@ object IndexStream {
     val restArr = dfMap.keys.toArray.diff(rareTermArr)
     val sumRare = rareTermArr.map(dfMap.getOrElse(_, 0L)).sum
     val sumRest = restArr.map(dfMap.getOrElse(_, 0L)).sum
-    val engage = restArr.nonEmpty &&
+    val engage = dfComplete && restArr.nonEmpty &&
       rareTermArr.nonEmpty && rareTermArr.length <= pushdownMax &&
       sumRest > phrasePruneRatio * math.max(1L, sumRare)
     val post =

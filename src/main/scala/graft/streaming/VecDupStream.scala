@@ -1358,15 +1358,16 @@ object VecDupStream {
       else Set(rows.map(_.getLong(0)).min)
     val (base, post) = rows.partition(r => baseGens.contains(r.getLong(0)))
     if (base.isEmpty || post.isEmpty) return false
-    def werr(rs: Array[org.apache.spark.sql.Row]): (Long, Long) =
-      (rs.map(r => r.getLong(1) * r.getLong(2)).sum,
-        math.max(rs.map(_.getLong(1)).sum, 1L))
+    def werr(rs: Array[org.apache.spark.sql.Row]): (BigInt, BigInt) =
+      (rs.map(r => BigInt(r.getLong(1)) * r.getLong(2)).sum,
+        BigInt(math.max(rs.map(_.getLong(1)).sum, 1L)))
     val (bNum, bDen) = werr(base)
     val (pNum, pDen) = werr(post)
-    // cross-multiplied integer compare: pErr > ratio * bErr, with a
-    // floor of 1 on the baseline so a perfectly-quantized training era
-    // (error 0) still only triggers on a real post-era error
-    pNum * bDen > ratio * math.max(bNum, bDen) * pDen
+    // cross-multiplied integer compare (BigInt — mean_d2 sits in 1e-12
+    // µ²-units, so sample-weighted sums overflow a Long product): a
+    // floor of 1 on the baseline keeps a perfectly-quantized training
+    // era (error 0) from triggering on noise
+    pNum * bDen > BigInt(ratio) * bNum.max(bDen) * pDen
   }
 
   /** The composed maintenance policy (round 12 — one call an operator

@@ -80,4 +80,30 @@ class HybridSharedFetchSpec extends SparkSpecBase {
       s"shared fetch must read fewer posting rows than the two " +
         s"standalone faces ($postRows vs $postRowsSeparate)")
   }
+
+  test("a doc re-folded with reordered text does not double-count in the shared sparse leg") {
+    import spark.implicits._
+    // two generations carry doc 1 with the SAME term frequencies but
+    // DIFFERENT positions payloads (reordered text) — the tf rows are
+    // byte-identical after projection, the 4-column rows are not;
+    // queryTopK's 3-column distinct collapses them and the shared
+    // fetch must rank identically, not score the terms twice
+    val root = Files.createTempDirectory("graft-hshared2").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state, docsOf(Seq(
+      1L -> "alpha bravo charlie delta",
+      2L -> "alpha echo foxtrot golf",
+      3L -> "bravo echo golf hotel") ++
+      (4L until 10L).map(i => i -> s"pad$i fill$i zz$i yy$i")), 0L)
+    IndexStream.applyBatch(spark, state, docsOf(Seq(
+      1L -> "delta charlie bravo alpha")), 1L)
+    val q = Seq((900L, "alpha bravo")).toDF("query_id", "text")
+    val want = ranked(IndexStream.queryTopK(spark, state, q))
+    spark.catalog.clearCache()
+    val (s2, _) = IndexStream.queryHybridParts(spark, state, q)
+    val got = ranked(s2)
+    spark.catalog.clearCache()
+    assert(want.nonEmpty && got == want,
+      s"re-folded doc double-counted in the shared leg: $got vs $want")
+  }
 }
