@@ -1286,11 +1286,21 @@ object IndexStream {
     // df-ratio cost rule, decided from vocabulary-grain dfs rows
     // before any posting I/O. The HAVING count = mustN aggregation
     // stays the exact rule; the IN is a superset filter.
-    def fetchBool(terms: DataFrame, projCols: Seq[Column],
+    // ONE collect serves the (term, gen) dir shortlists of every fetch
+    // below AND the df values the prune decision needs (postingsFor
+    // reads fields 0-1; df rides along). Term subsets filter
+    // driver-side — no per-fetch pair job.
+    val selRows = dfsR.select(col("term"), col("gen"), col("df"))
+      .distinct().limit(pushdownMax + 1).collect()
+    if (selRows.isEmpty) return emptyOut
+    val dfComplete = selRows.length <= pushdownMax
+    val dfMap = selRows.toSeq
+      .map(r => r.getString(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      .filter(_._2 > 0)
+    def fetchBool(terms: DataFrame,
+        pairs: Array[org.apache.spark.sql.Row], projCols: Seq[Column],
         docFilter: Option[Array[Long]]): DataFrame = {
-      val pairs = terms.join(dfsR, Seq("term"))
-        .select(col("term"), col("gen")).distinct()
-        .limit(pushdownMax + 1).collect()
       if (pairs.isEmpty) return null
       val raw = postingsFor(spark, stateDir, pairs, terms, gens, g)
       minusTombs(spark, stateDir,
@@ -1299,34 +1309,57 @@ object IndexStream {
             r.filter(col("doc_id").isin(ids.toSeq: _*)))
           .select(projCols: _*).distinct(), gens)
     }
+    def pairsFor(ts: Set[String]): Array[org.apache.spark.sql.Row] =
+      selRows.filter(r => ts(r.getString(0)) && dfMap.contains(r.getString(0)))
     val tfCols = Seq(col("term"), col("doc_id"), col("tf"))
-    val dfMap = dfT.limit(pushdownMax + 1).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     import spark.implicits._
-    val rareArr = qsel.filter(col("trank") === 1)
-      .select(col("term")).distinct()
-      .limit(pushdownMax + 1).collect().map(_.getString(0))
-    val mustTermArr = must.select(col("term")).distinct()
-      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    // the rare/must split DRIVER-side over one bounded pair collect
+    // (the same (df asc, term asc) rule the trank window uses) — no
+    // Spark job is spent deciding not to engage
+    val qPairRows = q.select(col("query_id"), col("term")).distinct()
+      .limit(pushdownMax + 1).collect()
+    val pairsComplete = qPairRows.length <= pushdownMax
+    val perQuery: Map[Long, Seq[String]] =
+      if (!pairsComplete || !dfComplete) Map.empty
+      else qPairRows.toSeq
+        .map(r => (r.getLong(0), r.getString(1)))
+        .filter(p => dfMap.contains(p._2))
+        .groupBy(_._1)
+        .map { case (qid, ps) =>
+          qid -> ps.map(_._2).sortBy(t => (dfMap(t), t))
+        }
+    val rareArr = perQuery.values.flatMap(_.headOption)
+      .toArray.distinct
+    val mustTermArr = perQuery.values.flatMap(_.take(mustN))
+      .toArray.distinct
     val restArr = mustTermArr.diff(rareArr)
     val sumRare = rareArr.map(dfMap.getOrElse(_, 0L)).sum
     val sumRest = restArr.map(dfMap.getOrElse(_, 0L)).sum
     val engage = restArr.nonEmpty && rareArr.nonEmpty &&
-      mustTermArr.length <= pushdownMax &&
       sumRest > phrasePruneRatio * math.max(1L, sumRare)
     val post =
-      if (!engage) fetchBool(must.select(col("term")).distinct(),
-        tfCols, None)
-      else {
-        val postRare = fetchBool(rareArr.toSeq.toDF("term"), tfCols, None)
+      if (!engage) {
+        // pairs driver-filtered when the collects were complete; the
+        // over-cap fallback re-derives them with one bounded job
+        val mustPairs =
+          if (pairsComplete && dfComplete) pairsFor(mustTermArr.toSet)
+          else must.select(col("term")).distinct()
+            .join(dfsR, Seq("term"))
+            .select(col("term"), col("gen")).distinct()
+            .limit(pushdownMax + 1).collect()
+        fetchBool(must.select(col("term")).distinct(), mustPairs,
+          tfCols, None)
+      } else {
+        val postRare = fetchBool(rareArr.toSeq.toDF("term"),
+          pairsFor(rareArr.toSet), tfCols, None)
         if (postRare == null) null
         else {
           val pr = postRare.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val candIdArr = pr.select(col("doc_id")).distinct()
             .limit(pushdownMax + 1).collect().map(_.getLong(0))
-          val postRest = fetchBool(restArr.toSeq.toDF("term"), tfCols,
-            Some(candIdArr))
+          val postRest = fetchBool(restArr.toSeq.toDF("term"),
+            pairsFor(restArr.toSet), tfCols, Some(candIdArr))
           if (postRest == null) pr else pr.unionByName(postRest)
         }
       }
@@ -1352,10 +1385,14 @@ object IndexStream {
     // posting read pushes the conjunction's ids down too — a stopword
     // exclusion then reads candidate-grain row groups, never its
     // named posting volume
-    val notPairs = mustNot.select(col("term")).distinct()
-      .join(dfsR, Seq("term"))
-      .select(col("term"), col("gen")).distinct()
-      .limit(pushdownMax + 1).collect()
+    val notPairs =
+      if (pairsComplete && dfComplete)
+        pairsFor(perQuery.values
+          .flatMap(_.slice(mustN, mustN + 1)).toSet)
+      else mustNot.select(col("term")).distinct()
+        .join(dfsR, Seq("term"))
+        .select(col("term"), col("gen")).distinct()
+        .limit(pushdownMax + 1).collect()
     val kept =
       if (notPairs.isEmpty) conj
       else {
@@ -1364,7 +1401,7 @@ object IndexStream {
         if (conjIdArr.isEmpty) conj
         else {
           val postNot = fetchBool(mustNot.select(col("term")).distinct(),
-            Seq(col("term"), col("doc_id")),
+            notPairs, Seq(col("term"), col("doc_id")),
             Some(conjIdArr))
           conj.join(mustNot.join(postNot, Seq("term"))
               .select(col("query_id"), col("doc_id")),
@@ -1777,14 +1814,26 @@ object IndexStream {
       .select(col("query_id"),
         posexplode(ops.phraseTerms(col("text"), len)).as(Seq("i", "term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val termSample = q.select(col("term")).distinct()
-      .limit(pushdownMax + 1).collect().map(_.getString(0))
-    if (termSample.isEmpty) return None
+    // ONE bounded collect serves the term sample AND (driver-side) the
+    // per-query rarest-term split below — the prune's engage decision
+    // must not cost an extra Spark job on the path that declines it
+    val qPairRows = q.select(col("query_id"), col("term")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (qPairRows.isEmpty) return None
+    val pairsComplete = qPairRows.length <= pushdownMax
+    val termSample =
+      if (pairsComplete) qPairRows.map(_.getString(1)).distinct
+      else q.select(col("term")).distinct()
+        .limit(pushdownMax + 1).collect().map(_.getString(0))
     val dfsR = dfsRowsFor(spark, stateDir,
       q.select(col("term")).distinct(), termSample, gens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val selPairs = dfsR.select(col("term"), col("gen")).distinct()
-      .limit(pushdownMax + 1).collect()
+    // ONE collect serves the (term, gen) dir shortlist AND the df
+    // values the prune decision needs (postingsFor reads fields 0-1;
+    // the df column rides along) — the unengaged path costs exactly
+    // the single fetch it always did
+    val selPairs = dfsR.select(col("term"), col("gen"), col("df"))
+      .distinct().limit(pushdownMax + 1).collect()
     if (selPairs.isEmpty) return None
     // TWO-PHASE candidate pushdown (round 12 — the positional twin of
     // queryTopKAll's block-max prune): a phrase match must hold EVERY
@@ -1797,51 +1846,54 @@ object IndexStream {
     // (tpfx, term, doc_id) write sort makes parquet row-group stats
     // skip the frequent terms' non-candidate row groups. Below the
     // ratio (uniform-df phrases, tiny corpora) the single fetch stays.
-    val dfRows = dfsR.select(col("term"), col("df")).groupBy(col("term"))
-      .agg(sum(col("df")).as("df")).filter(col("df") > 0)
-      .limit(pushdownMax + 1).collect()
-    // completeness gates the prune: a TRUNCATED vocabulary map could
-    // leave some query without a rare term in the candidate union, and
-    // its matches would be filtered away — engage only when every
-    // in-vocabulary query term is accounted for
-    val dfComplete = dfRows.length <= pushdownMax
-    val dfMap = dfRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("df").asc, col("term").asc)
-    def fetch(terms: DataFrame,
+    //
+    // completeness gates the prune: a TRUNCATED collect could leave
+    // some query without a rare term in the candidate union, and its
+    // matches would be filtered away
+    val dfComplete = selPairs.length <= pushdownMax
+    val dfMap = selPairs.toSeq
+      .map(r => r.getString(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      .filter(_._2 > 0)
+    def fetch(terms: DataFrame, pairs: Array[org.apache.spark.sql.Row],
         docFilter: Option[Array[Long]]): DataFrame = {
-      val pairs = terms.join(dfsR, Seq("term"))
-        .select(col("term"), col("gen")).distinct()
-        .limit(pushdownMax + 1).collect()
       val raw = postingsFor(spark, stateDir, pairs, terms, gens, g)
       docFilter.filter(_.length <= pushdownMax)
         .foldLeft(raw)((r, ids) => r.filter(col("doc_id").isin(ids.toSeq: _*)))
         .select(col("term"), col("doc_id"), col("positions"))
         .distinct()
     }
-    import spark.implicits._
-    val rareTermArr = q
-      .join(dfMap.toSeq.toDF("term", "df"), Seq("term"))
-      .withColumn("rrank", row_number().over(wr))
-      .filter(col("rrank") === 1)
-      .select(col("term")).distinct()
-      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    // per-query rarest term, DRIVER-side over the already-collected
+    // pairs (df asc, term asc — the faces' shared tie rule); no Spark
+    // job is spent deciding not to engage
+    val rareTermArr: Array[String] =
+      if (!pairsComplete || !dfComplete) Array.empty
+      else qPairRows.toSeq
+        .map(r => (r.getLong(0), r.getString(1)))
+        .filter(p => dfMap.contains(p._2))
+        .groupBy(_._1).values
+        .map(_.minBy(p => (dfMap(p._2), p._2))._2)
+        .toArray.distinct
     val restArr = dfMap.keys.toArray.diff(rareTermArr)
     val sumRare = rareTermArr.map(dfMap.getOrElse(_, 0L)).sum
     val sumRest = restArr.map(dfMap.getOrElse(_, 0L)).sum
-    val engage = dfComplete && restArr.nonEmpty &&
-      rareTermArr.nonEmpty && rareTermArr.length <= pushdownMax &&
+    val engage = restArr.nonEmpty && rareTermArr.nonEmpty &&
       sumRest > phrasePruneRatio * math.max(1L, sumRare)
+    import spark.implicits._
     val post =
       if (!engage)
         minusTombs(spark, stateDir,
-          fetch(q.select(col("term")).distinct(), None), gens)
+          fetch(q.select(col("term")).distinct(), selPairs, None), gens)
       else {
-        val postRare = fetch(rareTermArr.toSeq.toDF("term"), None)
+        val rareSet = rareTermArr.toSet
+        val restSet = restArr.toSet
+        val postRare = fetch(rareTermArr.toSeq.toDF("term"),
+            selPairs.filter(r => rareSet(r.getString(0))), None)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val candIdArr = postRare.select(col("doc_id")).distinct()
           .limit(pushdownMax + 1).collect().map(_.getLong(0))
         val postRest = fetch(restArr.toSeq.toDF("term"),
+          selPairs.filter(r => restSet(r.getString(0))),
           Some(candIdArr))
         minusTombs(spark, stateDir,
           postRare.unionByName(postRest), gens)
