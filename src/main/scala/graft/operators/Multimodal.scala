@@ -56,7 +56,14 @@ object Multimodal {
       while (i + 3 < media.length) {
         if (u8(i) != 0xff) return None // malformed marker stream
         val m = u8(i + 1)
-        if (m == 0xff) i += 1 // fill byte padding before a marker
+        // EOI/SOS terminate the pre-frame segment walk: past SOS lies
+        // entropy-coded data (not length-prefixed segments), and an
+        // EOI before any SOFn means a truncated/corrupt stream —
+        // reading on would interpret arbitrary bytes as segment
+        // lengths and could match a spurious 0xff 0xCx pair in
+        // garbage (ADVICE r12). Fall back to the stub instead.
+        if (m == 0xd9 || m == 0xda) return None
+        else if (m == 0xff) i += 1 // fill byte padding before a marker
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
         else {
           val segLen = be16(i + 2)

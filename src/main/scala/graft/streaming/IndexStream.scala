@@ -1286,16 +1286,20 @@ object IndexStream {
     // df-ratio cost rule, decided from vocabulary-grain dfs rows
     // before any posting I/O. The HAVING count = mustN aggregation
     // stays the exact rule; the IN is a superset filter.
-    // ONE collect serves the (term, gen) dir shortlists of every fetch
-    // below AND the df values the prune decision needs (postingsFor
-    // reads fields 0-1; df rides along). Term subsets filter
-    // driver-side — no per-fetch pair job.
-    val selRows = dfsR.select(col("term"), col("gen"), col("df"))
-      .distinct().limit(pushdownMax + 1).collect()
+    // ONE collect of dfsR's EXACT rows serves the (term, gen) dir
+    // shortlists of every fetch below AND the df values the prune
+    // decision needs. dfMap sums the SAME (term, df, max_tf, gen)
+    // projection the trank window's dfT sums (ADVICE r12): a narrower
+    // (term, gen, df)-distinct here would single-count a (term, gen)
+    // that ever carried two rows with equal df but different max_tf,
+    // the driver-picked must set would stop matching the window's
+    // trank<=mustN terms, and an engaged fetch would omit a must
+    // term's postings — conjunctions silently returning no matches.
+    val selRows = dfsR.limit(pushdownMax + 1).collect()
     if (selRows.isEmpty) return emptyOut
     val dfComplete = selRows.length <= pushdownMax
     val dfMap = selRows.toSeq
-      .map(r => r.getString(0) -> r.getLong(2))
+      .map(r => r.getString(0) -> r.getLong(1))
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
       .filter(_._2 > 0)
     def fetchBool(terms: DataFrame,
@@ -1311,6 +1315,8 @@ object IndexStream {
     }
     def pairsFor(ts: Set[String]): Array[org.apache.spark.sql.Row] =
       selRows.filter(r => ts(r.getString(0)) && dfMap.contains(r.getString(0)))
+        .map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(3)))
+        .distinct
     val tfCols = Seq(col("term"), col("doc_id"), col("tf"))
     import spark.implicits._
     // the rare/must split DRIVER-side over one bounded pair collect
@@ -1828,13 +1834,25 @@ object IndexStream {
     val dfsR = dfsRowsFor(spark, stateDir,
       q.select(col("term")).distinct(), termSample, gens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE collect serves the (term, gen) dir shortlist AND the df
-    // values the prune decision needs (postingsFor reads fields 0-1;
-    // the df column rides along) — the unengaged path costs exactly
-    // the single fetch it always did
-    val selPairs = dfsR.select(col("term"), col("gen"), col("df"))
-      .distinct().limit(pushdownMax + 1).collect()
-    if (selPairs.isEmpty) return None
+    // ONE collect of dfsR's EXACT rows serves the (term, gen) dir
+    // shortlist AND the df values the prune decision needs — dfMap
+    // sums the same (term, df, max_tf, gen) projection every
+    // Spark-side df consumer sums (ADVICE r12, see queryBool); the
+    // unengaged path costs exactly the single fetch it always did
+    val selRows = dfsR.limit(pushdownMax + 1).collect()
+    if (selRows.isEmpty) return None
+    // a TRUNCATED row collect may hide (term, gen) pairs behind the
+    // cap even after dedup — re-collect the pair projection so
+    // postingsFor's completeness check sees the true pair count (its
+    // over-cap fallback scans tpfx dirs + semi-joins, exact at any
+    // volume); one extra bounded job only in the over-cap regime
+    val selPairs =
+      if (selRows.length <= pushdownMax)
+        selRows
+          .map(r => org.apache.spark.sql.Row(r.getString(0), r.getLong(3)))
+          .distinct
+      else dfsR.select(col("term"), col("gen")).distinct()
+        .limit(pushdownMax + 1).collect()
     // TWO-PHASE candidate pushdown (round 12 — the positional twin of
     // queryTopKAll's block-max prune): a phrase match must hold EVERY
     // slot term, so docs holding some query's RAREST term are a
@@ -1850,9 +1868,9 @@ object IndexStream {
     // completeness gates the prune: a TRUNCATED collect could leave
     // some query without a rare term in the candidate union, and its
     // matches would be filtered away
-    val dfComplete = selPairs.length <= pushdownMax
-    val dfMap = selPairs.toSeq
-      .map(r => r.getString(0) -> r.getLong(2))
+    val dfComplete = selRows.length <= pushdownMax
+    val dfMap = selRows.toSeq
+      .map(r => r.getString(0) -> r.getLong(1))
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
       .filter(_._2 > 0)
     def fetch(terms: DataFrame, pairs: Array[org.apache.spark.sql.Row],

@@ -191,4 +191,50 @@ class BoolQuerySpec extends SparkSpecBase {
     assert(got.map(_._3) == Set(5L),
       s"deleted doc 1 must stop matching: $got")
   }
+
+  test("driver must-set derivation survives duplicate dfs rows with equal df but different max_tf (ADVICE r12)") {
+    // corpus: aa in docs 1-6 (df 6), bb in docs 1-4 (df 4), cc in
+    // docs 1-7 (df 7); per-doc filler keeps the rest of the
+    // vocabulary unique. Query: "aa bb cc".
+    val rows = (1L to 10L).map { i =>
+      val terms = Seq(
+        if (i <= 6) Some("aa") else None,
+        if (i <= 4) Some("bb") else None,
+        if (i <= 7) Some("cc") else None,
+        Some(s"zz$i")).flatten
+      (i, terms.mkString(" "), "src1")
+    } :+ ((100L, "aa bb cc", "src0"))
+    val d = docs(rows)
+    val root = Files.createTempDirectory("graft-booldup").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    // inject a SECOND dfs row for "bb" into its own generation dir
+    // with the SAME df but a DIFFERENT max_tf (a stale-high impact
+    // bound is always legal). dfsRowsFor's (term, df, max_tf, gen)
+    // distinct keeps both rows, so every Spark-side consumer sums
+    // df("bb") = 8 — a (term, gen, df)-grain driver map would still
+    // see 4, flip the rarest order between the driver's must set
+    // ({bb, aa}) and the trank window's ({aa, cc}), and the engaged
+    // fetch would omit cc's postings: the conjunction silently
+    // empties (the pre-fix failure mode this pins)
+    val dupSchema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("max_tf", LongType),
+      StructField("gen", LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row("bb", 4L, 2L, 0L)), 1),
+        dupSchema)
+      .write.mode("append")
+      .parquet(s"$state/dfs/dpfx=${IndexStream.dpfxOf("bb")}/ingest=0")
+    spark.catalog.refreshByPath(s"$state/dfs")
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val got = IndexStream.queryBool(spark, state, q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // with df(bb) = 8 corpus-wide the window ranks aa(6), cc(7),
+    // bb(8): must = {aa, cc}, exclusion = bb -> (aa ∧ cc) \ bb
+    assert(got == Set(5L, 6L), s"conjunction lost matches: $got")
+  }
 }

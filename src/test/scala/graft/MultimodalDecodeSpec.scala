@@ -62,6 +62,21 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(Multimodal.decodeHeader("plain text bytes".getBytes).isEmpty)
     assert(Multimodal.decodeHeader(
       Array(0xff, 0xd8, 0x00, 0x11).map(_.toByte)).isEmpty)
+    // EOI before any SOFn (truncated/corrupt stream): the scan must
+    // STOP, not read the following garbage as a segment length — the
+    // trailing bytes here would otherwise be walked straight into a
+    // spurious FF C0 pair and yield fabricated dimensions (ADVICE r12)
+    val eoiThenGarbage = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) ++
+      Array(0x00, 0x02).map(_.toByte) ++ // bytes an unterminated walk
+      Array(0xff, 0xc0).map(_.toByte) ++ // would reach as a "SOF"
+      be16(17) ++ Array[Byte](8) ++ be16(999) ++ be16(888)
+    assert(Multimodal.decodeHeader(eoiThenGarbage).isEmpty)
+    // SOS before any SOFn: entropy-coded data follows, stop there too
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda).map(_.toByte) ++
+      be16(4) ++ Array[Byte](0, 0) ++
+      Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(999) ++ be16(888)
+    assert(Multimodal.decodeHeader(sosFirst).isEmpty)
 
     // the decode seam: header formats get REAL dimensions, everything
     // else keeps the deterministic stub
