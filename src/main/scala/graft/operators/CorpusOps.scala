@@ -1611,8 +1611,19 @@ object CorpusOps {
     * a per-row CASE on the token position before the same (doc, term)/
     * doc/vocab-grain aggregations; nothing new shuffles.
     */
-  def bm25fTopk(spark: SparkSession, sfDir: String): DataFrame =
-    bm25fTopkOn(load(spark, sfDir, "documents"))
+  def bm25fTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = load(spark, sfDir, "documents")
+    // the REGISTERED bm25f_topk oracle models the positional
+    // convention only; if the stored corpus ever grows a real title
+    // column, bm25fTopkOn would silently take the schema branch and
+    // diverge from its SQL — fail loudly and point at the titled pair
+    // instead (ADVICE r12)
+    require(!d.columns.contains("title"),
+      "bm25f_topk is oracle-paired with the positional title " +
+        "convention; a corpus with a real title column must use the " +
+        "bm25f_titled faces (bm25fTitledSql)")
+    bm25fTopkOn(d)
+  }
 
   /** SCHEMA-DRIVEN FIELDS (round 12): when the corpus carries a real
     * `title` column, it IS the title field (weighted [[titleWeight]])
@@ -1691,7 +1702,32 @@ object CorpusOps {
        |  SELECT doc_id, term,
        |    CASE WHEN pos < $titleTokens THEN $titleWeight ELSE 1 END AS w
        |  FROM ftoks
-       |), tf AS (
+       |), ${bm25fScoreCtes(queries)}""".stripMargin
+
+  /** The BM25F oracle chain for a REAL `title` column (round 13 —
+    * the oracle twin of bm25fTopkOn's schema-driven branch): title
+    * terms at weight [[titleWeight]] union body terms at 1, feeding
+    * the same blend-before-saturate scoring tail. `train` must expose
+    * (doc_id, title, text). Emits `..franked`.
+    */
+  private[graft] def bm25fTitledCtes(train: String,
+      queries: String): String =
+    s"""fwtoks AS (
+       |  SELECT doc_id, unnest(string_split(lower(title), ' ')) AS term,
+       |    $titleWeight AS w
+       |  FROM $train WHERE title IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+       |    1 AS w
+       |  FROM $train WHERE text IS NOT NULL
+       |), ${bm25fScoreCtes(queries)}""".stripMargin
+
+  /** The shared BM25F scoring tail over a weighted-token CTE `fwtoks`
+    * (doc_id, term, w): blended tf/dl, any-field df, the unfielded
+    * selection rule, one µ-score ranking. Emits `..franked`.
+    */
+  private def bm25fScoreCtes(queries: String): String =
+    s"""tf AS (
        |  SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tf
        |  FROM fwtoks GROUP BY 1, 2
        |), dl AS (
@@ -1731,6 +1767,65 @@ object CorpusOps {
   val bm25fTopkSql: String =
     s"""WITH ${bm25fCtes(
         "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM franked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bm25f_titled — BM25F over a REAL title column (round 13)
+  // ---------------------------------------------------------------------
+
+  /** The titled-corpus derivation shared by the bm25f_titled faces
+    * and their oracle: each document's title is its 1 + doc_id % 5
+    * TRAILING tokens (varying length — never the degenerate
+    * first-[[titleTokens]] convention — with vocabulary that
+    * naturally overlaps query terms). Exact-integer arithmetic and a
+    * whitespace join that round-trips the shared tokenizer, so both
+    * engines derive byte-identical titles.
+    */
+  private[graft] def withDerivedTitle(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = (lit(1) + pmod(col("doc_id"), lit(5)).cast("int"))
+    d.withColumn("title",
+      array_join(slice(toks, greatest(lit(1), size(toks) - n + 1), n),
+        " "))
+  }
+
+  private def titledTrainSql(src: String): String =
+    s"""(SELECT doc_id, text,
+       |  array_to_string(
+       |    list_slice(string_split(text, ' '),
+       |      greatest(1, len(string_split(text, ' '))
+       |        - (1 + doc_id % 5) + 1),
+       |      len(string_split(text, ' '))), ' ') AS title
+       |FROM documents WHERE source <> '$src')""".stripMargin
+
+  /** bm25f_titled — the schema-driven BM25F branch on the hard gate
+    * (round 13): the corpus carries a REAL `title` column (derived
+    * identically in both engines), so title terms weigh
+    * [[titleWeight]] as a FIELD, not by position. Exercises
+    * bm25fTopkOn's `title`-column branch against [[bm25fTitledCtes]].
+    */
+  def bm25fTitled(spark: SparkSession, sfDir: String): DataFrame =
+    bm25fTopkOn(withDerivedTitle(load(spark, sfDir, "documents")))
+
+  /** bm25f_titled_index — the layout-v7 FIELDED STATE on the hard
+    * gate: the titled corpus folds into an LSM index whose docs
+    * sub-table stores each document's real field boundary (ttl =
+    * |title tokens|), and IndexStream.queryFielded consumes the
+    * STORED boundary — bit-identical to [[bm25fTitled]] by shared
+    * definitions, checked against the same oracle SQL.
+    */
+  def bm25fTitledIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxfStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryFielded(spark, state, q))
+  }
+
+  val bm25fTitledSql: String =
+    s"""WITH titled AS ${titledTrainSql("src0")},
+       |${bm25fTitledCtes("titled",
         "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
        |FROM franked WHERE rank <= $bm25K
@@ -2418,6 +2513,34 @@ object CorpusOps {
       graft.streaming.IndexStream.initState(spark, staging, n)
       val train = d.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"), col("source"))
+      (0 until 3).foreach { i =>
+        graft.streaming.IndexStream.applyBatch(spark, staging,
+          train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
+      }
+    }
+    (state, d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")))
+  }
+
+  /** The TITLED twin of [[ridxStateAndQueries]] (round 13, layout v7):
+    * the derived-title corpus folds in three generations with its
+    * `title` column intact, so the state stores each doc's real field
+    * boundary and bm25f_titled_index exercises the fielded fold end
+    * to end.
+    */
+  private val ridxfRecipe =
+    "ridxf: 3 folds pmod(doc_id,3)=i over titled train (tail 1+id%5)"
+
+  private def ridxfStateAndQueries(spark: SparkSession,
+      sfDir: String): (String, DataFrame) = {
+    val d = withDerivedTitle(load(spark, sfDir, "documents"))
+    val n = docCount(spark, sfDir)
+    val lay = graft.streaming.IndexStream.adaptiveLayoutVersion(n)
+    val state = TmpData.sharedState("ridxf", sfDir,
+        TmpData.stampOf(lay, ridxfRecipe), Seq(lay)) { staging =>
+      graft.streaming.IndexStream.initState(spark, staging, n)
+      val train = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("title"), col("text"))
       (0 until 3).foreach { i =>
         graft.streaming.IndexStream.applyBatch(spark, staging,
           train.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
@@ -3348,6 +3471,8 @@ object CorpusOps {
     "search_facets_index" -> searchFacetsIndex,
     "bm25f_topk" -> bm25fTopk,
     "bm25f_index" -> bm25fIndex,
+    "bm25f_titled" -> bm25fTitled,
+    "bm25f_titled_index" -> bm25fTitledIndex,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
@@ -3401,6 +3526,8 @@ object CorpusOps {
     "search_facets_index" -> searchFacetsSql,
     "bm25f_topk" -> bm25fTopkSql,
     "bm25f_index" -> bm25fTopkSql,
+    "bm25f_titled" -> bm25fTitledSql,
+    "bm25f_titled_index" -> bm25fTitledSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,

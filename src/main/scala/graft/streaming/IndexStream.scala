@@ -87,10 +87,21 @@ object IndexStream {
     StructField("tpfx", StringType),
     StructField("ingest", LongType)))
 
+  /** v7 (round 13): `ttl` is the STORED per-doc title length — the
+    * token count of the document's title field when the batch carried
+    * a real `title` column, `min(dl, titleTokens)` (the positional
+    * first-titleTokens convention, its degenerate case) when it
+    * didn't. The fielded face reads this instead of assuming the
+    * constant convention at query time, which is what lets a real
+    * fielded corpus answer BM25F bit-identically to the batch face.
+    * Nullable for pre-v7 generations: readers coalesce to the
+    * positional convention, so mixed-generation states stay exact.
+    */
   private val docsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("lt", StringType),
     StructField("dl", LongType),
+    StructField("ttl", LongType),
     StructField("dbucket", LongType),
     StructField("ingest", LongType)))
 
@@ -187,16 +198,30 @@ object IndexStream {
   }
 
   /** v6 (round 11): the ncount markers carry a THIRD element,
-    * tot_ttl = Σ min(dl, titleTokens) — the fielded face's weighted
-    * corpus length derives as tot_dl + (titleWeight−1)·tot_ttl without
-    * any corpus-grain read (see [[queryFielded]]); folds, deletes, and
+    * tot_ttl = Σ ttl — the fielded face's weighted corpus length
+    * derives as tot_dl + (titleWeight−1)·tot_ttl without any
+    * corpus-grain read (see [[queryFielded]]); folds, deletes, and
     * rebuilds all maintain it next to (n_docs, tot_dl).
+    *
+    * v7 (round 13 — FIELDED STATE): a fold whose batch carries a real
+    * `title` column indexes the document as the ONE token stream
+    * `title ++ body` (title tokens occupy positions 0..ttl−1) and
+    * stores the per-doc field boundary `ttl` = |title tokens| in the
+    * docs sub-table; an unfielded fold stores ttl = min(dl,
+    * titleTokens), the positional convention, as its degenerate case.
+    * Everything else is UNCHANGED because the generalization is
+    * position-shaped: weighted tf = tf + (w−1)·|positions < ttl|,
+    * weighted dl = dl + (w−1)·ttl, df counts docs holding the term in
+    * ANY field (postings exist iff tf > 0 over the combined stream) —
+    * exactly the batch face's blend-before-saturate quantities. No
+    * per-field posting rows, no second dfs: the stored boundary is
+    * the entire fielded state.
     */
   private[graft] def layoutVersionFor(g: Geom): String =
-    s"graft-ridx-v6 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
+    s"graft-ridx-v7 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
       s"${g.tpfxDirs} sort=term " +
-      "pos=sorted-int-array " +
-      s"docs=(dbucket=pmod${g.db},ingest) sort=doc_id " +
+      "pos=sorted-int-array title-first " +
+      s"docs=(dbucket=pmod${g.db},ingest) sort=doc_id ttl-col " +
       "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
       "impact=max_tf " +
       s"tombs=(dbucket=pmod${g.db},ingest) del=neg-df+neg-markers " +
@@ -298,13 +323,19 @@ object IndexStream {
       maxGen: Int = defaultMaxGenerations,
       expectedDocs: Option[Long] = None): LsmIndex.Maintenance = {
     ensureLayout(spark, stateDir)
-    if (LsmIndex.pinBlocksCompaction(spark, stateDir))
-      return LsmIndex.Maintenance(pinned = true, redomained = false,
-        retrained = false, compacted = false)
-    val redomained = redomainIfDue(spark, stateDir, expectedDocs)
-    val compacted = compactIfDue(spark, stateDir, targetFileBytes, maxGen)
-    LsmIndex.Maintenance(pinned = false, redomained,
-      retrained = false, compacted = compacted)
+    val report =
+      if (LsmIndex.pinBlocksCompaction(spark, stateDir))
+        LsmIndex.Maintenance(pinned = true, redomained = false,
+          retrained = false, compacted = false)
+      else {
+        val redomained = redomainIfDue(spark, stateDir, expectedDocs)
+        val compacted =
+          compactIfDue(spark, stateDir, targetFileBytes, maxGen)
+        LsmIndex.Maintenance(pinned = false, redomained,
+          retrained = false, compacted = compacted)
+      }
+    LsmIndex.MaintLog(stateDir).record(spark, report)
+    report
   }
 
   /** Compaction with PHYSICAL tombstone reclamation: when tombstones
@@ -449,17 +480,29 @@ object IndexStream {
       .withColumn("gen", lit(batchId))
       .withColumn("dpfx", substring(md5(col("term")), 1, 1))
 
-  /** The per-batch doc-stats rows (doc_id, lt, dl, dbucket); dl from
-    * the posting rows so the two sub-tables can never disagree.
+  /** The per-batch doc-stats rows (doc_id, lt, dl, ttl, dbucket); dl
+    * from the posting rows so the two sub-tables can never disagree.
+    * `ttl` (layout v7) is taken from `d` when the fold's title
+    * normalization supplied it (a real title column), else the
+    * positional convention min(dl, titleTokens).
     */
   private def docsRel(d: DataFrame, tf: DataFrame,
-      g: Geom = defaultGeom): DataFrame =
+      g: Geom = defaultGeom): DataFrame = {
+    val hasTtl = d.columns.contains("ttl")
+    val keyed = d.filter(col("text").isNotNull)
+      .select(Seq(col("doc_id"), lower(col("text")).as("lt")) ++
+        (if (hasTtl) Seq(col("ttl")) else Nil): _*)
+      .distinct()
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .join(d.filter(col("text").isNotNull)
-        .select(col("doc_id"), lower(col("text")).as("lt")).distinct(),
-        Seq("doc_id"))
+      .join(keyed, Seq("doc_id"))
+      .withColumn("ttl",
+        if (hasTtl) col("ttl")
+        else least(col("dl"),
+          lit(graft.operators.CorpusOps.titleTokens.toLong)))
       .withColumn("dbucket", pmod(col("doc_id"), lit(g.db)))
-      .select(col("doc_id"), col("lt"), col("dl"), col("dbucket"))
+      .select(col("doc_id"), col("lt"), col("dl"), col("ttl"),
+        col("dbucket"))
+  }
 
   /** Fold one micro-batch of documents into the index. O(batch): the
     * write path never reads accumulated state; corpus constants ride
@@ -470,7 +513,27 @@ object IndexStream {
     if (batch.isEmpty) return
     ensureLayout(spark, stateDir)
     val g = geomOf(spark, stateDir)
-    val b = batch.select(col("doc_id"), col("text")).distinct()
+    // FIELDED fold (layout v7): a batch carrying a real `title`
+    // column is indexed as the single token stream title ++ body —
+    // title tokens occupy positions 0..ttl−1 — with the per-doc field
+    // boundary ttl = |title tokens| stored alongside dl. concat_ws
+    // skips NULLs, so a null title degrades to body-only (ttl = 0)
+    // and a null body to title-only; only a doc with BOTH null stays
+    // out of the corpus (matching the batch face, whose two explodes
+    // both produce nothing). Titles are single-space token streams by
+    // contract (the shared tokenizer is a whitespace split).
+    val b =
+      (if (batch.columns.contains("title"))
+         batch.select(col("doc_id"),
+           when(col("title").isNull && col("text").isNull,
+             lit(null).cast("string"))
+             .otherwise(concat_ws(" ", col("title"), col("text")))
+             .as("text"),
+           when(col("title").isNull, lit(0L))
+             .otherwise(size(split(lower(col("title")), " ")).cast("long"))
+             .as("ttl"))
+       else batch.select(col("doc_id"), col("text")))
+        .distinct()
     val tf = tfRel(b, g)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -479,9 +542,7 @@ object IndexStream {
       try {
         val stats = docs.agg(count(lit(1)).as("n"),
           coalesce(sum(col("dl")), lit(0L)).as("t"),
-          coalesce(sum(least(col("dl"),
-            lit(graft.operators.CorpusOps.titleTokens.toLong))),
-            lit(0L)).as("w")).collect()(0)
+          coalesce(sum(col("ttl")), lit(0L)).as("w")).collect()(0)
         // repartition on the dir key before the partitioned write so a
         // generation lands as ONE file per touched dir, not one per
         // (task, dir) — without it a w-task batch writes up to w× the
@@ -598,15 +659,20 @@ object IndexStream {
         } else {
           docsBase.join(alive, Seq("doc_id"), "left_semi")
         }
-      val doomed = doomedRows.select(col("doc_id"), col("lt"), col("dl"))
+      // the stored ttl is the doc's true field boundary (v7);
+      // pre-v7 rows coalesce to the positional convention they were
+      // folded under, so the negative marker subtracts exactly what
+      // the fold once added
+      val doomed = doomedRows.select(col("doc_id"), col("lt"), col("dl"),
+          coalesce(col("ttl"), least(col("dl"),
+            lit(graft.operators.CorpusOps.titleTokens.toLong)))
+            .as("ttl"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val stats = doomed.agg(count(lit(1)).as("n"),
           coalesce(sum(col("dl")), lit(0L)).as("t"),
-          coalesce(sum(least(col("dl"),
-            lit(graft.operators.CorpusOps.titleTokens.toLong))),
-            lit(0L)).as("w")).collect()(0)
+          coalesce(sum(col("ttl")), lit(0L)).as("w")).collect()(0)
         val n = stats.getLong(0)
         if (n == 0L) return 0L
         // TOMBSTONES FIRST (ADVICE r10): the safety-relevant half of
@@ -709,7 +775,8 @@ object IndexStream {
     * miss the other.
     */
   private def dlFor(spark: SparkSession, stateDir: String, g: Geom,
-      ids: DataFrame, gens: Option[Set[Long]]): DataFrame = {
+      ids: DataFrame, gens: Option[Set[Long]],
+      withTtl: Boolean = false): DataFrame = {
     val idSample = ids.limit(pushdownMax + 1).collect().map(_.getLong(0))
     val docsBase = gens.foldLeft(
       LsmIndex.readOrEmpty(spark, s"$stateDir/docs", docsSchema))(
@@ -727,7 +794,16 @@ object IndexStream {
         docsBase.filter(col("dbucket").isin(dbs: _*))
           .join(ids, Seq("doc_id"), "left_semi")
       }
-    dlSide.select(col("doc_id"), col("dl")).distinct()
+    // the fielded face's extra column rides the same pruned read;
+    // pre-v7 rows coalesce to the positional convention (ttl = null
+    // in their files)
+    dlSide.select(Seq(col("doc_id"), col("dl")) ++
+        (if (withTtl)
+           Seq(coalesce(col("ttl"), least(col("dl"),
+             lit(graft.operators.CorpusOps.titleTokens.toLong)))
+             .as("ttl"))
+         else Nil): _*)
+      .distinct()
   }
 
   /** Drop tombstoned doc_ids from a relation — the query faces'
@@ -1519,7 +1595,7 @@ object IndexStream {
     val expd = vocab.join(broadcast(seed), Seq("pfx"))
       .withColumn("xrank", row_number().over(wx))
       .filter(col("xrank") <= max)
-      .select(col("term"), col("query_id"), col("df"))
+      .select(col("term"), col("query_id"), col("df"), col("xrank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the selected completions' exact generation shortlist, then the
     // standard fetch/score/rank path
@@ -1528,34 +1604,141 @@ object IndexStream {
     if (expSample.isEmpty) return emptyOut
     val dfsE = dfsRowsFor(spark, stateDir,
       expd.select(col("term")).distinct(), expSample, gens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selPairs = expd.select(col("term")).distinct()
       .join(dfsE, Seq("term"))
       .select(col("term"), col("gen")).distinct()
       .limit(pushdownMax + 1).collect()
     if (selPairs.isEmpty) return emptyOut
-    val post = minusTombs(spark, stateDir,
-      postingsFor(spark, stateDir, selPairs,
-          expd.select(col("term")).distinct(), gens, g)
-        .select(col("term"), col("doc_id"), col("tf"))
-        .distinct(), gens)
-    val hits = expd.join(post, Seq("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = hits.select(col("doc_id")).distinct()
-    val dl = dlFor(spark, stateDir, g, candIds, gens)
+    // COMPLETION MaxScore (round 13 — the expansion's frequent tail
+    // stops reading whole): a prefix query is a DISJUNCTION over its
+    // completions, so no conjunction-style candidate rule applies —
+    // instead the df-rarest ≤ bm25QueryTerms completions per query
+    // are the ESSENTIAL set (the candidate source, fetched whole) and
+    // the frequent rest fetch candidate-restricted, exactly
+    // [[queryTopKAll]]'s block-max discipline: exactness holds
+    // because a doc with NO essential completion scores at most
+    // Σ ub(non-essential) (µ-score at tf = dl = max_tf, the stored
+    // impact bound), and any query whose kth candidate score does not
+    // beat that bound falls back to its own unrestricted re-fetch.
+    // The engage decision is driver-side from rows ALREADY collected
+    // (the df ratio rule every pushdown face shares); the declining
+    // path costs exactly the single fetch it always did. The driver
+    // split and the Spark-side xrank partition both read expd's own
+    // rows, so they cannot disagree (the ADVICE r12 coupling lesson).
+    val expRows = expd.limit(pushdownMax + 1).collect()
+    val expComplete = expRows.length <= pushdownMax
+    val essN = graft.operators.CorpusOps.bm25QueryTerms
+    val essTermArr = expRows.filter(_.getInt(3) <= essN)
+      .map(_.getString(0)).distinct
+    val nonTermArr = expRows.filter(_.getInt(3) > essN)
+      .map(_.getString(0)).distinct.diff(essTermArr)
+    val dfOf = expRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val sumEss = essTermArr.map(dfOf.getOrElse(_, 0L)).sum
+    val sumNon = nonTermArr.map(dfOf.getOrElse(_, 0L)).sum
+    // completeness gates the prune (a truncated collect could hide a
+    // completion or a generation pair from the driver split)
+    val engage = expComplete && selPairs.length <= pushdownMax &&
+      nonTermArr.nonEmpty &&
+      sumNon > phrasePruneRatio * math.max(1L, sumEss)
+    def fetchExp(terms: Array[String],
+        docFilter: Option[Array[Long]]): DataFrame = {
+      import spark.implicits._
+      val tset = terms.toSet
+      val pairs = selPairs.filter(r => tset(r.getString(0)))
+      val raw = postingsFor(spark, stateDir, pairs,
+        terms.toSeq.toDF("term"), gens, g)
+      minusTombs(spark, stateDir,
+        docFilter.filter(_.length <= pushdownMax)
+          .foldLeft(raw)((r, ids) =>
+            r.filter(col("doc_id").isin(ids.toSeq: _*)))
+          .select(col("term"), col("doc_id"), col("tf"))
+          .distinct(), gens)
+    }
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
-    hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
+    def scoreRank(hits: DataFrame, dl: DataFrame): DataFrame =
+      hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("totdl", lit(totDl))
+        .withColumn("term_micro",
+          expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("term_micro")).as("score_micro"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(wd))
+    val outCols = Seq(col("query_id"), col("rank"), col("doc_id"),
+      col("score_micro"), col("n_terms"))
+    if (!engage) {
+      val post = minusTombs(spark, stateDir,
+        postingsFor(spark, stateDir, selPairs,
+            expd.select(col("term")).distinct(), gens, g)
+          .select(col("term"), col("doc_id"), col("tf"))
+          .distinct(), gens)
+      val hits = expd.join(post, Seq("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = hits.select(col("doc_id")).distinct()
+      val dl = dlFor(spark, stateDir, g, candIds, gens)
+      return scoreRank(hits, dl)
+        .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+        .select(outCols: _*)
+    }
+    val essSel = expd.filter(col("xrank") <= essN)
+    val nonSel = expd.filter(col("xrank") > essN)
+    val postEss = fetchExp(essTermArr, None)
+    val hitsEss = essSel.join(postEss, Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = hitsEss.select(col("query_id"), col("doc_id")).distinct()
+    val candIdArr = cand.select(col("doc_id")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getLong(0))
+    def allHits(restrict: Boolean): DataFrame =
+      hitsEss.unionByName(nonSel.join(
+        fetchExp(nonTermArr,
+          if (restrict) Some(candIdArr) else None), Seq("term")))
+    val candSide =
+      if (candIdArr.length <= pushdownMax) broadcast(cand) else cand
+    val dlMain = dlFor(spark, stateDir, g,
+      cand.select(col("doc_id")).distinct(), gens)
+    val ranked = scoreRank(
+      allHits(restrict = true)
+        .join(candSide, Seq("query_id", "doc_id"), "left_semi"), dlMain)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kth = ranked
+      .filter(col("rank") === graft.operators.CorpusOps.bm25K)
+      .select(col("query_id"), col("score_micro").as("kth_micro"))
+    // the proof obligation from dfs metadata alone: ub(term) =
+    // µ-score at tf = dl = max_tf (the stored stale-high-safe bound)
+    val maxTfT = dfsE.groupBy(col("term"))
+      .agg(org.apache.spark.sql.functions.max(col("max_tf"))
+        .as("max_tf"))
+    val sumUb = nonSel.join(maxTfT, Seq("term"))
+      .select(col("query_id"), col("df"),
+        col("max_tf").as("tf"), col("max_tf").as("dl"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("totdl", lit(totDl))
-      .withColumn("term_micro",
+      .withColumn("ub_micro",
         expr(graft.operators.CorpusOps.bm25TermMicroExpr))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("term_micro")).as("score_micro"),
-        count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(wd))
+      .groupBy(col("query_id")).agg(sum(col("ub_micro")).as("sum_ub"))
+    val fb = sumUb.join(kth, Seq("query_id"), "left")
+      .filter(col("kth_micro").isNull ||
+        col("sum_ub") >= col("kth_micro"))
+      .select(col("query_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mainTop = ranked
+      .join(broadcast(fb), Seq("query_id"), "left_anti")
       .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        col("score_micro"), col("n_terms"))
+      .select(outCols: _*)
+    if (fb.limit(1).collect().isEmpty) mainTop
+    else {
+      val hitsFb = allHits(restrict = false)
+        .join(broadcast(fb), Seq("query_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dlFb = dlFor(spark, stateDir, g,
+        hitsFb.select(col("doc_id")).distinct(), gens)
+      mainTop.unionByName(scoreRank(hitsFb, dlFb)
+        .filter(col("rank") <= graft.operators.CorpusOps.bm25K)
+        .select(outCols: _*))
+    }
   }
 
   /** The full match set (query_id, doc_id) of each query under the
@@ -1617,17 +1800,25 @@ object IndexStream {
 
   /** FIELDED (simple BM25F) retrieval over the accumulated index — the
     * incremental twin of CorpusOps.bm25fTopkOn, bit-identical by
-    * shared definitions, with NO fielded state: the weighted term
+    * shared definitions. The fielded state is exactly ONE stored
+    * number per document (layout v7): the field boundary `ttl` in the
+    * docs sub-table. A title hit is a position < ttl in the
+    * title-first token stream the fold indexed, so the weighted term
     * frequency derives from the positional postings the v3+ layout
-    * already carries (a title hit is a position < titleTokens), the
-    * weighted document length from the stored dl (wdl = dl +
-    * (titleWeight−1)·min(dl, titleTokens) — the title is the first
-    * titleTokens tokens by construction), and the weighted corpus
-    * length from the v6 markers' third element (tot_ttl), so the face
-    * reads exactly what [[queryTopK]] reads plus one parquet column
-    * chunk (positions) on the selected terms only. Selection, the
-    * head-term cap, and df are the unfielded definitions (fields never
-    * change document frequency). `asOf` carries [[queryTopK]]'s
+    * already carries (wtf = tf + (w−1)·|positions < ttl|), the
+    * weighted document length from the stored (dl, ttl) pair (wdl =
+    * dl + (w−1)·ttl), and the weighted corpus length from the v6+
+    * markers' third element (tot_ttl). The face therefore reads
+    * exactly what [[queryTopK]] reads plus one parquet column chunk
+    * (positions) on the selected terms, plus the ttl column riding
+    * the same candidate-bounded docs read as dl. For an UNFIELDED
+    * corpus the stored ttl is min(dl, titleTokens) — the positional
+    * first-titleTokens convention, reproduced bit-identically (and
+    * pre-v7 generations, whose files lack the column, coalesce to it
+    * on read). Selection, the head-term cap, and df are the unfielded
+    * definitions over the combined stream (a fielded fold's postings
+    * exist iff the term occurs in ANY field, so df = the batch face's
+    * any-field document count). `asOf` carries [[queryTopK]]'s
     * contract.
     */
   def queryFielded(spark: SparkSession, stateDir: String,
@@ -1639,7 +1830,6 @@ object IndexStream {
     val nDocs = if (st.nonEmpty) st.head else 0L
     val totDl = if (st.size > 1) st(1) else 0L
     val totTtl = if (st.size > 2) st(2) else 0L
-    val tt = graft.operators.CorpusOps.titleTokens
     val tw = graft.operators.CorpusOps.titleWeight
     val wTot = totDl + (tw - 1).toLong * totTtl
     def emptyOut = spark.createDataFrame(
@@ -1687,15 +1877,16 @@ object IndexStream {
     val hits = selected.join(post, Seq("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
-    val dl = dlFor(spark, stateDir, g, candIds, gens)
+    val dl = dlFor(spark, stateDir, g, candIds, gens, withTtl = true)
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
-      // the simple-BM25F blend in place: tf/dl/totdl become their
-      // weighted versions, the µ-score expression runs unchanged
+      // the simple-BM25F blend in place against the STORED field
+      // boundary: tf/dl/totdl become their weighted versions, the
+      // µ-score expression runs unchanged
       .withColumn("tf", expr(
-        s"tf + ${tw - 1} * size(filter(positions, p -> p < $tt))"))
-      .withColumn("dl", expr(s"dl + ${tw - 1} * least(dl, ${tt}L)"))
+        s"tf + ${tw - 1} * size(filter(positions, p -> p < ttl))"))
+      .withColumn("dl", expr(s"dl + ${tw - 1} * ttl"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("totdl", lit(wTot))
       .withColumn("term_micro",
@@ -2050,8 +2241,23 @@ object IndexStream {
         // its markers/dfs re-derive from the surviving corpus alone —
         // a rebuild can never resurrect a deleted document.
         val tombsPath = new org.apache.hadoop.fs.Path(s"$oldRoot/tombs")
-        val rawAll = spark.read.parquet(docsPath.toString)
-          .select(col("doc_id"), col("lt")).distinct()
+        val rawDocs = spark.read.parquet(docsPath.toString)
+        // the field boundary is RAW data (it cannot re-derive from lt
+        // — the title-first concat erased the seam): carry the stored
+        // ttl, coalescing pre-v7 rows to the positional convention
+        // they were folded under. Layouts predating even the stored
+        // dl carry no boundary at all — docsRel then re-derives the
+        // positional convention from the recomputed dl.
+        val tt = lit(graft.operators.CorpusOps.titleTokens.toLong)
+        val ttlSel: Seq[Column] =
+          if (rawDocs.columns.contains("ttl") &&
+              rawDocs.columns.contains("dl"))
+            Seq(coalesce(col("ttl"), least(col("dl"), tt)).as("ttl"))
+          else if (rawDocs.columns.contains("dl"))
+            Seq(least(col("dl"), tt).as("ttl"))
+          else Nil
+        val rawAll = rawDocs
+          .select(Seq(col("doc_id"), col("lt")) ++ ttlSel: _*).distinct()
         val raw = (if (fs.exists(tombsPath))
             rawAll.join(spark.read.parquet(tombsPath.toString)
               .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
@@ -2062,7 +2268,10 @@ object IndexStream {
           // lt is already lowered; the shared tokenizer's lower() is
           // idempotent, so re-tokenizing lt equals tokenizing the
           // original text
-          val asBatch = raw.select(col("doc_id"), col("lt").as("text"))
+          val asBatch = raw.select(
+            Seq(col("doc_id"), col("lt").as("text")) ++
+              (if (raw.columns.contains("ttl")) Seq(col("ttl"))
+               else Nil): _*)
           val tf = tfRel(asBatch, gNew)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
@@ -2090,9 +2299,7 @@ object IndexStream {
                 s"$oldRoot; original untouched")
             val totRow = staged.agg(
               coalesce(sum(col("dl")), lit(0L)),
-              coalesce(sum(least(col("dl"),
-                lit(graft.operators.CorpusOps.titleTokens.toLong))),
-                lit(0L))).collect()(0)
+              coalesce(sum(col("ttl")), lit(0L))).collect()(0)
             LsmIndex.Markers(staging).write(spark, -1L,
               Seq(n, totRow.getLong(0), totRow.getLong(1)))
           } finally tf.unpersist()

@@ -166,6 +166,74 @@ class Bm25fSpec extends SparkSpecBase {
         s"${gotS.toSeq}")
   }
 
+  test("layout v7 fielded state: a titled fold stores the field boundary; index = batch across two generations, a delete, and a redomain rebuild") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.streaming.IndexStream
+    // titles of VARYING length (1-3 tokens) — never the degenerate
+    // 5-token convention, so a positional reading of the stored
+    // stream would mis-weight every document
+    val all = Seq(
+      (100L, "zz tt", "rare off1 off2", "src0"),
+      (1L, "rare tt", "pad pad pad pad pad pad", "src1"),
+      (2L, "tt tt tt", "rare pad pad pad pad pad", "src1"),
+      (3L, "tt", "fill pad fill pad fill pad", "src1"),
+      (4L, "pad tt fill", "pad fill pad fill pad fill", "src1"),
+      (5L, "rare rare", "fill fill", "src1"),
+      // filler keeps df(rare) = 3 of 6 under the head-term cap
+      (6L, "pad", "fill fill pad tt", "src1"))
+    val d = fieldedDocs(all)
+    val root = Files.createTempDirectory("graft-bm25f-v7").toString
+    val state = s"$root/state"
+    // small initial dir domain so the redomain below genuinely grows
+    IndexStream.initState(spark, state, 100L)
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0").filter(col("doc_id") <= 2L), 0L)
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0").filter(col("doc_id") > 2L), 1L)
+    val q = d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text"))
+    val cols = Seq("query_id", "rank", "doc_id", "score_micro", "n_terms")
+    def got(): Set[Seq[Any]] =
+      IndexStream.queryFielded(spark, state, q)
+        .select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+    def want(rows: Seq[(Long, String, String, String)]): Set[Seq[Any]] =
+      CorpusOps.bm25fTopkOn(fieldedDocs(rows))
+        .select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq).toSet
+    val batch = want(all)
+    assert(batch.nonEmpty && got() == batch,
+      "fielded index face must equal the titled batch face")
+    // the UNFIELDED faces see the one title-first token stream: the
+    // index's plain BM25 equals the batch face over the concatenation
+    val concat = docs(all.map { case (id, ti, t, s) =>
+      (id, s"$ti $t", s) })
+    val plainIdx = IndexStream.queryTopK(spark, state, q)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val plainBatch = CorpusOps.bm25TopkOn(concat)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(plainIdx == plainBatch && plainBatch.nonEmpty,
+      "unfielded retrieval over a titled fold must score the " +
+        "title ++ body stream")
+    // delete a TITLE-HEAVY doc: the stored boundary (not the
+    // positional convention) must be what the negative marker
+    // subtracts, or wTot skews every surviving score
+    IndexStream.deleteDocs(spark, state, Seq(5L).toDF("doc_id"), 0L)
+    val survivors = want(all.filterNot(_._1 == 5L))
+    assert(got() == survivors,
+      "post-delete fielded scores must equal a fresh titled " +
+        "survivors-only corpus")
+    // a redomain REBUILD re-derives postings from lt — the field
+    // boundary cannot re-derive from the concatenated stream, so the
+    // rebuild must carry the STORED ttl through
+    assert(IndexStream.redomainIfDue(spark, state,
+        expectedDocs = Some(1L << 22)),
+      "fixture must force a redomain rebuild")
+    assert(got() == survivors,
+      "the rebuild must carry the stored field boundary")
+  }
+
   test("length normalization runs on the WEIGHTED length") {
     // both docs hold "rare" once in the BODY (equal wtf); doc 1's
     // weighted length is smaller -> higher score
