@@ -118,6 +118,100 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => decode(id, bytes) } }
   }
 
+  /** Deterministic container-byte synthesis for the DECODE GATE
+    * (round 13): each doc_id yields real PNG/JPEG header bytes whose
+    * dimensions are pure doc_id arithmetic — so [[decodeHeader]] can
+    * sit on the DuckDB oracle gate with the oracle computing the
+    * expected dimensions arithmetically while the engine round-trips
+    * them through genuine container structure. Four shapes:
+    * kind = doc_id % 4 — 0: PNG (IHDR); 1: baseline JPEG (SOF0
+    * behind a skipped APP0); 2: progressive JPEG (SOF2 behind APP0 +
+    * a DHT segment); 3: a CORRUPT stream (EOI before any SOFn,
+    * followed by FF C0 bait bytes an unterminated scan would misread
+    * — the ADVICE r12 case) that must fall back to the stub seam.
+    * Byte lengths are fixed per kind (33 / 39 / 45 / 4 + doc_id % 7),
+    * spec-pinned, so the oracle's n_bytes arithmetic cannot drift
+    * from the builder.
+    */
+  private[graft] def synthMedia(docId: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    val w = (16 + docId % 1000).toInt
+    val h = (16 + (docId * 7) % 1000).toInt
+    def jpeg(sof: Int, dht: Boolean): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes("US-ASCII") ++
+        Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+      val dhtSeg =
+        if (dht) Array(0xff, 0xc4).map(_.toByte) ++ be16(4) ++
+          Array[Byte](0, 0)
+        else Array.empty[Byte]
+      val sofSeg = Array(0xff.toByte, sof.toByte) ++ be16(17) ++
+        Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ dhtSeg ++ sofSeg
+    }
+    (docId % 4).toInt match {
+      case 0 =>
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte) ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+          be32(w.toLong) ++ be32(h.toLong) ++
+          Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+      case 1 => jpeg(0xc0, dht = false)
+      case 2 => jpeg(0xc2, dht = true)
+      case _ =>
+        val pad = (docId % 7).toInt
+        val bait =
+          if (pad >= 2) Array(0xff.toByte, 0xc0.toByte) ++
+            Array.fill(pad - 2)(0.toByte)
+          else Array.fill(pad)(0.toByte)
+        Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) ++ bait
+    }
+  }
+
+  /** multimodal_decode — the REAL header decode on the hard gate
+    * (round 13): synthesized container bytes distributed over the
+    * corpus, decoded partition-parallel by [[decodeMedia]], checked
+    * against an oracle that derives the dimensions arithmetically.
+    * The corrupt kind pins the stub-fallback seam (and the EOI
+    * terminator) on the same row.
+    */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions(_.map(id => (id, synthMedia(id))))
+      .toDF("doc_id", "media")
+    canon(decodeMedia(spark, media).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("format"),
+        col("width"), col("height"), col("n_frames")))
+  }
+
+  val multimodalDecodeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % 4 AS kind,
+       |    16 + doc_id % 1000 AS w,
+       |    16 + (doc_id * 7) % 1000 AS h,
+       |    4 + doc_id % 7 AS cn
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN kind = 0 THEN 33 WHEN kind = 1 THEN 39
+       |       WHEN kind = 2 THEN 45 ELSE cn END AS n_bytes,
+       |  CASE WHEN kind = 0 THEN 'png'
+       |       WHEN kind IN (1, 2) THEN 'jpeg'
+       |       WHEN cn % 3 = 0 THEN 'png'
+       |       WHEN cn % 3 = 1 THEN 'jpeg'
+       |       ELSE 'webp' END AS format,
+       |  CASE WHEN kind <= 2 THEN w ELSE 64 + cn % 512 END AS width,
+       |  CASE WHEN kind <= 2 THEN h ELSE 64 + (cn // 7) % 512 END AS height,
+       |  CASE WHEN kind <= 2 THEN 1 ELSE 1 + cn % 30 END AS n_frames
+       |FROM m
+       |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "width",
+         "height", "n_frames"))}""".stripMargin
+
   /** Oracle-checked face of the same pipeline, expressed as pure
     * expressions (text bytes play the media payload): binary metadata
     * extraction + frame-sampling arithmetic.
@@ -198,9 +292,11 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> multimodalFeatures,
+    "multimodal_decode" -> multimodalDecode,
     "frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_decode" -> multimodalDecodeSql,
     "frame_sample" -> frameSampleSql)
 }

@@ -87,6 +87,29 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(Multimodal.decode(8L, other) == Multimodal.decodeStub(8L, other))
   }
 
+  test("synthMedia: byte lengths and round-trip dimensions match the decode-gate oracle arithmetic") {
+    // the oracle's n_bytes CASE hardcodes these — pin them to the
+    // builder so neither can drift alone
+    assert(Multimodal.synthMedia(0L).length == 33, "png length")
+    assert(Multimodal.synthMedia(1L).length == 39, "baseline length")
+    assert(Multimodal.synthMedia(2L).length == 45, "progressive length")
+    assert(Multimodal.synthMedia(3L).length == 4 + 3 % 7, "corrupt length")
+    // per-kind round trip: synthesized dims survive the real decode
+    val m0 = Multimodal.decode(8L, Multimodal.synthMedia(8L))
+    assert(m0.format == "png" && m0.width == 24L && m0.height == 72L, s"$m0")
+    val m1 = Multimodal.decode(9L, Multimodal.synthMedia(9L))
+    assert(m1.format == "jpeg" && m1.width == 25L && m1.height == 79L, s"$m1")
+    val m2 = Multimodal.decode(10L, Multimodal.synthMedia(10L))
+    assert(m2.format == "jpeg" && m2.width == 26L && m2.height == 86L, s"$m2")
+    // the corrupt kind must take the STUB seam (EOI terminator), even
+    // past the FF C0 bait bytes
+    val plain = Multimodal.synthMedia(7L) // pad 0: bare SOI + EOI
+    assert(Multimodal.decode(7L, plain) == Multimodal.decodeStub(7L, plain))
+    val baited = Multimodal.synthMedia(11L) // pad 4: FF C0 bait follows
+    assert(Multimodal.decode(11L, baited) ==
+      Multimodal.decodeStub(11L, baited))
+  }
+
   test("decodeMedia drives a mixed batch through the partition-parallel path") {
     val rows = Seq(
       Row(1L, png(640L, 480L)),
