@@ -142,4 +142,84 @@ class PrefixQuerySpec extends SparkSpecBase {
     assert(got == Set((100L, 1L, 1L), (100L, 3L, 2L)),
       s"survivor expansion wrong: $got")
   }
+
+  test("completion MaxScore (round 13): flat posting scan under 10x growth of a frequent completion; bit-identical to the batch face") {
+    // the expansion is a DISJUNCTION, so the conjunction faces'
+    // candidate rule can't apply — instead the df-rarest completions
+    // are the essential set (fetched whole, the candidate source) and
+    // the frequent completion's read pushes the candidate ids down,
+    // exact by the MaxScore bound from the stored max_tf. Fixture:
+    // completions of "qa" are qa1(2) qa2(3) qa3(3) (docs 1..8 only,
+    // FIXED) and qafreq (~40% of the corpus, grows 10x).
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 2 * 1024)
+    try {
+      def rowsOf(ids: Seq[Long]): Seq[(Long, String, String)] = ids.map { id =>
+        val rnd = new scala.util.Random(id)
+        val filler = (0 until 25).map(_ => s"w${rnd.nextInt(800)}")
+          .mkString(" ")
+        val t =
+          if (id <= 8L)
+            s"qa${1 + (id % 3)}" +
+              (if (id % 2 == 0) " qafreq" else "") + s" $filler"
+          else if (id % 5 < 2) s"qafreq $filler"
+          else filler
+        (id, t, "s")
+      }
+      val root = Files.createTempDirectory("graft-prefixmax").toString
+      val state = s"$root/state"
+      var corpus: Seq[Long] = Seq.empty
+      def seed(ids: Seq[Long], batchId: Long): Unit = {
+        corpus = corpus ++ ids
+        IndexStream.applyBatch(spark, state, docs(rowsOf(ids)), batchId)
+      }
+      val qRow = Seq((900001L, "qa1 offvocab", "src0"))
+      val cols = Seq("query_id", "rank", "doc_id", "score_micro",
+        "n_terms")
+      def want(): Set[Seq[Any]] = {
+        val w = CorpusOps.prefixTopkOn(docs(rowsOf(corpus) ++ qRow),
+            len = 2, max = 4)
+          .select(cols.head, cols.tail: _*)
+          .collect().map(_.toSeq).toSet
+        spark.catalog.clearCache()
+        w
+      }
+      def got(): (Set[Seq[Any]], Long) = {
+        import spark.implicits._
+        val q = Seq((900001L, "qa1 offvocab")).toDF("query_id", "text")
+        val (rows, n) = scanRowsDuring("/postings") {
+          IndexStream.queryPrefix(spark, state, q, len = 2, max = 4)
+            .select(cols.head, cols.tail: _*)
+            .collect().map(_.toSeq).toSet
+        }
+        spark.catalog.clearCache()
+        (rows, n)
+      }
+      seed(1L to 500L, 0L)
+      val (g1, p1) = got()
+      val w1 = want()
+      assert(w1.nonEmpty && g1 == w1,
+        "1x: index face must equal the batch face")
+      // top-k must come from the rare completions' candidates (the
+      // MaxScore proof's main branch, never the fallback)
+      assert(w1.forall(_(2).asInstanceOf[Long] <= 8L),
+        s"fixture must rank qa-completion docs: $w1")
+      seed(501L to 5000L, 1L)
+      val (g10, p10) = got()
+      assert(g10 == want(), "10x: index face must equal the batch face")
+      info(s"posting-scan rows 1x=$p1 10x=$p10")
+      assert(p10 <= p1 * 3 + 64,
+        s"prefix posting scan grew with the frequent completion " +
+          s"(1x=$p1, 10x=$p10) — the completion MaxScore pushdown " +
+          "is not reaching the row-group stats")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+    }
+  }
 }
