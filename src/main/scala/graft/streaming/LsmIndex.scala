@@ -507,12 +507,16 @@ private[graft] object LsmIndex {
     // rebuild consolidated everything into ingest=-1, so pre-migration
     // seqs are no longer addressable and snapshot() must fail fast on
     // them instead of materializing empty state
-    val oplogSrc = new org.apache.hadoop.fs.Path(s"$stateDir/oplog")
-    if (fs.exists(oplogSrc))
-      require(org.apache.hadoop.fs.FileUtil.copy(fs, oplogSrc, fs,
-        new org.apache.hadoop.fs.Path(staging, "oplog"), false, true,
-        spark.sparkContext.hadoopConfiguration),
-        s"migration ledger carry failed: $oplogSrc")
+    // the maintenance report log rides along for the same reason: the
+    // operational history must survive the root swap
+    for (carry <- Seq("oplog", "maintlog")) {
+      val src = new org.apache.hadoop.fs.Path(s"$stateDir/$carry")
+      if (fs.exists(src))
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(staging, carry), false, true,
+          spark.sparkContext.hadoopConfiguration),
+          s"migration $carry carry failed: $src")
+    }
     val slog = OpLog(staging.toString)
     slog.record(spark, "migrate",
       slog.entries(spark).count(_._2 == "migrate").toLong)
@@ -806,10 +810,88 @@ private[graft] object LsmIndex {
     * pin addressed recorded history, so every structural action
     * (redomain, retrain, compact — all epoch barriers or wholesale
     * rewrites) was skipped this cycle; re-run after the pin releases.
+    * `driftMicro` (round 13) is the drift ratio the cycle MEASURED, in
+    * µ (1e6 = the training-era baseline): the evidence behind a fired
+    * retrain, recorded so an operator can see WHY after the fact; −1
+    * when the cycle measured none (pinned, redomained-first, or a
+    * gate with no codebook).
     */
   final case class Maintenance(pinned: Boolean, redomained: Boolean,
-      retrained: Boolean, compacted: Boolean) {
+      retrained: Boolean, compacted: Boolean,
+      driftMicro: Long = -1L) {
     def any: Boolean = redomained || retrained || compacted
+  }
+
+  /** MAINTENANCE REPORT LOG (round 13): one tiny named file per
+    * `maintainIfDue` cycle under `<state>/maintlog/` — the operator's
+    * persisted record of what each cron cycle did and the drift it
+    * measured. Plain files like the [[OpLog]], deliberately NOT a
+    * parquet sub-table: compaction and migration rebuild sub-tables,
+    * and the report must survive both (compaction never touches the
+    * dir; [[migrate]] carries it next to the ledger). Snapshots don't
+    * copy it — it is operational history, not state.
+    */
+  final case class MaintLog(stateDir: String) {
+    private def dir = new org.apache.hadoop.fs.Path(s"$stateDir/maintlog")
+
+    private def fsOf(spark: SparkSession) =
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** (cycle, seqObserved, report) ascending by cycle. Torn or
+      * unparsable files are skipped (the log degrades to fewer
+      * entries, never a read failure).
+      */
+    def entries(spark: SparkSession): Seq[(Long, Long, Maintenance)] = {
+      val fs = fsOf(spark)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.startsWith("maint_")).flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val kv = txt.split(" ").flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }).toMap
+        try for {
+          cycle <- kv.get("cycle").map(_.toLong)
+          seq <- kv.get("seq").map(_.toLong)
+          p <- kv.get("pinned").map(_.toBoolean)
+          rd <- kv.get("redomained").map(_.toBoolean)
+          rt <- kv.get("retrained").map(_.toBoolean)
+          c <- kv.get("compacted").map(_.toBoolean)
+          dm <- kv.get("drift_micro").map(_.toLong)
+        } yield (cycle, seq, Maintenance(p, rd, rt, c, dm))
+        catch { case _: IllegalArgumentException => None }
+      }.sortBy(_._1)
+    }
+
+    /** Record one cycle's report; returns the assigned cycle number.
+      * `seq` snapshots the ledger high mark the cycle observed, so a
+      * report row is placeable against the operation history.
+      */
+    def record(spark: SparkSession, report: Maintenance): Long = {
+      val fs = fsOf(spark)
+      fs.mkdirs(dir)
+      val seq = OpLog(stateDir).entries(spark)
+        .map(_._1).maxOption.getOrElse(0L)
+      val cycle = entries(spark).map(_._1).maxOption.getOrElse(0L) + 1L
+      val txt = s"cycle=$cycle seq=$seq pinned=${report.pinned} " +
+        s"redomained=${report.redomained} " +
+        s"retrained=${report.retrained} " +
+        s"compacted=${report.compacted} " +
+        s"drift_micro=${report.driftMicro}"
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_maint_$cycle")
+      fs.delete(tmp, false)
+      val out = fs.create(tmp, true)
+      try out.write(txt.getBytes("UTF-8")) finally out.close()
+      val f = new org.apache.hadoop.fs.Path(dir, s"maint_$cycle")
+      fs.delete(f, false)
+      require(fs.rename(tmp, f),
+        s"maintlog publish rename $tmp -> $f failed")
+      cycle
+    }
   }
 
   /** SNAPSHOT a state root as of an [[OpLog]] sequence number:

@@ -481,13 +481,19 @@ object NearDupStream {
       maxGen: Int = defaultMaxGenerations,
       expectedDocs: Option[Long] = None): LsmIndex.Maintenance = {
     ensureLayout(spark, stateDir)
-    if (LsmIndex.pinBlocksCompaction(spark, stateDir))
-      return LsmIndex.Maintenance(pinned = true, redomained = false,
-        retrained = false, compacted = false)
-    val redomained = redomainIfDue(spark, stateDir, expectedDocs)
-    val compacted = compactIfDue(spark, stateDir, targetFileBytes, maxGen)
-    LsmIndex.Maintenance(pinned = false, redomained,
-      retrained = false, compacted = compacted)
+    val report =
+      if (LsmIndex.pinBlocksCompaction(spark, stateDir))
+        LsmIndex.Maintenance(pinned = true, redomained = false,
+          retrained = false, compacted = false)
+      else {
+        val redomained = redomainIfDue(spark, stateDir, expectedDocs)
+        val compacted =
+          compactIfDue(spark, stateDir, targetFileBytes, maxGen)
+        LsmIndex.Maintenance(pinned = false, redomained,
+          retrained = false, compacted = compacted)
+      }
+    LsmIndex.MaintLog(stateDir).record(spark, report)
+    report
   }
 
   /** The LSM compaction: every micro-batch appends an

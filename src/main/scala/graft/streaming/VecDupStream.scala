@@ -1348,27 +1348,53 @@ object VecDupStream {
     * stands in). O(generations) driver rows — [[codebookDrift]] bounds
     * the distributed work. False while either era lacks samples.
     */
-  def driftRetrainDue(spark: SparkSession, stateDir: String,
-      ratio: Long = driftRetrainRatio): Boolean = {
-    val rows = codebookDrift(spark, stateDir).collect()
-    if (rows.isEmpty) return false
+  /** The two drift eras' sample-weighted error sums as exact
+    * fractions — (postNum, postDen, baseNum, baseDen) — from
+    * [[codebookDrift]]'s rows; None while either era lacks samples.
+    * ONE derivation feeds both the exact retrain decision and the
+    * recorded µ-ratio, so the report can never disagree with the
+    * trigger.
+    */
+  private def driftEras(rows: Array[org.apache.spark.sql.Row])
+      : Option[(BigInt, BigInt, BigInt, BigInt)] = {
+    if (rows.isEmpty) return None
     val trainGen = rows.head.getLong(3)
     val baseGens: Set[Long] =
       if (trainGen >= 0) rows.map(_.getLong(0)).filter(_ <= trainGen).toSet
       else Set(rows.map(_.getLong(0)).min)
     val (base, post) = rows.partition(r => baseGens.contains(r.getLong(0)))
-    if (base.isEmpty || post.isEmpty) return false
+    if (base.isEmpty || post.isEmpty) return None
     def werr(rs: Array[org.apache.spark.sql.Row]): (BigInt, BigInt) =
       (rs.map(r => BigInt(r.getLong(1)) * r.getLong(2)).sum,
         BigInt(math.max(rs.map(_.getLong(1)).sum, 1L)))
     val (bNum, bDen) = werr(base)
     val (pNum, pDen) = werr(post)
-    // cross-multiplied integer compare (BigInt — mean_d2 sits in 1e-12
-    // µ²-units, so sample-weighted sums overflow a Long product): a
-    // floor of 1 on the baseline keeps a perfectly-quantized training
-    // era (error 0) from triggering on noise
-    pNum * bDen > BigInt(ratio) * bNum.max(bDen) * pDen
+    Some((pNum, pDen, bNum, bDen))
   }
+
+  // cross-multiplied integer compare (BigInt — mean_d2 sits in 1e-12
+  // µ²-units, so sample-weighted sums overflow a Long product): a
+  // floor of 1 on the baseline keeps a perfectly-quantized training
+  // era (error 0) from triggering on noise
+  private def driftDueOf(eras: Option[(BigInt, BigInt, BigInt, BigInt)],
+      ratio: Long): Boolean =
+    eras.exists { case (pNum, pDen, bNum, bDen) =>
+      pNum * bDen > BigInt(ratio) * bNum.max(bDen) * pDen }
+
+  /** The measured drift ratio in µ (1e6 = the floored training-era
+    * baseline), −1 while unmeasurable — the value the maintenance
+    * report records; the retrain DECISION stays the exact
+    * cross-multiplied compare, never this rounded quotient.
+    */
+  private def driftMicroOf(
+      eras: Option[(BigInt, BigInt, BigInt, BigInt)]): Long =
+    eras.map { case (pNum, pDen, bNum, bDen) =>
+      ((pNum * bDen * BigInt(1000000)) / (bNum.max(bDen) * pDen)).toLong
+    }.getOrElse(-1L)
+
+  def driftRetrainDue(spark: SparkSession, stateDir: String,
+      ratio: Long = driftRetrainRatio): Boolean =
+    driftDueOf(driftEras(codebookDrift(spark, stateDir).collect()), ratio)
 
   /** The composed maintenance policy (round 12 — one call an operator
     * crons): pin check → redomain-if-grown → retrain-if-drifted →
@@ -1385,14 +1411,27 @@ object VecDupStream {
       maxGen: Int = defaultMaxGenerations,
       expectedVecs: Option[Long] = None): LsmIndex.Maintenance = {
     ensureLayout(spark, stateDir)
-    if (LsmIndex.pinBlocksCompaction(spark, stateDir))
-      return LsmIndex.Maintenance(pinned = true, redomained = false,
-        retrained = false, compacted = false)
-    val redomained = redomainIfDue(spark, stateDir, expectedVecs)
-    val retrained = !redomained && driftRetrainDue(spark, stateDir) &&
-      retrainCodebook(spark, stateDir)
-    val compacted = compactIfDue(spark, stateDir, targetFileBytes, maxGen)
-    LsmIndex.Maintenance(pinned = false, redomained, retrained, compacted)
+    val report =
+      if (LsmIndex.pinBlocksCompaction(spark, stateDir))
+        LsmIndex.Maintenance(pinned = true, redomained = false,
+          retrained = false, compacted = false)
+      else {
+        val redomained = redomainIfDue(spark, stateDir, expectedVecs)
+        // ONE drift measurement feeds the decision AND the report —
+        // the recorded ratio is exactly the evidence the cycle acted
+        // on (round 13; skipped when a redomain already retrained)
+        val eras =
+          if (redomained) None
+          else driftEras(codebookDrift(spark, stateDir).collect())
+        val retrained = driftDueOf(eras, driftRetrainRatio) &&
+          retrainCodebook(spark, stateDir)
+        val compacted =
+          compactIfDue(spark, stateDir, targetFileBytes, maxGen)
+        LsmIndex.Maintenance(pinned = false, redomained, retrained,
+          compacted, driftMicro = driftMicroOf(eras))
+      }
+    LsmIndex.MaintLog(stateDir).record(spark, report)
+    report
   }
 
   def keepDecisions(spark: SparkSession, stateDir: String,

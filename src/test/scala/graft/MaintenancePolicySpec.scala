@@ -33,6 +33,13 @@ class MaintenancePolicySpec extends SparkSpecBase {
     LsmIndex.Maintenance(pinned = false, redomained = false,
       retrained = false, compacted = false)
 
+  /** The action fields alone — the vec gate also REPORTS the drift
+    * ratio it measured (round 13), which these policy assertions
+    * don't pin value-by-value.
+    */
+  private def acts(m: LsmIndex.Maintenance): LsmIndex.Maintenance =
+    m.copy(driftMicro = -1L)
+
   test("vec gate: pin blocks all actions; drift retrains; growth redomains and subsumes the retrain; compaction fires on cadence") {
     val root = Files.createTempDirectory("graft-maint").toString
     val st = s"$root/state"; val out = s"$root/out"
@@ -41,7 +48,7 @@ class MaintenancePolicySpec extends SparkSpecBase {
       vecsOf((0L until 20L).map(i => i -> unit(i.toInt))), batchId = 0L)
 
     // healthy small state: nothing is due, nothing fires
-    assert(VecDupStream.maintainIfDue(spark, st) == idle,
+    assert(acts(VecDupStream.maintainIfDue(spark, st)) == idle,
       "a healthy state must not trigger maintenance")
 
     // a same-distribution generation does not trip the drift leg
@@ -50,7 +57,7 @@ class MaintenancePolicySpec extends SparkSpecBase {
       batchId = 1L)
     assert(!VecDupStream.driftRetrainDue(spark, st),
       "same-distribution material must not read as drift")
-    assert(VecDupStream.maintainIfDue(spark, st) == idle)
+    assert(acts(VecDupStream.maintainIfDue(spark, st)) == idle)
 
     // a shifted generation trips it — but a pin addressing recorded
     // history blocks the WHOLE cycle (retrain replaces sub-tables a
@@ -62,7 +69,7 @@ class MaintenancePolicySpec extends SparkSpecBase {
     val staleDrift = VecDupStream.codebookDrift(spark, st).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     LsmIndex.Pins(st).register(spark, "audit", 1L)
-    assert(VecDupStream.maintainIfDue(spark, st) ==
+    assert(acts(VecDupStream.maintainIfDue(spark, st)) ==
       idle.copy(pinned = true),
       "a pin on recorded history must block every structural action")
     assert(VecDupStream.codebookDrift(spark, st).collect()
@@ -70,10 +77,13 @@ class MaintenancePolicySpec extends SparkSpecBase {
       "the blocked cycle must leave the codebook untouched")
     LsmIndex.Pins(st).release(spark, "audit")
 
-    // released: the drift leg fires, the metric collapses
+    // released: the drift leg fires, the metric collapses — and the
+    // report carries the measured ratio that justified it (round 13)
     val r1 = VecDupStream.maintainIfDue(spark, st)
-    assert(r1 == idle.copy(retrained = true),
+    assert(acts(r1) == idle.copy(retrained = true),
       s"expected exactly the retrain to fire: $r1")
+    assert(r1.driftMicro > VecDupStream.driftRetrainRatio * 1000000L,
+      s"the retrain cycle must record the drift evidence: $r1")
     val postDrift = VecDupStream.codebookDrift(spark, st).collect()
       .map(r => r.getLong(2))
     assert(postDrift.nonEmpty && postDrift.max < staleDrift(2L),
@@ -96,8 +106,8 @@ class MaintenancePolicySpec extends SparkSpecBase {
       s"retrieval must survive the maintenance cycle: ${hits.toSeq}")
 
     // idempotent: the grown, repaired, consolidated state is healthy
-    assert(VecDupStream.maintainIfDue(spark, st,
-      expectedVecs = Some(1L << 22)) == idle)
+    assert(acts(VecDupStream.maintainIfDue(spark, st,
+      expectedVecs = Some(1L << 22))) == idle)
 
     // cadence compaction: fresh generations accrete past maxGen and
     // the compact leg consolidates them
@@ -110,6 +120,29 @@ class MaintenancePolicySpec extends SparkSpecBase {
       s"expected exactly the compaction to fire: $r3")
     assert(VecDupStream.maxGenerations(spark, st) <= 1,
       "compaction must consolidate the generations")
+
+    // the persisted report log (round 13): one entry per cycle above
+    // — idle, idle, pinned, retrained, redomained, idle, compacted —
+    // with the retrain's measured drift on its own row. That the
+    // EARLY entries are still readable proves the log survived both
+    // the redomain's root swap (migrate carries it next to the
+    // ledger) and the compaction (which never touches it).
+    val log = LsmIndex.MaintLog(st).entries(spark)
+    assert(log.map(_._1) == (1L to 7L),
+      s"log cycles: ${log.map(_._1)}")
+    assert(log(2)._3.pinned && log(3)._3.retrained &&
+      log(4)._3.redomained && log(6)._3.compacted,
+      s"log actions: ${log.map(_._3)}")
+    assert(log(3)._3.driftMicro >
+      VecDupStream.driftRetrainRatio * 1000000L,
+      s"the retrain entry must carry its evidence: ${log(3)}")
+    // cycle 1 has a single generation (no post-training era: -1);
+    // cycle 2 measured the same-distribution generation as benign
+    assert(log(0)._3.driftMicro == -1L,
+      s"a one-era state measures nothing: ${log(0)}")
+    assert(log(1)._3.driftMicro >= 0L &&
+      log(1)._3.driftMicro <= 2L * 1000000L,
+      s"healthy cycles record the benign measurement: ${log(1)}")
   }
 
   test("index gate: pin blocks; growth redomains; compaction consolidates; retrain never reports") {
