@@ -76,6 +76,13 @@ object IndexStream {
     StructField("text", StringType),
     StructField("source", StringType)))
 
+  /** Source schema for a FIELDED corpus (layout v7): the `title`
+    * column makes [[applyBatch]] store each doc's real field boundary
+    * — pass to [[start]] as `sourceSchema`.
+    */
+  val titledDocSchema: StructType = StructType(
+    docSchema.fields.toSeq :+ StructField("title", StringType))
+
   /** Stored layouts: data columns + hash partition dirs + the ingest
     * generation dir.
     */
@@ -2309,12 +2316,14 @@ object IndexStream {
   }
 
   /** File-source streaming runner: watch `sourceDir` for document
-    * parquet and fold each micro-batch into the index.
+    * parquet and fold each micro-batch into the index. Pass
+    * [[titledDocSchema]] as `sourceSchema` for a fielded corpus.
     */
   def start(spark: SparkSession, sourceDir: String, stateDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      sourceSchema: StructType = docSchema): StreamingQuery = {
     spark.readStream
-      .schema(docSchema)
+      .schema(sourceSchema)
       .parquet(sourceDir)
       .writeStream
       .outputMode("append")

@@ -218,6 +218,16 @@ private[graft] object LsmIndex {
     add("pins", "registered", nPins)
     Pins(stateDir).minSeq(spark)
       .foreach(s => add("pins", "min_seq", s))
+    // maintenance report (round 13): how many cron cycles ran, what
+    // the last one did — the DESCRIBE-grain view of the maintlog
+    val ml = MaintLog(stateDir).entries(spark)
+    add("maintenance", "cycles", ml.size.toLong)
+    ml.lastOption.foreach { case (_, seq, m) =>
+      add("maintenance", "last_seq", seq)
+      add("maintenance", "last_acted", if (m.any) 1L else 0L)
+      if (m.driftMicro >= 0L)
+        add("maintenance", "last_drift_micro", m.driftMicro)
+    }
     readLayout(spark, stateDir).foreach(l =>
       rows += (("layout", "version", null, l)))
     spark.createDataFrame(

@@ -41,6 +41,15 @@ object PipelineStream {
 
   val rowSchema: StructType = CurationStream.rowSchema
 
+  /** Source schema for a FIELDED corpus (round 13): the `title`
+    * column rides through [[applyBatch]] to the index gate's v7 fold
+    * — pass to [[start]] as `sourceSchema`.
+    */
+  val titledRowSchema: StructType = StructType(
+    rowSchema.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("title",
+        org.apache.spark.sql.types.StringType))
+
   private def ridxState(root: String) = s"$root/ridx_state"
 
   /** One micro-batch through the gates, then the keep set into the
@@ -59,7 +68,14 @@ object PipelineStream {
           CurationStream.vecOutSchema)
         .filter(col("batch_id") === batchId).select(col("new_id")))
       .select(col("new_id").as("doc_id")).distinct()
-    val kept = batch.select(col("doc_id"), col("text"), col("source"))
+    // a fielded corpus (round 13): the title column rides through to
+    // the index gate, whose v7 fold stores the field boundary — the
+    // dedup gates themselves judge `text` alone (titles are short and
+    // duplicative by nature; fielding them would only add noise to
+    // the shingle/vector verdicts)
+    val keptCols = Seq(col("doc_id"), col("text"), col("source")) ++
+      (if (batch.columns.contains("title")) Seq(col("title")) else Nil)
+    val kept = batch.select(keptCols: _*)
       .join(dropped, Seq("doc_id"), "left_anti")
     IndexStream.applyBatch(spark, ridxState(rootDir), kept, batchId)
   }
@@ -441,9 +457,10 @@ object PipelineStream {
     * source) parquet.
     */
   def start(spark: SparkSession, sourceDir: String, rootDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      sourceSchema: StructType = rowSchema): StreamingQuery = {
     spark.readStream
-      .schema(rowSchema)
+      .schema(sourceSchema)
       .parquet(sourceDir)
       .writeStream
       .outputMode("append")

@@ -206,4 +206,63 @@ class PipelineStreamSpec extends SparkSpecBase {
     assert(legged.get((905L, 12L)).contains(1),
       s"null-embedding query must still answer from the sparse leg: $legged")
   }
+
+  test("fielded corpus through the composed pipeline (round 13): titles reach the v7 fold; a dropped doc's title never searches") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-pipe-titled").toString
+    val src = s"$root/src"; val state = s"$root/state"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeTitled(rows: Seq[(Long, String, Seq[Double], String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, t, v, ti) => Row(id, t, v, "s", ti) }),
+        PipelineStream.titledRowSchema)
+        .coalesce(1).write.mode("append").parquet(src)
+    writeTitled(Seq(
+      (1L, t1, unit(0), "xtriver report"),
+      (3L, t3, unit(5), "xtengines digest")))
+    PipelineStream.start(spark, src, state, ckpt,
+      sourceSchema = PipelineStream.titledRowSchema).awaitTermination()
+    // doc 10: a text near-dup of doc 1 (dropped by the gate) whose
+    // TITLE carries a unique term — it must never become searchable
+    writeTitled(Seq(
+      (10L, t1 + " zqgamma", unit(1), "xtleaked headline"),
+      (12L, t6, unit(9), "xtsurvey notes")))
+    PipelineStream.start(spark, src, state, ckpt,
+      sourceSchema = PipelineStream.titledRowSchema).awaitTermination()
+    // fielded retrieval over the kept corpus equals the batch face
+    // over the same kept titled docs (shared definitions end to end)
+    val keptRows = Seq(
+      (1L, "xtriver report", t1, "src1"),
+      (3L, "xtengines digest", t3, "src1"),
+      (12L, "xtsurvey notes", t6, "src1"),
+      (900L, "", "xtriver totals query", "src0"))
+    val keptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keptRows.map {
+        case (id, ti, t, s) => Row(id, ti, t, s) }),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("title", StringType, nullable = false),
+        StructField("text", StringType, nullable = false),
+        StructField("source", StringType, nullable = false))))
+    val want = graft.operators.CorpusOps.bm25fTopkOn(keptDf)
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    val got = PipelineStream.queryFielded(spark, state,
+        queriesOf(900L -> "xtriver totals query"))
+      .select("query_id", "rank", "doc_id", "score_micro", "n_terms")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && got == want,
+      s"pipeline fielded face must equal the titled batch face: " +
+        s"$got vs $want")
+    // the title term ranks its doc (a title hit is in the index)
+    assert(got.exists(r => r(2) == 1L),
+      s"the titled doc must rank for its title term: $got")
+    // the DROPPED doc's unique title term is unsearchable (probe
+    // terms chosen fully off-vocabulary except the leaked one)
+    assert(PipelineStream.queryTopK(spark, state,
+      queriesOf(901L -> "xtleaked xtunseen xtnovocab")).count() == 0,
+      "a curation-rejected doc's TITLE leaked into the index")
+  }
 }

@@ -76,6 +76,13 @@ class StateStatsSpec extends SparkSpecBase {
     assert(s4(("ledger", "compactions")) == 1L)
     assert(s4(("corpus", "n_docs")) == 18L,
       "corpus stats unchanged by compaction")
+    // the maintenance section (round 13): no cron cycle has run on
+    // this state, then one does and DESCRIBE reflects it
+    assert(s4(("maintenance", "cycles")) == 0L)
+    IndexStream.maintainIfDue(spark, state)
+    val s5 = statMap(IndexStream.stateStats(spark, state))
+    assert(s5(("maintenance", "cycles")) == 1L)
+    assert(s5.contains(("maintenance", "last_acted")))
     spark.catalog.clearCache()
   }
 
