@@ -1636,6 +1636,15 @@ object IndexStream {
     val expRows = expd.limit(pushdownMax + 1).collect()
     val expComplete = expRows.length <= pushdownMax
     val essN = graft.operators.CorpusOps.bm25QueryTerms
+    // a completion's essential/non-essential class is QUERY-INVARIANT
+    // (load-bearing for the per-term fetch split below): two queries
+    // with the same seed prefix expand to the same completion set
+    // ranked by the same (df asc, term asc) window, and different
+    // fixed-width prefixes have disjoint completion sets — so a term
+    // can never be essential for one query and non-essential for
+    // another, and the two term arrays below partition the fetch. The
+    // exact-BM25 face (queryTopKAll) has no such invariant, which is
+    // why it fetches each selection side's own term set un-diffed.
     val essTermArr = expRows.filter(_.getInt(3) <= essN)
       .map(_.getString(0)).distinct
     val nonTermArr = expRows.filter(_.getInt(3) > essN)
