@@ -60,6 +60,10 @@ object Bench {
     */
   private def awaitQuietBox(warmed: Boolean): String = {
     if (!warmed) return "skipped(single-run)"
+    // an unreadable /proc/loadavg (load1 = -1) is a DISTINCT outcome, not
+    // a pass: an unmeasurable environment must not masquerade as a clean
+    // record (ADVICE r13)
+    if (load1() < 0) return "unknown(loadavg-unreadable)"
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5")
       .toDouble
     val waitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC",
@@ -72,8 +76,34 @@ object Bench {
       Thread.sleep(30000L)
       l = load1()
     }
-    if (l <= maxLoad) s"pass(load=$l,max=$maxLoad)"
+    if (l < 0) "unknown(loadavg-unreadable)"
+    else if (l <= maxLoad) s"pass(load=$l,max=$maxLoad)"
     else s"FAILED(load=$l,max=$maxLoad,waited=${waitSec}s)"
+  }
+
+  /** Box-speed calibration: a fixed single-threaded xorshift loop timed
+    * once per bench launch (after the load gate, before the first query)
+    * and recorded as `calib_sec` in the sanity block — so cross-round
+    * comparisons can normalize by a MEASURED per-core-speed constant
+    * instead of an untouched-query-family median heuristic (VERDICT r13
+    * item 5). Single-threaded on purpose: it calibrates core speed, the
+    * thing that scales every query's CPU time; the load gate already
+    * covers contention. The accumulator is returned and printed so the
+    * loop cannot be dead-code-eliminated.
+    */
+  private def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 400000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    System.err.println(s"[bench] calib_sec=${fmt(dt)} (acc=$acc)")
+    dt
   }
 
   /** Locale-pinned number format: the f-interpolator honors the default
@@ -123,11 +153,13 @@ object Bench {
     } catch { case _: Throwable => () }
     val loadGate = awaitQuietBox(warmed = runsPerQuery > 1)
     System.err.println(s"[bench] load_gate=$loadGate")
+    val calibSec = calibrate()
     // a query is flagged CONTENDED when the 1-min loadavg at its
-    // finish exceeds what this bench can generate by itself (the 32
-    // local threads plus scheduler slack) — evidence of a co-tenant
-    // mid-run, recorded per query so a drifting artifact names its
-    // own suspects
+    // finish exceeds what this bench can generate by itself (the
+    // SPARK_GRAFT_CPUS local threads plus scheduler slack) — evidence
+    // of a co-tenant mid-run, recorded per query so a drifting artifact
+    // names its own suspects; skipped entirely when loadavg is
+    // unreadable (a failed measurement can neither flag nor clear)
     val selfAllow = cpus.toInt * 1.25 +
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
     val contended = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -145,7 +177,8 @@ object Bench {
       val sanity = s"""{"runs_per_query":$runsPerQuery,"partial":$partial,""" +
         s""""wall_sec":${fmt(wall)},"sum_sec":${fmt(total)},""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
-        s""""load_gate":"$loadGate","contended":$cont}"""
+        s""""load_gate":"$loadGate","calib_sec":${fmt(calibSec)},""" +
+        s""""contended":$cont}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","queries":$qs,"failed":$failed,"sf":"$sfDir","sanity":$sanity}"""
     }
@@ -162,14 +195,20 @@ object Bench {
       }
       found.getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
     }
+    // a SPARK_GRAFT_BENCH_ONLY subset run writes to its own artifact —
+    // it must never clobber the committed full-registry record
+    val artifactPaths =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        Seq(repoRoot.resolve("target/bench_only.json"))
+      else Seq(repoRoot.resolve("target/bench.json"),
+        repoRoot.resolve("BENCH_latest_full.json"))
     def writeArtifact(json: String): Unit =
       // two copies: target/bench.json (the historical dev location) and
       // BENCH_latest_full.json at the repo root — target/ is
       // .gitignored, so per-query history depended on a head-truncated
       // stdout capture (r7/r8 ADVICE); the root copy is plain-committed
       // with the round, closing that gap for every future run
-      for (path <- Seq(repoRoot.resolve("target/bench.json"),
-          repoRoot.resolve("BENCH_latest_full.json"))) {
+      for (path <- artifactPaths) {
         try {
           val w = new java.io.PrintWriter(path.toFile)
           try w.println(json) finally w.close()
@@ -181,7 +220,19 @@ object Bench {
       s"[bench] artifacts anchored at ${repoRoot.toAbsolutePath}")
 
     val done = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names to measure a
+    // targeted subset (A/B adjudication, single-query iteration) under
+    // the exact bench protocol. Unset = the full registry. Unknown names
+    // fail loudly — a typo must not silently measure nothing.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    only.foreach { o =>
+      val unknown = o -- all.map(_._1).toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown " +
+        s"queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    val names = only.fold(all)(o => all.filter(kv => o.contains(kv._1)))
     for ((name, fn) <- names) {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -201,7 +252,8 @@ object Bench {
           }
         }
       spark.catalog.clearCache()
-      if (load1() > selfAllow) contended += name
+      val lq = load1()
+      if (lq >= 0 && lq > selfAllow) contended += name
       done += (name -> dt)
       // progress line flushed per query: a killed run's tail names the
       // query it died in (round 4's silent 42-minute gap)

@@ -886,20 +886,30 @@ private[graft] object LsmIndex {
       fs.mkdirs(dir)
       val seq = OpLog(stateDir).entries(spark)
         .map(_._1).maxOption.getOrElse(0L)
-      val cycle = entries(spark).map(_._1).maxOption.getOrElse(0L) + 1L
-      val txt = s"cycle=$cycle seq=$seq pinned=${report.pinned} " +
-        s"redomained=${report.redomained} " +
-        s"retrained=${report.retrained} " +
-        s"compacted=${report.compacted} " +
-        s"drift_micro=${report.driftMicro}"
-      val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_maint_$cycle")
-      fs.delete(tmp, false)
-      val out = fs.create(tmp, true)
-      try out.write(txt.getBytes("UTF-8")) finally out.close()
-      val f = new org.apache.hadoop.fs.Path(dir, s"maint_$cycle")
-      fs.delete(f, false)
-      require(fs.rename(tmp, f),
-        s"maintlog publish rename $tmp -> $f failed")
+      // claim the cycle number by CREATING the final file with
+      // overwrite=false: two overlapping maintainIfDue cycles (e.g.
+      // overlapping crons) that both compute max+1 now collide on the
+      // atomic create instead of one report silently overwriting the
+      // other (ADVICE r13) — the loser retries with the next number
+      var cycle = entries(spark).map(_._1).maxOption.getOrElse(0L) + 1L
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val txt = s"cycle=$cycle seq=$seq pinned=${report.pinned} " +
+          s"redomained=${report.redomained} " +
+          s"retrained=${report.retrained} " +
+          s"compacted=${report.compacted} " +
+          s"drift_micro=${report.driftMicro}"
+        val f = new org.apache.hadoop.fs.Path(dir, s"maint_$cycle")
+        try {
+          val out = fs.create(f, false)
+          try out.write(txt.getBytes("UTF-8")) finally out.close()
+          done = true
+        } catch {
+          case _: java.io.IOException if attempts < 64 =>
+            attempts += 1; cycle += 1L
+        }
+      }
       cycle
     }
   }
