@@ -1634,47 +1634,128 @@ object CorpusOps {
     * identical (wtf, wdl) and rank bit-identically (spec-pinned) —
     * the convention is the degenerate case of the schema.
     */
-  def bm25fTopkOn(d: DataFrame): DataFrame = {
+  def bm25fTopkOn(d: DataFrame): DataFrame =
+    bm25fScoredOn(d,
+      d.filter(col("source") === "src0")
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(bm25Tokens(col("text")))).as("term"))
+        .withColumn("fld", lit("any")).withColumn("qw", lit(1L)))
+
+  /** FIELDED QUERIES (round 14): parse per-field query tags out of a
+    * whitespace query string. Token syntax, Lucene-style:
+    *
+    *   token := [("title" | "body") ":"] term ["^" digits]
+    *
+    * `title:foo` restricts foo to the title field, `body:foo` to the
+    * body, a bare term matches ANY field (the standard BM25F blend);
+    * `^w` multiplies the term's µ-score contribution by the integer
+    * query weight w (default 1). Unknown prefixes (`foo:bar`) are NOT
+    * field tags — the whole token stays a literal term, so a corpus
+    * token containing ':' can never be silently re-parsed. Returns
+    * DISTINCT (query_id, term, fld, qw) triples — the same term
+    * tagged two ways in one query is two clauses, each scoring
+    * (mirrored in the oracle CTEs). Shared by the batch face
+    * ([[bm25fScoredOn]]) and the index face
+    * (streaming.IndexStream.queryFieldedTagged) so query parsing
+    * cannot drift between them.
+    */
+  private[graft] def parseFieldedQuery(queries: DataFrame): DataFrame = {
+    val toks = queries.filter(col("text").isNotNull)
+      .select(col("query_id"), explode(bm25Tokens(col("text"))).as("tok"))
+    toks
+      .withColumn("fld",
+        when(col("tok").startsWith("title:"), lit("title"))
+          .when(col("tok").startsWith("body:"), lit("body"))
+          .otherwise(lit("any")))
+      .withColumn("rest",
+        when(col("fld") === "any", col("tok"))
+          .otherwise(expr("substring(tok, instr(tok, ':') + 1)")))
+      .withColumn("qws", regexp_extract(col("rest"), "\\^(\\d+)$", 1))
+      .withColumn("qw",
+        when(length(col("qws")) > 0, col("qws").cast("long"))
+          .otherwise(lit(1L)))
+      .withColumn("term", regexp_replace(col("rest"), "\\^\\d+$", ""))
+      .filter(length(col("term")) > 0)
+      .select(col("query_id"), col("term"), col("fld"), col("qw"))
+      .distinct()
+  }
+
+  /** The ONE fielded scorer both BM25F batch faces run through —
+    * unfielded queries are the degenerate all-('any', 1) triple set,
+    * so bm25f_topk / bm25f_titled pin this refactor bit-for-bit on
+    * the oracle gate. Semantics per (term, fld, qw) clause:
+    *
+    *   wtf = [[titleWeight]]·tf_title + tf_body   (fld = any — the
+    *         simple-BM25F blend of Robertson, Zaragoza & Taylor),
+    *       = [[titleWeight]]·tf_title              (fld = title),
+    *       = tf_body                               (fld = body);
+    *   clause µ-score = qw · bm25µ(wtf, df, wdl)   (integer product
+    *         AFTER the µ-floor — exact in both engines);
+    *
+    * wdl and Σ wdl stay the blended document lengths (normalization
+    * is a document property, query-independent), df stays the
+    * any-field DOCUMENT count (the stored statistic — a field-local
+    * df would need per-field vocab state for a second-order idf
+    * effect). Clauses with wtf = 0 (the term only in the other field)
+    * do not match — that is exactly how `title:foo` ranks differently
+    * from bare `foo`. Selection stays df-rarest-[[bm25QueryTerms]]
+    * with the head-term cap, totally ordered by
+    * (df, term, fld, qw) ascending over the distinct triples.
+    *
+    * Scale: identical plan shapes to [[bm25TopkOn]] — per-field tfs
+    * are two conditional sums at the same (doc, term) grain; nothing
+    * new shuffles.
+    */
+  private[graft] def bm25fScoredOn(d: DataFrame,
+      trips: DataFrame): DataFrame = {
     val train = d.filter(col("source") =!= "src0")
-    val wtoks =
+    val ftoks =
       if (d.columns.contains("title"))
         train.select(col("doc_id"),
             explode(bm25Tokens(col("title"))).as("term"))
-          .withColumn("w", lit(titleWeight.toLong))
+          .withColumn("infld", lit("title"))
           .unionByName(train.select(col("doc_id"),
               explode(bm25Tokens(col("text"))).as("term"))
-            .withColumn("w", lit(1L)))
+            .withColumn("infld", lit("body")))
       else train
         .select(col("doc_id"),
           posexplode(bm25Tokens(col("text"))).as(Seq("pos", "term")))
-        .withColumn("w",
-          when(col("pos") < titleTokens, lit(titleWeight.toLong))
-            .otherwise(lit(1L)))
-        .select(col("doc_id"), col("term"), col("w"))
-    // weighted tf and dl at the same grains as the unfielded face
+        .withColumn("infld",
+          when(col("pos") < titleTokens, lit("title"))
+            .otherwise(lit("body")))
+        .select(col("doc_id"), col("term"), col("infld"))
+    // per-field tf pair at the same (doc, term) grain as the
+    // unfielded face; the blended dl/df/stamp derive from it
     val tf = Caching.persistOnce(
-      wtoks.groupBy(col("doc_id"), col("term"))
-        .agg(sum(col("w")).as("tf")))
-    val dl = wtoks.groupBy(col("doc_id")).agg(sum(col("w")).as("dl"))
+      ftoks.groupBy(col("doc_id"), col("term"))
+        .agg(sum(when(col("infld") === "title", lit(1L))
+            .otherwise(lit(0L))).as("tft"),
+          sum(when(col("infld") === "body", lit(1L))
+            .otherwise(lit(0L))).as("tfb")))
+    val dl = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tft") * titleWeight + col("tfb")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stamp = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("totdl"))
-    val qTerms = d.filter(col("source") === "src0")
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(bm25Tokens(col("text")))).as("term"))
     val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("df").asc, col("term").asc)
-    val selected = qTerms.join(dfT, Seq("term"))
+      .orderBy(col("df").asc, col("term").asc, col("fld").asc,
+        col("qw").asc)
+    val selected = trips.join(dfT, Seq("term"))
       .crossJoin(broadcast(stamp))
       .filter(bm25CapOk(col("df"), col("n_docs")))
       .withColumn("trank", row_number().over(wq))
       .filter(col("trank") <= bm25QueryTerms)
-      .select(col("term"), col("query_id"), col("df"),
-        col("n_docs"), col("totdl"))
+      .select(col("term"), col("query_id"), col("fld"), col("qw"),
+        col("df"), col("n_docs"), col("totdl"))
     val scoredTerms = selected.join(tf, Seq("term"))
       .repartition(col("doc_id"))
       .join(dl, Seq("doc_id"))
-      .withColumn("term_micro", expr(bm25TermMicroExpr))
+      .withColumn("tf",
+        when(col("fld") === "title", col("tft") * titleWeight)
+          .when(col("fld") === "body", col("tfb"))
+          .otherwise(col("tft") * titleWeight + col("tfb")))
+      .filter(col("tf") > 0)
+      .withColumn("term_micro", expr(bm25TermMicroExpr) * col("qw"))
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     val out = scoredTerms.groupBy(col("query_id"), col("doc_id"))
@@ -1826,6 +1907,134 @@ object CorpusOps {
   val bm25fTitledSql: String =
     s"""WITH titled AS ${titledTrainSql("src0")},
        |${bm25fTitledCtes("titled",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM franked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // bm25f_qtag — FIELDED QUERIES: per-field tags + query weights (r14)
+  // ---------------------------------------------------------------------
+
+  /** The deterministic tagging rule the two bm25f_qtag gate rows query
+    * with: token at position p of the raw query text becomes
+    * `title:<tok>` when p % 3 = 0, `<tok>^2` when p % 3 = 1, and stays
+    * bare otherwise — so every query exercises a field restriction, an
+    * explicit query weight, and the default blend at once. The Spark
+    * faces PARSE these tagged strings back through
+    * [[parseFieldedQuery]] (the feature under test); the oracle
+    * derives the same (term, fld, qw) triples arithmetically from the
+    * raw text, so a parse bug cannot hide.
+    */
+  private[graft] def withTaggedQueryText(q: DataFrame): DataFrame =
+    q.withColumn("text", array_join(expr(
+      "transform(split(lower(text), ' '), (t, i) -> " +
+        "CASE WHEN i % 3 = 0 THEN concat('title:', t) " +
+        "WHEN i % 3 = 1 THEN concat(t, '^2') ELSE t END)"), " "))
+
+  /** bm25f_qtag_topk — fielded QUERIES on the hard gate: the titled
+    * corpus of [[bm25fTitled]] queried with per-field tags and query
+    * weights (see [[parseFieldedQuery]] for the syntax and
+    * [[bm25fScoredOn]] for the clause semantics). A `title:`-tagged
+    * term matches only title occurrences — the row where a
+    * title-targeted query ranks DIFFERENTLY from the unfielded query
+    * over the same corpus.
+    */
+  def bm25fQtagTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withDerivedTitle(load(spark, sfDir, "documents"))
+    val q = withTaggedQueryText(d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")))
+    bm25fScoredOn(d, parseFieldedQuery(q))
+  }
+
+  /** bm25f_qtag_index — the INCREMENTAL fielded-query face over the
+    * SAME shared v7 state as bm25f_titled_index (no extra state
+    * build): tagged queries parse through the shared
+    * [[parseFieldedQuery]], per-field tfs derive from the stored
+    * positions against the STORED field boundary, and the result must
+    * reproduce [[bm25fQtagTopk]]'s oracle bit-for-bit.
+    */
+  def bm25fQtagIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxfStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryFieldedTagged(spark, state,
+      withTaggedQueryText(q)))
+  }
+
+  /** The fielded-QUERY oracle chain: per-field tf pair at (doc, term)
+    * grain, blended dl, any-field df, the rule-derived query triples,
+    * the (df, term, fld, qw)-ordered selection, and the per-clause
+    * wtf CASE — the SQL twin of [[bm25fScoredOn]] over
+    * [[parseFieldedQuery]] output. Emits `..franked`.
+    */
+  private def bm25fQtagCtes(titledTrain: String,
+      queries: String): String =
+    s"""ftoks AS (
+       |  SELECT doc_id, unnest(string_split(lower(title), ' ')) AS term,
+       |    'title' AS infld
+       |  FROM $titledTrain WHERE title IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+       |    'body' AS infld
+       |  FROM $titledTrain WHERE text IS NOT NULL
+       |), ftf AS (
+       |  SELECT doc_id, term,
+       |    CAST(sum(CASE WHEN infld = 'title' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tft,
+       |    CAST(sum(CASE WHEN infld = 'body' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tfb
+       |  FROM ftoks GROUP BY 1, 2
+       |), fdl AS (
+       |  SELECT doc_id, CAST(sum($titleWeight * tft + tfb) AS BIGINT) AS dl
+       |  FROM ftf GROUP BY 1
+       |), fdft AS (
+       |  SELECT term, count(*)::BIGINT AS df FROM ftf GROUP BY 1
+       |), stamp AS (
+       |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS totdl
+       |  FROM fdl
+       |), qtrips AS (
+       |  SELECT DISTINCT doc_id AS query_id, term,
+       |    CASE WHEN pos % 3 = 0 THEN 'title' ELSE 'any' END AS fld,
+       |    CAST(CASE WHEN pos % 3 = 1 THEN 2 ELSE 1 END AS BIGINT) AS qw
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+       |      unnest(generate_series(0,
+       |        len(string_split(lower(text), ' ')) - 1)) AS pos
+       |    FROM $queries)
+       |), qsel AS (
+       |  SELECT query_id, term, fld, qw, df FROM (
+       |    SELECT q.query_id, q.term, q.fld, q.qw, d.df,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY d.df ASC, q.term ASC, q.fld ASC, q.qw ASC)
+       |        AS trank
+       |    FROM qtrips q JOIN fdft d USING (term), stamp st
+       |    WHERE 2 * d.df <= st.n_docs)
+       |  WHERE trank <= $bm25QueryTerms
+       |), fhits AS (
+       |  SELECT s.query_id, f.doc_id, s.qw, s.df, dl.dl,
+       |    CASE WHEN s.fld = 'title' THEN $titleWeight * f.tft
+       |         WHEN s.fld = 'body' THEN f.tfb
+       |         ELSE $titleWeight * f.tft + f.tfb END AS wtf
+       |  FROM qsel s JOIN ftf f USING (term)
+       |    JOIN fdl dl ON f.doc_id = dl.doc_id
+       |), fterms AS (
+       |  SELECT query_id, doc_id,
+       |    h.qw * ${termMicroSql("h.wtf", "h.df", "h.dl")} AS term_micro
+       |  FROM fhits h, stamp st WHERE h.wtf > 0
+       |), fscored AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(term_micro) AS BIGINT) AS score_micro,
+       |    count(*)::BIGINT AS n_terms
+       |  FROM fterms GROUP BY 1, 2
+       |), franked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM fscored
+       |)""".stripMargin
+
+  val bm25fQtagSql: String =
+    s"""WITH titled AS ${titledTrainSql("src0")},
+       |${bm25fQtagCtes("titled",
         "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
        |FROM franked WHERE rank <= $bm25K
@@ -3473,6 +3682,8 @@ object CorpusOps {
     "bm25f_index" -> bm25fIndex,
     "bm25f_titled" -> bm25fTitled,
     "bm25f_titled_index" -> bm25fTitledIndex,
+    "bm25f_qtag_topk" -> bm25fQtagTopk,
+    "bm25f_qtag_index" -> bm25fQtagIndex,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
@@ -3528,6 +3739,8 @@ object CorpusOps {
     "bm25f_index" -> bm25fTopkSql,
     "bm25f_titled" -> bm25fTitledSql,
     "bm25f_titled_index" -> bm25fTitledSql,
+    "bm25f_qtag_topk" -> bm25fQtagSql,
+    "bm25f_qtag_index" -> bm25fQtagSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,

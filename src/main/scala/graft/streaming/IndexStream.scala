@@ -1648,7 +1648,18 @@ object IndexStream {
     val essTermArr = expRows.filter(_.getInt(3) <= essN)
       .map(_.getString(0)).distinct
     val nonTermArr = expRows.filter(_.getInt(3) > essN)
-      .map(_.getString(0)).distinct.diff(essTermArr)
+      .map(_.getString(0)).distinct
+    // ASSERT the invariance rather than silently diffing it away: a
+    // term on BOTH sides of the split would mean two queries disagree
+    // on its class — under a silent .diff that query's non-essential
+    // hits would just vanish; under this require a future regression
+    // of the argument above surfaces as an error (ADVICE r13)
+    require(!nonTermArr.exists(essTermArr.toSet), {
+      val both = nonTermArr.filter(essTermArr.toSet).take(5)
+      s"prefix MaxScore split violated query-invariance: terms " +
+        s"${both.mkString(",")} are essential for one query and " +
+        s"non-essential for another"
+    })
     val dfOf = expRows.map(r => r.getString(0) -> r.getLong(2)).toMap
     val sumEss = essTermArr.map(dfOf.getOrElse(_, 0L)).sum
     val sumNon = nonTermArr.map(dfOf.getOrElse(_, 0L)).sum
@@ -1838,7 +1849,42 @@ object IndexStream {
     * contract.
     */
   def queryFielded(spark: SparkSession, stateDir: String,
-      queries: DataFrame, asOf: Option[Long] = None): DataFrame = {
+      queries: DataFrame, asOf: Option[Long] = None): DataFrame =
+    queryFieldedOn(spark, stateDir,
+      queries.filter(col("text").isNotNull)
+        .select(col("query_id"),
+          explode(array_distinct(
+            graft.operators.CorpusOps.bm25Tokens(col("text"))))
+            .as("term"))
+        .withColumn("fld", lit("any")).withColumn("qw", lit(1L)),
+      asOf)
+
+  /** FIELDED QUERIES over the fielded state (round 14): queries whose
+    * tokens carry per-field tags and query weights
+    * (`title:term`, `body:term`, `term^w` — parsed by the SHARED
+    * graft.operators.CorpusOps.parseFieldedQuery, so index-time and
+    * batch-time query parsing cannot drift). Per-field tfs derive
+    * from the positions already stored against the STORED v7 field
+    * boundary — a field-restricted query costs the same one posting
+    * read as the blended query.
+    */
+  def queryFieldedTagged(spark: SparkSession, stateDir: String,
+      queries: DataFrame, asOf: Option[Long] = None): DataFrame =
+    queryFieldedOn(spark, stateDir,
+      graft.operators.CorpusOps.parseFieldedQuery(queries), asOf)
+
+  /** The ONE fielded scorer both faces above run through — `trips` is
+    * the DISTINCT (query_id, term, fld, qw) clause relation; the
+    * unfielded face is the degenerate all-('any', 1) set, which keeps
+    * this core pinned bit-for-bit by bm25f_index / bm25f_titled_index
+    * on the oracle gate. Clause semantics match
+    * graft.operators.CorpusOps.bm25fScoredOn exactly: wtf per field
+    * from (tf, |positions < ttl|), blended dl, any-field df, the
+    * (df, term, fld, qw)-ordered df-rarest selection, the clause
+    * µ-score × qw.
+    */
+  private def queryFieldedOn(spark: SparkSession, stateDir: String,
+      trips: DataFrame, asOf: Option[Long]): DataFrame = {
     ensureLayout(spark, stateDir)
     val g = geomOf(spark, stateDir)
     val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
@@ -1857,10 +1903,7 @@ object IndexStream {
         StructField("score_micro", LongType),
         StructField("n_terms", LongType, nullable = false))))
     if (nDocs <= 0L || totDl <= 0L || totTtl <= 0L) return emptyOut
-    val q = queries.filter(col("text").isNotNull)
-      .select(col("query_id"),
-        explode(array_distinct(
-          graft.operators.CorpusOps.bm25Tokens(col("text")))).as("term"))
+    val q = trips
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termSample = q.select(col("term")).distinct()
       .limit(pushdownMax + 1).collect().map(_.getString(0))
@@ -1871,12 +1914,14 @@ object IndexStream {
     val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
     val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("df").asc, col("term").asc)
+      .orderBy(col("df").asc, col("term").asc, col("fld").asc,
+        col("qw").asc)
     val selected = q.join(dfT, Seq("term"))
       .filter(graft.operators.CorpusOps.bm25CapOk(col("df"), lit(nDocs)))
       .withColumn("trank", row_number().over(wq))
       .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
-      .select(col("term"), col("query_id"), col("df"))
+      .select(col("term"), col("query_id"), col("fld"), col("qw"),
+        col("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selPairs = selected.select(col("term")).distinct()
       .join(dfsR, Seq("term"))
@@ -1897,16 +1942,23 @@ object IndexStream {
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
-      // the simple-BM25F blend in place against the STORED field
-      // boundary: tf/dl/totdl become their weighted versions, the
-      // µ-score expression runs unchanged
-      .withColumn("tf", expr(
-        s"tf + ${tw - 1} * size(filter(positions, p -> p < ttl))"))
+      // the per-clause wtf against the STORED field boundary: the
+      // title tf is |positions < ttl| (already-fetched payload, no
+      // extra read), dl/totdl stay the blended document lengths, the
+      // µ-score expression runs unchanged and the clause weight
+      // multiplies AFTER the µ-floor (exact in both engines)
+      .withColumn("tft", expr(
+        "cast(size(filter(positions, p -> p < ttl)) as bigint)"))
+      .withColumn("tf",
+        when(col("fld") === "title", col("tft") * tw)
+          .when(col("fld") === "body", col("tf") - col("tft"))
+          .otherwise(col("tf") + col("tft") * (tw - 1)))
+      .filter(col("tf") > 0)
       .withColumn("dl", expr(s"dl + ${tw - 1} * ttl"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("totdl", lit(wTot))
       .withColumn("term_micro",
-        expr(graft.operators.CorpusOps.bm25TermMicroExpr))
+        expr(graft.operators.CorpusOps.bm25TermMicroExpr) * col("qw"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_micro")).as("score_micro"),
         count(lit(1)).as("n_terms"))
