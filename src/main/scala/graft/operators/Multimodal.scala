@@ -212,6 +212,82 @@ object Multimodal {
        |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "width",
          "height", "n_frames"))}""".stripMargin
 
+  /** REAL image fixtures (round 14): five genuine small files shipped
+    * as classpath resources under `graft/media/` — container padding
+    * the synthesized [[synthMedia]] bytes can't exercise:
+    *
+    *  - real1.png / real2.png: W3C doc icons (Debian libxslt doc
+    *    tree) whose IHDR is followed by ANCILLARY chunks (bKGD,
+    *    pHYs, tIME) before IDAT,
+    *  - real3.jpg: the CPython test-suite JFIF baseline thumbnail,
+    *  - real4.jpg: an Apache Spark `data/mllib` sample photo whose
+    *    pre-frame stream is APP0 + APP1(EXIF) + APP13(Photoshop) +
+    *    APP2(ICC) + APP1 + 2×DQT before SOF0 — the EXIF-skip case,
+    *  - real5.jpg: a Debian nodejs doc PROGRESSIVE photo (SOF2).
+    *
+    * All five are redistributable public content committed verbatim;
+    * the loader fails loudly if a resource is missing rather than
+    * silently shrinking the gate row.
+    */
+  private[graft] val realMediaFixtures: Seq[(Long, String)] = Seq(
+    1L -> "real1.png", 2L -> "real2.png", 3L -> "real3.jpg",
+    4L -> "real4.jpg", 5L -> "real5.jpg")
+
+  private[graft] def realMediaBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/media/$name")
+    require(in != null, s"missing media fixture resource $name")
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** multimodal_real_decode — the segment walker against REAL
+    * container bytes at CHECKSUM grain: the five fixture files decode
+    * partition-parallel through the same [[decodeMedia]] path as the
+    * synthesized gate row, and the oracle is a VALUES table of
+    * constants derived INDEPENDENTLY of this engine (python struct
+    * parsing + md5 over the committed files) — so the walker, the
+    * byte round-trip, and the md5 are all pinned against an external
+    * derivation, not against ourselves.
+    */
+  def multimodalRealDecode(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = realMediaFixtures.map { case (id, name) =>
+      (id, realMediaBytes(name))
+    }
+    val media = spark.createDataset(rows).toDF("doc_id", "media")
+      .repartition(2)
+    canon(decodeMedia(spark, media).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("format"),
+        col("width"), col("height"), col("checksum")))
+  }
+
+  val multimodalRealDecodeSql: String =
+    s"""SELECT * FROM (VALUES
+       |  (CAST(1 AS BIGINT), CAST(406 AS BIGINT), 'png',
+       |   CAST(24 AS BIGINT), CAST(24 AS BIGINT),
+       |   'd82f66f1d11f71f15158ea29bb7d9f7f'),
+       |  (CAST(2 AS BIGINT), CAST(654 AS BIGINT), 'png',
+       |   CAST(24 AS BIGINT), CAST(24 AS BIGINT),
+       |   '4621fb9c610de751638a8c468a4919ef'),
+       |  (CAST(3 AS BIGINT), CAST(543 AS BIGINT), 'jpeg',
+       |   CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+       |   '50e9104383c3f36fa9e9be6148e6fdf3'),
+       |  (CAST(4 AS BIGINT), CAST(27295 AS BIGINT), 'jpeg',
+       |   CAST(300 AS BIGINT), CAST(200 AS BIGINT),
+       |   '540c32ec7d791e33b6cd53293f20b4b0'),
+       |  (CAST(5 AS BIGINT), CAST(6525 AS BIGINT), 'jpeg',
+       |   CAST(493 AS BIGINT), CAST(58 AS BIGINT),
+       |   '5fc7b859742e99bac613aaf2e1723b71'))
+       |  AS t(doc_id, n_bytes, format, width, height, checksum)
+       |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "width",
+         "height", "checksum"))}""".stripMargin
+
   /** Oracle-checked face of the same pipeline, expressed as pure
     * expressions (text bytes play the media payload): binary metadata
     * extraction + frame-sampling arithmetic.
@@ -293,10 +369,12 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_real_decode" -> multimodalRealDecode,
     "frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_real_decode" -> multimodalRealDecodeSql,
     "frame_sample" -> frameSampleSql)
 }
