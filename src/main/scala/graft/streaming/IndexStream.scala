@@ -266,11 +266,15 @@ object IndexStream {
 
   /** Largest term set a query batch pushes down as a term IN (...)
     * parquet predicate (queries are the small side by contract); above
-    * it the posting fetch falls back to a tpfx-dir-pruned scan plus a
-    * distributed semi-join, which stays correct at any query volume.
-    * Same discipline for the candidate doc_id set on the dl fetch.
+    * it the posting fetch falls back to a tpfx-dir-pruned, term-RANGE-
+    * pruned scan plus a distributed semi-join, which stays correct at
+    * any query volume. Same discipline for the candidate doc_id set on
+    * the dl fetch. The `graft.pushdown.max` system property is a TEST
+    * seam only (it lets a spec drive the fallback paths at fixture
+    * scale); production leaves it unset.
     */
-  private val pushdownMax = 65536
+  private def pushdownMax: Int =
+    sys.props.get("graft.pushdown.max").map(_.toInt).getOrElse(65536)
 
   /** Cap for the startsWith-OR pushdown branch of [[queryPrefix]] —
     * far below [[pushdownMax]] because OR chains (unlike isin) grow
@@ -1582,9 +1586,27 @@ object IndexStream {
       if (pfxSample.length <= prefixOrMax)
         dfsBase.filter(
           orBalanced(pfxSample.map(p => col("term").startsWith(p))))
-      else dfsBase.join(
-        seed.select(col("pfx")).distinct(),
-        substring(col("term"), 1, len) === col("pfx"), "left_semi")
+      else {
+        // above the OR-chain cap the semi-join stays the exact rule,
+        // but a PREFIX-RANGE predicate now rides the scan (round 14):
+        // every completion of any seed prefix lies in
+        // [min(pfx), nextAfter(max(pfx))), and dfs files are
+        // term-sorted, so the range reaches the row-group statistics
+        // a 65k-branch OR never could. Bounds come from a 2-value
+        // aggregate over seed (pfxSample may be truncated above
+        // pushdownMax — the sample must not bound the range).
+        val b = seed.agg(org.apache.spark.sql.functions.min(col("pfx")),
+          org.apache.spark.sql.functions.max(col("pfx"))).collect()(0)
+        val (lo, hiPfx) = (b.getString(0), b.getString(1))
+        val hi = // smallest string above every maxPfx completion
+          if (hiPfx.nonEmpty && hiPfx.last < '￿')
+            Some(hiPfx.init + (hiPfx.last + 1).toChar)
+          else None
+        dfsBase.filter(col("term") >= lo &&
+            hi.fold(lit(true))(h => col("term") < h))
+          .join(seed.select(col("pfx")).distinct(),
+            substring(col("term"), 1, len) === col("pfx"), "left_semi")
+      }
     // collapse byte-identical dfs rows before summing, mirroring
     // dfsRowsFor's distinct over (term, df, gen): a batch re-delivered
     // after compaction leaves the same logical row in both the
@@ -1988,7 +2010,19 @@ object IndexStream {
         dfsBase.filter(col("dpfx").isin(pfx: _*) &&
           col("term").isin(termSample.toSeq: _*))
       } else {
-        dfsBase.join(terms, Seq("term"), "left_semi")
+        // term-RANGE row-group prune (round 14): dfs files are
+        // write-sorted by (dpfx, term) — the [min, max] range of the
+        // query's terms reaches the parquet statistics where the IN
+        // list can't (the sample truncated above pushdownMax, so the
+        // bounds come from a 2-value distributed aggregate, never
+        // the truncated sample); the semi-join stays the exact filter
+        val b = terms.agg(org.apache.spark.sql.functions.min(col("term")),
+          org.apache.spark.sql.functions.max(col("term"))).collect()(0)
+        val ranged =
+          if (b.isNullAt(0)) dfsBase
+          else dfsBase.filter(col("term") >= b.getString(0) &&
+            col("term") <= b.getString(1))
+        ranged.join(terms, Seq("term"), "left_semi")
       }
     rows.select(col("term"), col("df"), col("max_tf"), col("gen"))
       .distinct()
@@ -2029,9 +2063,23 @@ object IndexStream {
       val pfx = selectedTerms
         .select(substring(md5(col("term")), 1, g.hx).as("tpfx"))
         .distinct().collect().map(_.getString(0)).toSeq // ≤ 16^hx, fixed
-      base.filter(col("tpfx").isin(pfx: _*))
-        .join(selectedTerms.select(col("term")).distinct(), Seq("term"),
-          "left_semi")
+      // TERM-RANGE row-group prune on the fallback (round 14): the
+      // posting files are write-sorted by (tpfx, term, doc_id), so a
+      // [min, max] range over the selected terms reaches the parquet
+      // term statistics even when the term set itself is too large
+      // for an IN predicate — the semi-join stays the exact filter,
+      // the range is its pushable superset. One 2-value aggregate on
+      // the driver (bounded), same discipline as the dl fetch.
+      val b = selectedTerms
+        .agg(org.apache.spark.sql.functions.min(col("term")),
+          org.apache.spark.sql.functions.max(col("term"))).collect()(0)
+      val scanned = base.filter(col("tpfx").isin(pfx: _*))
+      val ranged =
+        if (b.isNullAt(0)) scanned
+        else scanned.filter(col("term") >= b.getString(0) &&
+          col("term") <= b.getString(1))
+      ranged.join(selectedTerms.select(col("term")).distinct(),
+        Seq("term"), "left_semi")
     }
   }
 

@@ -222,4 +222,154 @@ class PrefixQuerySpec extends SparkSpecBase {
       else hc.set("parquet.page.size", oldPage)
     }
   }
+
+  private def withSmallRowGroups[T](f: => T): T = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    val oldPage = hc.get("parquet.page.size")
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 2 * 1024)
+    try f finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      if (oldPage == null) hc.unset("parquet.page.size")
+      else hc.set("parquet.page.size", oldPage)
+    }
+  }
+
+  test("above the OR-chain cap (>256 prefixes) the expansion scan is range-pruned: flat dfs rows under 10x far-vocabulary growth") {
+    withSmallRowGroups {
+      // 260 queries with 260 DISTINCT 2-char seed prefixes aa..jz —
+      // past prefixOrMax (256), so the expansion takes the semi-join
+      // fallback; the round-14 [min(pfx), next(max(pfx))) range must
+      // keep its dfs scan off the far vocabulary (w*), which grows 10x
+      val prefixes = for (c1 <- 'a' to 'j'; c2 <- 'a' to 'z')
+        yield s"$c1$c2"
+      val pfxDocs = prefixes.zipWithIndex.map { case (p, i) =>
+        (1000L + i, s"${p}x common", "src1")
+      }
+      def noise(ids: Seq[Long]): Seq[(Long, String, String)] = ids.map {
+        id =>
+          val rnd = new scala.util.Random(id)
+          // id space disjoint from pfxDocs (1000-1259) and queries —
+          // a colliding id would be an LSM re-delivery, not growth
+          (100000L + id, (0 until 6).map(_ => s"w${rnd.nextInt(3000)}")
+            .mkString(" "), "src1")
+      }
+      val qRows = prefixes.zipWithIndex.map { case (p, i) =>
+        (9000L + i, s"${p}x offvocab", "src0")
+      }
+      val root = Files.createTempDirectory("graft-prefix-range").toString
+      val state = s"$root/state"
+      var corpus = pfxDocs ++ noise(1L to 200L)
+      IndexStream.applyBatch(spark, state, docs(corpus), 0L)
+      import spark.implicits._
+      val q = qRows.map { case (id, t, _) => (id, t) }
+        .toDF("query_id", "text")
+      val cols = Seq("query_id", "rank", "doc_id", "score_micro",
+        "n_terms")
+      def got(): (Set[Seq[Any]], Long) = {
+        val r = scanRowsDuring("/dfs") {
+          IndexStream.queryPrefix(spark, state, q, len = 2, max = 4)
+            .select(cols.head, cols.tail: _*)
+            .collect().map(_.toSeq).toSet
+        }
+        spark.catalog.clearCache()
+        r
+      }
+      def want(): Set[Seq[Any]] = {
+        val w = CorpusOps.prefixTopkOn(docs(corpus ++ qRows),
+            len = 2, max = 4)
+          .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+        spark.catalog.clearCache()
+        w
+      }
+      val (g1, d1) = got()
+      assert(g1.nonEmpty && g1 == want(),
+        ">256-prefix fallback must stay bit-identical to the batch face")
+      val grow = noise(201L to 2200L)
+      corpus = corpus ++ grow
+      IndexStream.applyBatch(spark, state, docs(grow), 1L)
+      val (g10, d10) = got()
+      assert(g10 == want(),
+        "10x: >256-prefix fallback must equal the batch face")
+      info(s"dfs-scan rows 1x=$d1 10x=$d10")
+      // the second generation legitimately re-reads the qa-band row
+      // groups once more (one dfs file set per generation); what must
+      // NOT happen is the scan following the w* vocabulary's 10x growth
+      assert(d10 <= d1 * 3 + 512,
+        s"expansion dfs scan grew with the far vocabulary " +
+          s"(1x=$d1, 10x=$d10) — the prefix-range prune is not " +
+          "reaching the row-group stats")
+    }
+  }
+
+  test("above pushdownMax the posting fetch is term-range-pruned: flat posting rows under 10x far-vocabulary growth") {
+    withSmallRowGroups {
+      // graft.pushdown.max is the TEST seam that drives the fallback
+      // paths at fixture scale: with it at 4, the 3 selected
+      // completions x 2 generations exceed the IN-pushdown cap and the
+      // posting fetch takes the semi-join fallback, whose round-14
+      // [min(term), max(term)] range must keep the scan off the far
+      // vocabulary's postings
+      def rowsOf(ids: Seq[Long]): Seq[(Long, String, String)] = ids.map {
+        id =>
+          val rnd = new scala.util.Random(id)
+          val filler = (0 until 6).map(_ => s"w${rnd.nextInt(3000)}")
+            .mkString(" ")
+          if (id <= 8L) (id, s"qa${1 + (id % 3)} $filler", "src1")
+          else (id, filler, "src1")
+      }
+      val root = Files.createTempDirectory("graft-prefix-post").toString
+      val state = s"$root/state"
+      var corpus: Seq[Long] = (1L to 300L)
+      IndexStream.applyBatch(spark, state, docs(rowsOf(1L to 150L)), 0L)
+      IndexStream.applyBatch(spark, state, docs(rowsOf(151L to 300L)), 1L)
+      val qRow = Seq((900001L, "qa1 offvocab", "src0"))
+      import spark.implicits._
+      val q = Seq((900001L, "qa1 offvocab")).toDF("query_id", "text")
+      val cols = Seq("query_id", "rank", "doc_id", "score_micro",
+        "n_terms")
+      def want(): Set[Seq[Any]] = {
+        val w = CorpusOps.prefixTopkOn(docs(rowsOf(corpus) ++ qRow),
+            len = 2, max = 4)
+          .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+        spark.catalog.clearCache()
+        w
+      }
+      def got(): (Set[Seq[Any]], Long) = {
+        val old = sys.props.get("graft.pushdown.max")
+        sys.props("graft.pushdown.max") = "4"
+        try {
+          val r = scanRowsDuring("/postings") {
+            IndexStream.queryPrefix(spark, state, q, len = 2, max = 4)
+              .select(cols.head, cols.tail: _*)
+              .collect().map(_.toSeq).toSet
+          }
+          spark.catalog.clearCache()
+          r
+        } finally {
+          old.fold { sys.props -= "graft.pushdown.max"; () } { v =>
+            sys.props("graft.pushdown.max") = v; ()
+          }
+        }
+      }
+      val (g1, p1) = got()
+      assert(g1.nonEmpty && g1 == want(),
+        "fallback posting fetch must stay bit-identical to the batch face")
+      IndexStream.applyBatch(spark, state,
+        docs(rowsOf(301L to 3000L)), 2L)
+      corpus = 1L to 3000L
+      val (g10, p10) = got()
+      assert(g10 == want(),
+        "10x: fallback posting fetch must equal the batch face")
+      info(s"posting-scan rows 1x=$p1 10x=$p10")
+      // one more generation adds one more qa row-group set; the w*
+      // posting volume (10x) must stay outside the term range
+      assert(p10 <= p1 * 3 + 256,
+        s"fallback posting scan grew with the far vocabulary " +
+          s"(1x=$p1, 10x=$p10) — the term-range prune is not " +
+          "reaching the row-group stats")
+    }
+  }
 }
