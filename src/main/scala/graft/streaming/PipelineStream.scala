@@ -430,12 +430,45 @@ object PipelineStream {
     */
   def stateStats(spark: SparkSession, rootDir: String): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    NearDupStream.stateStats(spark, s"$rootDir/txt_state")
+    val perGate = NearDupStream.stateStats(spark, s"$rootDir/txt_state")
       .withColumn("gate", lit("txt"))
       .unionByName(VecDupStream.stateStats(spark, s"$rootDir/vec_state")
         .withColumn("gate", lit("vec")))
       .unionByName(IndexStream.stateStats(spark, ridxState(rootDir))
         .withColumn("gate", lit("ridx")))
+    // PIPELINE-GRAIN maintenance rollup (round 14): the operator
+    // question "did the last maintenance cycle act anywhere, and how
+    // bad is the worst measured drift" answered in ONE call — derived
+    // from the same per-gate maintlogs the gate rows expose, so the
+    // rollup can never disagree with its details
+    val lasts = Seq("txt" -> s"$rootDir/txt_state",
+        "vec" -> s"$rootDir/vec_state", "ridx" -> ridxState(rootDir))
+      .flatMap { case (_, dir) =>
+        LsmIndex.MaintLog(dir).entries(spark).lastOption }
+    val drifts = lasts.map(_._3.driftMicro).filter(_ >= 0L)
+    val roll = Seq(
+      ("maintenance", "gates_reporting", lasts.size.toLong),
+      ("maintenance", "gates_acted_last_cycle",
+        lasts.count(_._3.any).toLong)) ++
+      (if (drifts.nonEmpty)
+         Seq(("maintenance", "max_last_drift_micro", drifts.max))
+       else Nil)
+    perGate.unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(roll.map { case (s, n, v) =>
+        org.apache.spark.sql.Row(s, n, java.lang.Long.valueOf(v), null,
+          "pipeline")
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("section",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("gate",
+          org.apache.spark.sql.types.StringType)))))
   }
 
   /** RE-DOMAIN fan-out (round 11): grow each state's dir-domain

@@ -98,11 +98,26 @@ class StateStatsSpec extends SparkSpecBase {
     val st = graft.streaming.PipelineStream.stateStats(spark, s"$root/pipe")
     val gates = st.select("gate").distinct().collect()
       .map(_.getString(0)).toSet
-    assert(gates == Set("txt", "vec", "ridx"))
+    assert(gates == Set("txt", "vec", "ridx", "pipeline"))
     val m = st.filter(col("gate") === "ridx").collect()
       .filter(_.get(2) != null)
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(m(("corpus", "n_docs")) > 0L)
+    // pipeline-grain maintenance rollup: no cycle has run yet, so
+    // zero gates report and none acted
+    def roll(): Map[String, Long] =
+      graft.streaming.PipelineStream.stateStats(spark, s"$root/pipe")
+        .filter(col("gate") === "pipeline").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val r0 = roll()
+    assert(r0("gates_reporting") == 0L &&
+      r0("gates_acted_last_cycle") == 0L, s"pre-maintenance: $r0")
+    // after one maintenance pass every gate's maintlog has a cycle,
+    // and the rollup counts reporting gates and the acted subset
+    graft.streaming.PipelineStream.maintainIfDue(spark, s"$root/pipe")
+    val r1 = roll()
+    assert(r1("gates_reporting") == 3L, s"post-maintenance: $r1")
+    assert(r1("gates_acted_last_cycle") <= 3L, s"post-maintenance: $r1")
     spark.catalog.clearCache()
   }
 }
