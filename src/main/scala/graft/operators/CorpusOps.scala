@@ -2228,6 +2228,119 @@ object CorpusOps {
     canon(phraseRank(anchors, len))
   }
 
+  /** FIELD-RESTRICTED phrase retrieval (round 14): the phrase must lie
+    * ENTIRELY within one field of a titled corpus — `title` means
+    * every slot position < |title tokens|, `body` means the anchor
+    * starts at or past the boundary; a run straddling the title/body
+    * seam matches neither (it is not a phrase of either field). Over
+    * the v7 token stream (title ++ body, one position space) this is
+    * one predicate on the anchor against the per-doc boundary — the
+    * same number the fielded index state stores as `ttl` — so the
+    * batch and index faces share everything but where the boundary
+    * comes from (recomputed here, STORED there). The anchor filter
+    * applies before [[phraseRank]]'s count-of-slots gate and keeps or
+    * drops whole anchor groups, so occurrence counts stay exact.
+    */
+  def phraseFieldMatchOn(d: DataFrame, len: Int = phraseLen,
+      field: String = "title"): DataFrame = {
+    require(field == "title" || field == "body",
+      s"field must be title|body, got $field")
+    require(d.columns.contains("title"),
+      "field-restricted phrase needs a titled corpus (title column)")
+    val train = d.filter(col("source") =!= "src0")
+    val ttoksC = when(col("title").isNotNull, bm25Tokens(col("title")))
+      .otherwise(array())
+    val toks = train.select(col("doc_id"),
+      posexplode(concat(ttoksC, bm25Tokens(col("text"))))
+        .as(Seq("pos", "term")))
+    val bound = train.select(col("doc_id"),
+      size(ttoksC).cast("long").as("ttl"))
+    val qp = d.filter(col("source") === "src0")
+      .filter(size(bm25Tokens(col("text"))) >= len)
+      .select(col("doc_id").as("query_id"),
+        posexplode(phraseTerms(col("text"), len)).as(Seq("i", "term")))
+    val anchors = qp.join(toks, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("i")).as("anchor"))
+      .join(bound, Seq("doc_id"))
+      .filter(
+        if (field == "title") col("anchor") + (len - 1) < col("ttl")
+        else col("anchor") >= col("ttl"))
+      .select(col("query_id"), col("doc_id"), col("anchor"))
+    canon(phraseRank(anchors, len))
+  }
+
+  /** phrase_title_match / phrase_title_index — the field-restricted
+    * phrase pair on the hard gate: bigram phrases that must match
+    * inside the derived TITLE (trailing 1 + doc_id % 5 tokens — so a
+    * straddling run exists to be excluded). The index face reuses the
+    * shared ridxf v7 state and its STORED boundary.
+    */
+  def phraseTitleMatch(spark: SparkSession, sfDir: String): DataFrame =
+    phraseFieldMatchOn(withDerivedTitle(load(spark, sfDir, "documents")),
+      len = 2, field = "title")
+
+  def phraseTitleIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxfStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryPhraseFielded(spark, state, q,
+      len = 2, field = "title"))
+  }
+
+  /** The field-restricted phrase oracle chain over a titled train
+    * relation: the concatenated title ++ body position space, the
+    * per-doc boundary, and the anchor-window predicate — the SQL twin
+    * of [[phraseFieldMatchOn]]. Emits `..pranked`.
+    */
+  private def phraseFieldCtes(titledTrain: String, queries: String,
+      len: Int, field: String): String = {
+    val pred =
+      if (field == "title") s"a.anchor + ${len - 1} < b.ttl"
+      else "a.anchor >= b.ttl"
+    s"""fstream AS (
+       |  SELECT doc_id,
+       |    list_concat(string_split(lower(title), ' '),
+       |      string_split(lower(text), ' ')) AS toks,
+       |    len(string_split(lower(title), ' '))::BIGINT AS ttl
+       |  FROM $titledTrain
+       |), ptoks AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    unnest(generate_series(0, len(toks) - 1)) AS pos
+       |  FROM fstream
+       |), qp AS (
+       |  SELECT doc_id AS query_id,
+       |    unnest(list_slice(string_split(lower(text), ' '), 1,
+       |      $len)) AS term,
+       |    unnest(generate_series(0, $len - 1)) AS i
+       |  FROM $queries
+       |  WHERE len(string_split(lower(text), ' ')) >= $len
+       |), panchor AS (
+       |  SELECT q.query_id, t.doc_id, t.pos - q.i AS anchor
+       |  FROM qp q JOIN ptoks t USING (term)
+       |), pfanchor AS (
+       |  SELECT a.query_id, a.doc_id, a.anchor
+       |  FROM panchor a JOIN fstream b USING (doc_id)
+       |  WHERE $pred
+       |), pocc AS (
+       |  SELECT query_id, doc_id, count(*)::BIGINT AS n_occ FROM (
+       |    SELECT query_id, doc_id, anchor FROM pfanchor
+       |    GROUP BY 1, 2, 3 HAVING count(*) = $len)
+       |  GROUP BY 1, 2
+       |), pranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_occ DESC, doc_id ASC) AS rank
+       |  FROM pocc
+       |)""".stripMargin
+  }
+
+  val phraseTitleSql: String =
+    s"""WITH titled AS ${titledTrainSql("src0")},
+       |${phraseFieldCtes("titled",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        len = 2, field = "title")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
+       |FROM pranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
+
   /** The ordered-proximity core shared by the batch and index faces:
     * given the slot-position rows of [[phrasePosRowsOn]], the MINIMAL
     * ordered window span per (query, doc) — min over strictly
@@ -3684,6 +3797,8 @@ object CorpusOps {
     "bm25f_titled_index" -> bm25fTitledIndex,
     "bm25f_qtag_topk" -> bm25fQtagTopk,
     "bm25f_qtag_index" -> bm25fQtagIndex,
+    "phrase_title_match" -> phraseTitleMatch,
+    "phrase_title_index" -> phraseTitleIndex,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
@@ -3741,6 +3856,8 @@ object CorpusOps {
     "bm25f_titled_index" -> bm25fTitledSql,
     "bm25f_qtag_topk" -> bm25fQtagSql,
     "bm25f_qtag_index" -> bm25fQtagSql,
+    "phrase_title_match" -> phraseTitleSql,
+    "phrase_title_index" -> phraseTitleSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,

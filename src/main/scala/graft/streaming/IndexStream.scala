@@ -2257,6 +2257,45 @@ object IndexStream {
             (col("pos") - col("i")).as("anchor")), len)
     }
 
+  /** FIELD-RESTRICTED phrase retrieval (round 14) over the fielded
+    * (v7) state: the phrase must lie entirely within the title
+    * (every slot < the STORED per-doc boundary `ttl`) or entirely
+    * within the body (anchor ≥ ttl) — the positional twin of
+    * queryFielded's weighted-tf read. Same pruned posting fetch as
+    * [[queryPhrase]]; the boundary rides the same candidate-bounded
+    * docs read as dl; semantics shared with
+    * CorpusOps.phraseFieldMatchOn (which recomputes the boundary the
+    * fold stored).
+    */
+  def queryPhraseFielded(spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      field: String = "title",
+      asOf: Option[Long] = None): DataFrame = {
+    require(field == "title" || field == "body",
+      s"field must be title|body, got $field")
+    phrasePosRows(spark, stateDir, queries, len, asOf) match {
+      case None => emptyRanked(spark, "n_occ")
+      case Some(pr) =>
+        val g = geomOf(spark, stateDir)
+        val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+        val anchors = pr.select(col("query_id"), col("doc_id"),
+          (col("pos") - col("i")).as("anchor"))
+        val bound = dlFor(spark, stateDir, g,
+            anchors.select(col("doc_id")).distinct(), gens,
+            withTtl = true)
+          .select(col("doc_id"), col("ttl"))
+        graft.operators.CorpusOps.phraseRank(
+          anchors.join(bound, Seq("doc_id"))
+            .filter(
+              if (field == "title")
+                col("anchor") + (len - 1) < col("ttl")
+              else col("anchor") >= col("ttl"))
+            .select(col("query_id"), col("doc_id"), col("anchor")),
+          len)
+    }
+  }
+
   /** Ordered proximity retrieval (NEAR) over the accumulated index:
     * minimal ordered window span of the query's phrase terms per
     * document (1 = exact adjacency), the relevance-graded relaxation
