@@ -245,14 +245,83 @@ object Multimodal {
     } finally in.close()
   }
 
+  /** EXIF ORIENTATION (round 14) — real APP1 metadata, public format
+    * knowledge only (JEITA CP-3451 / TIFF 6.0): walk the JPEG marker
+    * segments to the first APP1 whose payload starts "Exif\0\0", read
+    * the TIFF header (II little-endian or MM big-endian, magic 42,
+    * IFD0 offset), scan IFD0's 12-byte entries for tag 0x0112
+    * (Orientation, type SHORT) and return its 1–8 value. None for
+    * non-JPEG bytes, JPEGs without EXIF, a malformed TIFF header, or
+    * a truncated IFD — extraction degrades, never throws. Bounds are
+    * checked against the APP1 segment, not the whole stream (a value
+    * offset past the segment is malformed metadata).
+    */
+  def exifOrientation(media: Array[Byte]): Option[Int] = {
+    def u8(i: Int): Int = media(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (media.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < media.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9 || m == 0xda) return None
+      else if (m == 0xff) i += 1
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+      else {
+        val segLen = be16(i + 2)
+        if (segLen < 2) return None
+        val segEnd = i + 2 + segLen // exclusive
+        if (m == 0xe1 && i + 10 <= segEnd && segEnd <= media.length &&
+            u8(i + 4) == 'E'.toInt && u8(i + 5) == 'x'.toInt &&
+            u8(i + 6) == 'i'.toInt && u8(i + 7) == 'f'.toInt &&
+            u8(i + 8) == 0 && u8(i + 9) == 0) {
+          val t = i + 10 // TIFF header base
+          if (t + 8 > segEnd) return None
+          val little = u8(t) == 'I'.toInt && u8(t + 1) == 'I'.toInt
+          val big = u8(t) == 'M'.toInt && u8(t + 1) == 'M'.toInt
+          if (!little && !big) return None
+          def r16(p: Int): Int =
+            if (little) u8(p) | (u8(p + 1) << 8) else be16(p)
+          def r32(p: Int): Long =
+            if (little)
+              (u8(p).toLong | (u8(p + 1).toLong << 8) |
+                (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24))
+            else
+              ((u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+                (u8(p + 2).toLong << 8) | u8(p + 3).toLong)
+          if (r16(t + 2) != 42) return None
+          val ifd0 = r32(t + 4)
+          val e0 = t + ifd0
+          if (ifd0 < 8 || e0 + 2 > segEnd) return None
+          val n = r16(e0.toInt)
+          var k = 0
+          while (k < n) {
+            val e = e0.toInt + 2 + 12 * k
+            if (e + 12 > segEnd) return None
+            if (r16(e) == 0x0112 && r16(e + 2) == 3 &&
+                r32(e + 4) == 1L) {
+              val v = r16(e + 8)
+              return if (v >= 1 && v <= 8) Some(v) else None
+            }
+            k += 1
+          }
+          return None
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
   /** multimodal_real_decode — the segment walker against REAL
     * container bytes at CHECKSUM grain: the five fixture files decode
     * partition-parallel through the same [[decodeMedia]] path as the
-    * synthesized gate row, and the oracle is a VALUES table of
+    * synthesized gate row (plus the [[exifOrientation]] walk — only
+    * the EXIF photo carries one), and the oracle is a VALUES table of
     * constants derived INDEPENDENTLY of this engine (python struct
     * parsing + md5 over the committed files) — so the walker, the
-    * byte round-trip, and the md5 are all pinned against an external
-    * derivation, not against ourselves.
+    * byte round-trip, the md5, and the TIFF IFD scan are all pinned
+    * against an external derivation, not against ourselves.
     */
   def multimodalRealDecode(spark: SparkSession,
       sfDir: String): DataFrame = {
@@ -262,31 +331,39 @@ object Multimodal {
     }
     val media = spark.createDataset(rows).toDF("doc_id", "media")
       .repartition(2)
-    canon(decodeMedia(spark, media).toDF()
-      .select(col("doc_id"), col("n_bytes"), col("format"),
-        col("width"), col("height"), col("checksum")))
+    val metas = media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = decode(id, bytes)
+        (m.doc_id, m.n_bytes, m.format, m.width, m.height, m.checksum,
+          exifOrientation(bytes).map(_.toLong))
+      })
+      .toDF("doc_id", "n_bytes", "format", "width", "height",
+        "checksum", "orientation")
+    canon(metas)
   }
 
   val multimodalRealDecodeSql: String =
     s"""SELECT * FROM (VALUES
        |  (CAST(1 AS BIGINT), CAST(406 AS BIGINT), 'png',
        |   CAST(24 AS BIGINT), CAST(24 AS BIGINT),
-       |   'd82f66f1d11f71f15158ea29bb7d9f7f'),
+       |   'd82f66f1d11f71f15158ea29bb7d9f7f', CAST(NULL AS BIGINT)),
        |  (CAST(2 AS BIGINT), CAST(654 AS BIGINT), 'png',
        |   CAST(24 AS BIGINT), CAST(24 AS BIGINT),
-       |   '4621fb9c610de751638a8c468a4919ef'),
+       |   '4621fb9c610de751638a8c468a4919ef', CAST(NULL AS BIGINT)),
        |  (CAST(3 AS BIGINT), CAST(543 AS BIGINT), 'jpeg',
        |   CAST(16 AS BIGINT), CAST(16 AS BIGINT),
-       |   '50e9104383c3f36fa9e9be6148e6fdf3'),
+       |   '50e9104383c3f36fa9e9be6148e6fdf3', CAST(NULL AS BIGINT)),
        |  (CAST(4 AS BIGINT), CAST(27295 AS BIGINT), 'jpeg',
        |   CAST(300 AS BIGINT), CAST(200 AS BIGINT),
-       |   '540c32ec7d791e33b6cd53293f20b4b0'),
+       |   '540c32ec7d791e33b6cd53293f20b4b0', CAST(1 AS BIGINT)),
        |  (CAST(5 AS BIGINT), CAST(6525 AS BIGINT), 'jpeg',
        |   CAST(493 AS BIGINT), CAST(58 AS BIGINT),
-       |   '5fc7b859742e99bac613aaf2e1723b71'))
-       |  AS t(doc_id, n_bytes, format, width, height, checksum)
+       |   '5fc7b859742e99bac613aaf2e1723b71', CAST(NULL AS BIGINT)))
+       |  AS t(doc_id, n_bytes, format, width, height, checksum,
+       |    orientation)
        |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "width",
-         "height", "checksum"))}""".stripMargin
+         "height", "checksum", "orientation"))}""".stripMargin
 
   /** Oracle-checked face of the same pipeline, expressed as pure
     * expressions (text bytes play the media payload): binary metadata

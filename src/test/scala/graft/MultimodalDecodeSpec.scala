@@ -159,4 +159,46 @@ class MultimodalDecodeSpec extends SparkSpecBase {
       sums(5L) == "5fc7b859742e99bac613aaf2e1723b71",
       s"externally-derived md5 constants must match: $sums")
   }
+
+  test("exifOrientation: real EXIF, both byte orders, and the degrade table") {
+    // the real photo: MM (big-endian) TIFF, IFD0 holds exactly tag
+    // 0x0112 = 1 (externally derived)
+    assert(Multimodal.exifOrientation(
+      Multimodal.realMediaBytes("real4.jpg")).contains(1))
+    // JPEGs without an Exif APP1, and non-JPEG bytes: None
+    assert(Multimodal.exifOrientation(
+      Multimodal.realMediaBytes("real3.jpg")).isEmpty)
+    assert(Multimodal.exifOrientation(
+      Multimodal.realMediaBytes("real5.jpg")).isEmpty)
+    assert(Multimodal.exifOrientation(
+      Multimodal.realMediaBytes("real1.png")).isEmpty)
+
+    // synthetic little-endian APP1: II 42, IFD0 at 8, one entry
+    // (0x0112, SHORT, count 1, value 6)
+    def le16(v: Int) = Array((v & 0xff).toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def app1(entries: Array[Byte]): Array[Byte] = {
+      val tiff = "II".getBytes ++ le16(42) ++ le32(8) ++ entries
+      val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      Array(0xff, 0xd8, 0xff, 0xe1).map(_.toByte) ++
+        Array((len >> 8).toByte, len.toByte) ++ payload
+    }
+    val orient6 = app1(le16(1) ++
+      le16(0x0112) ++ le16(3) ++ le32(1) ++ le16(6) ++ le16(0))
+    assert(Multimodal.exifOrientation(orient6).contains(6),
+      "little-endian orientation 6 must parse")
+    // IFD without the orientation tag: None
+    val noTag = app1(le16(1) ++
+      le16(0x011a) ++ le16(3) ++ le32(1) ++ le16(2) ++ le16(0))
+    assert(Multimodal.exifOrientation(noTag).isEmpty)
+    // entry count pointing past the segment (truncated IFD): None
+    val truncated = app1(le16(9))
+    assert(Multimodal.exifOrientation(truncated).isEmpty)
+    // out-of-range orientation value: None
+    val orient9 = app1(le16(1) ++
+      le16(0x0112) ++ le16(3) ++ le32(1) ++ le16(9) ++ le16(0))
+    assert(Multimodal.exifOrientation(orient9).isEmpty)
+  }
 }
