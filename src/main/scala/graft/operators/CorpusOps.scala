@@ -3231,6 +3231,24 @@ object CorpusOps {
 
   val hybridFullTopkSql: String = hybridSqlOver(bm25FullTopkSql)
 
+  /** hybrid_fielded_topk — the hybrid composition with a FIELDED
+    * sparse leg (round 14): the tagged-query BM25F face
+    * ([[bm25fQtagTopk]] — field restrictions + query weights over the
+    * titled corpus) replaces the unfielded sparse leg under the
+    * identical dense leg and RRF fusion. One template, third row:
+    * the oracle swaps the sparse subquery for the fielded chain.
+    */
+  def hybridFieldedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withDerivedTitle(load(spark, sfDir, "documents"))
+    val e = load(spark, sfDir, "embeddings")
+    canon(rrfFuse(
+      bm25fQtagTopk(spark, sfDir).select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_sparse")),
+      denseLegOn(d, e)))
+  }
+
+  val hybridFieldedTopkSql: String = hybridSqlOver(bm25fQtagSql)
+
   /** hybrid_index_topk — the WHOLE streaming retrieval stack as one
     * driver-checked oracle row (round 10, verdict item 2): the train
     * corpus goes through streaming.PipelineStream — BOTH dedup gates,
@@ -3799,6 +3817,7 @@ object CorpusOps {
     "bm25f_qtag_index" -> bm25fQtagIndex,
     "phrase_title_match" -> phraseTitleMatch,
     "phrase_title_index" -> phraseTitleIndex,
+    "hybrid_fielded_topk" -> hybridFieldedTopk,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
     "hybrid_index_topk" -> hybridIndexTopk,
@@ -3858,6 +3877,7 @@ object CorpusOps {
     "bm25f_qtag_index" -> bm25fQtagSql,
     "phrase_title_match" -> phraseTitleSql,
     "phrase_title_index" -> phraseTitleSql,
+    "hybrid_fielded_topk" -> hybridFieldedTopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,
     "hybrid_index_topk" -> hybridIndexTopkSql,

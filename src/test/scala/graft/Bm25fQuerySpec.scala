@@ -134,6 +134,39 @@ class Bm25fQuerySpec extends SparkSpecBase {
       s"query 200's clauses all miss their fields -> no rows: $batch")
   }
 
+  test("as-of tagged queries read only the sealed history") {
+    import java.nio.file.Files
+    import graft.streaming.IndexStream
+    val d = fieldedDocs(corpus)
+    val root = Files.createTempDirectory("graft-bm25fq-asof").toString
+    val state = s"$root/state"
+    // gen 0 = docs 1, 3, 4 (rare's df stays 1 of 3, under the
+    // head-term cap); gen 1 adds doc 2 (rare's second, body-side doc)
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0").filter(col("doc_id") =!= 2L),
+      0L) // seq 1
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0").filter(col("doc_id") === 2L),
+      1L) // seq 2
+    val q = queriesOf(Seq((100L, "title:rare tt^2")))
+    val cols = Seq("query_id", "rank", "doc_id", "score_micro", "n_terms")
+    val asOf1 = IndexStream.queryFieldedTagged(spark, state, q,
+        asOf = Some(1L))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val wantGen0 = CorpusOps.bm25fScoredOn(
+        fieldedDocs(corpus.filter(r => r._4 == "src0" || r._1 != 2L)),
+        CorpusOps.parseFieldedQuery(q))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(asOf1 == wantGen0 && asOf1.nonEmpty,
+      s"asOf=1 must equal the gen-0-only batch face: $asOf1 vs $wantGen0")
+    // the full state sees doc 2's body occurrence too — but a
+    // title-tagged query still ranks doc 1 alone
+    val full = IndexStream.queryFieldedTagged(spark, state, q)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(full == Set(1L),
+      s"full-state title:rare must still match only the title hit: $full")
+  }
+
   test("the unfielded faces are the degenerate all-(any,1) case of the shared scorer — unchanged by the refactor") {
     // the gate rows bm25f_titled / bm25f_titled_index already pin
     // this against the oracle; this is the fast local tripwire
