@@ -365,6 +365,182 @@ object Multimodal {
        |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "width",
          "height", "checksum", "orientation"))}""".stripMargin
 
+  /** One decoded audio asset (typed container-header metadata). */
+  case class AudioMeta(doc_id: Long, n_bytes: Long, format: String,
+      channels: Long, sample_rate: Long, bits: Long, n_frames: Long,
+      duration_ms: Long, checksum: String)
+
+  /** REAL audio container-header decode (round 14) — public format
+    * knowledge only:
+    *
+    *  - RIFF/WAVE (Microsoft/IBM RIFF spec): little-endian chunk walk
+    *    with the WORD-ALIGNMENT rule (odd-sized chunks pad one byte);
+    *    `fmt ` yields (formatTag, channels, sampleRate, bits) — PCM
+    *    (1) and WAVE_FORMAT_EXTENSIBLE (0xFFFE, whose real tag hides
+    *    in the extension GUID but whose frame geometry stays PCM) are
+    *    decoded; compressed tags fall back to the stub (frame count
+    *    would need codec knowledge). Ancillary chunks (LIST, fact, …)
+    *    are skipped by size. Frames = |data| / (channels · bits/8).
+    *  - AIFF / AIFC (Apple IFF): big-endian FORM walk; COMM yields
+    *    channels, frame count, bits, and the sample rate as an 80-bit
+    *    IEEE 754 extended float — decoded by exact integer shift
+    *    arithmetic (sign·mantissa·2^(exp−16383−63)); rates that are
+    *    not exactly integral fall back (no float rounding enters the
+    *    oracle-compared output).
+    *
+    * duration_ms = frames · 1000 / rate, floored integer division in
+    * both engines. None for anything else — the caller falls back to
+    * the stub seam, mirroring [[decodeHeader]].
+    */
+  def decodeAudioHeader(media: Array[Byte]):
+      Option[(String, Long, Long, Long, Long)] = {
+    def u8(i: Int): Int = media(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24))
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i).toLong << 24) |
+      (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3))
+    def tag(i: Int): String =
+      if (i + 4 <= media.length)
+        new String(media.slice(i, i + 4), "US-ASCII")
+      else ""
+    if (media.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var i = 12
+      var fmtTag = -1; var ch = 0L; var rate = 0L; var bits = 0L
+      var dataBytes = -1L
+      while (i + 8 <= media.length) {
+        val cid = tag(i); val sz = le32(i + 4)
+        if (i + 8 + sz > media.length) return None // truncated chunk
+        if (cid == "fmt " && sz >= 16) {
+          fmtTag = le16(i + 8); ch = le16(i + 10).toLong
+          rate = le32(i + 12); bits = le16(i + 22).toLong
+        } else if (cid == "data") dataBytes = sz
+        i += 8 + sz.toInt + (sz.toInt & 1) // RIFF word alignment
+      }
+      if ((fmtTag != 1 && fmtTag != 0xfffe) || ch <= 0 || rate <= 0 ||
+        bits <= 0 || bits % 8 != 0 || dataBytes < 0) return None
+      val frames = dataBytes / (ch * (bits / 8))
+      Some(("wav", ch, rate, bits, frames))
+    } else if (media.length >= 12 && tag(0) == "FORM" &&
+        (tag(8) == "AIFF" || tag(8) == "AIFC")) {
+      val kind = tag(8).toLowerCase
+      var i = 12
+      while (i + 8 <= media.length) {
+        val cid = tag(i); val sz = be32(i + 4)
+        if (i + 8 + sz > media.length) return None
+        if (cid == "COMM" && sz >= 18) {
+          val ch = be16(i + 8).toLong
+          val frames = be32(i + 10)
+          val bits = be16(i + 14).toLong
+          // 80-bit extended float, exact integer arithmetic only
+          val e = be16(i + 16) & 0x7fff
+          val m = (be32(i + 18) << 32) | be32(i + 22)
+          if (e == 0 && m == 0L) return None
+          val sh = e - 16383 - 63
+          val rate =
+            if (sh >= 0 && sh < 8) m << sh
+            else if (sh < 0 && sh > -64 && (m & ((1L << -sh) - 1)) == 0L)
+              m >>> -sh
+            else return None
+          if (ch <= 0 || rate <= 0) return None
+          return Some((kind, ch, rate, bits, frames))
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      None
+    } else None
+  }
+
+  /** Decode one audio asset to typed metadata; the stub covers what
+    * the header decode cannot (compressed formats, other containers).
+    */
+  def decodeAudio(docId: Long, media: Array[Byte]): AudioMeta =
+    decodeAudioHeader(media) match {
+      case Some((fmt, ch, rate, bits, frames)) =>
+        AudioMeta(docId, media.length.toLong, fmt, ch, rate, bits,
+          frames, frames * 1000L / rate, md5hex(media))
+      case None =>
+        val n = media.length.toLong
+        AudioMeta(docId, n, "opaque", 1 + n % 2, 8000 + (n % 5) * 8000,
+          8 + (n % 3) * 8, n, n * 1000L / (8000 + (n % 5) * 8000),
+          md5hex(media))
+    }
+
+  /** The committed genuine audio fixtures (CPython test-suite audio
+    * data — redistributable public content): a PCM WAV with an
+    * ancillary LIST metadata chunk, a WAVE_FORMAT_EXTENSIBLE 24-bit
+    * WAV with a fact chunk, a minimal PCM WAV, and AIFF/AIFC twins
+    * whose COMM carries the 80-bit extended sample rate.
+    */
+  private[graft] val realAudioFixtures: Seq[(Long, String)] = Seq(
+    1L -> "wav1.wav", 2L -> "wav2.wav", 3L -> "wav3.wav",
+    4L -> "aif1.aiff", 5L -> "aif2.aifc")
+
+  private[graft] def realAudioBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/audio/$name")
+    require(in != null, s"missing audio fixture resource $name")
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** multimodal_audio_decode — REAL audio container headers on the
+    * hard gate at checksum grain: the five committed fixtures decode
+    * partition-parallel, and the oracle is a VALUES table of
+    * constants derived by EXTERNAL struct parsing (chunk walk + the
+    * 80-bit-float arithmetic done independently in python) + md5 of
+    * the committed bytes.
+    */
+  def multimodalAudioDecode(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = realAudioFixtures.map { case (id, name) =>
+      (id, realAudioBytes(name))
+    }
+    val media = spark.createDataset(rows).toDF("doc_id", "media")
+      .repartition(2)
+    canon(media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("format"),
+        col("channels"), col("sample_rate"), col("bits"),
+        col("n_frames"), col("duration_ms"), col("checksum")))
+  }
+
+  val multimodalAudioDecodeSql: String =
+    s"""SELECT * FROM (VALUES
+       |  (CAST(1 AS BIGINT), CAST(13370 AS BIGINT), 'wav',
+       |   CAST(2 AS BIGINT), CAST(11025 AS BIGINT), CAST(16 AS BIGINT),
+       |   CAST(3307 AS BIGINT), CAST(299 AS BIGINT),
+       |   '263f463cc93d29413dd1955d560cf70b'),
+       |  (CAST(2 AS BIGINT), CAST(19922 AS BIGINT), 'wav',
+       |   CAST(2 AS BIGINT), CAST(11025 AS BIGINT), CAST(24 AS BIGINT),
+       |   CAST(3307 AS BIGINT), CAST(299 AS BIGINT),
+       |   'e32038c983b300c24dd4a0970be3b8c2'),
+       |  (CAST(3 AS BIGINT), CAST(64 AS BIGINT), 'wav',
+       |   CAST(2 AS BIGINT), CAST(44100 AS BIGINT), CAST(16 AS BIGINT),
+       |   CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+       |   'eb0b6503152295540c09094b1d64a6a3'),
+       |  (CAST(4 AS BIGINT), CAST(108 AS BIGINT), 'aiff',
+       |   CAST(2 AS BIGINT), CAST(44100 AS BIGINT), CAST(16 AS BIGINT),
+       |   CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+       |   '3d4d023133dc4e66488dd5fd8d972124'),
+       |  (CAST(5 AS BIGINT), CAST(106 AS BIGINT), 'aifc',
+       |   CAST(2 AS BIGINT), CAST(44100 AS BIGINT), CAST(16 AS BIGINT),
+       |   CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+       |   'a8a96fc714afadc15f870716186876f4'))
+       |  AS t(doc_id, n_bytes, format, channels, sample_rate, bits,
+       |    n_frames, duration_ms, checksum)
+       |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "channels",
+         "sample_rate", "bits", "n_frames", "duration_ms",
+         "checksum"))}""".stripMargin
+
   /** Oracle-checked face of the same pipeline, expressed as pure
     * expressions (text bytes play the media payload): binary metadata
     * extraction + frame-sampling arithmetic.
@@ -447,11 +623,13 @@ object Multimodal {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_real_decode" -> multimodalRealDecode,
+    "multimodal_audio_decode" -> multimodalAudioDecode,
     "frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_real_decode" -> multimodalRealDecodeSql,
+    "multimodal_audio_decode" -> multimodalAudioDecodeSql,
     "frame_sample" -> frameSampleSql)
 }

@@ -201,4 +201,47 @@ class MultimodalDecodeSpec extends SparkSpecBase {
       le16(0x0112) ++ le16(3) ++ le32(1) ++ le16(9) ++ le16(0))
     assert(Multimodal.exifOrientation(orient9).isEmpty)
   }
+
+  test("audio container headers: real WAV/AIFF/AIFC fixtures and the degrade table") {
+    // externally-derived expectations (struct parse + 80-bit-float
+    // arithmetic in python, never this engine)
+    val want = Map(
+      "wav1.wav" -> ("wav", 2L, 11025L, 16L, 3307L), // LIST chunk skipped
+      "wav2.wav" -> ("wav", 2L, 11025L, 24L, 3307L), // EXTENSIBLE + fact
+      "wav3.wav" -> ("wav", 2L, 44100L, 16L, 5L),
+      "aif1.aiff" -> ("aiff", 2L, 44100L, 16L, 5L),  // 80-bit rate
+      "aif2.aifc" -> ("aifc", 2L, 44100L, 16L, 5L))
+    Multimodal.realAudioFixtures.foreach { case (_, name) =>
+      val got = Multimodal.decodeAudioHeader(
+        Multimodal.realAudioBytes(name))
+      assert(got.contains(want(name)),
+        s"$name: audio header decode mismatch: $got")
+    }
+    // degrade table: compressed formatTag (MP3 in RIFF) -> stub seam;
+    // truncated chunk -> None; garbage -> None
+    def le16(v: Int) = Array((v & 0xff).toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(fmtTag: Int, dataLen: Int): Array[Byte] = {
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(fmtTag) ++ le16(2) ++
+        le32(11025) ++ le32(44100) ++ le16(4) ++ le16(16)
+      val data = "data".getBytes ++ le32(dataLen) ++
+        Array.fill(dataLen)(0.toByte)
+      val body = "WAVE".getBytes ++ fmt ++ data
+      "RIFF".getBytes ++ le32(body.length) ++ body
+    }
+    assert(Multimodal.decodeAudioHeader(wav(1, 40))
+      .contains(("wav", 2L, 11025L, 16L, 10L)),
+      "synthetic PCM WAV must parse")
+    assert(Multimodal.decodeAudioHeader(wav(0x55, 40)).isEmpty,
+      "compressed formatTag must fall to the stub seam")
+    val truncated = wav(1, 40).dropRight(10)
+    assert(Multimodal.decodeAudioHeader(truncated).isEmpty,
+      "a chunk extending past the buffer is malformed")
+    assert(Multimodal.decodeAudioHeader("not audio".getBytes).isEmpty)
+    // the decode path stamps duration from exact integer division
+    val m = Multimodal.decodeAudio(7L, Multimodal.realAudioBytes("wav1.wav"))
+    assert(m.duration_ms == 299L && m.checksum.length == 32,
+      s"duration/checksum mismatch: $m")
+  }
 }
