@@ -541,6 +541,132 @@ object Multimodal {
          "sample_rate", "bits", "n_frames", "duration_ms",
          "checksum"))}""".stripMargin
 
+  /** REAL MP4 box-structure decode (round 14) — ISO/IEC 14496-12
+    * public structure: size-prefixed boxes walked at the top level to
+    * `moov`, then inside it to `mvhd`, whose version-0 payload carries
+    * (timescale, duration) as big-endian 32-bit fields (version 1:
+    * 64-bit duration). duration_ms = duration · 1000 / timescale,
+    * floored integer division. None for non-MP4 bytes (no `ftyp`
+    * leading box), a missing moov/mvhd, a zero timescale, or any box
+    * extending past the buffer — the stub seam catches those.
+    */
+  def decodeVideoHeader(media: Array[Byte]): Option[(Long, Long)] = {
+    def u8(i: Int): Int = media(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) |
+      (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3))
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= media.length)
+        new String(media.slice(i, i + 4), "US-ASCII")
+      else ""
+    if (media.length < 16 || tag(4) != "ftyp") return None
+    var i = 0
+    while (i + 8 <= media.length) {
+      val sz = be32(i)
+      if (sz < 8 || i + sz > media.length) return None
+      if (tag(i + 4) == "moov") {
+        var j = i + 8
+        val end = i + sz.toInt
+        while (j + 8 <= end) {
+          val bsz = be32(j)
+          if (bsz < 8 || j + bsz > end) return None
+          if (tag(j + 4) == "mvhd" && j + 12 <= end) {
+            val version = u8(j + 8)
+            return version match {
+              case 0 if j + 28 <= end =>
+                val ts = be32(j + 20); val dur = be32(j + 24)
+                if (ts <= 0) None else Some((ts, dur))
+              case 1 if j + 40 <= end =>
+                val ts = be32(j + 28); val dur = be64(j + 32)
+                if (ts <= 0) None else Some((ts, dur))
+              case _ => None
+            }
+          }
+          j += bsz.toInt
+        }
+        return None
+      }
+      i += sz.toInt
+    }
+    None
+  }
+
+  /** Deterministic MP4 synthesis for the video gate row — genuine box
+    * structure (ftyp, a skipped `free` box, moov > mvhd v0 or v1)
+    * whose timescale/duration are pure doc_id arithmetic, so the
+    * oracle derives duration_ms independently. kind = doc_id % 3 —
+    * 0: mvhd version 0; 1: version 1 (64-bit duration) behind a
+    * `free` box the walker must skip; 2: a CORRUPT stream (moov whose
+    * inner box size overruns) that must fall back. Byte lengths fixed
+    * per kind (44 / 64 / 32).
+    */
+  private[graft] def synthVideo(docId: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ name.getBytes("US-ASCII") ++ payload
+    val ts = 1000L + docId % 9000
+    val dur = docId % 100000L
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512L))
+    (docId % 3).toInt match {
+      case 0 =>
+        ftyp ++ box("moov",
+          box("mvhd", be32(0L) ++ be32(0L) ++ be32(0L) ++
+            be32(ts) ++ be32(dur)))
+      case 1 =>
+        ftyp ++ box("free", Array.fill(4)(0.toByte)) ++ box("moov",
+          box("mvhd", Array[Byte](1, 0, 0, 0) ++
+            be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(ts) ++
+            be32(0L) ++ be32(dur)))
+      case _ =>
+        // moov declares an inner box larger than itself: malformed
+        ftyp ++ box("moov", be32(9999L) ++ "mvhd".getBytes)
+    }
+  }
+
+  /** multimodal_video_decode — MP4 box-structure decode on the hard
+    * gate: synthesized genuine box streams (including a version-1
+    * 64-bit mvhd behind a free box and a corrupt overrunning inner
+    * box) walked partition-parallel, duration arithmetic checked
+    * against an independently-derived DuckDB oracle; the corrupt kind
+    * pins the stub fallback on the same row.
+    */
+  def multimodalVideoDecode(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+    canon(ids.mapPartitions(_.map { id =>
+      val bytes = synthVideo(id)
+      decodeVideoHeader(bytes) match {
+        case Some((ts, dur)) =>
+          (id, bytes.length.toLong, "mp4", ts, dur, dur * 1000L / ts)
+        case None =>
+          (id, bytes.length.toLong, "opaque", -1L, -1L, -1L)
+      }
+    }).toDF("doc_id", "n_bytes", "format", "timescale", "duration",
+      "duration_ms"))
+  }
+
+  val multimodalVideoDecodeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, doc_id % 3 AS kind,
+       |    1000 + doc_id % 9000 AS ts,
+       |    doc_id % 100000 AS dur
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN kind = 0 THEN 52 WHEN kind = 1 THEN 76
+       |       ELSE 32 END AS n_bytes,
+       |  CASE WHEN kind = 2 THEN 'opaque' ELSE 'mp4' END AS format,
+       |  CASE WHEN kind = 2 THEN -1 ELSE ts END AS timescale,
+       |  CASE WHEN kind = 2 THEN -1 ELSE dur END AS duration,
+       |  CASE WHEN kind = 2 THEN -1 ELSE dur * 1000 // ts END
+       |    AS duration_ms
+       |FROM m
+       |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "timescale",
+         "duration", "duration_ms"))}""".stripMargin
+
   /** Oracle-checked face of the same pipeline, expressed as pure
     * expressions (text bytes play the media payload): binary metadata
     * extraction + frame-sampling arithmetic.
@@ -624,6 +750,7 @@ object Multimodal {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_real_decode" -> multimodalRealDecode,
     "multimodal_audio_decode" -> multimodalAudioDecode,
+    "multimodal_video_decode" -> multimodalVideoDecode,
     "frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
@@ -631,5 +758,6 @@ object Multimodal {
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_real_decode" -> multimodalRealDecodeSql,
     "multimodal_audio_decode" -> multimodalAudioDecodeSql,
+    "multimodal_video_decode" -> multimodalVideoDecodeSql,
     "frame_sample" -> frameSampleSql)
 }

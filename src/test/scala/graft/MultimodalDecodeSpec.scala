@@ -244,4 +244,25 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(m.duration_ms == 299L && m.checksum.length == 32,
       s"duration/checksum mismatch: $m")
   }
+
+  test("MP4 box walk: mvhd v0/v1 timescale+duration; corrupt inner box falls back") {
+    // synthVideo's three kinds round-trip the walker
+    val v0 = Multimodal.synthVideo(3L) // kind 0: version-0 mvhd
+    assert(Multimodal.decodeVideoHeader(v0)
+      .contains((1003L, 3L)), s"v0: ${Multimodal.decodeVideoHeader(v0)}")
+    val v1 = Multimodal.synthVideo(7L) // kind 1: v1 mvhd behind free
+    assert(Multimodal.decodeVideoHeader(v1)
+      .contains((1007L, 7L)), s"v1: ${Multimodal.decodeVideoHeader(v1)}")
+    val bad = Multimodal.synthVideo(2L) // kind 2: overrunning inner box
+    assert(Multimodal.decodeVideoHeader(bad).isEmpty,
+      "corrupt moov must fall back")
+    // degrade: no ftyp, truncated top-level box
+    assert(Multimodal.decodeVideoHeader("junk junk junk junk".getBytes)
+      .isEmpty)
+    assert(Multimodal.decodeVideoHeader(v0.dropRight(6)).isEmpty,
+      "a box extending past the buffer is malformed")
+    // byte lengths pinned to the oracle's n_bytes CASE
+    assert(v0.length == 52 && v1.length == 76 && bad.length == 32,
+      s"synth lengths drifted: ${v0.length}/${v1.length}/${bad.length}")
+  }
 }
