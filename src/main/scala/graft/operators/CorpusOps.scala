@@ -1649,9 +1649,20 @@ object CorpusOps {
     * `title:foo` restricts foo to the title field, `body:foo` to the
     * body, a bare term matches ANY field (the standard BM25F blend);
     * `^w` multiplies the term's µ-score contribution by the integer
-    * query weight w (default 1). Unknown prefixes (`foo:bar`) are NOT
+    * query weight w (default 1; 1–9 digits — a longer digit tail is
+    * LITERAL term text, never a boost, so the cast can never
+    * overflow long and null-propagate into the µ-score, ADVICE r14;
+    * the flip side, documented contract: a corpus query token that
+    * legitimately ends in `^d` with d ≤ 9 digits IS always read as a
+    * boost — escape hatches are a tokenizer concern, not a parser
+    * one). Unknown prefixes (`foo:bar`) are NOT
     * field tags — the whole token stays a literal term, so a corpus
-    * token containing ':' can never be silently re-parsed. Returns
+    * token containing ':' can never be silently re-parsed. TAGGED
+    * QUOTED RUNS (`title:"a b c"` — round 15) are PHRASE clauses,
+    * owned by the quoted-run grammar ([[parseTaggedPhrase]]); this
+    * per-token parser strips them from the text before tokenizing,
+    * so a phrase run's words never leak in as bag-of-words term
+    * clauses. Returns
     * DISTINCT (query_id, term, fld, qw) triples — the same term
     * tagged two ways in one query is two clauses, each scoring
     * (mirrored in the oracle CTEs). Shared by the batch face
@@ -1661,7 +1672,8 @@ object CorpusOps {
     */
   private[graft] def parseFieldedQuery(queries: DataFrame): DataFrame = {
     val toks = queries.filter(col("text").isNotNull)
-      .select(col("query_id"), explode(bm25Tokens(col("text"))).as("tok"))
+      .select(col("query_id"), explode(bm25Tokens(
+        regexp_replace(col("text"), taggedPhrasePat, ""))).as("tok"))
     toks
       .withColumn("fld",
         when(col("tok").startsWith("title:"), lit("title"))
@@ -1670,15 +1682,41 @@ object CorpusOps {
       .withColumn("rest",
         when(col("fld") === "any", col("tok"))
           .otherwise(expr("substring(tok, instr(tok, ':') + 1)")))
-      .withColumn("qws", regexp_extract(col("rest"), "\\^(\\d+)$", 1))
+      .withColumn("qws", regexp_extract(col("rest"), "\\^(\\d{1,9})$", 1))
       .withColumn("qw",
         when(length(col("qws")) > 0, col("qws").cast("long"))
           .otherwise(lit(1L)))
-      .withColumn("term", regexp_replace(col("rest"), "\\^\\d+$", ""))
+      .withColumn("term", regexp_replace(col("rest"), "\\^\\d{1,9}$", ""))
       .filter(length(col("term")) > 0)
       .select(col("query_id"), col("term"), col("fld"), col("qw"))
       .distinct()
   }
+
+  /** The quoted-run grammar (round 15), layered on the per-token one:
+    *
+    *   phrase := ("title" | "body") ":" '"' term (" " term)* '"'
+    *
+    * `title:"a b c"` restricts the EXACT consecutive run `a b c` to
+    * the title field, `body:"…"` to the body — the query-string form
+    * of the field parameter the phrase_title faces take in Scala.
+    * Extracts the FIRST tagged quoted run per query as (query_id,
+    * ptext, fld); queries with no tagged run parse to zero rows
+    * (nothing phrasal to match — bare terms are [[parseFieldedQuery]]
+    * clauses). An UNTAGGED quoted run (`"a b"`) and an unknown prefix
+    * (`foo:"a b"`) are not phrase tags, mirroring the per-token
+    * parser's unknown-prefix rule. Shared by the batch face
+    * ([[phraseQtagMatch]]) and the index face
+    * (streaming.IndexStream.queryPhraseTagged) so phrase-tag parsing
+    * cannot drift between them.
+    */
+  private[graft] val taggedPhrasePat = "\\b(title|body):\"([^\"]+)\""
+
+  private[graft] def parseTaggedPhrase(queries: DataFrame): DataFrame =
+    queries.filter(col("text").isNotNull)
+      .withColumn("fld", regexp_extract(col("text"), taggedPhrasePat, 1))
+      .withColumn("ptext", regexp_extract(col("text"), taggedPhrasePat, 2))
+      .filter(length(col("fld")) > 0 && length(col("ptext")) > 0)
+      .select(col("query_id"), col("ptext"), col("fld"))
 
   /** The ONE fielded scorer both BM25F batch faces run through —
     * unfielded queries are the degenerate all-('any', 1) triple set,
@@ -2245,6 +2283,25 @@ object CorpusOps {
       field: String = "title"): DataFrame = {
     require(field == "title" || field == "body",
       s"field must be title|body, got $field")
+    val qp = d.filter(col("source") === "src0")
+      .filter(size(bm25Tokens(col("text"))) >= len)
+      .select(col("doc_id").as("query_id"), lit(field).as("fld"),
+        posexplode(phraseTerms(col("text"), len)).as(Seq("i", "term")))
+    phraseFieldRankOn(d, qp, len)
+  }
+
+  /** The ONE field-restricted anchor core both phrase faces above and
+    * the tagged face below run through — `qp` is the slot relation
+    * (query_id, fld, i, term) with fld ∈ {title, body} PER QUERY; the
+    * constant-field face is the degenerate all-one-field case, which
+    * keeps this core pinned bit-for-bit by phrase_title_match /
+    * phrase_title_index on the oracle gate. The per-query field rides
+    * the slot rows (fld is functionally dependent on query_id), so
+    * the anchor predicate is one CASE against the recomputed
+    * boundary — no extra join over the constant-field shape.
+    */
+  private def phraseFieldRankOn(d: DataFrame, qp: DataFrame,
+      len: Int): DataFrame = {
     require(d.columns.contains("title"),
       "field-restricted phrase needs a titled corpus (title column)")
     val train = d.filter(col("source") =!= "src0")
@@ -2255,17 +2312,13 @@ object CorpusOps {
         .as(Seq("pos", "term")))
     val bound = train.select(col("doc_id"),
       size(ttoksC).cast("long").as("ttl"))
-    val qp = d.filter(col("source") === "src0")
-      .filter(size(bm25Tokens(col("text"))) >= len)
-      .select(col("doc_id").as("query_id"),
-        posexplode(phraseTerms(col("text"), len)).as(Seq("i", "term")))
     val anchors = qp.join(toks, Seq("term"))
-      .select(col("query_id"), col("doc_id"),
+      .select(col("query_id"), col("fld"), col("doc_id"),
         (col("pos") - col("i")).as("anchor"))
       .join(bound, Seq("doc_id"))
-      .filter(
-        if (field == "title") col("anchor") + (len - 1) < col("ttl")
-        else col("anchor") >= col("ttl"))
+      .filter(when(col("fld") === "title",
+          col("anchor") + (len - 1) < col("ttl"))
+        .otherwise(col("anchor") >= col("ttl")))
       .select(col("query_id"), col("doc_id"), col("anchor"))
     canon(phraseRank(anchors, len))
   }
@@ -2337,6 +2390,139 @@ object CorpusOps {
        |${phraseFieldCtes("titled",
         "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
         len = 2, field = "title")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
+       |FROM pranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // phrase_qtag — TAGGED fielded phrase: title:"a b" in the query STRING
+  // ---------------------------------------------------------------------
+
+  /** The deterministic tagging rule the two phrase_qtag gate rows
+    * query with: lowered query tokens t₀ t₁ … become
+    * `t₀ fld:"t₁ … t_len" t_{len+1} …` with fld = title when
+    * query_id is even, body when odd — so the phrase is NOT the
+    * leading run (an implementation that ignores the tag and phrases
+    * the leading tokens diverges), both field branches exercise in
+    * one gate row, and the bare distractor tokens around the quoted
+    * run prove the parser selects the run. Queries with fewer than
+    * len + 1 tokens have no room for the leading distractor and are
+    * excluded (mirrored in the oracle's WHERE). The Spark faces PARSE
+    * the tagged strings back through [[parseTaggedPhrase]] (the
+    * feature under test); the oracle derives fld and the run's slot
+    * terms arithmetically from the RAW text, so a parse bug cannot
+    * hide.
+    */
+  private[graft] def withTaggedPhraseText(q: DataFrame,
+      len: Int = 2): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    q.filter(size(toks) >= len + 1)
+      .withColumn("text", concat_ws(" ",
+        array(element_at(toks, 1),
+          concat(
+            when(pmod(col("query_id"), lit(2)) === 0, lit("title"))
+              .otherwise(lit("body")),
+            lit(":\""),
+            array_join(slice(toks, 2, len), " "),
+            lit("\""))),
+        slice(toks, lit(len + 2), greatest(size(toks) - (len + 1), lit(0)))))
+  }
+
+  /** phrase_qtag_match — field-restricted phrase retrieval where the
+    * restriction is expressed IN the query string (`title:"a b"` /
+    * `body:"a b"`, parsed by the shared [[parseTaggedPhrase]]) instead
+    * of a Scala parameter: the quoted run must lie entirely within
+    * the tagged field of the titled corpus, per query. Routes through
+    * the same [[phraseFieldRankOn]] core as the parameterized
+    * phrase_title faces — the constant-field face is the degenerate
+    * case that pins the core.
+    */
+  def phraseQtagMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withDerivedTitle(load(spark, sfDir, "documents"))
+    val q = withTaggedPhraseText(d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")), len = 2)
+    phraseQtagMatchOn(d, q, len = 2)
+  }
+
+  /** [[phraseQtagMatch]] over explicit corpus + tagged-query
+    * relations — the spec seam. */
+  private[graft] def phraseQtagMatchOn(d: DataFrame, queries: DataFrame,
+      len: Int): DataFrame = {
+    val parsed = parseTaggedPhrase(queries)
+    val qp = parsed.filter(size(bm25Tokens(col("ptext"))) >= len)
+      .select(col("query_id"), col("fld"),
+        posexplode(phraseTerms(col("ptext"), len)).as(Seq("i", "term")))
+    phraseFieldRankOn(d, qp, len)
+  }
+
+  /** phrase_qtag_index — the INCREMENTAL tagged-phrase face over the
+    * SAME shared v7 state as phrase_title_index (no extra state
+    * build): tagged queries parse through the shared
+    * [[parseTaggedPhrase]], the per-query field restriction applies
+    * against the STORED boundary, and the result must reproduce
+    * [[phraseQtagMatch]]'s oracle bit-for-bit.
+    */
+  def phraseQtagIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxfStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryPhraseTagged(spark, state,
+      withTaggedPhraseText(q, len = 2), len = 2))
+  }
+
+  /** The tagged-phrase oracle chain: the titled position space and
+    * boundary of the phrase_title oracle, with fld and the quoted
+    * run's slot terms derived ARITHMETICALLY from the raw query text
+    * (fld from query_id parity, slots from token positions
+    * 1..len — never from the tagged string the engine parses).
+    * Emits `..pranked`.
+    */
+  private def phraseQtagCtes(titledTrain: String, queries: String,
+      len: Int): String =
+    s"""fstream AS (
+       |  SELECT doc_id,
+       |    list_concat(string_split(lower(title), ' '),
+       |      string_split(lower(text), ' ')) AS toks,
+       |    len(string_split(lower(title), ' '))::BIGINT AS ttl
+       |  FROM $titledTrain
+       |), ptoks AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    unnest(generate_series(0, len(toks) - 1)) AS pos
+       |  FROM fstream
+       |), qsel AS (
+       |  SELECT doc_id AS query_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'title' ELSE 'body' END AS fld,
+       |    string_split(lower(text), ' ') AS qtoks
+       |  FROM $queries
+       |  WHERE len(string_split(lower(text), ' ')) >= ${len + 1}
+       |), qp AS (
+       |  SELECT query_id, fld,
+       |    unnest(list_slice(qtoks, 2, ${len + 1})) AS term,
+       |    unnest(generate_series(0, ${len - 1})) AS i
+       |  FROM qsel
+       |), panchor AS (
+       |  SELECT q.query_id, q.fld, t.doc_id, t.pos - q.i AS anchor
+       |  FROM qp q JOIN ptoks t USING (term)
+       |), pfanchor AS (
+       |  SELECT a.query_id, a.doc_id, a.anchor
+       |  FROM panchor a JOIN fstream b USING (doc_id)
+       |  WHERE CASE WHEN a.fld = 'title'
+       |    THEN a.anchor + ${len - 1} < b.ttl
+       |    ELSE a.anchor >= b.ttl END
+       |), pocc AS (
+       |  SELECT query_id, doc_id, count(*)::BIGINT AS n_occ FROM (
+       |    SELECT query_id, doc_id, anchor FROM pfanchor
+       |    GROUP BY 1, 2, 3 HAVING count(*) = $len)
+       |  GROUP BY 1, 2
+       |), pranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_occ DESC, doc_id ASC) AS rank
+       |  FROM pocc
+       |)""".stripMargin
+
+  val phraseQtagSql: String =
+    s"""WITH titled AS ${titledTrainSql("src0")},
+       |${phraseQtagCtes("titled",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        len = 2)}
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_occ
        |FROM pranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
@@ -3817,6 +4003,8 @@ object CorpusOps {
     "bm25f_qtag_index" -> bm25fQtagIndex,
     "phrase_title_match" -> phraseTitleMatch,
     "phrase_title_index" -> phraseTitleIndex,
+    "phrase_qtag_match" -> phraseQtagMatch,
+    "phrase_qtag_index" -> phraseQtagIndex,
     "hybrid_fielded_topk" -> hybridFieldedTopk,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
@@ -3877,6 +4065,8 @@ object CorpusOps {
     "bm25f_qtag_index" -> bm25fQtagSql,
     "phrase_title_match" -> phraseTitleSql,
     "phrase_title_index" -> phraseTitleSql,
+    "phrase_qtag_match" -> phraseQtagSql,
+    "phrase_qtag_index" -> phraseQtagSql,
     "hybrid_fielded_topk" -> hybridFieldedTopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,

@@ -477,9 +477,12 @@ object Multimodal {
     1L -> "wav1.wav", 2L -> "wav2.wav", 3L -> "wav3.wav",
     4L -> "aif1.aiff", 5L -> "aif2.aifc")
 
-  private[graft] def realAudioBytes(name: String): Array[Byte] = {
-    val in = getClass.getResourceAsStream(s"/graft/audio/$name")
-    require(in != null, s"missing audio fixture resource $name")
+  private[graft] def realAudioBytes(name: String): Array[Byte] =
+    resourceBytes(s"/graft/audio/$name")
+
+  private def resourceBytes(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing fixture resource $path")
     try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
@@ -598,7 +601,7 @@ object Multimodal {
     * 0: mvhd version 0; 1: version 1 (64-bit duration) behind a
     * `free` box the walker must skip; 2: a CORRUPT stream (moov whose
     * inner box size overruns) that must fall back. Byte lengths fixed
-    * per kind (44 / 64 / 32).
+    * per kind (52 / 76 / 32 — the values the oracle pins).
     */
   private[graft] def synthVideo(docId: Long): Array[Byte] = {
     def be32(v: Long): Array[Byte] = Array((v >> 24).toByte,
@@ -666,6 +669,160 @@ object Multimodal {
        |FROM m
        |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "timescale",
          "duration", "duration_ms"))}""".stripMargin
+
+  /** TRACK-LEVEL MP4 decode (round 15): extends the [[decodeVideoHeader]]
+    * mvhd walk into each `trak` of a REAL container — tkhd's
+    * 16.16-fixed width/height (the LAST 8 payload bytes, per
+    * ISO/IEC 14496-12 §8.3.2), and the codec fourcc of the first
+    * `stsd` sample entry down the trak > mdia > minf > stbl chain.
+    * Returns (timescale, duration, codec fourccs in track order,
+    * width, height) — dimensions from the first track with a nonzero
+    * tkhd width (audio tkhds carry 0×0). None on ANY structural
+    * violation (no ftyp, a box size under 8 or past its parent,
+    * trailing bytes inside a parent, missing moov/mvhd/stsd, zero
+    * timescale) — the stub seam catches those rows.
+    */
+  def decodeVideoTracks(media: Array[Byte])
+      : Option[(Long, Long, Seq[String], Long, Long)] = {
+    final class Bad extends RuntimeException
+    def u8(i: Int): Int = media(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) |
+      (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3))
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= media.length)
+        new String(media.slice(i, i + 4), "US-ASCII")
+      else ""
+    // the (name, payloadStart, payloadEnd) children of a byte range —
+    // any malformed size aborts the whole decode (a container that
+    // lies about one box cannot be trusted about the rest)
+    def kids(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val b = Seq.newBuilder[(String, Int, Int)]
+      var i = start
+      while (i + 8 <= end) {
+        val sz = be32(i)
+        if (sz < 8 || i + sz > end) throw new Bad
+        b += ((tag(i + 4), i + 8, i + sz.toInt))
+        i += sz.toInt
+      }
+      if (i != end) throw new Bad
+      b.result()
+    }
+    try {
+      if (media.length < 16 || tag(4) != "ftyp") return None
+      val top = kids(0, media.length)
+      val moovR = top.find(_._1 == "moov").getOrElse(return None)
+      val moov = kids(moovR._2, moovR._3)
+      val hd = moov.find(_._1 == "mvhd").getOrElse(return None)
+      val (hs, he) = (hd._2, hd._3)
+      val (ts, dur) = u8(hs) match {
+        case 0 if he - hs >= 20 => (be32(hs + 12), be32(hs + 16))
+        case 1 if he - hs >= 28 => (be32(hs + 20), be64(hs + 24))
+        case _ => throw new Bad
+      }
+      if (ts <= 0) return None
+      var w = 0L
+      var h = 0L
+      val codecs = moov.filter(_._1 == "trak").map { case (_, s, e) =>
+        val tk = kids(s, e)
+        tk.find(_._1 == "tkhd").foreach { case (_, _, ke) =>
+          val tw = be32(ke - 8) >> 16
+          val th = be32(ke - 4) >> 16
+          if (tw > 0 && w == 0L) { w = tw; h = th }
+        }
+        val fourcc = for {
+          m <- tk.find(_._1 == "mdia")
+          n <- kids(m._2, m._3).find(_._1 == "minf")
+          t <- kids(n._2, n._3).find(_._1 == "stbl")
+          d <- kids(t._2, t._3).find(_._1 == "stsd")
+          if d._3 - d._2 >= 16
+        } yield tag(d._2 + 12)
+        fourcc.getOrElse(throw new Bad)
+      }
+      Some((ts, dur, codecs, w, h))
+    } catch { case _: Bad => None }
+  }
+
+  /** The committed genuine MP4 fixtures (generated by
+    * `scripts/gen_mp4_fixtures.py` from the public ISO/IEC 14496-12
+    * box grammar — every mandatory child present, every size exact):
+    * a single-avc1 file, a video+audio pair behind a `free` box the
+    * walker must skip, an mvhd-v1 hev1 file, a three-track file, and
+    * a CORRUPT file whose moov declares an overrunning inner box.
+    */
+  private[graft] val realVideoFixtures: Seq[(Long, String)] =
+    (1L to 5L).map(i => i -> s"vid$i.mp4")
+
+  private[graft] def realVideoBytes(name: String): Array[Byte] =
+    resourceBytes(s"/graft/video/$name")
+
+  /** multimodal_video_real — REAL MP4 container bytes on the hard
+    * gate at checksum grain: the five committed fixtures decode
+    * partition-parallel down to track structure (count, codec
+    * fourccs, tkhd dimensions), and the oracle is a VALUES table of
+    * constants derived by an INDEPENDENT struct-offset reparse in
+    * python (`scripts/gen_mp4_fixtures.py`) + md5 of the committed
+    * bytes; the corrupt fixture pins the stub fallback on the same
+    * row.
+    */
+  def multimodalVideoReal(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = realVideoFixtures.map { case (id, name) =>
+      (id, realVideoBytes(name))
+    }
+    val media = spark.createDataset(rows).toDF("doc_id", "media")
+      .repartition(2)
+    canon(media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeVideoTracks(bytes) match {
+          case Some((ts, dur, codecs, w, h)) =>
+            (id, bytes.length.toLong, "mp4", ts, dur,
+              dur * 1000L / ts, codecs.length.toLong,
+              codecs.mkString(","), w, h, md5hex(bytes))
+          case None =>
+            (id, bytes.length.toLong, "opaque", -1L, -1L, -1L, -1L,
+              "", -1L, -1L, md5hex(bytes))
+        }
+      })
+      .toDF("doc_id", "n_bytes", "format", "timescale", "duration",
+        "duration_ms", "n_tracks", "codecs", "width", "height",
+        "checksum"))
+  }
+
+  val multimodalVideoRealSql: String =
+    s"""SELECT * FROM (VALUES
+       |  (CAST(1 AS BIGINT), CAST(595 AS BIGINT), 'mp4',
+       |   CAST(1000 AS BIGINT), CAST(5000 AS BIGINT),
+       |   CAST(5000 AS BIGINT), CAST(1 AS BIGINT), 'avc1',
+       |   CAST(320 AS BIGINT), CAST(240 AS BIGINT),
+       |   '96d05b5928dce143997cb6ae57b4d74f'),
+       |  (CAST(2 AS BIGINT), CAST(988 AS BIGINT), 'mp4',
+       |   CAST(600 AS BIGINT), CAST(1200 AS BIGINT),
+       |   CAST(2000 AS BIGINT), CAST(2 AS BIGINT), 'avc1,mp4a',
+       |   CAST(640 AS BIGINT), CAST(360 AS BIGINT),
+       |   'effbf05eeca7331ac1d82cfe2b45562b'),
+       |  (CAST(3 AS BIGINT), CAST(583 AS BIGINT), 'mp4',
+       |   CAST(90000 AS BIGINT), CAST(123456 AS BIGINT),
+       |   CAST(1371 AS BIGINT), CAST(1 AS BIGINT), 'hev1',
+       |   CAST(1920 AS BIGINT), CAST(1080 AS BIGINT),
+       |   'd9871fc558b6fc246b310f04e902a4d1'),
+       |  (CAST(4 AS BIGINT), CAST(1371 AS BIGINT), 'mp4',
+       |   CAST(30 AS BIGINT), CAST(900 AS BIGINT),
+       |   CAST(30000 AS BIGINT), CAST(3 AS BIGINT), 'avc1,av01,mp4a',
+       |   CAST(128 AS BIGINT), CAST(96 AS BIGINT),
+       |   '3ca9a7bd030aeef44f54b56779d3db56'),
+       |  (CAST(5 AS BIGINT), CAST(44 AS BIGINT), 'opaque',
+       |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), '',
+       |   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |   '117c977114e0372eb9df860269e4f988'))
+       |  AS t(doc_id, n_bytes, format, timescale, duration,
+       |    duration_ms, n_tracks, codecs, width, height, checksum)
+       |${canonOrderSql(Seq("doc_id", "n_bytes", "format", "timescale",
+         "duration", "duration_ms", "n_tracks", "codecs", "width",
+         "height", "checksum"))}""".stripMargin
 
   /** Oracle-checked face of the same pipeline, expressed as pure
     * expressions (text bytes play the media payload): binary metadata
@@ -751,6 +908,7 @@ object Multimodal {
     "multimodal_real_decode" -> multimodalRealDecode,
     "multimodal_audio_decode" -> multimodalAudioDecode,
     "multimodal_video_decode" -> multimodalVideoDecode,
+    "multimodal_video_real" -> multimodalVideoReal,
     "frame_sample" -> frameSample)
 
   val oracles: Map[String, String] = Map(
@@ -759,5 +917,6 @@ object Multimodal {
     "multimodal_real_decode" -> multimodalRealDecodeSql,
     "multimodal_audio_decode" -> multimodalAudioDecodeSql,
     "multimodal_video_decode" -> multimodalVideoDecodeSql,
+    "multimodal_video_real" -> multimodalVideoRealSql,
     "frame_sample" -> frameSampleSql)
 }

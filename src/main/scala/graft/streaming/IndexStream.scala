@@ -282,6 +282,28 @@ object IndexStream {
     */
   private val prefixOrMax = 256
 
+  /** The smallest string strictly above every completion of prefix
+    * `p` in Spark's STRING order (UTF-8 byte comparison), or None
+    * when no safe bound exists — the upper end of a prefix-range scan
+    * predicate. `p.init + (p.last + 1)` is order-correct exactly when
+    * the incremented char is a real scalar value: UTF-8 encodes code
+    * points order-preservingly and is prefix-free, so
+    * bytes(c + 1) > bytes(c · anything) for any valid c + 1. The two
+    * holes (ADVICE r14): c + 1 landing in the surrogate block
+    * (U+D7FF → U+D800 — Java encodes the unpaired surrogate as '?'
+    * 0x3F, which would sort BELOW real completions and silently drop
+    * hits), and p already ending in a lone surrogate (its own
+    * encoding is undefined). Both fall to None — no upper bound; the
+    * exact semi-join downstream is always the correctness filter,
+    * the range only a pushable superset.
+    */
+  private[graft] def charSuccessor(p: String): Option[String] = {
+    if (p.isEmpty || p.last >= '￿') return None
+    val next = (p.last + 1).toChar
+    if (Character.isSurrogate(p.last) || Character.isSurrogate(next)) None
+    else Some(p.init + next)
+  }
+
   val defaultMaxGenerations: Int = NearDupStream.defaultMaxGenerations
 
   private def markers(stateDir: String) = LsmIndex.Markers(stateDir)
@@ -1598,10 +1620,7 @@ object IndexStream {
         val b = seed.agg(org.apache.spark.sql.functions.min(col("pfx")),
           org.apache.spark.sql.functions.max(col("pfx"))).collect()(0)
         val (lo, hiPfx) = (b.getString(0), b.getString(1))
-        val hi = // smallest string above every maxPfx completion
-          if (hiPfx.nonEmpty && hiPfx.last < '￿')
-            Some(hiPfx.init + (hiPfx.last + 1).toChar)
-          else None
+        val hi = charSuccessor(hiPfx)
         dfsBase.filter(col("term") >= lo &&
             hi.fold(lit(true))(h => col("term") < h))
           .join(seed.select(col("pfx")).distinct(),
@@ -2274,7 +2293,45 @@ object IndexStream {
       asOf: Option[Long] = None): DataFrame = {
     require(field == "title" || field == "body",
       s"field must be title|body, got $field")
-    phrasePosRows(spark, stateDir, queries, len, asOf) match {
+    val q = queries.filter(col("text").isNotNull)
+      .select(col("query_id"), col("text"))
+    queryPhraseFieldedOn(spark, stateDir, q,
+      q.select(col("query_id"), lit(field).as("fld")), len, asOf)
+  }
+
+  /** TAGGED fielded phrase retrieval (round 15): the field restriction
+    * is expressed IN the query string — `title:"a b"` / `body:"a b"`,
+    * parsed by the SHARED graft.operators.CorpusOps.parseTaggedPhrase
+    * (so index-time and batch-time phrase-tag parsing cannot drift) —
+    * instead of the Scala parameter [[queryPhraseFielded]] takes. The
+    * quoted run is the phrase, the tag its per-query field; everything
+    * downstream is the one fielded anchor core below.
+    */
+  def queryPhraseTagged(spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      asOf: Option[Long] = None): DataFrame = {
+    val parsed = graft.operators.CorpusOps.parseTaggedPhrase(queries)
+    queryPhraseFieldedOn(spark, stateDir,
+      parsed.select(col("query_id"), col("ptext").as("text")),
+      parsed.select(col("query_id"), col("fld")), len, asOf)
+  }
+
+  /** The ONE field-restricted anchor core both faces above run
+    * through — `q` is the (query_id, text) phrase relation (text IS
+    * the phrase text: the raw query for the parameterized face, the
+    * extracted quoted run for the tagged one), `fldOf` the per-query
+    * field with fld ∈ {title, body}. The constant-field face is the
+    * degenerate all-one-field case, which keeps this core pinned
+    * bit-for-bit by phrase_title_index on the oracle gate. `fldOf` is
+    * query-count-bounded (one row per query), so it broadcasts onto
+    * the anchor rows; the boundary rides the same candidate-bounded
+    * docs read as dl.
+    */
+  private def queryPhraseFieldedOn(spark: SparkSession, stateDir: String,
+      q: DataFrame, fldOf: DataFrame, len: Int,
+      asOf: Option[Long]): DataFrame =
+    phrasePosRows(spark, stateDir, q, len, asOf) match {
       case None => emptyRanked(spark, "n_occ")
       case Some(pr) =>
         val g = geomOf(spark, stateDir)
@@ -2287,14 +2344,13 @@ object IndexStream {
           .select(col("doc_id"), col("ttl"))
         graft.operators.CorpusOps.phraseRank(
           anchors.join(bound, Seq("doc_id"))
-            .filter(
-              if (field == "title")
-                col("anchor") + (len - 1) < col("ttl")
-              else col("anchor") >= col("ttl"))
+            .join(broadcast(fldOf), Seq("query_id"))
+            .filter(when(col("fld") === "title",
+                col("anchor") + (len - 1) < col("ttl"))
+              .otherwise(col("anchor") >= col("ttl")))
             .select(col("query_id"), col("doc_id"), col("anchor")),
           len)
     }
-  }
 
   /** Ordered proximity retrieval (NEAR) over the accumulated index:
     * minimal ordered window span of the query's phrase terms per

@@ -864,7 +864,14 @@ private[graft] object LsmIndex {
           case Array(k, v) => Some(k -> v)
           case _ => None
         }).toMap
-        try for {
+        // the `eot` terminator is written LAST (round 15): a record
+        // that carries ANY eot key must carry it complete ("1"), so a
+        // truncated tail — even one whose numeric prefix still parses,
+        // the ADVICE r14 drift_micro=12-from-123 case — is rejected,
+        // not misread. Records with no eot at all predate the
+        // terminator (published before this change) and stay readable.
+        if (kv.contains("eot") && !kv.get("eot").contains("1")) None
+        else try for {
           cycle <- kv.get("cycle").map(_.toLong)
           seq <- kv.get("seq").map(_.toLong)
           p <- kv.get("pinned").map(_.toBoolean)
@@ -886,27 +893,46 @@ private[graft] object LsmIndex {
       fs.mkdirs(dir)
       val seq = OpLog(stateDir).entries(spark)
         .map(_._1).maxOption.getOrElse(0L)
-      // claim the cycle number by CREATING the final file with
-      // overwrite=false: two overlapping maintainIfDue cycles (e.g.
-      // overlapping crons) that both compute max+1 now collide on the
-      // atomic create instead of one report silently overwriting the
-      // other (ADVICE r13) — the loser retries with the next number
+      // claim the cycle number by PUBLISHING a fully-written tmp file
+      // with a rename to the final name (ADVICE r14): the record is
+      // complete on disk before it becomes visible, so a crash
+      // mid-write can never leave a truncated maint_<cycle> whose
+      // final field still parses as a valid-but-wrong number — and on
+      // HDFS the rename atomically fails when the target exists, so
+      // two overlapping maintainIfDue cycles that both compute max+1
+      // collide on the claim instead of one report silently
+      // overwriting the other (the loser retries with the next
+      // number). Local/checksum filesystems only approximate the
+      // rename-fails-if-exists contract — the explicit exists probe
+      // plus the `eot` terminator [[entries]] requires keep even that
+      // degraded race at worst losing ONE loser's report, never
+      // surfacing a torn one.
       var cycle = entries(spark).map(_._1).maxOption.getOrElse(0L) + 1L
-      var attempts = 0
-      var done = false
-      while (!done) {
-        val txt = s"cycle=$cycle seq=$seq pinned=${report.pinned} " +
+      val txtOf = (c: Long) =>
+        s"cycle=$c seq=$seq pinned=${report.pinned} " +
           s"redomained=${report.redomained} " +
           s"retrained=${report.retrained} " +
           s"compacted=${report.compacted} " +
-          s"drift_micro=${report.driftMicro}"
+          s"drift_micro=${report.driftMicro} eot=1"
+      var attempts = 0
+      var done = false
+      while (!done) {
         val f = new org.apache.hadoop.fs.Path(dir, s"maint_$cycle")
+        // tmp name is unique per attempt (never matches the maint_
+        // listing prefix, so a crashed attempt is invisible to reads)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s"_tmp_maint_${cycle}_${java.util.UUID.randomUUID}")
         try {
-          val out = fs.create(f, false)
-          try out.write(txt.getBytes("UTF-8")) finally out.close()
+          val out = fs.create(tmp, false)
+          try out.write(txtOf(cycle).getBytes("UTF-8")) finally out.close()
+          if (fs.exists(f) || !fs.rename(tmp, f)) {
+            fs.delete(tmp, false)
+            throw new java.io.IOException(s"cycle $cycle already claimed")
+          }
           done = true
         } catch {
           case _: java.io.IOException if attempts < 64 =>
+            fs.delete(tmp, false)
             attempts += 1; cycle += 1L
         }
       }
