@@ -1745,7 +1745,7 @@ object CorpusOps {
     * new shuffles.
     */
   private[graft] def bm25fScoredOn(d: DataFrame,
-      trips: DataFrame): DataFrame = {
+      trips: DataFrame, fieldLocalDf: Boolean = false): DataFrame = {
     val train = d.filter(col("source") =!= "src0")
     val ftoks =
       if (d.columns.contains("title"))
@@ -1772,19 +1772,33 @@ object CorpusOps {
             .otherwise(lit(0L))).as("tfb")))
     val dl = tf.groupBy(col("doc_id"))
       .agg(sum(col("tft") * titleWeight + col("tfb")).as("dl"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"),
+      sum(when(col("tft") > 0, lit(1L)).otherwise(lit(0L))).as("dft"))
     val stamp = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("totdl"))
+    // FIELD-LOCAL DF (round 15): under `fieldLocalDf` a
+    // title-restricted clause selects and scores with its TITLE-LOCAL
+    // document frequency (`dft` — docs holding the term in the title
+    // field), the clause df `cdf`; body/any clauses keep the
+    // any-field count (the body dominates document mass, so its df IS
+    // the any-field df to first order). A title clause with cdf = 0
+    // cannot match and is not a clause. Off by default — the
+    // unfielded/qtag faces stay pinned to any-field semantics.
     val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("df").asc, col("term").asc, col("fld").asc,
+      .orderBy(col("cdf").asc, col("term").asc, col("fld").asc,
         col("qw").asc)
     val selected = trips.join(dfT, Seq("term"))
+      .withColumn("cdf",
+        if (fieldLocalDf)
+          when(col("fld") === "title", col("dft")).otherwise(col("df"))
+        else col("df"))
+      .filter(col("cdf") > 0)
       .crossJoin(broadcast(stamp))
-      .filter(bm25CapOk(col("df"), col("n_docs")))
+      .filter(bm25CapOk(col("cdf"), col("n_docs")))
       .withColumn("trank", row_number().over(wq))
       .filter(col("trank") <= bm25QueryTerms)
       .select(col("term"), col("query_id"), col("fld"), col("qw"),
-        col("df"), col("n_docs"), col("totdl"))
+        col("cdf").as("df"), col("n_docs"), col("totdl"))
     val scoredTerms = selected.join(tf, Seq("term"))
       .repartition(col("doc_id"))
       .join(dl, Seq("doc_id"))
@@ -1999,6 +2013,33 @@ object CorpusOps {
       withTaggedQueryText(q)))
   }
 
+  /** bm25f_ldf_topk — FIELD-LOCAL DF (round 15) on the hard gate: the
+    * same tagged queries as bm25f_qtag_topk, scored with each
+    * `title:` clause's TITLE-LOCAL document frequency (docs holding
+    * the term in the title field) instead of the understating
+    * any-field count — the second-order idf effect the v7 fielded
+    * state could not express. The oracle derives dft arithmetically
+    * from raw text; the row where a title-restricted ranking provably
+    * uses title rarity.
+    */
+  def bm25fLdfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withDerivedTitle(load(spark, sfDir, "documents"))
+    val q = withTaggedQueryText(d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")))
+    bm25fScoredOn(d, parseFieldedQuery(q), fieldLocalDf = true)
+  }
+
+  /** bm25f_ldf_index — the INCREMENTAL field-local-df face over the
+    * SAME shared v8 state (no extra state build): per-clause df from
+    * the dfs sub-table's fold-maintained `dft` column, reproducing
+    * [[bm25fLdfTopk]]'s oracle bit-for-bit.
+    */
+  def bm25fLdfIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxfStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryFieldedTagged(spark, state,
+      withTaggedQueryText(q), fieldLocalDf = true))
+  }
+
   /** The fielded-QUERY oracle chain: per-field tf pair at (doc, term)
     * grain, blended dl, any-field df, the rule-derived query triples,
     * the (df, term, fld, qw)-ordered selection, and the per-clause
@@ -2006,7 +2047,10 @@ object CorpusOps {
     * [[parseFieldedQuery]] output. Emits `..franked`.
     */
   private def bm25fQtagCtes(titledTrain: String,
-      queries: String): String =
+      queries: String, fieldLocalDf: Boolean = false): String = {
+    val cdf = if (fieldLocalDf)
+      "CASE WHEN q.fld = 'title' THEN d.dft ELSE d.df END"
+    else "d.df"
     s"""ftoks AS (
        |  SELECT doc_id, unnest(string_split(lower(title), ' ')) AS term,
        |    'title' AS infld
@@ -2026,7 +2070,10 @@ object CorpusOps {
        |  SELECT doc_id, CAST(sum($titleWeight * tft + tfb) AS BIGINT) AS dl
        |  FROM ftf GROUP BY 1
        |), fdft AS (
-       |  SELECT term, count(*)::BIGINT AS df FROM ftf GROUP BY 1
+       |  SELECT term, count(*)::BIGINT AS df,
+       |    CAST(sum(CASE WHEN tft > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dft
+       |  FROM ftf GROUP BY 1
        |), stamp AS (
        |  SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS totdl
        |  FROM fdl
@@ -2041,12 +2088,12 @@ object CorpusOps {
        |    FROM $queries)
        |), qsel AS (
        |  SELECT query_id, term, fld, qw, df FROM (
-       |    SELECT q.query_id, q.term, q.fld, q.qw, d.df,
+       |    SELECT q.query_id, q.term, q.fld, q.qw, $cdf AS df,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY d.df ASC, q.term ASC, q.fld ASC, q.qw ASC)
+       |        ORDER BY $cdf ASC, q.term ASC, q.fld ASC, q.qw ASC)
        |        AS trank
        |    FROM qtrips q JOIN fdft d USING (term), stamp st
-       |    WHERE 2 * d.df <= st.n_docs)
+       |    WHERE $cdf > 0 AND 2 * ($cdf) <= st.n_docs)
        |  WHERE trank <= $bm25QueryTerms
        |), fhits AS (
        |  SELECT s.query_id, f.doc_id, s.qw, s.df, dl.dl,
@@ -2069,11 +2116,22 @@ object CorpusOps {
        |    ORDER BY score_micro DESC, doc_id ASC) AS rank
        |  FROM fscored
        |)""".stripMargin
+  }
 
   val bm25fQtagSql: String =
     s"""WITH titled AS ${titledTrainSql("src0")},
        |${bm25fQtagCtes("titled",
         "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
+       |FROM franked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
+         "n_terms"))}""".stripMargin
+
+  val bm25fLdfSql: String =
+    s"""WITH titled AS ${titledTrainSql("src0")},
+       |${bm25fQtagCtes("titled",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        fieldLocalDf = true)}
        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micro, n_terms
        |FROM franked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "score_micro",
@@ -4001,6 +4059,8 @@ object CorpusOps {
     "bm25f_titled_index" -> bm25fTitledIndex,
     "bm25f_qtag_topk" -> bm25fQtagTopk,
     "bm25f_qtag_index" -> bm25fQtagIndex,
+    "bm25f_ldf_topk" -> bm25fLdfTopk,
+    "bm25f_ldf_index" -> bm25fLdfIndex,
     "phrase_title_match" -> phraseTitleMatch,
     "phrase_title_index" -> phraseTitleIndex,
     "phrase_qtag_match" -> phraseQtagMatch,
@@ -4063,6 +4123,8 @@ object CorpusOps {
     "bm25f_titled_index" -> bm25fTitledSql,
     "bm25f_qtag_topk" -> bm25fQtagSql,
     "bm25f_qtag_index" -> bm25fQtagSql,
+    "bm25f_ldf_topk" -> bm25fLdfSql,
+    "bm25f_ldf_index" -> bm25fLdfSql,
     "phrase_title_match" -> phraseTitleSql,
     "phrase_title_index" -> phraseTitleSql,
     "phrase_qtag_match" -> phraseQtagSql,

@@ -137,6 +137,7 @@ object IndexStream {
     StructField("term", StringType),
     StructField("df", LongType),
     StructField("max_tf", LongType),
+    StructField("dft", LongType),
     StructField("gen", LongType),
     StructField("dpfx", StringType),
     StructField("ingest", LongType)))
@@ -223,13 +224,27 @@ object IndexStream {
     * exactly the batch face's blend-before-saturate quantities. No
     * per-field posting rows, no second dfs: the stored boundary is
     * the entire fielded state.
+    *
+    * v8 (round 15 — FIELD-LOCAL DF): the dfs sub-table carries ONE
+    * extra long per (term, gen) row, `dft` = the generation's count
+    * of documents holding the term at a position < their stored
+    * field boundary (title-local document frequency) — maintained by
+    * the fold from the same posting rows as df, subtracted exactly by
+    * deletes, summed by reclaim, re-derived exactly by rebuilds. A
+    * `title:`-restricted clause under field-local scoring then reads
+    * its true title rarity instead of the understating any-field df;
+    * body/any clauses keep the any-field count (the body dominates
+    * document mass, so its df IS the any-field df to first order —
+    * storing a third per-field count would buy nothing). Pre-v8
+    * generation rows (no dft column) coalesce to their any-field df
+    * on read — the v7 ttl coalesce pattern.
     */
   private[graft] def layoutVersionFor(g: Geom): String =
-    s"graft-ridx-v7 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
+    s"graft-ridx-v8 postings=(tpfx=md5hex${g.hx}(term),ingest):" +
       s"${g.tpfxDirs} sort=term " +
       "pos=sorted-int-array title-first " +
       s"docs=(dbucket=pmod${g.db},ingest) sort=doc_id ttl-col " +
-      "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
+      "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col dft-col " +
       "impact=max_tf " +
       s"tombs=(dbucket=pmod${g.db},ingest) del=neg-df+neg-markers " +
       "tok=lower-ws ncount=(n_docs,tot_dl,tot_ttl) " +
@@ -302,6 +317,102 @@ object IndexStream {
     val next = (p.last + 1).toChar
     if (Character.isSurrogate(p.last) || Character.isSurrogate(next)) None
     else Some(p.init + next)
+  }
+
+  /** Maximum contiguous bands a fallback range prune ORs together —
+    * 64 bands = 128 comparison leaves, far below the OR-chain blowup
+    * the [[prefixOrMax]] cap guards against, and enough resolution to
+    * skip the dead space between clustered term groups.
+    */
+  private val rangeBandMax = 64
+
+  /** Cap on the 2-char-prefix group listing a banded prune collects —
+    * the retrieval tokenizer lowercases, so real vocabularies sit far
+    * below it; an adversarial alphabet falls back to the single
+    * range, never an unbounded collect.
+    */
+  private val rangeGroupCap = 4096
+
+  /** Partition an lo-ASCENDING array of [lo, hi] string ranges into
+    * ≤ k contiguous chunks at the k−1 numerically-largest adjacent
+    * gaps (gap proxy: the difference between the next range's lo and
+    * this range's hi at two-char-prefix-code grain — exact enough to
+    * find the dead vocabulary space the bands exist to skip; a bad
+    * proxy costs pruning, never correctness). Returns each chunk's
+    * covering [first.lo, last.hi], in order.
+    */
+  private def gapChunks(groups: Array[(String, String)],
+      k: Int): Array[(String, String)] = {
+    if (groups.isEmpty) return Array.empty
+    def codeOf(x: String): Long =
+      (if (x.nonEmpty) x.charAt(0).toLong << 16 else 0L) |
+        (if (x.length > 1) x.charAt(1).toLong else 0L)
+    val splits = (1 until groups.length)
+      .map(i => (codeOf(groups(i)._1) - codeOf(groups(i - 1)._2), i))
+      .sortBy(-_._1).take(k - 1).map(_._2).sorted
+    val bounds = (0 +: splits) :+ groups.length
+    bounds.init.zip(bounds.tail)
+      .map { case (a, b) => (groups(a)._1, groups(b - 1)._2) }.toArray
+  }
+
+  /** Balanced OR of a non-empty predicate array (a linear `||` fold
+    * would build a depth-n Catalyst tree).
+    */
+  private def orBalanced(ps: Array[Column]): Column =
+    if (ps.length == 1) ps(0)
+    else {
+      val (l, r) = ps.splitAt(ps.length / 2)
+      orBalanced(l) || orBalanced(r)
+    }
+
+  /** The prefix fallback's scan shape: the pushable range predicate
+    * rides the dfs scan, the fixed-width-prefix semi-join is the
+    * exact rule.
+    */
+  private def dfsPruned0(dfsBase: DataFrame, range: Column,
+      seed: DataFrame, len: Int): DataFrame =
+    dfsBase.filter(range)
+      .join(seed.select(col("pfx")).distinct(),
+        substring(col("term"), 1, len) === col("pfx"), "left_semi")
+
+  /** BANDED term-range predicate (round 15) for the >[[pushdownMax]]
+    * fallback scans — the answer to the round-14 residual: a query
+    * set spanning the whole lexicon defeats a single [min, max] range
+    * (it prunes nothing), but term sets in that regime are usually
+    * CLUSTERED (prefix expansions, sharded vocabularies), so k
+    * contiguous bands cut at the largest gaps skip the dead space
+    * between clusters while still being one pushable predicate.
+    * Groups the distinct term set by its 2-char prefix (cardinality
+    * alphabet² — a bounded collect), takes each group's exact
+    * [min, max], merges groups into ≤ [[rangeBandMax]] bands at the
+    * largest inter-group gaps, and returns the balanced OR of closed
+    * band ranges. Degenerates gracefully: spread-everywhere sets get
+    * bands that together cover what the single range covered (never
+    * wider); a group listing over [[rangeGroupCap]] falls back to the
+    * single range. None = the term set is empty. The exact semi-join
+    * downstream remains the correctness filter in every case — the
+    * bands are only its pushable superset.
+    */
+  private def bandedTermRange(terms: DataFrame,
+      c: Column): Option[Column] = {
+    val g2 = terms
+      .groupBy(substring(col("term"), 1, 2).as("p2"))
+      .agg(org.apache.spark.sql.functions.min(col("term")).as("lo"),
+        org.apache.spark.sql.functions.max(col("term")).as("hi"))
+      .limit(rangeGroupCap + 1).collect()
+    if (g2.isEmpty) return None
+    if (g2.length > rangeGroupCap) {
+      // adversarial alphabet: the r14 single range (2-value aggregate)
+      val b = terms.agg(
+        org.apache.spark.sql.functions.min(col("term")),
+        org.apache.spark.sql.functions.max(col("term"))).collect()(0)
+      return if (b.isNullAt(0)) None
+      else Some(c >= b.getString(0) && c <= b.getString(1))
+    }
+    val bands = gapChunks(
+      g2.map(r => (r.getString(1), r.getString(2))).sortBy(_._1),
+      rangeBandMax)
+    Some(orBalanced(bands.map { case (lo, hi) => c >= lo && c <= hi }))
   }
 
   val defaultMaxGenerations: Int = NearDupStream.defaultMaxGenerations
@@ -440,7 +551,12 @@ object IndexStream {
                   // possibly stale-high after reclaim (the max-tf doc
                   // may be gone), which stays a valid upper bound;
                   // migration rebuilds tighten it
-                  max(col("max_tf")).as("max_tf"))
+                  max(col("max_tf")).as("max_tf"),
+                  // pre-v8 rows coalesce their unknown title-df to the
+                  // any-field df (stale-HIGH, like max_tf: a too-high
+                  // dft understates a title clause's rarity, never
+                  // inflates it); rebuilds tighten it to exact
+                  sum(coalesce(col("dft"), col("df"))).as("dft"))
                 .filter(col("df") > 0)
                 .withColumn("gen", lit(-1L))
                 .withColumn("dpfx", substring(md5(col("term")), 1, 1)))),
@@ -494,9 +610,11 @@ object IndexStream {
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tpfx", substring(md5(col("term")), 1, g.hx))
 
-  /** The per-batch df rows (term, df, max_tf, gen, dpfx) — df counted
-    * from the same posting rows the batch writes, so dfs and postings
-    * can never disagree. `max_tf` (layout v5) is the term's IMPACT
+  /** The per-batch df rows (term, df, max_tf, dft, gen, dpfx) — df
+    * counted from the same posting rows the batch writes, so dfs and
+    * postings can never disagree; `dft` (layout v8) is the
+    * title-local document count, from the same rows' positions
+    * against the boundary the docs rows store. `max_tf` (layout v5) is the term's IMPACT
     * BOUND: the largest tf any posting of this generation carries.
     * [[queryTopKAll]] turns it into a per-term score upper bound
     * (µ-score at tf = dl = max_tf — valid because the µ-score rises in
@@ -507,9 +625,14 @@ object IndexStream {
     * bound (a too-high max_tf costs a fallback, never a wrong answer);
     * migration/redomain rebuilds tighten it back to exact.
     */
-  private def dfsRel(tf: DataFrame, batchId: Long): DataFrame =
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"),
-        max(col("tf")).as("max_tf"))
+  private def dfsRel(tf: DataFrame, docs: DataFrame,
+      batchId: Long): DataFrame =
+    tf.join(docs.select(col("doc_id"), col("ttl")), Seq("doc_id"))
+      .withColumn("intitle",
+        expr("size(filter(positions, p -> p < ttl)) > 0"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"),
+        sum(when(col("intitle"), lit(1L)).otherwise(lit(0L))).as("dft"))
       .withColumn("gen", lit(batchId))
       .withColumn("dpfx", substring(md5(col("term")), 1, 1))
 
@@ -600,7 +723,7 @@ object IndexStream {
           .write.partitionBy("dbucket", "ingest")
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite").parquet(s"$stateDir/docs")
-        dfsRel(tf, batchId).withColumn("ingest", lit(batchId))
+        dfsRel(tf, docs, batchId).withColumn("ingest", lit(batchId))
           .repartition(spark.sparkContext.defaultParallelism,
             col("dpfx"))
           .sortWithinPartitions(col("dpfx"), col("term"))
@@ -731,7 +854,12 @@ object IndexStream {
         // the contributions their fold once added)
         val negDfs = tfRel(doomed.select(col("doc_id"),
             col("lt").as("text")), g)
-          .groupBy(col("term")).agg((-count(lit(1))).as("df"))
+          .join(doomed.select(col("doc_id"), col("ttl")), Seq("doc_id"))
+          .withColumn("intitle",
+            expr("size(filter(positions, p -> p < ttl)) > 0"))
+          .groupBy(col("term")).agg((-count(lit(1))).as("df"),
+            (-sum(when(col("intitle"), lit(1L)).otherwise(lit(0L))))
+              .as("dft"))
           // max_tf = 0: a delete row never LOWERS the stored impact
           // bound (max over gens) — stale-high is safe, see dfsRel
           .withColumn("max_tf", lit(0L))
@@ -1598,33 +1726,35 @@ object IndexStream {
     // expression tree (planning blowup / stack risk, unlike isin);
     // prefix-seed cardinality is query-count-bounded anyway — cap the
     // OR branch low and build it as a balanced reduction
-    def orBalanced(ps: Array[Column]): Column =
-      if (ps.length == 1) ps(0)
-      else {
-        val (l, r) = ps.splitAt(ps.length / 2)
-        orBalanced(l) || orBalanced(r)
-      }
     val dfsPruned =
       if (pfxSample.length <= prefixOrMax)
         dfsBase.filter(
           orBalanced(pfxSample.map(p => col("term").startsWith(p))))
-      else {
-        // above the OR-chain cap the semi-join stays the exact rule,
-        // but a PREFIX-RANGE predicate now rides the scan (round 14):
-        // every completion of any seed prefix lies in
-        // [min(pfx), nextAfter(max(pfx))), and dfs files are
-        // term-sorted, so the range reaches the row-group statistics
-        // a 65k-branch OR never could. Bounds come from a 2-value
-        // aggregate over seed (pfxSample may be truncated above
-        // pushdownMax — the sample must not bound the range).
+      else if (pfxSample.length <= pushdownMax) {
+        // above the OR-chain cap with a COMPLETE seed sample
+        // (round 15): every completion of seed p lies in
+        // [p, successor(p)), so chunking the sorted seeds at their
+        // largest gaps into ≤ rangeBandMax contiguous bands — each
+        // [chunk.first, successor(chunk.last)) — gives a range
+        // predicate that skips the vocabulary BETWEEN seed clusters,
+        // which the round-14 single [min, max] range could not (a
+        // seed set spanning the lexicon pruned nothing). The
+        // semi-join below stays the exact rule.
+        val chunks = gapChunks(pfxSample.sorted.map(p => (p, p)),
+          rangeBandMax)
+        dfsPruned0(dfsBase, orBalanced(chunks.map { case (lo, hi) =>
+          charSuccessor(hi).fold(col("term") >= lo)(h =>
+            col("term") >= lo && col("term") < h)
+        }), seed, len)
+      } else {
+        // seed sample TRUNCATED (more seed prefixes than pushdownMax):
+        // the sample must not bound anything — fall back to the
+        // round-14 single range from a 2-value distributed aggregate
         val b = seed.agg(org.apache.spark.sql.functions.min(col("pfx")),
           org.apache.spark.sql.functions.max(col("pfx"))).collect()(0)
-        val (lo, hiPfx) = (b.getString(0), b.getString(1))
-        val hi = charSuccessor(hiPfx)
-        dfsBase.filter(col("term") >= lo &&
-            hi.fold(lit(true))(h => col("term") < h))
-          .join(seed.select(col("pfx")).distinct(),
-            substring(col("term"), 1, len) === col("pfx"), "left_semi")
+        val hi = charSuccessor(b.getString(1))
+        dfsPruned0(dfsBase, col("term") >= b.getString(0) &&
+          hi.fold(lit(true))(h => col("term") < h), seed, len)
       }
     // collapse byte-identical dfs rows before summing, mirroring
     // dfsRowsFor's distinct over (term, df, gen): a batch re-delivered
@@ -1910,9 +2040,11 @@ object IndexStream {
     * read as the blended query.
     */
   def queryFieldedTagged(spark: SparkSession, stateDir: String,
-      queries: DataFrame, asOf: Option[Long] = None): DataFrame =
+      queries: DataFrame, asOf: Option[Long] = None,
+      fieldLocalDf: Boolean = false): DataFrame =
     queryFieldedOn(spark, stateDir,
-      graft.operators.CorpusOps.parseFieldedQuery(queries), asOf)
+      graft.operators.CorpusOps.parseFieldedQuery(queries), asOf,
+      fieldLocalDf)
 
   /** The ONE fielded scorer both faces above run through — `trips` is
     * the DISTINCT (query_id, term, fld, qw) clause relation; the
@@ -1925,7 +2057,8 @@ object IndexStream {
     * µ-score × qw.
     */
   private def queryFieldedOn(spark: SparkSession, stateDir: String,
-      trips: DataFrame, asOf: Option[Long]): DataFrame = {
+      trips: DataFrame, asOf: Option[Long],
+      fieldLocalDf: Boolean = false): DataFrame = {
     ensureLayout(spark, stateDir)
     val g = geomOf(spark, stateDir)
     val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
@@ -1952,17 +2085,31 @@ object IndexStream {
     val dfsR = dfsRowsFor(spark, stateDir,
       q.select(col("term")).distinct(), termSample, gens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"),
+        sum(col("dft")).as("dft"))
       .filter(col("df") > 0)
+    // FIELD-LOCAL DF (layout v8): a title-restricted clause scores and
+    // selects with its title-local document frequency — the clause df
+    // `cdf` — instead of the understating any-field count; body/any
+    // clauses keep the any-field df (see the layout doc). A title
+    // clause whose term never appears in any title (cdf = 0) cannot
+    // match and is not a clause. Off by default: the unfielded and
+    // qtag faces stay pinned to the any-field semantics their oracle
+    // rows fix.
     val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("df").asc, col("term").asc, col("fld").asc,
+      .orderBy(col("cdf").asc, col("term").asc, col("fld").asc,
         col("qw").asc)
     val selected = q.join(dfT, Seq("term"))
-      .filter(graft.operators.CorpusOps.bm25CapOk(col("df"), lit(nDocs)))
+      .withColumn("cdf",
+        if (fieldLocalDf)
+          when(col("fld") === "title", col("dft")).otherwise(col("df"))
+        else col("df"))
+      .filter(col("cdf") > 0)
+      .filter(graft.operators.CorpusOps.bm25CapOk(col("cdf"), lit(nDocs)))
       .withColumn("trank", row_number().over(wq))
       .filter(col("trank") <= graft.operators.CorpusOps.bm25QueryTerms)
       .select(col("term"), col("query_id"), col("fld"), col("qw"),
-        col("df"))
+        col("cdf").as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selPairs = selected.select(col("term")).distinct()
       .join(dfsR, Seq("term"))
@@ -2029,21 +2176,22 @@ object IndexStream {
         dfsBase.filter(col("dpfx").isin(pfx: _*) &&
           col("term").isin(termSample.toSeq: _*))
       } else {
-        // term-RANGE row-group prune (round 14): dfs files are
-        // write-sorted by (dpfx, term) — the [min, max] range of the
+        // term-RANGE row-group prune (round 14, BANDED round 15): dfs
+        // files are write-sorted by (dpfx, term), so a range over the
         // query's terms reaches the parquet statistics where the IN
-        // list can't (the sample truncated above pushdownMax, so the
-        // bounds come from a 2-value distributed aggregate, never
-        // the truncated sample); the semi-join stays the exact filter
-        val b = terms.agg(org.apache.spark.sql.functions.min(col("term")),
-          org.apache.spark.sql.functions.max(col("term"))).collect()(0)
-        val ranged =
-          if (b.isNullAt(0)) dfsBase
-          else dfsBase.filter(col("term") >= b.getString(0) &&
-            col("term") <= b.getString(1))
+        // list can't (the sample truncated above pushdownMax — the
+        // bounds come from bounded distributed aggregates, never the
+        // truncated sample); ≤ rangeBandMax gap-cut bands also skip
+        // the vocabulary BETWEEN term clusters, which the single
+        // [min, max] could not. The semi-join stays the exact filter.
+        val ranged = bandedTermRange(terms, col("term"))
+          .fold(dfsBase)(dfsBase.filter)
         ranged.join(terms, Seq("term"), "left_semi")
       }
-    rows.select(col("term"), col("df"), col("max_tf"), col("gen"))
+    rows.select(col("term"), col("df"), col("max_tf"), col("gen"),
+        // pre-v8 generation files carry no dft column — their rows
+        // coalesce to the any-field df (layout v8 doc)
+        coalesce(col("dft"), col("df")).as("dft"))
       .distinct()
   }
 
@@ -2082,21 +2230,19 @@ object IndexStream {
       val pfx = selectedTerms
         .select(substring(md5(col("term")), 1, g.hx).as("tpfx"))
         .distinct().collect().map(_.getString(0)).toSeq // ≤ 16^hx, fixed
-      // TERM-RANGE row-group prune on the fallback (round 14): the
-      // posting files are write-sorted by (tpfx, term, doc_id), so a
-      // [min, max] range over the selected terms reaches the parquet
-      // term statistics even when the term set itself is too large
-      // for an IN predicate — the semi-join stays the exact filter,
-      // the range is its pushable superset. One 2-value aggregate on
-      // the driver (bounded), same discipline as the dl fetch.
-      val b = selectedTerms
-        .agg(org.apache.spark.sql.functions.min(col("term")),
-          org.apache.spark.sql.functions.max(col("term"))).collect()(0)
+      // TERM-RANGE row-group prune on the fallback (round 14, BANDED
+      // round 15): the posting files are write-sorted by
+      // (tpfx, term, doc_id), so a range predicate over the selected
+      // terms reaches the parquet term statistics even when the term
+      // set itself is too large for an IN predicate — and the
+      // gap-cut bands skip the row groups between term clusters the
+      // single [min, max] had to read. The semi-join stays the exact
+      // filter, the bands its pushable superset; all collects are
+      // bounded (group listing ≤ rangeGroupCap).
       val scanned = base.filter(col("tpfx").isin(pfx: _*))
-      val ranged =
-        if (b.isNullAt(0)) scanned
-        else scanned.filter(col("term") >= b.getString(0) &&
-          col("term") <= b.getString(1))
+      val ranged = bandedTermRange(
+          selectedTerms.select(col("term")).distinct(), col("term"))
+        .fold(scanned)(scanned.filter)
       ranged.join(selectedTerms.select(col("term")).distinct(),
         Seq("term"), "left_semi")
     }
@@ -2498,7 +2644,7 @@ object IndexStream {
               .parquet(s"$staging/docs")
             // dfs rebuilt whole-corpus as the single gen=-1 generation
             // (sum over one generation = the exact corpus df)
-            dfsRel(tf, -1L).withColumn("ingest", lit(-1L))
+            dfsRel(tf, docs, -1L).withColumn("ingest", lit(-1L))
               .sortWithinPartitions(col("dpfx"), col("term"))
               .write.partitionBy("dpfx", "ingest")
               .parquet(s"$staging/dfs")

@@ -43,10 +43,10 @@ class GateGeomSpec extends SparkSpecBase {
     assert(IndexStream.layoutVersionFor(IndexStream.defaultGeom) ==
       IndexStream.layoutVersion)
     assert(IndexStream.layoutVersion ==
-      "graft-ridx-v7 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
+      "graft-ridx-v8 postings=(tpfx=md5hex2(term),ingest):256 sort=term " +
         "pos=sorted-int-array title-first " +
         "docs=(dbucket=pmod256,ingest) sort=doc_id ttl-col " +
-        "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col " +
+        "dfs=(dpfx=md5hex1(term),ingest):16 sort=term gen-col dft-col " +
         "impact=max_tf " +
         "tombs=(dbucket=pmod256,ingest) del=neg-df+neg-markers " +
         "tok=lower-ws ncount=(n_docs,tot_dl,tot_ttl) title=5x2 " +
