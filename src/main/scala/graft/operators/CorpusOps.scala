@@ -1694,29 +1694,42 @@ object CorpusOps {
 
   /** The quoted-run grammar (round 15), layered on the per-token one:
     *
-    *   phrase := ("title" | "body") ":" '"' term (" " term)* '"'
+    *   run := ("title" | "body") ":" '"' term (" " term)* '"' ["~" digits]
     *
     * `title:"a b c"` restricts the EXACT consecutive run `a b c` to
     * the title field, `body:"…"` to the body — the query-string form
-    * of the field parameter the phrase_title faces take in Scala.
-    * Extracts the FIRST tagged quoted run per query as (query_id,
-    * ptext, fld); queries with no tagged run parse to zero rows
-    * (nothing phrasal to match — bare terms are [[parseFieldedQuery]]
-    * clauses). An UNTAGGED quoted run (`"a b"`) and an unknown prefix
+    * of the field parameter the phrase_title faces take in Scala —
+    * and a `~w` suffix (Lucene slop) relaxes adjacency to an ordered
+    * window of span ≤ len−1+w, still entirely in-field (the NEAR
+    * faces answer those; the exact-phrase faces answer slop-0 runs
+    * only). Extracts the FIRST tagged quoted run per query as
+    * (query_id, ptext, fld, slop) with slop = 0 when untagged;
+    * queries with no tagged run parse to zero rows (nothing phrasal
+    * to match — bare terms are [[parseFieldedQuery]] clauses). An
+    * UNTAGGED quoted run (`"a b"`) and an unknown prefix
     * (`foo:"a b"`) are not phrase tags, mirroring the per-token
-    * parser's unknown-prefix rule. Shared by the batch face
-    * ([[phraseQtagMatch]]) and the index face
-    * (streaming.IndexStream.queryPhraseTagged) so phrase-tag parsing
-    * cannot drift between them.
+    * parser's unknown-prefix rule; slop digits cap at 4 (a span cap
+    * is a small number — longer digit tails stay literal text after
+    * the run, exactly the boost-cap discipline). Shared by the batch
+    * faces ([[phraseQtagMatch]], [[nearQtagMatch]]) and the index
+    * faces (streaming.IndexStream.queryPhraseTagged /
+    * queryNearTagged) so tag parsing cannot drift between them.
     */
-  private[graft] val taggedPhrasePat = "\\b(title|body):\"([^\"]+)\""
+  private[graft] val taggedPhrasePat =
+    "\\b(title|body):\"([^\"]+)\"(~\\d{1,4}(?!\\d))?"
 
   private[graft] def parseTaggedPhrase(queries: DataFrame): DataFrame =
     queries.filter(col("text").isNotNull)
       .withColumn("fld", regexp_extract(col("text"), taggedPhrasePat, 1))
       .withColumn("ptext", regexp_extract(col("text"), taggedPhrasePat, 2))
+      .withColumn("slops",
+        regexp_extract(col("text"), taggedPhrasePat, 3))
+      .withColumn("slop",
+        when(length(col("slops")) > 1,
+          expr("substring(slops, 2)").cast("long"))
+          .otherwise(lit(0L)))
       .filter(length(col("fld")) > 0 && length(col("ptext")) > 0)
-      .select(col("query_id"), col("ptext"), col("fld"))
+      .select(col("query_id"), col("ptext"), col("fld"), col("slop"))
 
   /** The ONE fielded scorer both BM25F batch faces run through —
     * unfielded queries are the degenerate all-('any', 1) triple set,
@@ -2047,10 +2060,15 @@ object CorpusOps {
     * [[parseFieldedQuery]] output. Emits `..franked`.
     */
   private def bm25fQtagCtes(titledTrain: String,
-      queries: String, fieldLocalDf: Boolean = false): String = {
+      queries: String, fieldLocalDf: Boolean = false,
+      excludeRun: Option[Int] = None): String = {
     val cdf = if (fieldLocalDf)
       "CASE WHEN q.fld = 'title' THEN d.dft ELSE d.df END"
     else "d.df"
+    // the qlang rule: token positions 1..len form the quoted phrase
+    // run, so they are NOT term clauses
+    val runFilter = excludeRun
+      .map(l => s"WHERE pos NOT BETWEEN 1 AND $l").getOrElse("")
     s"""ftoks AS (
        |  SELECT doc_id, unnest(string_split(lower(title), ' ')) AS term,
        |    'title' AS infld
@@ -2086,6 +2104,7 @@ object CorpusOps {
        |      unnest(generate_series(0,
        |        len(string_split(lower(text), ' ')) - 1)) AS pos
        |    FROM $queries)
+       |  $runFilter
        |), qsel AS (
        |  SELECT query_id, term, fld, qw, df FROM (
        |    SELECT q.query_id, q.term, q.fld, q.qw, $cdf AS df,
@@ -2358,18 +2377,27 @@ object CorpusOps {
     * the anchor predicate is one CASE against the recomputed
     * boundary — no extra join over the constant-field shape.
     */
-  private def phraseFieldRankOn(d: DataFrame, qp: DataFrame,
-      len: Int): DataFrame = {
+  /** The titled corpus's (position stream, boundary) pair — the
+    * title ++ body token positions and per-doc ttl the
+    * field-restricted positional faces consume. ONE definition so the
+    * phrase and NEAR tagged faces cannot drift on the stream shape.
+    */
+  private def titledStream(d: DataFrame): (DataFrame, DataFrame) = {
     require(d.columns.contains("title"),
-      "field-restricted phrase needs a titled corpus (title column)")
+      "field-restricted positional faces need a titled corpus " +
+        "(title column)")
     val train = d.filter(col("source") =!= "src0")
     val ttoksC = when(col("title").isNotNull, bm25Tokens(col("title")))
       .otherwise(array())
-    val toks = train.select(col("doc_id"),
-      posexplode(concat(ttoksC, bm25Tokens(col("text"))))
-        .as(Seq("pos", "term")))
-    val bound = train.select(col("doc_id"),
-      size(ttoksC).cast("long").as("ttl"))
+    (train.select(col("doc_id"),
+        posexplode(concat(ttoksC, bm25Tokens(col("text"))))
+          .as(Seq("pos", "term"))),
+      train.select(col("doc_id"), size(ttoksC).cast("long").as("ttl")))
+  }
+
+  private def phraseFieldRankOn(d: DataFrame, qp: DataFrame,
+      len: Int): DataFrame = {
+    val (toks, bound) = titledStream(d)
     val anchors = qp.join(toks, Seq("term"))
       .select(col("query_id"), col("fld"), col("doc_id"),
         (col("pos") - col("i")).as("anchor"))
@@ -2506,7 +2534,9 @@ object CorpusOps {
     * relations — the spec seam. */
   private[graft] def phraseQtagMatchOn(d: DataFrame, queries: DataFrame,
       len: Int): DataFrame = {
-    val parsed = parseTaggedPhrase(queries)
+    // a slop-tagged run is a PROXIMITY clause ([[nearQtagMatch]]
+    // answers it); the exact-phrase face answers slop-0 runs only
+    val parsed = parseTaggedPhrase(queries).filter(col("slop") === 0L)
     val qp = parsed.filter(size(bm25Tokens(col("ptext"))) >= len)
       .select(col("query_id"), col("fld"),
         posexplode(phraseTerms(col("ptext"), len)).as(Seq("i", "term")))
@@ -2585,6 +2615,293 @@ object CorpusOps {
        |FROM pranked WHERE rank <= $bm25K
        |${canonOrderSql(Seq("query_id", "rank", "doc_id", "n_occ"))}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // near_qtag — SLOP-tagged fielded proximity: title:"a b"~w (round 15)
+  // ---------------------------------------------------------------------
+
+  /** The deterministic tagging rule the two near_qtag gate rows query
+    * with: [[withTaggedPhraseText]]'s shape plus a `~slop` suffix
+    * with slop = query_id % 3 — so slop 0 (exact adjacency), 1, and 2
+    * all exercise, per query, alongside the parity field.
+    */
+  private[graft] def withTaggedNearText(q: DataFrame,
+      len: Int = 2): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    q.filter(size(toks) >= len + 1)
+      .withColumn("text", concat_ws(" ",
+        array(element_at(toks, 1),
+          concat(
+            when(pmod(col("query_id"), lit(2)) === 0, lit("title"))
+              .otherwise(lit("body")),
+            lit(":\""),
+            array_join(slice(toks, 2, len), " "),
+            lit("\"~"),
+            pmod(col("query_id"), lit(3)).cast("string"))),
+        slice(toks, lit(len + 2),
+          greatest(size(toks) - (len + 1), lit(0)))))
+  }
+
+  /** near_qtag_match — SLOP-tagged fielded proximity in the query
+    * STRING: `title:"a b"~w` matches ordered in-order runs of the
+    * quoted terms with span ≤ len−1+w lying ENTIRELY within the
+    * tagged field (every chained position classifies to the field —
+    * simpler than the phrase anchor-window rule because proximity
+    * has no contiguity to preserve across the seam), scored by the
+    * Lucene-style sloppy frequency ([[nearRank]]'s µ-grade) over the
+    * qualifying ends only. Slop 0 degenerates to exact in-field
+    * adjacency — 10⁶ per occurrence, the phrase face's n_occ in
+    * µ-units.
+    */
+  def nearQtagMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withDerivedTitle(load(spark, sfDir, "documents"))
+    val q = withTaggedNearText(d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")), len = 2)
+    nearQtagMatchOn(d, q, len = 2)
+  }
+
+  /** [[nearQtagMatch]] over explicit corpus + tagged-query relations —
+    * the spec seam. */
+  private[graft] def nearQtagMatchOn(d: DataFrame, queries: DataFrame,
+      len: Int): DataFrame = {
+    val parsed = parseTaggedPhrase(queries)
+    val qp = parsed.filter(size(bm25Tokens(col("ptext"))) >= len)
+      .select(col("query_id"), col("fld"), col("slop"),
+        posexplode(phraseTerms(col("ptext"), len)).as(Seq("i", "term")))
+    val (toks, bound) = titledStream(d)
+    val posRows = qp.join(toks, Seq("term"))
+      .join(bound, Seq("doc_id"))
+      .filter(when(col("fld") === "title", col("pos") < col("ttl"))
+        .otherwise(col("pos") >= col("ttl")))
+      .select(col("query_id"), col("doc_id"), col("i"), col("pos"),
+        col("slop"))
+    canon(nearRank(posRows, len, sloppy = true, slopCapped = true))
+  }
+
+  /** near_qtag_index — the INCREMENTAL slop-tagged face over the SAME
+    * shared v8 state: the field classifies each stored position
+    * against the STORED boundary, the per-query slop caps the chained
+    * ends, bit-identical to [[nearQtagMatch]]'s oracle.
+    */
+  def nearQtagIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxfStateAndQueries(spark, sfDir)
+    canon(graft.streaming.IndexStream.queryNearTagged(spark, state,
+      withTaggedNearText(q, len = 2), len = 2))
+  }
+
+  /** The slop-tagged proximity oracle chain: the titled position
+    * space and boundary, fld/slop/slot terms derived ARITHMETICALLY
+    * from raw text, the in-field position filter, the same chained
+    * IGNORE NULLS merge as [[nearCtes]], and the per-query slop cap
+    * on the qualifying ends. Emits `..nranked` with `sloppy_micro`.
+    */
+  private def nearQtagCtes(titledTrain: String, queries: String,
+      len: Int): String = {
+    // CTE names are prefixed n*/f* disjointly from bm25fQtagCtes so
+    // the two chains COMPOSE under one WITH (the qlang oracle)
+    val chain = (1 until len).map { j =>
+      val carried = if (j == 1) "CASE WHEN i = 0 THEN pos END"
+        else s"CASE WHEN i = ${j - 1} THEN g${j - 1} END"
+      val from = if (j == 1) "nposr" else s"s${j - 1}"
+      s"""s$j AS (
+         |  SELECT *, last_value($carried IGNORE NULLS)
+         |    OVER (PARTITION BY query_id, doc_id
+         |      ORDER BY pos ASC, i DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS g$j
+         |  FROM $from
+         |)""".stripMargin
+    }.mkString(", ")
+    val g = s"g${len - 1}"
+    s"""fstream AS (
+       |  SELECT doc_id,
+       |    list_concat(string_split(lower(title), ' '),
+       |      string_split(lower(text), ' ')) AS toks,
+       |    len(string_split(lower(title), ' '))::BIGINT AS ttl
+       |  FROM $titledTrain
+       |), ptoks AS (
+       |  SELECT doc_id, unnest(toks) AS term,
+       |    unnest(generate_series(0, len(toks) - 1)) AS pos
+       |  FROM fstream
+       |), nqsel AS (
+       |  SELECT doc_id AS query_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'title' ELSE 'body' END AS fld,
+       |    CAST(doc_id % 3 AS BIGINT) AS slop,
+       |    string_split(lower(text), ' ') AS qtoks
+       |  FROM $queries
+       |  WHERE len(string_split(lower(text), ' ')) >= ${len + 1}
+       |), nqp AS (
+       |  SELECT query_id, fld, slop,
+       |    unnest(list_slice(qtoks, 2, ${len + 1})) AS term,
+       |    unnest(generate_series(0, ${len - 1})) AS i
+       |  FROM nqsel
+       |), nposr AS (
+       |  SELECT q.query_id, t.doc_id, q.i, t.pos, q.slop
+       |  FROM nqp q JOIN ptoks t USING (term)
+       |    JOIN fstream b ON t.doc_id = b.doc_id
+       |  WHERE CASE WHEN q.fld = 'title' THEN t.pos < b.ttl
+       |    ELSE t.pos >= b.ttl END
+       |), $chain, nspan AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(1000000 // (1 + pos - $g - ${len - 1}))
+       |      AS BIGINT) AS sloppy_micro
+       |  FROM s${len - 1}
+       |  WHERE i = ${len - 1} AND $g IS NOT NULL
+       |    AND pos - $g - ${len - 1} <= slop
+       |  GROUP BY 1, 2
+       |), nranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sloppy_micro DESC, doc_id ASC) AS rank
+       |  FROM nspan
+       |)""".stripMargin
+  }
+
+  val nearQtagSql: String =
+    s"""WITH titled AS ${titledTrainSql("src0")},
+       |${nearQtagCtes("titled",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')",
+        len = 2)}
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, sloppy_micro
+       |FROM nranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id",
+         "sloppy_micro"))}""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qlang — the COMPOSED query language: terms + boosts + field tags +
+  // a slop-tagged quoted run in ONE string, fused (round 15)
+  // ---------------------------------------------------------------------
+
+  /** The deterministic composed-query rule the two qlang gate rows
+    * query with, over raw tokens t₀ t₁ t₂ t₃ …:
+    *
+    *   `title:t₀ fld:"t₁ … t_len"~s  <t_{len+1} … by the %3 rule>`
+    *
+    * — tokens 1..len become the quoted run (fld = query parity,
+    * slop = query_id % 3), every OTHER token keeps the round-14
+    * per-token tagging rule AT ITS ORIGINAL POSITION (p % 3 = 0 →
+    * `title:t`, 1 → `t^w`, else bare; position 0 is always p%3=0).
+    * One string exercises the whole grammar: the per-token parser
+    * must strip the run and read the tags, the quoted-run parser must
+    * read the run, and the oracle derives both clause families
+    * arithmetically from the raw text.
+    */
+  private[graft] def withQlangText(q: DataFrame,
+      len: Int = 2): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val fldS = when(pmod(col("query_id"), lit(2)) === 0, lit("title"))
+      .otherwise(lit("body"))
+    val restArr = expr(
+      s"transform(slice(split(lower(text), ' '), ${len + 2}, " +
+        s"greatest(size(split(lower(text), ' ')) - ${len + 1}, 0)), " +
+        s"(t, i) -> CASE WHEN (i + ${len + 1}) % 3 = 0 " +
+        "THEN concat('title:', t) " +
+        s"WHEN (i + ${len + 1}) % 3 = 1 THEN concat(t, '^2') " +
+        "ELSE t END)")
+    q.filter(size(toks) >= len + 1)
+      .withColumn("text", concat_ws(" ",
+        array(
+          concat(lit("title:"), element_at(toks, 1)),
+          concat(fldS, lit(":\""),
+            array_join(slice(toks, 2, len), " "),
+            lit("\"~"), pmod(col("query_id"), lit(3)).cast("string"))),
+        restArr))
+  }
+
+  /** qlang_topk — the composed query language on the hard gate: ONE
+    * tagged string per query parses into BOTH clause families — the
+    * field-tagged/boosted term clauses score through the
+    * field-local-df BM25F leg ([[bm25fScoredOn]] over
+    * [[parseFieldedQuery]], which strips the run), the quoted run
+    * scores through the slop-capped fielded proximity leg
+    * ([[nearQtagMatchOn]]) — and the two legs fuse under the shared
+    * integer RRF tail ([[rrfFuseLegs]]), the same arity-generic
+    * fusion every hybrid face uses. This is the full-query-language
+    * row: a user types Lucene-style syntax, the engine answers with
+    * ranked fusion.
+    */
+  def qlangTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = withDerivedTitle(load(spark, sfDir, "documents"))
+    val q = withQlangText(d.filter(col("source") === "src0")
+      .select(col("doc_id").as("query_id"), col("text")))
+    qlangOn(d, q)
+  }
+
+  /** [[qlangTopk]] over explicit corpus + composed-query relations —
+    * the spec seam. */
+  private[graft] def qlangOn(d: DataFrame, q: DataFrame): DataFrame =
+    canon(rrfFuseLegs(Seq(
+      bm25fScoredOn(d, parseFieldedQuery(q), fieldLocalDf = true)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("rank_sparse")),
+      nearQtagMatchOn(d, q, len = 2)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("rank_prox")))))
+
+  /** qlang_index — the INCREMENTAL composed face over the SAME shared
+    * v8 state: both legs (field-local-df BM25F, slop-capped fielded
+    * proximity) parse the same strings through the same shared
+    * parsers and read the same stored state, fused identically.
+    */
+  def qlangIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val (state, q) = ridxfStateAndQueries(spark, sfDir)
+    val tq = withQlangText(q)
+    canon(rrfFuseLegs(Seq(
+      graft.streaming.IndexStream.queryFieldedTagged(spark, state, tq,
+          fieldLocalDf = true)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("rank_sparse")),
+      graft.streaming.IndexStream.queryNearTagged(spark, state, tq,
+          len = 2)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").as("rank_prox")))))
+  }
+
+  /** The composed-query oracle: BOTH leg chains under one WITH (their
+    * CTE names are disjoint by construction), each deriving its
+    * clauses arithmetically from the raw text — the term leg from
+    * token positions OUTSIDE the run (the `excludeRun` window), the
+    * proximity leg from positions 1..len — then the integer RRF
+    * fusion. The gate filter (≥ len+1 tokens, the composed rule's
+    * minimum) applies to BOTH legs through the shared queries
+    * relation.
+    */
+  // lazy: rrfConst is declared later in this object body, and a
+  // strict val here would interpolate its pre-init 0 (object vals
+  // initialize in declaration order)
+  lazy val qlangSql: String = {
+    val qrel = "(SELECT doc_id, text FROM documents " +
+      "WHERE source = 'src0' " +
+      "AND len(string_split(lower(text), ' ')) >= 3)"
+    s"""WITH titled AS ${titledTrainSql("src0")},
+       |${bm25fQtagCtes("titled", qrel, fieldLocalDf = true,
+        excludeRun = Some(2))},
+       |${nearQtagCtes("titled", qrel, len = 2)},
+       |sparse AS (
+       |  SELECT query_id, doc_id, rank AS rank_sparse
+       |  FROM franked WHERE rank <= $bm25K
+       |), prox AS (
+       |  SELECT query_id, doc_id, rank AS rank_prox
+       |  FROM nranked WHERE rank <= $bm25K
+       |), qfused AS (
+       |  SELECT coalesce(s.query_id, p.query_id) AS query_id,
+       |    coalesce(s.doc_id, p.doc_id) AS doc_id,
+       |    CAST(coalesce(1000000 // ($rrfConst + s.rank_sparse), 0)
+       |       + coalesce(1000000 // ($rrfConst + p.rank_prox), 0)
+       |      AS BIGINT) AS rrf_micro,
+       |    CAST((s.rank_sparse IS NOT NULL)::INT
+       |       + (p.rank_prox IS NOT NULL)::INT AS INT) AS n_legs
+       |  FROM sparse s FULL OUTER JOIN prox p
+       |    ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+       |), qranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+       |  FROM qfused)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_micro,
+       |  n_legs
+       |FROM qranked WHERE rank <= $bm25K
+       |${canonOrderSql(Seq("query_id", "rank", "doc_id", "rrf_micro",
+         "n_legs"))}""".stripMargin
+  }
+
   /** The ordered-proximity core shared by the batch and index faces:
     * given the slot-position rows of [[phrasePosRowsOn]], the MINIMAL
     * ordered window span per (query, doc) — min over strictly
@@ -2614,7 +2931,8 @@ object CorpusOps {
     *    ranked desc, doc_id asc.
     */
   private[graft] def nearRank(posRows: DataFrame,
-      len: Int = phraseLen, sloppy: Boolean = false): DataFrame = {
+      len: Int = phraseLen, sloppy: Boolean = false,
+      slopCapped: Boolean = false): DataFrame = {
     require(len >= 2, s"NEAR needs at least 2 slots, got $len")
     val wseq = Window.partitionBy(col("query_id"), col("doc_id"))
       .orderBy(col("pos").asc, col("i").desc)
@@ -2626,8 +2944,17 @@ object CorpusOps {
       df.withColumn(s"g$j", last(carried, ignoreNulls = true).over(wseq))
     }
     val g = col(s"g${len - 1}")
-    val ends = chained.filter(col("i") === len - 1 && g.isNotNull)
+    val ends0 = chained.filter(col("i") === len - 1 && g.isNotNull)
       .withColumn("span", (col("pos") - g).cast("bigint"))
+    // the NEAR-with-slop-w consumer filter of the scaladoc, per ROW
+    // (round 15 — the tagged ~w grammar carries a PER-QUERY cap):
+    // an end whose minimal span exceeds len−1+slop has no qualifying
+    // chain (the carried chain is the latest-starting, i.e. minimal
+    // span, at that end — any other chain there is wider)
+    val ends =
+      if (slopCapped)
+        ends0.filter(col("span") - (len - 1) <= col("slop"))
+      else ends0
     val spans =
       if (!sloppy)
         ends.groupBy(col("query_id"), col("doc_id"))
@@ -4065,6 +4392,10 @@ object CorpusOps {
     "phrase_title_index" -> phraseTitleIndex,
     "phrase_qtag_match" -> phraseQtagMatch,
     "phrase_qtag_index" -> phraseQtagIndex,
+    "near_qtag_match" -> nearQtagMatch,
+    "near_qtag_index" -> nearQtagIndex,
+    "qlang_topk" -> qlangTopk,
+    "qlang_index" -> qlangIndex,
     "hybrid_fielded_topk" -> hybridFieldedTopk,
     "hybrid_topk" -> hybridTopk,
     "hybrid_full_topk" -> hybridFullTopk,
@@ -4129,6 +4460,10 @@ object CorpusOps {
     "phrase_title_index" -> phraseTitleSql,
     "phrase_qtag_match" -> phraseQtagSql,
     "phrase_qtag_index" -> phraseQtagSql,
+    "near_qtag_match" -> nearQtagSql,
+    "near_qtag_index" -> nearQtagSql,
+    "qlang_topk" -> qlangSql,
+    "qlang_index" -> qlangSql,
     "hybrid_fielded_topk" -> hybridFieldedTopkSql,
     "hybrid_topk" -> hybridTopkSql,
     "hybrid_full_topk" -> hybridFullTopkSql,

@@ -2457,7 +2457,11 @@ object IndexStream {
       queries: DataFrame,
       len: Int = graft.operators.CorpusOps.phraseLen,
       asOf: Option[Long] = None): DataFrame = {
+    // slop-tagged runs are proximity clauses (queryNearTagged); the
+    // exact-phrase face answers slop-0 runs only — shared rule with
+    // the batch face
     val parsed = graft.operators.CorpusOps.parseTaggedPhrase(queries)
+      .filter(col("slop") === 0L)
     queryPhraseFieldedOn(spark, stateDir,
       parsed.select(col("query_id"), col("ptext").as("text")),
       parsed.select(col("query_id"), col("fld")), len, asOf)
@@ -2497,6 +2501,43 @@ object IndexStream {
             .select(col("query_id"), col("doc_id"), col("anchor")),
           len)
     }
+
+  /** SLOP-tagged fielded proximity over the accumulated index
+    * (round 15): `title:"a b"~w` parsed by the SHARED
+    * graft.operators.CorpusOps.parseTaggedPhrase — ordered in-order
+    * runs with span ≤ len−1+w entirely within the tagged field (each
+    * stored position classifies against the STORED v7/v8 boundary),
+    * scored by sloppy frequency over the qualifying ends. Same
+    * pruned posting fetch as [[queryPhrase]]; the boundary rides the
+    * candidate-bounded docs read; the rank core is the shared
+    * CorpusOps.nearRank with the per-query slop cap.
+    */
+  def queryNearTagged(spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      asOf: Option[Long] = None): DataFrame = {
+    val parsed = graft.operators.CorpusOps.parseTaggedPhrase(queries)
+    phrasePosRows(spark, stateDir,
+        parsed.select(col("query_id"), col("ptext").as("text")),
+        len, asOf) match {
+      case None => emptyRanked(spark, "sloppy_micro")
+      case Some(pr) =>
+        val g = geomOf(spark, stateDir)
+        val gens = asOf.map(seq => LsmIndex.gensAsOf(spark, stateDir, seq))
+        val bound = dlFor(spark, stateDir, g,
+            pr.select(col("doc_id")).distinct(), gens, withTtl = true)
+          .select(col("doc_id"), col("ttl"))
+        val posRows = pr.join(bound, Seq("doc_id"))
+          .join(broadcast(parsed.select(col("query_id"), col("fld"),
+            col("slop"))), Seq("query_id"))
+          .filter(when(col("fld") === "title", col("pos") < col("ttl"))
+            .otherwise(col("pos") >= col("ttl")))
+          .select(col("query_id"), col("doc_id"), col("i"), col("pos"),
+            col("slop"))
+        graft.operators.CorpusOps.nearRank(posRows, len,
+          sloppy = true, slopCapped = true)
+    }
+  }
 
   /** Ordered proximity retrieval (NEAR) over the accumulated index:
     * minimal ordered window span of the query's phrase terms per
