@@ -2844,15 +2844,17 @@ object CorpusOps {
   def qlangIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val (state, q) = ridxfStateAndQueries(spark, sfDir)
     val tq = withQlangText(q)
+    // ONE shared state fetch for both legs (round 15 optimization —
+    // the qlang twin of hybrid_prox_topk's r12 shared fetch): dfs,
+    // postings, and (dl, ttl) each read once, the scoring tails are
+    // the same shared definitions the standalone faces run
+    val (sparse, prox) = graft.streaming.IndexStream.queryLangParts(
+      spark, state, tq, len = 2, fieldLocalDf = true)
     canon(rrfFuseLegs(Seq(
-      graft.streaming.IndexStream.queryFieldedTagged(spark, state, tq,
-          fieldLocalDf = true)
-        .select(col("query_id"), col("doc_id"),
-          col("rank").as("rank_sparse")),
-      graft.streaming.IndexStream.queryNearTagged(spark, state, tq,
-          len = 2)
-        .select(col("query_id"), col("doc_id"),
-          col("rank").as("rank_prox")))))
+      sparse.select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_sparse")),
+      prox.select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_prox")))))
   }
 
   /** The composed-query oracle: BOTH leg chains under one WITH (their

@@ -2127,6 +2127,19 @@ object IndexStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = hits.select(col("doc_id")).distinct()
     val dl = dlFor(spark, stateDir, g, candIds, gens, withTtl = true)
+    rankFieldedHits(hits, dl, nDocs, wTot)
+  }
+
+  /** The fielded BM25F scoring tail shared by [[queryFieldedOn]] and
+    * the composed-query shared-fetch face ([[queryLangParts]]) —
+    * `hits` is the (selected clause ⋈ posting) relation carrying
+    * (query_id, term, fld, qw, df, doc_id, tf, positions), `dl` the
+    * candidate-bounded (doc_id, dl, ttl) fetch. ONE definition so the
+    * consolidation cannot drift from the standalone face.
+    */
+  private def rankFieldedHits(hits: DataFrame, dl: DataFrame,
+      nDocs: Long, wTot: Long): DataFrame = {
+    val tw = graft.operators.CorpusOps.titleWeight
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     hits.repartition(col("doc_id")).join(dl, Seq("doc_id"))
@@ -2527,16 +2540,162 @@ object IndexStream {
         val bound = dlFor(spark, stateDir, g,
             pr.select(col("doc_id")).distinct(), gens, withTtl = true)
           .select(col("doc_id"), col("ttl"))
-        val posRows = pr.join(bound, Seq("doc_id"))
-          .join(broadcast(parsed.select(col("query_id"), col("fld"),
-            col("slop"))), Seq("query_id"))
-          .filter(when(col("fld") === "title", col("pos") < col("ttl"))
-            .otherwise(col("pos") >= col("ttl")))
-          .select(col("query_id"), col("doc_id"), col("i"), col("pos"),
-            col("slop"))
-        graft.operators.CorpusOps.nearRank(posRows, len,
-          sloppy = true, slopCapped = true)
+        rankNearTagged(pr, bound, parsed, len)
     }
+  }
+
+  /** The slop-tagged fielded proximity tail shared by
+    * [[queryNearTagged]] and the composed-query shared-fetch face
+    * ([[queryLangParts]]) — `pr` the slot-position rows (query_id,
+    * doc_id, i, pos), `bound` the (doc_id, ttl) boundary rows,
+    * `fldSlop` the per-query (query_id, fld, slop) tags. ONE
+    * definition so the consolidation cannot drift from the
+    * standalone face.
+    */
+  private def rankNearTagged(pr: DataFrame, bound: DataFrame,
+      fldSlop: DataFrame, len: Int): DataFrame = {
+    val posRows = pr.join(bound.select(col("doc_id"), col("ttl")),
+        Seq("doc_id"))
+      .join(broadcast(fldSlop.select(col("query_id"), col("fld"),
+        col("slop"))), Seq("query_id"))
+      .filter(when(col("fld") === "title", col("pos") < col("ttl"))
+        .otherwise(col("pos") >= col("ttl")))
+      .select(col("query_id"), col("doc_id"), col("i"), col("pos"),
+        col("slop"))
+    graft.operators.CorpusOps.nearRank(posRows, len,
+      sloppy = true, slopCapped = true)
+  }
+
+  /** ONE state fetch serving BOTH legs of a composed-language query
+    * (round 15 — the qlang twin of [[queryHybridParts]]'s r12
+    * consolidation): [[queryFieldedTagged]] and [[queryNearTagged]]
+    * each read dfs, postings, and docs separately when a composed
+    * `title:a fld:"b c"~s d^2 …` string runs both, doubling every
+    * state scan. Here both clause families parse once, the dfs read
+    * covers the UNION of the fielded clauses' terms and the quoted
+    * run's slot terms, the postings read projects (tf, positions) for
+    * that union, and the (dl, ttl) fetch is candidate-bounded over
+    * BOTH legs' hit documents. Results are bit-identical to running
+    * the two faces separately (spec-pinned, and the qlang oracle rows
+    * hash-pin the fusion): the scoring tails are the SAME definitions
+    * ([[rankFieldedHits]], [[rankNearTagged]]), only the fetch is
+    * consolidated. The proximity leg's two-phase rarest-term prune
+    * does not engage on this face (its candidate split would narrow
+    * the shared read the sparse leg needs whole). Returns
+    * (fielded BM25F top-k, slop-capped fielded proximity top-k).
+    */
+  def queryLangParts(spark: SparkSession, stateDir: String,
+      queries: DataFrame,
+      len: Int = graft.operators.CorpusOps.phraseLen,
+      fieldLocalDf: Boolean = true): (DataFrame, DataFrame) = {
+    ensureLayout(spark, stateDir)
+    val g = geomOf(spark, stateDir)
+    val ops = graft.operators.CorpusOps
+    val st = markers(stateDir).stored(spark, None)
+    val nDocs = if (st.nonEmpty) st.head else 0L
+    val totDl = if (st.size > 1) st(1) else 0L
+    val totTtl = if (st.size > 2) st(2) else 0L
+    val tw = ops.titleWeight
+    val wTot = totDl + (tw - 1).toLong * totTtl
+    def emptySparse = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("query_id", LongType),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("doc_id", LongType),
+        StructField("score_micro", LongType),
+        StructField("n_terms", LongType, nullable = false))))
+    def emptyProx = emptyRanked(spark, "sloppy_micro")
+    // the fielded face's zero-corpus guard; the proximity leg has no
+    // marker dependency and degrades through its own vocabulary check
+    val sparseLive = nDocs > 0L && totDl > 0L && totTtl > 0L
+    val trips = ops.parseFieldedQuery(queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parsed = ops.parseTaggedPhrase(queries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qp = parsed.filter(size(ops.bm25Tokens(col("ptext"))) >= len)
+      .select(col("query_id"),
+        posexplode(ops.phraseTerms(col("ptext"), len)).as(Seq("i", "term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fSample = trips.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    val pSample = qp.select(col("term")).distinct()
+      .limit(pushdownMax + 1).collect().map(_.getString(0))
+    if (fSample.isEmpty && pSample.isEmpty) return (emptySparse, emptyProx)
+    val uTerms = trips.select(col("term"))
+      .unionByName(qp.select(col("term"))).distinct()
+    // either family's truncated sample leaves the union sample over
+    // pushdownMax, so dfsRowsFor's exact distributed fallback engages
+    val uSample = (fSample ++ pSample).distinct
+    val dfsR = dfsRowsFor(spark, stateDir, uTerms, uSample, None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // --- fielded clause selection: queryFieldedOn's exact chain ---
+    val dfT = dfsR.groupBy(col("term")).agg(sum(col("df")).as("df"),
+        sum(col("dft")).as("dft"))
+      .filter(col("df") > 0)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdf").asc, col("term").asc, col("fld").asc,
+        col("qw").asc)
+    val selected = trips.join(dfT, Seq("term"))
+      .withColumn("cdf",
+        if (fieldLocalDf)
+          when(col("fld") === "title", col("dft")).otherwise(col("df"))
+        else col("df"))
+      .filter(col("cdf") > 0)
+      .filter(ops.bm25CapOk(col("cdf"), lit(nDocs)))
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= ops.bm25QueryTerms)
+      .select(col("term"), col("query_id"), col("fld"), col("qw"),
+        col("cdf").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selPairsF = selected.select(col("term")).distinct()
+      .join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    val sparseable = sparseLive && fSample.nonEmpty && selPairsF.nonEmpty
+    // --- prox emptiness: phrasePosRows' contract (no slot rows, or
+    // no slot term in the vocabulary → the empty ranked relation) ---
+    val proxable = pSample.nonEmpty &&
+      dfsR.join(qp.select(col("term")).distinct(), Seq("term"),
+        "left_semi").limit(1).collect().nonEmpty
+    if (!sparseable && !proxable) return (emptySparse, emptyProx)
+    // --- the ONE posting read: union fetch universe, both payloads ---
+    val fetchTerms = (if (sparseable) selected.select(col("term"))
+        else selected.select(col("term")).limit(0))
+      .unionByName(if (proxable) qp.select(col("term"))
+        else qp.select(col("term")).limit(0))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fetchPairs = fetchTerms.join(dfsR, Seq("term"))
+      .select(col("term"), col("gen")).distinct()
+      .limit(pushdownMax + 1).collect()
+    if (fetchPairs.isEmpty) return (emptySparse, emptyProx)
+    val post = minusTombs(spark, stateDir,
+      postingsFor(spark, stateDir, fetchPairs, fetchTerms, None, g)
+        .select(col("term"), col("doc_id"), col("tf"), col("positions"))
+        .distinct(), None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = selected.join(post, Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the standalone prox face's exact 3-column-distinct projection
+    val pr = qp.join(post.select(col("term"), col("doc_id"),
+          col("positions")).distinct(), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("i"),
+        explode(col("positions")).as("pos"))
+    // --- the ONE candidate-bounded (dl, ttl) fetch for BOTH legs ---
+    val candIds = hits.select(col("doc_id"))
+      .unionByName(pr.select(col("doc_id"))).distinct()
+    val dlAll = dlFor(spark, stateDir, g, candIds, None, withTtl = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sparse =
+      if (!sparseable) emptySparse
+      else rankFieldedHits(hits, dlAll.select(col("doc_id"), col("dl"),
+        col("ttl")), nDocs, wTot)
+    val prox =
+      if (!proxable) emptyProx
+      else rankNearTagged(pr, dlAll.select(col("doc_id"), col("ttl")),
+        parsed, len)
+    (sparse, prox)
   }
 
   /** Ordered proximity retrieval (NEAR) over the accumulated index:

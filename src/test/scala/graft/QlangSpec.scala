@@ -120,4 +120,32 @@ class QlangSpec extends SparkSpecBase {
     assert(batch == index && batch.nonEmpty,
       s"composed index face must equal the batch face: $index vs $batch")
   }
+
+  test("queryLangParts shared fetch is bit-identical to the two standalone faces (r15 optimization)") {
+    val d = fieldedDocs((100L, "zz zz", "ignored", "src0") +: train)
+    val root = Files.createTempDirectory("graft-qlangparts").toString
+    val state = s"$root/state"
+    IndexStream.applyBatch(spark, state,
+      d.filter(col("source") =!= "src0"), 0L)
+    val q = queriesOf(Seq(
+      (100L, "rr title:\"aa bb\"~0"),      // both legs live
+      (101L, "qq^2 body:\"rr pad\"~1"),    // both legs live
+      (102L, "rr qq"),                     // no quoted run: prox empty
+      (103L, "title:\"nosuch words\"~2"))) // run off-vocabulary
+    val (gotS, gotP) = IndexStream.queryLangParts(spark, state, q,
+      len = 2, fieldLocalDf = true)
+    val wantS = IndexStream.queryFieldedTagged(spark, state, q,
+      fieldLocalDf = true)
+    val wantP = IndexStream.queryNearTagged(spark, state, q, len = 2)
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(gotS) == rows(wantS) && rows(gotS).nonEmpty,
+      s"sparse leg must match the standalone fielded face: " +
+        s"${rows(gotS)} vs ${rows(wantS)}")
+    assert(rows(gotP) == rows(wantP) && rows(gotP).nonEmpty,
+      s"prox leg must match the standalone near-tagged face: " +
+        s"${rows(gotP)} vs ${rows(wantP)}")
+    assert(gotS.schema == wantS.schema && gotP.schema == wantP.schema,
+      "shared-fetch schemas must match the standalone faces")
+  }
 }
