@@ -150,7 +150,15 @@ object PipelineStream {
     * precisely the new_ids ever flagged (keep-at-ingest is final).
     */
   def hybridTopK(spark: SparkSession, rootDir: String,
-      queries: DataFrame): DataFrame = {
+      queries0: DataFrame): DataFrame = {
+    // both legs project from the same query relation (the composed
+    // faces pass a documents ⋈ embeddings join) — persist it once so
+    // the corpus join is scanned once, not per leg (round 15; cache
+    // lifecycle stays caller-owned like every face)
+    val queries =
+      if (queries0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        queries0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else queries0
     val sparse = IndexStream.queryTopK(spark, ridxState(rootDir),
         queries.select(col("query_id"), col("text")))
       .select(col("query_id"), col("doc_id"),
@@ -181,7 +189,13 @@ object PipelineStream {
     * pipeline's accumulated LSM state — no batch-side corpus scan.
     */
   def hybridProxTopK(spark: SparkSession, rootDir: String,
-      queries: DataFrame): DataFrame = {
+      queries0: DataFrame): DataFrame = {
+    // persist the shared query relation once across the three legs
+    // (round 15 — see hybridTopK)
+    val queries =
+      if (queries0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        queries0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else queries0
     // ONE posting fetch serves the sparse AND proximity legs (round 12
     // — IndexStream.queryHybridParts): previously the two legs each
     // ran the dfs shortlist + posting fetch over the same terms, one

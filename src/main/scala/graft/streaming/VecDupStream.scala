@@ -1077,7 +1077,16 @@ object VecDupStream {
     val storedN = storedCount(spark, stateDir, gens)
     val p = graft.operators.Similarity.lshAutoPlanes(math.max(storedN, 1L))
     val maskP = (1L << p) - 1
-    val b = bucketRel(queries
+    // the query relation feeds THREE subtrees (bucketing, the ADC
+    // distance table, the exact-verify tail) — persist it once so a
+    // caller passing a join (the composed faces' documents ⋈
+    // embeddings corpus) pays that scan once, not three times
+    // (round 15; cache lifecycle stays caller-owned like every face)
+    val qIn =
+      if (queries.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        queries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else queries
+    val b = bucketRel(qIn
         .select(col("query_id").as("vec_id"), col("embedding")), g)
       .withColumnRenamed("vec_id", "query_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1128,7 +1137,7 @@ object VecDupStream {
         val pqSide = fetchForIds(spark, s"$stateDir/pq", pqSchema, candIds,
             Some(idSample), g, gens)
           .select(col("vec_id"), col("codes"), col("nrm")).distinct()
-        val qpos = queries.filter(col("embedding").isNotNull)
+        val qpos = qIn.filter(col("embedding").isNotNull)
           .select(col("query_id"),
             posexplode(col("embedding").cast("array<double>"))
               .as(Seq("pos", "x")))
@@ -1157,7 +1166,7 @@ object VecDupStream {
     val side = fetchForIds(spark, s"$stateDir/vecs", vecsSchema,
       verifySet.select(col("vec_id")).distinct(),
       if (engage.isEmpty) Some(idSample) else None, g, gens)
-    val qv = queries.filter(col("embedding").isNotNull)
+    val qv = qIn.filter(col("embedding").isNotNull)
       .select(col("query_id"),
         col("embedding").cast("array<double>").as("vq"))
       .withColumn("nq", sqrt(expr("graft_dot(vq, vq)")))
