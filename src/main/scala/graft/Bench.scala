@@ -137,6 +137,11 @@ object Bench {
     operators.BenchData.scanSplitConf.foreach { case (k, v) =>
       builder.config(k, v)
     }
+    // AQE coalescing floor sized to the box, not the 1 MB cluster
+    // default (round 15 — see BenchData.adaptiveConf's scale note)
+    operators.BenchData.adaptiveConf.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plans.VectorExprs.register(spark)

@@ -22,8 +22,16 @@ object StageProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (benchLayout) {
-      operators.BenchData.scanSplitConf.foreach { case (k, v) =>
+      (operators.BenchData.scanSplitConf ++
+        operators.BenchData.adaptiveConf).foreach { case (k, v) =>
         builder.config(k, v)
+      }
+    }
+    // ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
       }
     }
     val spark = builder.getOrCreate()
@@ -34,20 +42,42 @@ object StageProfile {
         System.err.println(s"[profile] bench layout at $d")
         d
       } else srcDir
+    // per-run stage aggregation: count, wall-sum, task-time sum, GC —
+    // so a warmed run can be split into stage work vs driver-side gaps
+    // (planning, listing, codegen). Volatile: listener runs on the
+    // event bus thread.
+    @volatile var stageCount = 0
+    @volatile var stageWallMs = 0L
+    @volatile var taskTimeMs = 0L
+    @volatile var gcMs = 0L
+    val verbose = !sys.env.get("SPARK_GRAFT_PROFILE_QUIET").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val info = s.stageInfo
         val ms = for {
           st <- info.submissionTime; ct <- info.completionTime
         } yield ct - st
-        println(f"[stage] ${info.stageId}%3d ${ms.getOrElse(-1L)}%6d ms  tasks=${info.numTasks}%3d  ${info.name.take(90)}")
+        stageCount += 1
+        stageWallMs += ms.getOrElse(0L)
+        taskTimeMs += info.taskMetrics.executorRunTime
+        gcMs += info.taskMetrics.jvmGCTime
+        if (verbose)
+          println(f"[stage] ${info.stageId}%3d ${ms.getOrElse(-1L)}%6d ms  tasks=${info.numTasks}%3d  ${info.name.take(90)}")
       }
     })
     // warm up common paths first
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir).count()
-    println(f"[total] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "1").toInt
+    for (r <- 1 to runs) {
+      stageCount = 0; stageWallMs = 0L; taskTimeMs = 0L; gcMs = 0L
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"[run $r] total=$dt%.2f s stages=$stageCount " +
+        f"stage_wall=${stageWallMs / 1e3}%.2f s " +
+        f"task_time=${taskTimeMs / 1e3}%.2f s gc=${gcMs / 1e3}%.2f s")
+    }
     Thread.sleep(500)
     spark.stop()
   }

@@ -31,6 +31,27 @@ object BenchData {
     "spark.sql.files.maxPartitionBytes" -> "4m",
     "spark.sql.files.openCostInBytes" -> "256k")
 
+  /** AQE partition-coalescing floor, SF-sized like the scan splits
+    * (round 15, guide §2.2): with the default
+    * `coalescePartitions.minPartitionSize` of 1 MB, parallelism-first
+    * coalescing folds a CPU-heavy few-MB shuffle (the positional
+    * faces' exploded position rows under their rank windows) into 2-3
+    * partitions on a 32-core box — one stage was 60-70% of
+    * phrase3_index_match's warmed time. A 64 KB floor lets those
+    * shuffles use the cores the box has (still capped by
+    * spark.sql.shuffle.partitions). Scale note: at cluster scale the
+    * same stages shuffle GBs and the floor is irrelevant (partition
+    * counts are bounded by the initial shuffle partitions long before
+    * a 64 KB floor bites) — the default 1 MB is tuned for many-tenant
+    * clusters where over-splitting tiny shuffles wastes scheduler
+    * throughput, which is not the regime a dedicated bench box is in.
+    * Env-overridable so a cluster profile can restore the default
+    * without a rebuild.
+    */
+  val adaptiveConf: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+
   /** Every SF-scaled table — TPC-H facts AND the text/vector corpora
     * (documents/embeddings feed the top-cost dedup/ANN queries; leaving
     * them single-file would keep exactly the serial-scan artifact this
