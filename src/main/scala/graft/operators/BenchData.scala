@@ -37,12 +37,18 @@ object BenchData {
     * coalescing folds a CPU-heavy few-MB shuffle (the positional
     * faces' exploded position rows under their rank windows) into 2-3
     * partitions on a 32-core box — one stage was 60-70% of
-    * phrase3_index_match's warmed time. A 64 KB floor lets those
+    * phrase3_index_match's warmed time. A 256 KB floor lets those
     * shuffles use the cores the box has (still capped by
-    * spark.sql.shuffle.partitions). Scale note: at cluster scale the
-    * same stages shuffle GBs and the floor is irrelevant (partition
-    * counts are bounded by the initial shuffle partitions long before
-    * a 64 KB floor bites) — the default 1 MB is tuned for many-tenant
+    * spark.sql.shuffle.partitions). 256 KB and not lower: the round's
+    * 64k/256k/1m sweep showed 64 KB splitting the composed faces'
+    * many TINY exchanges into dozens of tasks whose scheduling
+    * overhead exceeded their work (qlang_index / near_qtag_index
+    * regressed 1.5-3x under 64 KB), while 256 KB kept the positional
+    * family's win AND those small shuffles at one partition. Scale
+    * note: at cluster scale the same stages shuffle GBs and the floor
+    * is irrelevant (partition counts are bounded by the initial
+    * shuffle partitions long before a 256 KB floor bites) — the
+    * default 1 MB is tuned for many-tenant
     * clusters where over-splitting tiny shuffles wastes scheduler
     * throughput, which is not the regime a dedicated bench box is in.
     * Env-overridable so a cluster profile can restore the default
@@ -50,7 +56,19 @@ object BenchData {
     */
   val adaptiveConf: Seq[(String, String)] = Seq(
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
-      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+    // codegen class cache sized to the registry, not to a
+    // single-query app (round 15): the default 100-entry LRU thrashes
+    // under 184 queries whose composed faces each carry dozens of
+    // whole-stage/subexpression codegen units — a big-plan query can
+    // evict its own entries within one run and pay seconds of Janino
+    // recompilation per execution (observed as nondeterministic
+    // 2-3x spikes on whichever composed face ran after other big
+    // plans). Static conf, so it must be set before the session is
+    // created; memory cost is bounded by generated-class bytecode
+    // (tens of MB at 5000 entries).
+    "spark.sql.codegen.cache.maxEntries" ->
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
 
   /** Every SF-scaled table — TPC-H facts AND the text/vector corpora
     * (documents/embeddings feed the top-cost dedup/ANN queries; leaving
