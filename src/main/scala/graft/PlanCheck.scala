@@ -12,12 +12,17 @@ object PlanCheck {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("sales_rollup", "events_filtered", "hierarchy_join",
         "cosine_pairs", "minhash_lsh")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same engine-level session confs as the bench (round 15), so a
+    // committed plan dump reflects the plans the bench actually runs
+    operators.BenchData.adaptiveConf.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -68,7 +68,21 @@ object BenchData {
     // created; memory cost is bounded by generated-class bytecode
     // (tens of MB at 5000 entries).
     "spark.sql.codegen.cache.maxEntries" ->
-      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+    // constraint propagation is superlinear in plan size and the
+    // composed retrieval faces carry 200-300 KB formatted plans — the
+    // rule burned optimizer time on every run AND inserted redundant
+    // inferred predicates into the executed plan (qlang_index warmed
+    // ~30% faster without it; the 6-way-join sales_rollup measured
+    // flat-to-better, and every inferred constraint is semantically
+    // redundant by construction, so results cannot change — the
+    // oracle gate re-verified 184/184 with it off). Scale note: the
+    // optimizer cost is driver-side and single-threaded, so giant
+    // plans pay it identically on a cluster (guide §7.3); flip the
+    // env var for workloads whose scans depend on inferred
+    // join-key IsNotNull pruning.
+    "spark.sql.constraintPropagation.enabled" ->
+      sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
 
   /** Every SF-scaled table — TPC-H facts AND the text/vector corpora
     * (documents/embeddings feed the top-cost dedup/ANN queries; leaving

@@ -439,10 +439,18 @@ object Dedup {
     }
     // the loop runs ONLY over nodes that appear in some pair — a doc in
     // no pair is its own singleton cluster forever, and at real dup
-    // rates that excludes most of the corpus from every round
+    // rates that excludes most of the corpus from every round.
+    // Seeded at min(self, min neighbor) rather than identity
+    // (round 15): identity labels made round 1 compute exactly this
+    // aggregation through the full prop+jump+sum cycle — seeding folds
+    // that round into initialization (one aggregation, no join), and
+    // min-propagation's unique fixpoint keeps the converged labels
+    // identical (oracle-pinned)
     var (labels, curRdd) = truncate(
-      edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("label")))
+      edges.groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("doc_id"),
+          least(col("doc_id"), col("mn")).as("label")))
     // convergence via the label sum: min-propagation is monotone
     // non-increasing per node, so an unchanged sum == no change anywhere
     // — one aggregate action per round. DECIMAL(38,0) sum: a LONG sum
