@@ -240,22 +240,17 @@ object Similarity {
     * per-vector residual sum.
     */
   def centroidResiduals(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-    val pos = e.select(col("vec_id"), col("label"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val q = pos.withColumn("xq", floor(col("x") * 1000000).cast("bigint"))
-    val cent = q.groupBy(col("label"), col("pos"))
-      .agg((sum(col("xq")).cast("double") /
-        (lit(1000000.0) * count(lit(1)))).as("c"))
-    val r = q.join(broadcast(cent), Seq("label", "pos"))
-      .withColumn("dx", col("xq").cast("double") / lit(1000000.0) - col("c"))
-      .withColumn("sqq",
-        floor(col("dx") * col("dx") * lit(1.0e12)).cast("bigint"))
-    val out = r.groupBy(col("vec_id"), col("label").as("cell"))
-      .agg(floor(sqrt(sum(col("sqq")).cast("double") / lit(1.0e12))
-        * lit(1000000.0)).cast("long").as("dist_micro"))
+    // the residual is against the vector's OWN cell only, so the kernel
+    // join is a broadcast equi-join on the cell id (N rows, one d2qExpr
+    // evaluation each) — the exploded join-on-(label,pos) + groupBy it
+    // replaces computed the identical per-pos terms and long sum
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    val centArr = centArrOf(centroidsOf(quantizedOf(vf)))
+    val out = vf.select(col("vec_id"), col("label"), col("xqs"))
+      .join(broadcast(centArr), col("label") === col("cand"))
+      .select(col("vec_id"), col("label").as("cell"),
+        floor(sqrt(expr(d2qExpr).cast("double") / lit(1.0e12))
+          * lit(1000000.0)).cast("long").as("dist_micro"))
     canon(out)
   }
 
@@ -601,15 +596,25 @@ object Similarity {
     * cand, d2q, rn) with rn = 1 the nearest cell — rn = 1 is the
     * assignment, rn ≤ p is the multi-probe list.
     */
-  /** µ-quantized per-dimension view: (vec_id, label, pos, xq). */
-  private def quantizedRel(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-    e.select(col("vec_id"), col("label"),
-        posexplode(col("v")).as(Seq("pos", "x")))
-      .withColumn("xq", floor(col("x") * 1000000).cast("bigint"))
-  }
+  /** The ONE embedding scan every IVF/PQ face derives from (round 16):
+    * exact doubles (v, nrm) for the cosine tails plus the µ-quantized
+    * array (xqs) for the integer distance kernels — callers persistOnce
+    * it so the whole face pays a single parquet read and a single cache
+    * entry instead of one per derived relation.
+    */
+  private def vecsFull(spark: SparkSession, sfDir: String): DataFrame =
+    vecsOn(load(spark, sfDir, "embeddings"))
+      .withColumn("xqs",
+        expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))"))
+
+  /** µ-quantized per-dimension view: (vec_id, label, pos, xq) —
+    * exploded ON TOP of the shared scan, used only where a per-dim
+    * aggregation genuinely needs rows (centroid means); the distance
+    * kernels below stay array-native.
+    */
+  private def quantizedOf(vf: DataFrame): DataFrame =
+    vf.select(col("vec_id"), col("label"),
+      posexplode(col("xqs")).as(Seq("pos", "xq")))
 
   /** Per-cell centroids of the quantized view: (cand, pos, c). */
   private def centroidsOf(q: DataFrame): DataFrame =
@@ -617,31 +622,62 @@ object Similarity {
       .agg((sum(col("xq")).cast("double") /
         (lit(1000000.0) * count(lit(1)))).as("c"))
 
-  private def assignRankedFrom(q: DataFrame, cent: DataFrame): DataFrame = {
-    val dists = q.join(broadcast(cent), Seq("pos"))
-      .withColumn("dx", col("xq").cast("double") / lit(1000000.0) - col("c"))
-      .withColumn("sqq",
-        floor(col("dx") * col("dx") * lit(1.0e12)).cast("bigint"))
-      .groupBy(col("vec_id"), col("label").as("own_cell"), col("cand"))
-      .agg(sum(col("sqq")).as("d2q"))
+  /** (cand, cs): each cell's centroid reshaped to a pos-ordered array —
+    * the tiny broadcast side of the array-native distance kernel.
+    */
+  private def centArrOf(cent: DataFrame): DataFrame =
+    cent.groupBy(col("cand")).agg(expr(
+      "transform(array_sort(collect_list(struct(pos, c))), e -> e.c)")
+      .as("cs"))
+
+  /** d² between the µ-quantized vector array and a centroid array,
+    * term-for-term the exploded kernel it replaced (round 16): per pos,
+    * dx = xq/10⁶ − c (the identical IEEE doubles), the µ²-floored
+    * square is an exact BIGINT, and the long sum is order-free — bits
+    * cannot differ from the old join-on-pos + groupBy shape. A native
+    * codegen expression (plans.QuantDist — the graft_dot precedent,
+    * guide §4): one tight loop over N×k rows instead of an
+    * N×k×64-row join feeding a hash aggregate, and no interpreted
+    * HOF lambdas in the hot path.
+    */
+  private val d2qExpr: String = "graft_qdist(xqs, cs)"
+
+  /** Residual-sign subcell of the vector against a centroid array —
+    * bit p set iff xqs[p]/10⁶ − cs[p] ≥ 0, the exploded kernel's exact
+    * per-bit comparison (same doubles, same shiftleft), summed as a
+    * long over the first `bits` dimensions.
+    */
+  private def subExpr(bits: Int): String = s"graft_qsub(xqs, cs, $bits)"
+
+  /** Every vector scored against every cell centroid (N×k rows — the
+    * deliberate broadcast cross join every nearest-centroid assignment
+    * pays), ranked per vector by (d2q, cand). `bits > 0` additionally
+    * emits the residual-sign subcell in the SAME pass, so the subcell
+    * faces need no second kernel join. One window shuffle; no exploded
+    * join, no hash aggregate (round 16 — guide §1.2/§2.3).
+    */
+  private def assignRankedFrom(vf: DataFrame, centArr: DataFrame,
+      bits: Int): DataFrame = {
+    val dists = vf.select(col("vec_id"), col("label").as("own_cell"),
+        col("xqs"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("d2q", expr(d2qExpr))
+    val withSub =
+      if (bits > 0) dists.withColumn("sub", expr(subExpr(bits)))
+      else dists
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2q").asc, col("cand").asc)
-    dists.withColumn("rn", row_number().over(w))
+    withSub.drop("xqs", "cs").withColumn("rn", row_number().over(w))
   }
 
-  private def assignRanked(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = quantizedRel(spark, sfDir)
-    assignRankedFrom(q, centroidsOf(q))
-  }
-
-  private def assignRel(spark: SparkSession, sfDir: String): DataFrame =
-    assignRanked(spark, sfDir)
+  private def assignRelFrom(vf: DataFrame): DataFrame =
+    assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))), bits = 0)
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("own_cell"),
         col("cand").as("assigned_cell"), col("d2q"))
 
   def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = assignRel(spark, sfDir)
+    val out = assignRelFrom(Caching.persistOnce(vecsFull(spark, sfDir)))
       .select(col("vec_id"), col("own_cell"), col("assigned_cell"),
         when(col("own_cell") === col("assigned_cell"), 1).otherwise(0)
           .as("stable"),
@@ -708,8 +744,10 @@ object Similarity {
     * use [[annIvfAuto]], whose block count scales with the corpus.
     */
   def annIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val ranked = Caching.persistOnce(assignRanked(spark, sfDir)
-      .select(col("vec_id"), col("cand"), col("rn")))
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    val ranked = Caching.persistOnce(
+      assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))), bits = 0)
+        .select(col("vec_id"), col("cand"), col("rn")))
     val base = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("b_id"), col("cand").as("cell"))
     val probes = ranked.filter(col("rn") <= ivfProbes)
@@ -717,10 +755,9 @@ object Similarity {
     val cand = probes.join(base, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val e = Caching.persistOnce(vecs(spark, sfDir))
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+    val va = vf.select(col("vec_id").as("a_id"), col("v").as("va"),
       col("nrm").as("na"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+    val vb = vf.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("nrm").as("nb"))
     val scored = cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("sim", cosine)
@@ -775,30 +812,16 @@ object Similarity {
     * IEEE doubles both sides (the d2q discipline), so the ≥ 0 test is
     * bit-stable.
     */
-  private def subcellsOf(q: DataFrame, cent: DataFrame): DataFrame =
-    subcellsOfBits(q, cent, ivfSubBits)
-
-  private def subcellsOfBits(q: DataFrame, cent: DataFrame,
-      bits: Int): DataFrame =
-    q.filter(col("pos") < bits)
-      .join(broadcast(cent.filter(col("pos") < bits)), Seq("pos"))
-      .groupBy(col("vec_id"), col("cand"))
-      .agg(sum(when(
-        col("xq").cast("double") / lit(1000000.0) - col("c") >= 0,
-        expr("shiftleft(1L, cast(pos as int))")).otherwise(lit(0L)))
-        .as("sub"))
-
   /** Test-facing view of the refined blocking: each vector's ASSIGNED
     * cell and its residual-sign subcell there — what LshRecallSpec uses
     * to compare block occupancy with and without the refinement.
     */
   private[graft] def ivfAssignedBlocks(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val q = quantizedRel(spark, sfDir)
-    val cent = centroidsOf(q)
-    assignRankedFrom(q, cent).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cand"))
-      .join(subcellsOf(q, cent), Seq("vec_id", "cand"))
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))),
+        bits = ivfSubBits)
+      .filter(col("rn") === 1)
       .select(col("vec_id"), col("cand").as("cell"), col("sub"))
   }
 
@@ -820,24 +843,24 @@ object Similarity {
     * unchanged, blocks 8× finer.
     */
   def annIvfSubcell(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
-    val cent = Caching.persistOnce(centroidsOf(q))
-    val ranked = Caching.persistOnce(assignRankedFrom(q, cent)
-      .select(col("vec_id"), col("cand"), col("rn")))
-    val sub = Caching.persistOnce(subcellsOf(q, cent))
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    // rn, d2q AND the subcell in one kernel pass (round 16) — the old
+    // shape computed subcells in a second exploded join and re-attached
+    // them to the ranking with two (vec_id, cand) joins
+    val ranked = Caching.persistOnce(
+      assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))),
+          bits = ivfSubBits)
+        .select(col("vec_id"), col("cand"), col("rn"), col("sub")))
     val base = ranked.filter(col("rn") === 1)
-      .join(sub, Seq("vec_id", "cand"))
       .select(col("vec_id").as("b_id"), col("cand").as("cell"), col("sub"))
     val probes = ranked.filter(col("rn") <= ivfProbes)
-      .join(sub, Seq("vec_id", "cand"))
       .select(col("vec_id").as("a_id"), col("cand").as("cell"), col("sub"))
     val cand = probes.join(base, Seq("cell", "sub"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val e = Caching.persistOnce(vecs(spark, sfDir))
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+    val va = vf.select(col("vec_id").as("a_id"), col("v").as("va"),
       col("nrm").as("na"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+    val vb = vf.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("nrm").as("nb"))
     val scored = cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("sim", cosine)
@@ -905,27 +928,24 @@ object Similarity {
     * probe stage, here at the FIXED didactic geometry.
     */
   def annIvfSubcellProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
-    val cent = Caching.persistOnce(centroidsOf(q))
-    val ranked = Caching.persistOnce(assignRankedFrom(q, cent)
-      .select(col("vec_id"), col("cand"), col("rn")))
-    val sub = Caching.persistOnce(subcellsOf(q, cent))
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    val ranked = Caching.persistOnce(
+      assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))),
+          bits = ivfSubBits)
+        .select(col("vec_id"), col("cand"), col("rn"), col("sub")))
     val base = ranked.filter(col("rn") === 1)
-      .join(sub, Seq("vec_id", "cand"))
       .select(col("vec_id").as("b_id"), col("cand").as("cell"), col("sub"))
     val variants = col("sub") +: (0 until ivfSubBits).map(p =>
       col("sub").bitwiseXOR(lit(1L << p)))
     val probes = ranked.filter(col("rn") <= ivfProbes)
-      .join(sub, Seq("vec_id", "cand"))
       .select(col("vec_id").as("a_id"), col("cand").as("cell"),
         explode(array(variants: _*)).as("sub"))
     val cand = probes.join(base, Seq("cell", "sub"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val e = Caching.persistOnce(vecs(spark, sfDir))
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+    val va = vf.select(col("vec_id").as("a_id"), col("v").as("va"),
       col("nrm").as("na"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+    val vb = vf.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("nrm").as("nb"))
     val scored = cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("sim", cosine)
@@ -1019,11 +1039,10 @@ object Similarity {
     val st = load(spark, sfDir, "embeddings")
       .agg(count(lit(1)), countDistinct(col("label"))).head
     val bits = ivfAutoBits(st.getLong(0), st.getLong(1))
-    val q = quantizedRel(spark, sfDir)
-    val cent = centroidsOf(q)
-    (bits, assignRankedFrom(q, cent).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cand"))
-      .join(subcellsOfBits(q, cent, bits), Seq("vec_id", "cand"))
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    (bits, assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))),
+        bits)
+      .filter(col("rn") === 1)
       .select(col("vec_id"), col("cand").as("cell"), col("sub")))
   }
 
@@ -1054,28 +1073,24 @@ object Similarity {
     val st = load(spark, sfDir, "embeddings")
       .agg(count(lit(1)), countDistinct(col("label"))).head
     val bits = ivfAutoBits(st.getLong(0), st.getLong(1))
-    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
-    val cent = Caching.persistOnce(centroidsOf(q))
-    val ranked = Caching.persistOnce(assignRankedFrom(q, cent)
-      .select(col("vec_id"), col("cand"), col("rn")))
-    val sub = Caching.persistOnce(subcellsOfBits(q, cent, bits))
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    val ranked = Caching.persistOnce(
+      assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))), bits)
+        .select(col("vec_id"), col("cand"), col("rn"), col("sub")))
     val base = ranked.filter(col("rn") === 1)
-      .join(sub, Seq("vec_id", "cand"))
       .select(col("vec_id").as("b_id"), col("cand").as("cell"), col("sub"))
     // probe list: own subcell + every Hamming-1 flip of it
     val variants = col("sub") +: (0 until bits).map(p =>
       col("sub").bitwiseXOR(lit(1L << p)))
     val probes = ranked.filter(col("rn") <= ivfProbes)
-      .join(sub, Seq("vec_id", "cand"))
       .select(col("vec_id").as("a_id"), col("cand").as("cell"),
         explode(array(variants: _*)).as("sub"))
     val cand = probes.join(base, Seq("cell", "sub"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val e = Caching.persistOnce(vecs(spark, sfDir))
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+    val va = vf.select(col("vec_id").as("a_id"), col("v").as("va"),
       col("nrm").as("na"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+    val vb = vf.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("nrm").as("nb"))
     val scored = cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("sim", cosine)
@@ -1165,9 +1180,11 @@ object Similarity {
     * threshold decision is bit-identical across engines.
     */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val asg = assignRel(spark, sfDir)
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    val asg = assignRelFrom(vf)
       .select(col("vec_id"), col("assigned_cell").as("cell"))
-    val e = Caching.persistOnce(vecs(spark, sfDir).join(asg, Seq("vec_id")))
+    val e = Caching.persistOnce(vf.select(col("vec_id"), col("v"),
+      col("nrm")).join(asg, Seq("vec_id")))
     val a = e.select(col("vec_id").as("a_id"), col("cell"),
       col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("cell"),
@@ -1274,9 +1291,11 @@ object Similarity {
   private[graft] def pqDistAndCodesRounds(spark: SparkSession,
       sfDir: String, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"PQ needs at least one Lloyd round: $rounds")
-    val qp = Caching.persistOnce(quantizedRel(spark, sfDir)
-      .withColumn("sub", pmod(col("pos"), lit(pqM))))
-    val seedPick = qp.select(col("vec_id")).distinct()
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
+    // exploded view only where per-(sub, code, pos) means need rows
+    // (the refine step); the ADC distance kernel below is array-native
+    def qp = quantizedOf(vf).withColumn("sub", pmod(col("pos"), lit(pqM)))
+    val seedPick = vf.select(col("vec_id"))
       .withColumn("h", expr(
         "cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
       .orderBy(col("h").asc, col("vec_id").asc).limit(pqK)
@@ -1287,14 +1306,21 @@ object Similarity {
     val c0 = qp.join(broadcast(seeds), col("vec_id") === col("seed_id"))
       .select(col("code"), col("sub"), col("pos"),
         (col("xq").cast("double") / lit(1000000.0)).as("c"))
+    // per-(sub, code) codebook entry reshaped to its pos-ordered
+    // (pos, c) array — the broadcast side of the ADC kernel
+    def bookOf(cent: DataFrame): DataFrame =
+      cent.groupBy(col("sub"), col("code"))
+        .agg(expr("array_sort(collect_list(struct(pos, c)))").as("pcs"))
+    // d² of the vector's subspace slice against one codebook entry:
+    // per codebook pos, the same xq/10⁶ − c doubles and µ²-floored
+    // BIGINT terms as the exploded join-on-(sub, pos) + groupBy shape
+    // it replaces (round 16), summed as order-free longs — N×(M·K)
+    // rows out of one codegen'd expression, no hash aggregate
     def d2To(cent: DataFrame): DataFrame =
-      qp.join(broadcast(cent), Seq("sub", "pos"))
-        .withColumn("dx",
-          col("xq").cast("double") / lit(1000000.0) - col("c"))
-        .withColumn("sqq",
-          floor(col("dx") * col("dx") * lit(1.0e12)).cast("bigint"))
-        .groupBy(col("vec_id"), col("sub"), col("code"))
-        .agg(sum(col("sqq")).as("d2"))
+      vf.select(col("vec_id"), col("xqs"))
+        .crossJoin(broadcast(bookOf(cent)))
+        .select(col("vec_id"), col("sub"), col("code"),
+          expr("graft_qdist_at(xqs, pcs)").as("d2"))
     val wsub = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2").asc, col("code").asc)
     def refine(cent: DataFrame): DataFrame = {
@@ -1353,7 +1379,8 @@ object Similarity {
   private[graft] def annPqRounds(spark: SparkSession, sfDir: String,
       rounds: Int): DataFrame = {
     val (d1, codes) = pqDistAndCodesRounds(spark, sfDir, rounds)
-    val lbl = load(spark, sfDir, "embeddings")
+    // same plan as the codebook's persisted scan -> reads the cache
+    val lbl = Caching.persistOnce(vecsFull(spark, sfDir))
       .select(col("vec_id"), col("label"))
     val cand = lbl.select(col("vec_id").as("query_id"), col("label"))
       .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
@@ -1377,10 +1404,13 @@ object Similarity {
     * the two faces' shared bounded machinery.
     */
   def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = Caching.persistOnce(quantizedRel(spark, sfDir))
+    val vf = Caching.persistOnce(vecsFull(spark, sfDir))
     val ranked = Caching.persistOnce(
-      assignRankedFrom(q, Caching.persistOnce(centroidsOf(q)))
+      assignRankedFrom(vf, centArrOf(centroidsOf(quantizedOf(vf))),
+          bits = 0)
         .select(col("vec_id"), col("cand"), col("rn")))
+    // pqDistAndCodes persistOnce-shares the same vecsFull plan, so the
+    // coarse quantizer and the codebook read ONE cached scan
     val (d1, codes) = pqDistAndCodes(spark, sfDir)
     val base = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cand"))

@@ -55,6 +55,20 @@ object GraftExtensions {
       "graft_dot(a, b) - dot product of two array<double> vectors " +
         "(strict left-to-right summation).",
       e => { arity("graft_dot", 2, e); DotProduct(e(0), e(1)) }),
+    desc("graft_qdist", classOf[QuantDist],
+      "graft_qdist(xqs, cs) - exact-integer µ-quantized squared " +
+        "distance: sum of floor((xqs[i]/1e6 - cs[i])^2 * 1e12) as " +
+        "BIGINT (the IVF assignment kernel).",
+      e => { arity("graft_qdist", 2, e); QuantDist(e(0), e(1)) }),
+    desc("graft_qsub", classOf[QuantSub],
+      "graft_qsub(xqs, cs, bits) - residual-sign subcell: bit p set " +
+        "iff xqs[p]/1e6 - cs[p] >= 0, p < bits.",
+      e => { arity("graft_qsub", 3, e); QuantSub(e(0), e(1), e(2)) }),
+    desc("graft_qdist_at", classOf[QuantDistAt],
+      "graft_qdist_at(xqs, entries) - µ-quantized squared distance " +
+        "over a sparse centroid slice array<struct<pos, c>> (the PQ " +
+        "codebook kernel).",
+      e => { arity("graft_qdist_at", 2, e); QuantDistAt(e(0), e(1)) }),
     desc("graft_simhash", classOf[SimHash32],
       "graft_simhash(str) - 32-bit SimHash of a whitespace-tokenized " +
         "string (md5-derived per-token h32, +/-1 bit votes).",

@@ -13,6 +13,28 @@ class PlanHygieneSpec extends SparkSpecBase {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(FormattedMode)
 
+  /** Round 16: the IVF/PQ faces score every vector against every
+    * centroid through ONE bounded broadcast cross (N×k rows, k tiny
+    * centroid-array rows broadcast) instead of the exploded
+    * join-on-pos + hash-aggregate shape. That deliberate kernel is the
+    * only nested-loop allowed: every BNLJ tree node must be the
+    * Cross BuildRight broadcast of the array relation, and the plan
+    * must carry the array-native distance expression. Candidate
+    * generation stays equi-join — asserted per face on its keys.
+    */
+  private def assertOnlyKernelCross(p: String, face: String): Unit = {
+    assert(!p.contains("CartesianProduct"),
+      s"$face: a true cartesian appeared")
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("- "))
+    assert(bnlj.forall(_.contains("Cross BuildRight")),
+      s"$face: a nested-loop join other than the bounded centroid " +
+        "kernel cross appeared")
+    assert(p.contains("graft_qdist"),
+      s"$face: native quantized-distance kernel missing — the cross " +
+        "is not the centroid scoring pass")
+  }
+
   test("sales_rollup: filters pushed to scans, dims broadcast, no sort-merge join") {
     val p = plan("sales_rollup")
     assert(p.contains("PushedFilters"), "no pushdown visible")
@@ -257,12 +279,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
-  test("ann_ivf_subcell_probe: probe fan-out stays an equi (cell, sub) join — no cross product, native dot kernel") {
+  test("ann_ivf_subcell_probe: probe fan-out stays an equi (cell, sub) join — candidate side never a product, native dot kernel") {
     val p = plan("ann_ivf_subcell_probe")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "Hamming-1 probing must explode the query side and equi-join, " +
-        "never widen to an all-pairs product")
+    assertOnlyKernelCross(p, "ann_ivf_subcell_probe")
+    // Hamming-1 probing must explode the query side and equi-join on
+    // (cell, sub), never widen the CANDIDATE side to an all-pairs
+    // product — the keys must be visible on a hash/merge join
+    assert("""Left keys \[2\]: \[cell#""".r.findFirstIn(p).nonEmpty,
+      "candidate join lost its (cell, sub) equi keys")
     assert(p.contains("graft_dot") || p.contains("DotProduct"),
       "native dot kernel missing — scoring fell back to HOF lambdas")
     spark.catalog.clearCache()
@@ -288,10 +312,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
-  test("ann_pq: seed pick is a distributed top-K, codebooks broadcast, candidates label-equi — no cross product") {
+  test("ann_pq: seed pick is a distributed top-K, codebooks broadcast, candidates label-equi — candidate side never a product") {
     val p = plan("ann_pq")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    assertOnlyKernelCross(p, "ann_pq")
+    assert("""Left keys \[1\]: \[label#""".r.findFirstIn(p).nonEmpty,
       "candidates must stay label-blocked equi-joins, never all-pairs")
     assert(p.contains("TakeOrderedAndProject"),
       "seed pick must plan as a distributed top-K, not a global sort")
@@ -304,10 +328,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
-  test("ann_ivf_pq: candidates blocked on the DERIVED cell, codebooks broadcast, no cross product") {
+  test("ann_ivf_pq: candidates blocked on the DERIVED cell, codebooks broadcast, candidate side never a product") {
     val p = plan("ann_ivf_pq")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
+    assertOnlyKernelCross(p, "ann_ivf_pq")
+    assert("""Left keys \[1\]: \[cand#""".r.findFirstIn(p).nonEmpty,
       "candidates must stay derived-cell equi-joins, never all-pairs")
     assert(p.contains("TakeOrderedAndProject"),
       "seed pick must plan as a distributed top-K")
