@@ -28,6 +28,11 @@ object PlanCheck {
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      // per-query cache lifecycle like Bench/Verify: without this, a
+      // later query's dump renders InMemoryRelations registered by an
+      // EARLIER query's persistOnce calls — not the plan it gets when
+      // run alone (round 16)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -65,15 +65,43 @@ object StageProfile {
           println(f"[stage] ${info.stageId}%3d ${ms.getOrElse(-1L)}%6d ms  tasks=${info.numTasks}%3d  ${info.name.take(90)}")
       }
     })
+    // the codegen-cache conf is STATIC — a pre-existing session in this
+    // JVM would silently ignore it (ADVICE r15); surface that instead
+    // of profiling a different engine than the bench measures
+    if (benchLayout) {
+      val want = operators.BenchData.adaptiveConf
+        .toMap.apply("spark.sql.codegen.cache.maxEntries")
+      val got = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+      if (got != want) System.err.println(
+        s"[profile] WARNING: static codegen.cache.maxEntries=$got " +
+          s"(wanted $want) — pre-existing session?")
+    }
     // warm up common paths first
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "1").toInt
+    // validated parse: a typo'd env var must fail the launch legibly,
+    // not NumberFormatException after the session spun up (ADVICE r15)
+    val runs = sys.env.get("SPARK_GRAFT_PROFILE_RUNS")
+      .map(s => s.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_PROFILE_RUNS not an int: '$s'"))).getOrElse(1)
     for (r <- 1 to runs) {
       stageCount = 0; stageWallMs = 0L; taskTimeMs = 0L; gcMs = 0L
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // drain the async listener bus BEFORE reading the counters — a
+      // run's last stage events otherwise bleed into run r+1's summary
+      // (ADVICE r15), skewing exactly the stage-work/driver-gap split
+      // this tool exists to measure. The bus has no public drain, so
+      // poll the counters until they sit still for two 200 ms windows.
+      var settled = 0
+      var last = (stageCount, stageWallMs, taskTimeMs)
+      val drainDeadline = System.nanoTime() + 10L * 1000000000L
+      while (settled < 2 && System.nanoTime() < drainDeadline) {
+        Thread.sleep(200)
+        val now = (stageCount, stageWallMs, taskTimeMs)
+        if (now == last) settled += 1 else { settled = 0; last = now }
+      }
       println(f"[run $r] total=$dt%.2f s stages=$stageCount " +
         f"stage_wall=${stageWallMs / 1e3}%.2f s " +
         f"task_time=${taskTimeMs / 1e3}%.2f s gc=${gcMs / 1e3}%.2f s")

@@ -10,12 +10,20 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val onlyNames = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // conf parity with the bench session (round 16 — VERDICT r15 gap):
+    // the oracle must verify the exact engine configuration the bench
+    // measures (notably constraintPropagation=false), not the defaults.
+    // Same env overrides as Bench; scan-split sizing stays off because
+    // Verify reads the driver's original single-row-group layout.
+    operators.BenchData.adaptiveConf.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

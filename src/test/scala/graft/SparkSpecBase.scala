@@ -10,6 +10,19 @@ trait SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpecBase.session
   val sf: String = "/root/testdata/sf0.001"
 
+  /** Cache hygiene between tests (round 16): the session — and its
+    * CacheManager — is JVM-wide, and a query face's persisted relations
+    * outlive the test that made them. A later suite's state WRITE then
+    * makes Spark try to rebuild those stale entries
+    * (CacheManager.recacheByPath), which flaked the round-15 driver run
+    * with an NPE inside tryRebuildCacheEntry (VERIFY_r15 test_tail).
+    * Clearing after every test bounds every entry's lifetime to its
+    * test, so no write can ever meet another suite's leftovers.
+    */
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally spark.catalog.clearCache()
+
   /** Summed `numOutputRows` of every file scan in `plan` whose path
     * contains `dirToken` — the scan-volume probe shared by the
     * plan-metrics specs (PqLegSpec introduced it; factored here in
