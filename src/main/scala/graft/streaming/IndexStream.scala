@@ -2609,18 +2609,9 @@ object IndexStream {
     // the fielded face's zero-corpus guard; the proximity leg has no
     // marker dependency and degrades through its own vocabulary check
     val sparseLive = nDocs > 0L && totDl > 0L && totTtl > 0L
-    // the composed faces pass a corpus-join query relation that both
-    // clause parsers (and through them every downstream persisted
-    // relation) re-embed — one eager localCheckpoint truncates that
-    // subtree out of the whole face's plan (round 16, see
-    // PipelineStream.hybridTopK's note)
-    val qSrc =
-      if (queries.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        queries.localCheckpoint()
-      else queries
-    val trips = ops.parseFieldedQuery(qSrc)
+    val trips = ops.parseFieldedQuery(queries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val parsed = ops.parseTaggedPhrase(qSrc)
+    val parsed = ops.parseTaggedPhrase(queries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qp = parsed.filter(size(ops.bm25Tokens(col("ptext"))) >= len)
       .select(col("query_id"),

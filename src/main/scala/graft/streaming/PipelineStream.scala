@@ -152,22 +152,12 @@ object PipelineStream {
   def hybridTopK(spark: SparkSession, rootDir: String,
       queries0: DataFrame): DataFrame = {
     // both legs project from the same query relation (the composed
-    // faces pass a documents ⋈ embeddings join). Round 15 persisted it
-    // so the corpus join runs once, not per leg; round 16 upgrades the
-    // persist to an EAGER localCheckpoint — same single materialization,
-    // but the lineage is truncated to a LogicalRDD leaf, so the dozens
-    // of downstream references stop embedding the join subtree in the
-    // analyzed plan (the composed faces carried 224-Exchange ~240 KB
-    // formatted plans whose optimizer/AQE passes burned driver seconds
-    // per run — guide §3.3/§5). Results are row-order-independent
-    // (every tail is keyed + deterministically tie-broken), and a
-    // caller-persisted relation is respected unchanged. Scale note:
-    // localCheckpoint trades executor-loss recomputability for plan
-    // truncation — on a cluster prefer reliable checkpoint if the
-    // query relation's executors are preemptible.
+    // faces pass a documents ⋈ embeddings join) — persist it once so
+    // the corpus join is scanned once, not per leg (round 15; cache
+    // lifecycle stays caller-owned like every face)
     val queries =
       if (queries0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        queries0.localCheckpoint()
+        queries0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else queries0
     val sparse = IndexStream.queryTopK(spark, ridxState(rootDir),
         queries.select(col("query_id"), col("text")))
@@ -200,12 +190,11 @@ object PipelineStream {
     */
   def hybridProxTopK(spark: SparkSession, rootDir: String,
       queries0: DataFrame): DataFrame = {
-    // one eager localCheckpoint of the shared query relation across
-    // the three legs (round 16 — see hybridTopK: single
-    // materialization AND plan-size truncation)
+    // persist the shared query relation once across the three legs
+    // (round 15 — see hybridTopK)
     val queries =
       if (queries0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        queries0.localCheckpoint()
+        queries0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else queries0
     // ONE posting fetch serves the sparse AND proximity legs (round 12
     // — IndexStream.queryHybridParts): previously the two legs each

@@ -1078,17 +1078,13 @@ object VecDupStream {
     val p = graft.operators.Similarity.lshAutoPlanes(math.max(storedN, 1L))
     val maskP = (1L << p) - 1
     // the query relation feeds THREE subtrees (bucketing, the ADC
-    // distance table, the exact-verify tail) — materialize it once so
-    // a caller passing a join (the composed faces' documents ⋈
-    // embeddings corpus) pays that scan once, not three times.
-    // Round 16: eager localCheckpoint instead of persist — the same
-    // one materialization, plus lineage truncation so the three
-    // downstream references are LogicalRDD leaves instead of embedded
-    // join subtrees (plan size/optimizer time — see
-    // PipelineStream.hybridTopK's scale note).
+    // distance table, the exact-verify tail) — persist it once so a
+    // caller passing a join (the composed faces' documents ⋈
+    // embeddings corpus) pays that scan once, not three times
+    // (round 15; cache lifecycle stays caller-owned like every face)
     val qIn =
       if (queries.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        queries.localCheckpoint()
+        queries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else queries
     val b = bucketRel(qIn
         .select(col("query_id").as("vec_id"), col("embedding")), g)
